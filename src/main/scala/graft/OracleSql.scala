@@ -1,0 +1,405 @@
+package graft
+
+/** DuckDB oracle SQL for each SparkEntry.queries entry (driver contract).
+  *
+  * Every statement is the ANSI-SQL re-statement of the corresponding Spark
+  * query, written to be *bit-identical* under the driver's compare
+  * (sort columns by name, hash values):
+  *  - identical output column names and ORDER BY clauses;
+  *  - identical arithmetic shapes (same decimal casts, same double ops);
+  *  - explicit integer casts where DuckDB widens (len() -> BIGINT but Spark
+  *    size() -> INT; SUM(int) -> HUGEINT but Spark -> BIGINT);
+  *  - regexp_replace carries the 'g' flag (Spark replaces all by default);
+  *  - no nulls exist in the testdata, so null-ordering differences between
+  *    Spark (ASC NULLS FIRST) and DuckDB (ASC NULLS LAST) only matter for
+  *    generated-null columns, none of which are sort keys.
+  *
+  * Queries q40/q41/q43/q44 are intentionally absent: their candidate
+  * generation is seeded by xxhash64 / JVM deterministic hyperplanes, which
+  * ANSI SQL cannot reproduce; the driver records a rows-only check and
+  * ScalaTest verifies them against brute-force ground truth.
+  */
+object OracleSql {
+
+  /** Shared DuckDB snippet: lowercased whitespace tokens of `text`
+    * (mirrors TextFns.tokens). */
+  private val toks =
+    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
+
+  /** Shared DuckDB snippet: word-3-gram shingles of a `toks` column
+    * (mirrors TextFns.shingles(_, 3)). */
+  private val shingles3 =
+    """CASE WHEN len(toks) >= 3
+       THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+       ELSE [array_to_string(toks, ' ')] END"""
+
+  val all: Map[String, String] = Map(
+
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice""",
+
+    "q02_union_conform" ->
+      """SELECT * FROM (
+           SELECT c_custkey AS id, c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+           UNION ALL
+           SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+         ) ORDER BY kind, id""",
+
+    "q03_rename_conform" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+                o_totalprice AS total_price, CAST(NULL AS VARCHAR) AS currency
+         FROM orders ORDER BY order_id""",
+
+    "q04_lit_inject" ->
+      """SELECT r_regionkey, r_name, 'Stock Analysis' AS source,
+                DATE '2026-01-28' AS scrape_date
+         FROM region ORDER BY r_regionkey""",
+
+    "q05_vertical_split" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part ORDER BY p_partkey""",
+
+    "q06_null_key_drop" ->
+      """SELECT event_id, user_id, event_type FROM events
+         WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+         ORDER BY event_id""",
+
+    "q07_validate_domain" ->
+      """SELECT doc_id, lang, NULLIF(CONCAT_WS(';',
+           CASE WHEN NOT COALESCE(lang IN ('en','es','de'), FALSE) THEN 'bad_lang' END,
+           CASE WHEN NOT COALESCE(LENGTH(TRIM(text)) > 0, FALSE) THEN 'empty_text' END,
+           CASE WHEN NOT COALESCE(n_chars > 0 AND n_chars < 100000, FALSE) THEN 'bad_len' END
+         ), '') AS validation_issues
+         FROM documents ORDER BY doc_id""",
+
+    "q08_numeric_sanity" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_quantity > 0 AND l_extendedprice > 0
+           AND l_shipdate <= TIMESTAMP '2001-01-01'
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""",
+
+    "q09_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+         WHERE EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+
+    "q11_contains_reject" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE NOT CONTAINS(LOWER(text), 'spark')
+         ORDER BY doc_id""",
+
+    "q12_merge_upsert" ->
+      """WITH t AS (
+           SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS total_price,
+                  o_orderstatus AS status
+           FROM orders WHERE o_orderkey % 3 <> 0
+         ), th AS (
+           SELECT *, sha256(CONCAT_WS('|', CAST(o_orderkey AS VARCHAR),
+                    CAST(total_price AS VARCHAR), status)) AS row_hash FROM t
+         ), u AS (
+           SELECT o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) +
+                       CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END AS DECIMAL(12,2)) AS total_price,
+                  o_orderstatus AS status
+           FROM orders WHERE o_orderkey % 2 = 0
+         ), uh AS (
+           SELECT *, sha256(CONCAT_WS('|', CAST(o_orderkey AS VARCHAR),
+                    CAST(total_price AS VARCHAR), status)) AS row_hash FROM u
+         )
+         SELECT
+           CASE WHEN uh.o_orderkey IS NOT NULL AND (th.o_orderkey IS NULL OR th.row_hash IS DISTINCT FROM uh.row_hash)
+                THEN uh.o_orderkey ELSE th.o_orderkey END AS o_orderkey,
+           CASE WHEN uh.o_orderkey IS NOT NULL AND (th.o_orderkey IS NULL OR th.row_hash IS DISTINCT FROM uh.row_hash)
+                THEN uh.total_price ELSE th.total_price END AS total_price,
+           CASE WHEN uh.o_orderkey IS NOT NULL AND (th.o_orderkey IS NULL OR th.row_hash IS DISTINCT FROM uh.row_hash)
+                THEN uh.status ELSE th.status END AS status,
+           CASE WHEN uh.o_orderkey IS NOT NULL AND (th.o_orderkey IS NULL OR th.row_hash IS DISTINCT FROM uh.row_hash)
+                THEN uh.row_hash ELSE th.row_hash END AS row_hash
+         FROM th FULL OUTER JOIN uh ON th.o_orderkey = uh.o_orderkey
+         ORDER BY o_orderkey""",
+
+    "q13_dedup_keep_first" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+           SELECT *, row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice, l_suppkey, l_shipdate) AS rn
+           FROM lineitem) WHERE rn = 1
+         ORDER BY l_orderkey""",
+
+    "q14_dedup_keep_last" ->
+      """SELECT user_id, event_id, event_type, ts FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id""",
+
+    "q15_watermark_max" ->
+      """SELECT o_custkey, MAX(o_orderdate) AS max_orderdate
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "q16_group_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q17_decimal_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 10000.0 + 0.5)) AS DOUBLE) / 10000.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q18_join_agg_topk" ->
+      """SELECT l_orderkey, o_orderdate,
+           CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)) AS DOUBLE) / 10000.0 AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-07-01'
+           AND l_shipdate > TIMESTAMP '1997-07-01'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q19_star_join" ->
+      """SELECT n_name,
+           CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'EUROPE'
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q20_rollup" ->
+      """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_acctbal,
+           CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+         FROM customer
+         GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+         ORDER BY c_mktsegment ASC NULLS FIRST, c_nationkey ASC NULLS FIRST""",
+
+    "q21_window_topk" ->
+      """SELECT l_suppkey, "rank", l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(row_number() OVER (PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC, l_partkey ASC) AS INTEGER) AS "rank"
+           FROM lineitem) WHERE "rank" <= 3
+         ORDER BY l_suppkey, "rank"""",
+
+    "q22_last_by_time" ->
+      """SELECT l_partkey, l_shipdate, l_orderkey, l_extendedprice FROM (
+           SELECT *, row_number() OVER (PARTITION BY l_partkey
+             ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC, l_extendedprice DESC) AS rn
+           FROM lineitem) WHERE rn = 1
+         ORDER BY l_partkey""",
+
+    "q23_multi_sort_limit" ->
+      """SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+         FROM lineitem
+         ORDER BY l_returnflag ASC, l_shipdate DESC, l_orderkey ASC,
+                  l_linenumber ASC, l_partkey ASC, l_extendedprice ASC
+         LIMIT 100""",
+
+    "q24_hash_md5" ->
+      """SELECT o_orderkey, md5(CONCAT(
+           COALESCE(CAST(o_orderkey AS VARCHAR), ''),
+           COALESCE(o_orderstatus, ''),
+           COALESCE(o_orderpriority, ''))) AS row_hash
+         FROM orders ORDER BY o_orderkey""",
+
+    "q25_hash_sha2" ->
+      """SELECT l_orderkey, l_linenumber, sha256(CONCAT_WS('|',
+           CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+           CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR),
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR))) AS row_hash
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, row_hash""",
+
+    "q26_string_clean" ->
+      """SELECT doc_id, UPPER(TRIM(lang)) AS lang_norm,
+           CASE source WHEN 'src0' THEN 'Financial Times'
+                       WHEN 'src1' THEN 'Yahoo Finance'
+                       WHEN 'src2' THEN 'Stock Analysis'
+                       ELSE source END AS source_norm,
+           CASE WHEN LOWER(TRIM(lang)) IN ('--','-','','nan','none','null','n/a')
+                THEN NULL ELSE lang END AS lang_clean
+         FROM documents ORDER BY doc_id""",
+
+    "q27_json_extract" ->
+      """SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+
+    "q28_date_funcs" ->
+      """SELECT event_id,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           strftime(ts, '%Y-%m') AS month_str,
+           CAST(ts AS DATE) + 7 AS plus7,
+           CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS INTEGER) AS days_since
+         FROM events ORDER BY event_id""",
+
+    "q29_display_parse" ->
+      """WITH p AS (
+           SELECT p_partkey,
+             LOWER(TRIM(CAST(CAST(ROUND(p_retailprice / 1000.0, 3) AS DECIMAL(10,3)) AS VARCHAR) || 'k USD')) AS s,
+             TRIM(CAST(p_size AS VARCHAR) || '%') AS pct
+           FROM part)
+         SELECT p_partkey,
+           CAST(REPLACE(regexp_extract(s, '([0-9][0-9,]*\.?[0-9]*)', 1), ',', '') AS DOUBLE) *
+             (CASE WHEN regexp_matches(s, '[0-9]\s*t') THEN 1e12
+                   WHEN regexp_matches(s, '[0-9]\s*b') THEN 1e9
+                   WHEN regexp_matches(s, '[0-9]\s*m') THEN 1e6
+                   WHEN regexp_matches(s, '[0-9]\s*k') THEN 1e3
+                   ELSE 1.0 END) AS aum_value,
+           CAST(regexp_replace(pct, '[%,+\s]', '', 'g') AS DOUBLE) AS pct_value
+         FROM p ORDER BY p_partkey""",
+
+    "q30_eav_melt" ->
+      """SELECT * FROM (
+           SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric, l_extendedprice AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'discount' AS metric, l_discount AS value FROM lineitem
+         ) ORDER BY l_orderkey, l_linenumber, metric, value""",
+
+    "q31_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+
+    "q32_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+           FROM events
+         ), s AS (
+           SELECT *, CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session FROM e
+         ), c AS (
+           SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM s
+         )
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+                MIN(ts) AS session_start, MAX(ts) AS session_end
+         FROM c GROUP BY user_id, session_id
+         ORDER BY user_id, session_id""",
+
+    "q33_status_lifecycle" ->
+      """WITH m AS (
+           SELECT o_custkey, CAST(MAX(o_orderdate) AS DATE) AS last_seen,
+             'Customer#' || CAST(o_custkey AS VARCHAR) AS name,
+             CASE WHEN o_custkey % 5 = 0 THEN 'new' ELSE 'active' END AS status
+           FROM orders GROUP BY o_custkey)
+         SELECT o_custkey, last_seen,
+           CASE WHEN last_seen < DATE '2001-08-01' - 7 THEN 'inactive'
+                WHEN status = 'new' AND LENGTH(TRIM(COALESCE(name, ''))) > 0 THEN 'active'
+                ELSE status END AS status
+         FROM m ORDER BY o_custkey""",
+
+    "q34_token_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents)
+         SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS INTEGER) AS n_chars_norm,
+           ROUND(CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END, 6) AS mean_word_len
+         FROM t ORDER BY doc_id""",
+
+    "q35_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         u AS (SELECT doc_id, text,
+           CASE WHEN len(toks) > 0
+             THEN CAST(len(list_filter(toks, x -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','was','at','by'], x))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE)
+             ELSE 0.0 END AS swr,
+           CASE WHEN length(text) > 0
+             THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END AS pr
+          FROM t)
+         SELECT doc_id, ROUND(swr, 6) AS stopword_ratio, ROUND(pr, 6) AS punct_ratio,
+           ROUND((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                + LEAST(swr * 5.0, 1.0)
+                + GREATEST(0.0, 1.0 - pr * 4.0)) / 3.0, 6) AS quality
+         FROM u ORDER BY doc_id""",
+
+    "q36_lang_id" ->
+      """WITH h AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b')) AS INTEGER) AS en_hits,
+             CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b')) AS INTEGER) AS es_hits,
+             CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b')) AS INTEGER) AS de_hits
+           FROM documents)
+         SELECT doc_id, en_hits, es_hits, de_hits,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                WHEN es_hits >= de_hits THEN 'es'
+                ELSE 'de' END AS predicted
+         FROM h ORDER BY doc_id""",
+
+    "q37_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+           MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "q38_shingle_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         SELECT doc_id, CAST(len(list_distinct($shingles3)) AS INTEGER) AS n_shingles
+         FROM t ORDER BY doc_id""",
+
+    "q39_dedup_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id AS id, unnest(list_distinct($shingles3)) AS sh FROM t),
+         sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS cnt
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id)
+         SELECT id_a, id_b,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE), 6) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.id = id_a
+         JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.2
+         ORDER BY id_a, id_b""",
+
+    "q42_ann_bruteforce" ->
+      """WITH v AS (
+           SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings),
+         s AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS qdot
+           FROM v c, v q WHERE q.vec_id < 10),
+         r AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY qdot DESC, neighbor_id ASC) AS INTEGER) AS "rank" FROM s)
+         SELECT query_id, neighbor_id, qdot, "rank" FROM r WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+
+    "q45_multimodal_meta" ->
+      """SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS byte_len,
+           md5(text) AS content_md5,
+           CAST(n_chars % 640 AS INTEGER) AS fake_width,
+           CAST((n_chars * 7) % 480 AS INTEGER) AS fake_height
+         FROM documents ORDER BY doc_id"""
+  )
+}

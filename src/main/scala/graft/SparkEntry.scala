@@ -1,13 +1,611 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions._
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract (SURVEY.md §7 + builder prompt): one `queries` entry per
+  * implemented operator from SURVEY.md §2 (plus the north-star extensions),
+  * each with a DuckDB-oracle SQL where ANSI-SQL-expressible.
+  *
+  * Determinism rules applied to every query (driver hash-compares results):
+  *  - every output is ORDER BY'd over ALL its columns (lineitem contains
+  *    deliberate duplicate rows);
+  *  - no floating-point aggregation: sums/avgs go through DECIMAL casts or
+  *    integer quantization so results are bit-identical across engines;
+  *  - per-row double arithmetic is fine (IEEE ops are deterministic) as long
+  *    as the expression shape matches the oracle exactly;
+  *  - no current_date()/now(): literals pinned to the deterministic testdata.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Reads a testdata table. `events.ts` is parquet TIMESTAMP(NANOS), which
+    * Spark 4 only reads as a raw long (spark.sql.legacy.parquet.nanosAsLong,
+    * set by every session builder in this project); the data is
+    * microsecond-resolution, so ns -> us integer division is exact. */
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$n.parquet")
+    if (n == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Exercises scan -> broadcast join -> filter -> decimal agg -> sort. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li  = T(spark, dir, "lineitem")
+    val o   = T(spark, dir, "orders")
+    val c   = T(spark, dir, "customer")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(dec2(col("l_extendedprice"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // ===================================================================
+  // §2.1/§2.3 scans + projections
+  // ===================================================================
+
+  /** S1/P5: parquet scan, filter pushdown, column-pruned projection. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_extendedprice"))
+
+  /** U1/P3: schema-conform + union-by-name of heterogeneous inputs. */
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer").select(
+      col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
+    val p = T(s, dir, "supplier").select(
+      col("s_suppkey").as("id"), col("s_name").as("name"),
+      col("s_acctbal").as("acctbal"), lit("supplier").as("kind"))
+    c.unionByName(p).orderBy(col("kind"), col("id"))
+  }
+
+  /** P2/P3: rename-map projection + add-missing-as-typed-null. */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    Conform.conform(
+      Conform.rename(T(s, dir, "orders"), Map(
+        "o_orderkey" -> "order_id", "o_custkey" -> "customer_id",
+        "o_totalprice" -> "total_price")),
+      Seq("order_id" -> LongType, "customer_id" -> LongType,
+        "total_price" -> DoubleType, "currency" -> StringType))
+      .orderBy(col("order_id"))
+
+  /** P4: literal/derived column injection (source/scrape_date lineage). */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name"),
+        lit("Stock Analysis").as("source"),
+        lit("2026-01-28").cast("date").as("scrape_date"))
+      .orderBy(col("r_regionkey"))
+
+  /** P6: wide -> narrow vertical split projection. */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  // ===================================================================
+  // §2.4 filters / validation
+  // ===================================================================
+
+  /** F1: null-key drop. */
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .na.drop(Seq("user_id", "event_type"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** F2/F5: row-level domain validation with ordered reject reasons. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    Validate.withIssues(T(s, dir, "documents"), Seq(
+        Validate.Rule("bad_lang", col("lang").isin("en", "es", "de")),
+        Validate.Rule("empty_text", length(trim(col("text"))) > 0),
+        Validate.Rule("bad_len", col("n_chars") > 0 && col("n_chars") < 100000)))
+      .select(col("doc_id"), col("lang"), col("validation_issues"))
+      .orderBy(col("doc_id"))
+
+  /** F3/F4: numeric sanity + future-date rejects. */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0 &&
+        col("l_shipdate") <= lit("2001-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+
+  /** J1/F6: left-semi join (screener ∩ active master). Broadcast-planned. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J2/U2: left-anti join (work list minus already-processed). */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir, "customer")
+    val o = T(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** F7: string-contains reject (FT footer-row filter shape). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .filter(!lower(col("text")).contains("spark"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  // ===================================================================
+  // §2.5 joins / merge
+  // ===================================================================
+
+  /** J3/K3/T2: THE reference core operator — hash-guarded MERGE upsert.
+    * target = warehouse snapshot; updates = new batch where some rows are
+    * payload-identical (hash no-op), some changed, some brand-new. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir, "orders")
+    val withHash = (d: DataFrame) => d.withColumn("row_hash",
+      HashFns.sha2Pipe(Seq(col("o_orderkey"), col("total_price"), col("status"))))
+    val target = withHash(o.filter(col("o_orderkey") % 3 =!= 0).select(
+      col("o_orderkey"),
+      dec2(col("o_totalprice")).as("total_price"),
+      col("o_orderstatus").as("status")))
+    val updates = withHash(o.filter(col("o_orderkey") % 2 === 0).select(
+      col("o_orderkey"),
+      (dec2(col("o_totalprice")) +
+        when(col("o_orderkey") % 4 === 0, 1).otherwise(0)).cast(DecimalType(12, 2)).as("total_price"),
+      col("o_orderstatus").as("status")))
+    MergeSink.merge(target, updates, Seq("o_orderkey"), Some("row_hash"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J4/A4: key-priority dedup keep-first (deterministic survivor). */
+  private def q13(s: SparkSession, dir: String): DataFrame =
+    Dedup.keyedKeepFirst(T(s, dir, "lineitem"), Seq("l_orderkey"),
+        Seq(col("l_linenumber").asc, col("l_partkey").asc,
+          col("l_quantity").asc, col("l_extendedprice").asc,
+          col("l_suppkey").asc, col("l_shipdate").asc))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      .orderBy(col("l_orderkey"))
+
+  /** A3: keyed dedup keep-LAST (latest event per user wins). */
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    Dedup.keyedKeepFirst(T(s, dir, "events"), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy(col("user_id"))
+
+  // ===================================================================
+  // §2.6 aggregations
+  // ===================================================================
+
+  /** A1/S7: per-key watermark (max date per ticker shape). */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("max_orderdate"))
+      .orderBy(col("o_custkey"))
+
+  /** A2: group-count (per-source row counts report). */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Headline decimal aggregation (TPC-H Q1 shape). Per-row double products
+    * are quantized to integer 1/10000ths via floor(x*10000+0.5) — every step
+    * is a deterministic IEEE op, so the distributed long sum is exact and
+    * bit-identical across engines (Spark round() and DuckDB round() disagree
+    * on some doubles; floor does not). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val disc   = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000.0 + 0.5)
+    val charge = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+      (lit(1.0) + col("l_tax")) * 10000.0 + 0.5)
+    T(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        (sum(disc).cast("double") / 10000.0).as("sum_disc_price"),
+        (sum(charge).cast("double") / 10000.0).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Headline join+agg+top-k (TPC-H Q3 shape): broadcast dim filter, shuffle
+    * join on orderkey, exact decimal revenue, deterministic top-10. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-07-01").cast("timestamp")
+    val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = T(s, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = T(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+    val revenue = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000.0 + 0.5)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((sum(revenue).cast("double") / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Headline multi-join star query (TPC-H Q5 shape): region->nation
+    * broadcast, co-partitioned fact joins, exact decimal revenue. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val r  = T(s, dir, "region").filter(col("r_name") === "EUROPE")
+    val n  = T(s, dir, "nation")
+    val c  = T(s, dir, "customer")
+    val o  = T(s, dir, "orders")
+    val l  = T(s, dir, "lineitem")
+    val su = T(s, dir, "supplier")
+    val revenue = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000.0 + 0.5)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(su, l("l_suppkey") === su("s_suppkey") &&
+        c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(revenue).cast("double") / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Beyond-reference grouping sets: ROLLUP with explicit grouping id. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer")
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("sum_acctbal"),
+        grouping_id(col("c_mktsegment"), col("c_nationkey")).as("gid"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+
+  // ===================================================================
+  // §2.7 sorts / top-k / windows
+  // ===================================================================
+
+  /** O5: per-group top-k via rank window (top-10 holdings shape). */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_partkey").asc)
+    T(s, dir, "lineitem")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("l_suppkey"), col("rank"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("rank"))
+  }
+
+  /** O4: last-valid-by-time per key (today's NAV = last close shape). */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Dedup.keyedKeepFirst(T(s, dir, "lineitem"), Seq("l_partkey"),
+        Seq(col("l_shipdate").desc, col("l_orderkey").desc,
+          col("l_linenumber").desc, col("l_extendedprice").desc))
+      .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_extendedprice"))
+      .orderBy(col("l_partkey"))
+
+  /** O1/O2/O3: multi-key sort (incl. desc) + limit. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .orderBy(col("l_returnflag").asc, col("l_shipdate").desc,
+        col("l_orderkey").asc, col("l_linenumber").asc,
+        col("l_partkey").asc, col("l_extendedprice").asc)
+      .select(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_extendedprice"))
+      .limit(100)
+
+  // ===================================================================
+  // §2.9 scalar functions
+  // ===================================================================
+
+  /** C13: md5 positional-concat row hash (master-list hash shape). */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .select(col("o_orderkey"),
+        HashFns.md5Concat(Seq(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))).as("row_hash"))
+      .orderBy(col("o_orderkey"))
+
+  /** C14: sha256 '|'-joined payload hash (price-history hash shape). */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        HashFns.sha2Pipe(Seq(col("l_orderkey"), col("l_linenumber"),
+          dec2(col("l_quantity")), dec2(col("l_extendedprice")))).as("row_hash"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("row_hash"))
+
+  /** C1/C2/C3/C17: trim/case normalize + enum replace + null markers. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        CleanFns.normKey(col("lang")).as("lang_norm"),
+        CleanFns.mapEnum(col("source"), Map(
+          "src0" -> "Financial Times", "src1" -> "Yahoo Finance",
+          "src2" -> "Stock Analysis")).as("source_norm"),
+        CleanFns.nullifyMarkers(col("lang")).as("lang_clean"))
+      .orderBy(col("doc_id"))
+
+  /** C16/JSON: json field extraction (scraper payload shape). */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy(col("event_id"))
+
+  /** C9-C12: date parse/trunc/format/arithmetic. */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .select(col("event_id"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"),
+        date_format(col("ts"), "yyyy-MM").as("month_str"),
+        date_add(col("ts").cast("date"), 7).as("plus7"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("days_since"))
+      .orderBy(col("event_id"))
+
+  /** C4/C5/C6: display-string parsing (percent, thousands, magnitude
+    * suffix) — strings constructed then parsed so the oracle sees identical
+    * inputs. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val aumDisp = concat(
+      round(col("p_retailprice") / 1000.0, 3).cast(DecimalType(10, 3)).cast("string"),
+      lit("k USD"))
+    val pctDisp = concat(col("p_size").cast("string"), lit("%"))
+    T(s, dir, "part")
+      .select(col("p_partkey"),
+        CleanFns.parseMagnitude(aumDisp).as("aum_value"),
+        CleanFns.parsePercent(pctDisp).as("pct_value"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** EAV melt (allocations long-table shape) via stack(). */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+          "'discount', l_discount) as (metric, value)")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("value"))
+
+  // ===================================================================
+  // §2.10 incremental/streaming semantics (batch-equivalent queries;
+  // the Structured Streaming runtime lives in graft.streaming)
+  // ===================================================================
+
+  /** T1: tumbling-window aggregation (Spark window() function). */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("total_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** Session windows (30-min inactivity gap) as a batch window computation. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val cum = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(cum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** T5: entity liveness lifecycle (status aging) as a column rewrite. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val master = T(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).cast("date").as("last_seen"))
+      .withColumn("name", concat(lit("Customer#"), col("o_custkey")))
+      .withColumn("status",
+        when(col("o_custkey") % 5 === 0, lit("new")).otherwise(lit("active")))
+    MergeSink.applyStatusLifecycle(master, lit("2001-08-01").cast("date"), 7)
+      .select(col("o_custkey"), col("last_seen"), col("status"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // ===================================================================
+  // North-star: text analysis
+  // ===================================================================
+
+  /** Token counting + normalized length stats. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tokens"),
+        length(TextFns.normalizedText(col("text"))).as("n_chars_norm"),
+        round(TextFns.meanWordLen(col("text")), 6).as("mean_word_len"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring (length/stopword/punctuation composite). */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextFns.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"),
+        TextFns.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Marker-word language-ID heuristic. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val en = TextFns.langHits(col("text"), "\\b(the|a|is|and|of)\\b")
+    val es = TextFns.langHits(col("text"), "\\b(el|la|de|que|es)\\b")
+    val de = TextFns.langHits(col("text"), "\\b(der|die|das|und|ist)\\b")
+    T(s, dir, "documents")
+      .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
+        when(en >= es && en >= de, lit("en"))
+          .when(es >= de, lit("es")).otherwise(lit("de")).as("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting == exact dedup survivor table. */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(T(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("fp"))
+
+  /** Shingle statistics (basis of MinHash / Jaccard dedup). */
+  private def q38(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(array_distinct(TextFns.shingles(col("text"), 3))).as("n_shingles"))
+      .orderBy(col("doc_id"))
+
+  /** N-gram Jaccard near-dup pairs (inverted-index candidate join + exact
+    * verification). Posting-list cap disabled here for oracle parity. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.2, maxPostings = Int.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ===================================================================
+  // North-star: dedup sketches + similarity search (rows-only oracles:
+  // xxhash64/JVM-seeded hyperplanes are not expressible in ANSI SQL;
+  // correctness is enforced by ScalaTest against brute-force ground truth)
+  // ===================================================================
+
+  /** MinHash + LSH near-dup pairs, exact-Jaccard verified. */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashDedup(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs (Hamming <= 3, pigeonhole-blocked). */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Brute-force ANN top-k, integer-quantized dot product (exact, portable —
+    * this one HAS a DuckDB oracle). */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").as("neighbor_id"),
+      VectorFns.quantize(col("embedding")).as("cv"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), VectorFns.quantize(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("qdot", VectorFns.quantizedDot(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN top-k (sign-random-projection buckets). */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.srpTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, dim = 64, bits = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding cosine near-duplicate pairs (SRP blocking + exact cosine).
+    * Threshold 0.3 ~= p99 of the synthetic corpus's pairwise cosine (max is
+    * ~0.51), so the blocking recall is actually exercised. */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDups(T(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.3, bits = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ===================================================================
+  // North-star: multimodal column plumbing
+  // ===================================================================
+
+  /** Opaque-binary multimodal columns: bytes + typed metadata extraction
+    * (the decode itself is stubbed per the container's library limits; the
+    * Spark-side schema/partitioning plumbing is real — see graft.multimodal). */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).as("byte_len"),
+        md5(col("text")).as("content_md5"),
+        (col("n_chars") % 640).cast("int").as("fake_width"),
+        ((col("n_chars") * 7) % 480).cast("int").as("fake_height"))
+      .orderBy(col("doc_id"))
+
+  // ===================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_filter_project" -> q01 _,
+    "q02_union_conform" -> q02 _,
+    "q03_rename_conform" -> q03 _,
+    "q04_lit_inject" -> q04 _,
+    "q05_vertical_split" -> q05 _,
+    "q06_null_key_drop" -> q06 _,
+    "q07_validate_domain" -> q07 _,
+    "q08_numeric_sanity" -> q08 _,
+    "q09_semi_join" -> q09 _,
+    "q10_anti_join" -> q10 _,
+    "q11_contains_reject" -> q11 _,
+    "q12_merge_upsert" -> q12 _,
+    "q13_dedup_keep_first" -> q13 _,
+    "q14_dedup_keep_last" -> q14 _,
+    "q15_watermark_max" -> q15 _,
+    "q16_group_count" -> q16 _,
+    "q17_decimal_agg" -> q17 _,
+    "q18_join_agg_topk" -> q18 _,
+    "q19_star_join" -> q19 _,
+    "q20_rollup" -> q20 _,
+    "q21_window_topk" -> q21 _,
+    "q22_last_by_time" -> q22 _,
+    "q23_multi_sort_limit" -> q23 _,
+    "q24_hash_md5" -> q24 _,
+    "q25_hash_sha2" -> q25 _,
+    "q26_string_clean" -> q26 _,
+    "q27_json_extract" -> q27 _,
+    "q28_date_funcs" -> q28 _,
+    "q29_display_parse" -> q29 _,
+    "q30_eav_melt" -> q30 _,
+    "q31_window_agg" -> q31 _,
+    "q32_sessionize" -> q32 _,
+    "q33_status_lifecycle" -> q33 _,
+    "q34_token_stats" -> q34 _,
+    "q35_quality_score" -> q35 _,
+    "q36_lang_id" -> q36 _,
+    "q37_dedup_exact" -> q37 _,
+    "q38_shingle_stats" -> q38 _,
+    "q39_dedup_jaccard" -> q39 _,
+    "q40_dedup_minhash" -> q40 _,
+    "q41_dedup_simhash" -> q41 _,
+    "q42_ann_bruteforce" -> q42 _,
+    "q43_ann_lsh" -> q43 _,
+    "q44_embed_neardup" -> q44 _,
+    "q45_multimodal_meta" -> q45 _
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-training-data extensions
+  * (north star in BASELINE.json): tokenization, quality scoring, language-ID
+  * heuristics, fingerprinting, shingling.
+  *
+  * All pure `Column` expressions — whole-stage-codegen'd, no UDFs — so a
+  * 100 TB `documents` scan stays in one codegen stage with the parquet
+  * reader's column pruning (only `text` is read when only these are used).
+  */
+object TextFns {
+
+  /** Lowercased whitespace tokens. Empty/blank text -> empty array. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-count estimate: words + digit runs + punctuation marks
+    * counted separately (a cheap, deterministic proxy for a real tokenizer). */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(filter(split(lower(trim(text)), "(?=[^a-z0-9])|(?<=[^a-z0-9])"), t => length(trim(t)) > 0))
+
+  /** Ratio of punctuation characters to total characters. Uses the explicit
+    * ASCII punctuation ranges (portable: Java's \p{Punct} is POSIX-ASCII but
+    * RE2 engines read it as Unicode category P). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    when(total > 0,
+      (total - length(regexp_replace(text, "[!-/:-@\\[-`{-~]", ""))).cast("double") / total.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  private val EnglishStopwords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as", "was", "at", "by")
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal for web-scale corpus filtering. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val toks = tokens(text)
+    val n    = size(toks)
+    when(n > 0, size(filter(toks, t => t.isin(stopwords.map(lit): _*))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-range length, presence of
+    * stopwords, low punctuation density. Deterministic and portable. */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPen  = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    round((lenScore + stopScore + punctPen) / 3.0, 6)
+  }
+
+  /** Language marker-word hit counts. N-gram/marker heuristic language ID:
+    * count hits of per-language high-frequency words, predict the argmax.
+    * `markers` maps lang code -> marker word regex (word-bounded). */
+  def langHits(text: Column, markerRegex: String): Column =
+    size(regexp_extract_all(lower(text), lit(markerRegex), lit(0)))
+
+  /** Canonical normalized form used for fingerprinting: lowercase, collapse
+    * internal whitespace, strip leading/trailing. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text (content identity for
+    * exact dedup; SURVEY.md north-star ops). */
+  def fingerprint(text: Column): Column = md5(normalizedText(text))
+
+  /** Word n-gram shingles as an array column (for MinHash / Jaccard dedup).
+    * shingles("a b c d", 3) = ["a b c", "b c d"]; fewer than n words -> the
+    * whole text as one shingle (so short docs still participate). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)), i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Character n-gram shingles (robust to tokenization for CJK-ish text). */
+  def charShingles(text: Column, n: Int): Column = {
+    val s = normalizedText(text)
+    when(length(s) >= n,
+      transform(sequence(lit(1), length(s) - (n - 1)), i => substring(s, i, lit(n))))
+      .otherwise(array(s))
+  }
+
+  /** Rolling-hash style document signature: xxhash64 of each word shingle,
+    * min-pooled — a 1-long cheap sketch (full MinHash lives in Dedup). */
+  def docSignature(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n), s => xxhash64(s)))
+}
