@@ -1,0 +1,68 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens + tokenCount: whitespace split, case-folded, blanks dropped") {
+    val df = Seq("The  quick Brown   fox", "", "  ").toDF("text")
+      .select(TextFns.tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(4, 0, 0))
+  }
+
+  test("shingles: n-grams over tokens; short docs collapse to one shingle") {
+    val got = Seq("a b c d").toDF("text")
+      .select(TextFns.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(TextFns.shingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
+  test("charShingles: character n-grams over normalized text") {
+    val got = Seq("AB cd").toDF("text")
+      .select(TextFns.charShingles(col("text"), 3).as("s")).as[Seq[String]].head()
+    assert(got == Seq("ab ", "b c", " cd"))
+  }
+
+  test("fingerprint: whitespace/case-insensitive content identity") {
+    val df = Seq("Hello   World", "hello world", "hello worlds").toDF("text")
+      .select(TextFns.fingerprint(col("text")).as("fp"))
+    val fps = df.as[String].collect().toSeq
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("stopwordRatio / punctRatio / qualityScore bounds") {
+    val df = Seq(
+      "the cat sat on the mat",          // stopword-heavy, clean
+      "!!! ??? ;;; ###",                 // all punctuation
+      "x"
+    ).toDF("text").select(
+      TextFns.stopwordRatio(col("text")).as("sw"),
+      TextFns.punctRatio(col("text")).as("p"),
+      TextFns.qualityScore(col("text")).as("q"))
+    val rows = df.collect()
+    val sw = rows.map(_.getDouble(0))
+    val p  = rows.map(_.getDouble(1))
+    val q  = rows.map(_.getDouble(2))
+    assert(sw(0) == 0.5) // the, on, the out of 6
+    assert(p(1) > 0.5 && p(0) == 0.0)
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1)) // clean prose scores above punctuation soup
+  }
+
+  test("langHits counts marker words") {
+    val en = Seq("the cat and the dog is here").toDF("text")
+      .select(TextFns.langHits(col("text"), "\\b(the|a|is|and|of)\\b").as("n"))
+      .as[Int].head()
+    assert(en == 4)
+  }
+
+  test("tokenCountBpeIsh splits punctuation and digit runs apart") {
+    val n = Seq("don't stop, 123 go!").toDF("text")
+      .select(TextFns.tokenCountBpeIsh(col("text")).as("n")).as[Int].head()
+    assert(n == 8) // don ' t stop , 123 go !
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Small corpus with a known near-dup structure: 0≈1 (one word changed),
+  // 2≈3 (identical), 4 unrelated, 5 short.
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (4L, "completely different content about spark distributed query engines and shuffles"),
+    (5L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  /** Exact Jaccard over distinct word-3-shingles, computed naively. */
+  private def bruteJaccard(a: String, b: String): Double = {
+    def sh(t: String): Set[String] = {
+      val toks = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
+  }
+
+  test("keyedKeepFirst keeps exactly the ordered survivor per key") {
+    val df = Seq((1, "b", 2), (1, "a", 1), (2, "c", 9)).toDF("k", "v", "ord")
+    val out = Dedup.keyedKeepFirst(df, Seq("k"), Seq(col("ord").asc))
+      .orderBy("k").select("v").as[String].collect().toSeq
+    assert(out == Seq("a", "c"))
+  }
+
+  test("exact dedup groups identical normalized content") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 5) // 2 and 3 collapse
+    val dup = out.filter(col("dup_count") === 2).select("keep_id").as[Long].head()
+    assert(dup == 2L)
+  }
+
+  test("jaccardPairs matches brute-force ground truth") {
+    val texts = docs.as[(Long, String)].collect().toMap
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      j = bruteJaccard(texts(a), texts(b)) if j >= 0.3
+    } yield (a, b)).toSet
+    val got = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3, Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(expected.contains((0L, 1L)) && expected.contains((2L, 3L)))
+  }
+
+  test("jaccardPairs reports exact jaccard values") {
+    val j01 = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3, Int.MaxValue)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("jaccard").as[Double].head()
+    val texts = docs.as[(Long, String)].collect().toMap
+    assert(math.abs(j01 - bruteJaccard(texts(0L), texts(1L))) < 1e-6)
+  }
+
+  test("minhashDedup finds the true near-dup pairs (LSH recall on strong pairs)") {
+    // threshold 0.3; identical pair (2,3) MUST collide in every band;
+    // (0,1) at jaccard ~0.45 collides with overwhelming probability at 64/16
+    val got = Dedup.minhashDedup(docs, "doc_id", "text",
+      numHashes = 64, bands = 16, shingleN = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((2L, 3L)))
+    assert(got.contains((0L, 1L)))
+    // verification step guarantees no false positives vs exact jaccard
+    val texts = docs.as[(Long, String)].collect().toMap
+    got.foreach { case (a, b) =>
+      assert(bruteJaccard(texts(a), texts(b)) >= 0.3)
+    }
+  }
+
+  test("minhashSignatures: identical docs get identical signatures") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 32, 3)
+      .filter(col("doc_id").isin(2, 3))
+      .select("signature").as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhashNearDups: identical docs at hamming 0; unrelated docs absent") {
+    val got = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((2L, 3L)))
+    assert(got.find(t => t._1 == 2L && t._2 == 3L).get._3 == 0)
+    assert(!pairs.contains((0L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("lshCandidatePairs caps pathological hot buckets") {
+    // 50 identical docs -> one bucket of 50; cap at 10 suppresses it
+    val many = (0L until 50L).map(i => (i, "same same same same text"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(many, "doc_id", "text", 16, 3)
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, maxBucketSize = 1000)
+    assert(uncapped.count() == 50L * 49L / 2L)
+  }
+}
