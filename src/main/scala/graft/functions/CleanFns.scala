@@ -93,7 +93,8 @@ object CleanFns {
 
   /** Lineage: ticker from filename stem (00_price_history_cleaner.py:43). */
   def tickerFromPath(pathCol: Column): Column =
-    upper(regexp_extract(pathCol, "([^/]+?)_(?:history|dividend)\\.csv$", 1))
+    upper(regexp_extract(pathCol,
+      "([^/]+?)(?:_[a-z]+)?_(?:history|dividend|holdings|allocations)\\.csv$", 1))
 
   /** Lineage: asset type from an 'etf'/'fund' path segment
     * (00_price_history_cleaner.py:45). */

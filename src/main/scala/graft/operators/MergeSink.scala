@@ -57,24 +57,37 @@ object MergeSink {
     }: _*)
   }
 
+  /** Writes `df` to a temp dir then atomically swaps it into `path`
+    * (write-temp / rename-old / rename-temp / drop-old). The read-modify-
+    * write primitive under [[upsertParquet]] and the status lifecycle. */
+  def replaceParquet(spark: SparkSession, path: String, df: DataFrame): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tgt   = new org.apache.hadoop.fs.Path(path)
+    val fs    = tgt.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val bak = new org.apache.hadoop.fs.Path(path + "__old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(tgt)) fs.rename(tgt, bak)
+    fs.rename(tmp, tgt)
+    fs.delete(bak, true)
+    // drop cached file listings so readers created after the swap see the
+    // new generation (stale FileStatusCache entries would 404 on old parts)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Reads the parquet target (empty -> insert-all), merges, writes to a
     * temp dir, atomically swaps. Idempotent: re-running with identical
     * updates is a no-op on row content. */
   def upsertParquet(spark: SparkSession, path: String, updates: DataFrame,
                     keys: Seq[String], hashCol: Option[String] = Some("row_hash")): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val fs    = new org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
     val tgt   = new org.apache.hadoop.fs.Path(path)
+    val fs    = tgt.getFileSystem(hconf)
     val merged =
       if (fs.exists(tgt)) merge(spark.read.parquet(path), updates, keys, hashCol)
       else updates.dropDuplicates(keys)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp")
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    val bak = new org.apache.hadoop.fs.Path(path + "__old")
-    if (fs.exists(bak)) fs.delete(bak, true)
-    if (fs.exists(tgt)) fs.rename(tgt, bak)
-    fs.rename(tmp, tgt)
-    fs.delete(bak, true)
+    replaceParquet(spark, path, merged)
   }
 
   /** T5 status lifecycle (src/utils/status_manager.py:9-13,63-88) as a pure

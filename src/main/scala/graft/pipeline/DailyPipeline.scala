@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import graft.stages._
+import graft.sources.CsvLake
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Daily pipeline orchestrator (SURVEY.md §3.1: main_pipeline.py +
+  * per-module orchestrators, re-expressed as one driver program).
+  *
+  * The reference runs each stage as a subprocess over a CSV file lake,
+  * fail-fast (main_pipeline.py:60-83). Here stages share one SparkSession
+  * and one lineage; "fail-fast" is an exception propagating out of `run`,
+  * and the run summary (A6, src/utils/logger.py:81-117) is returned as
+  * data instead of logged text.
+  *
+  * Lake layout expected under `lakeRoot` (mirrors the reference's
+  * validation_output/ + data/ trees, FIXTURES.md §1):
+  *   master/<source>/        per-source master list CSVs
+  *   nav/<source>/           daily NAV scrape CSVs
+  *   history/<source>/       recursive, <T>_history.csv per ticker
+  *   dividends/<source>/     recursive, <T>_dividend.csv per ticker
+  *   details/<source>/       wide static-detail screener CSVs
+  *   holdings/<source>/      recursive, <T>_holdings.csv per ticker
+  *   allocations/<source>/   recursive, <T>_allocations.csv per ticker
+  * Warehouse written under `warehouseRoot/stg_*` as parquet.
+  */
+object DailyPipeline {
+
+  final case class StageResult(stage: String, rows: Long, ok: Boolean,
+                               error: Option[String] = None)
+
+  private def sources(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(s => s.getPath.getName -> s.getPath.toString).toSeq.sortBy(_._1)
+  }
+
+  /** Runs every stage whose input directory exists; fail-fast like the
+    * reference's global pipeline. Returns per-stage row counts. */
+  def run(spark: SparkSession, lakeRoot: String, warehouseRoot: String,
+          asOf: Column): Seq[StageResult] = {
+    val results = Seq.newBuilder[StageResult]
+
+    val masterSrcs = sources(spark, s"$lakeRoot/master")
+    if (masterSrcs.nonEmpty) {
+      val master = MasterSync.run(spark,
+        masterSrcs.map { case (_, dir) => CsvLake.readCsv(spark, dir) },
+        s"$warehouseRoot/stg_security_master", asOf,
+        rejectSink = Some(s"$warehouseRoot/rejects/master"))
+      results += StageResult("master_sync", master.count(), ok = true)
+    }
+
+    val navSrcs = sources(spark, s"$lakeRoot/nav")
+    if (navSrcs.nonEmpty) {
+      val nav = PerformanceSync.runNav(spark, navSrcs.toMap,
+        s"$warehouseRoot/stg_daily_nav", asOf,
+        rejectSink = Some(s"$warehouseRoot/rejects/nav"))
+      results += StageResult("nav_sync", nav.count(), ok = true)
+    }
+
+    for ((source, dir) <- sources(spark, s"$lakeRoot/history")) {
+      val h = PerformanceSync.runHistory(spark, dir, source,
+        s"$warehouseRoot/stg_price_history", asOf)
+      results += StageResult(s"history_sync/$source", h.count(), ok = true)
+    }
+
+    for ((source, dir) <- sources(spark, s"$lakeRoot/dividends")) {
+      val d = PerformanceSync.runDividends(spark, dir, source,
+        s"$warehouseRoot/stg_dividend_history", asOf)
+      results += StageResult(s"dividend_sync/$source", d.count(), ok = true)
+    }
+
+    for ((source, dir) <- sources(spark, s"$lakeRoot/details")) {
+      val tables = DetailSync.run(spark, CsvLake.readCsv(spark, dir), source,
+        warehouseRoot, asOf)
+      results += StageResult(s"detail_sync/$source",
+        tables.values.map(_.count()).sum, ok = true)
+    }
+
+    for ((source, dir) <- sources(spark, s"$lakeRoot/holdings")) {
+      val raw = CsvLake.readRecursive(spark, dir, nameMustContain = "holdings")
+      val cleaned = HoldingsSync.cleanHoldings(raw, source)
+      HoldingsSync.loadHoldings(spark,
+        s"$warehouseRoot/stg_fund_holdings", cleaned, asOf)
+      results += StageResult(s"holdings_sync/$source",
+        spark.read.parquet(s"$warehouseRoot/stg_fund_holdings").count(), ok = true)
+    }
+
+    for ((source, dir) <- sources(spark, s"$lakeRoot/allocations")) {
+      val raw = CsvLake.readRecursive(spark, dir, nameMustContain = "allocations")
+      val cleaned = HoldingsSync.cleanAllocations(raw, source, "sector")
+      HoldingsSync.loadAllocations(spark,
+        s"$warehouseRoot/stg_allocations", cleaned, asOf)
+      results += StageResult(s"allocations_sync/$source",
+        spark.read.parquet(s"$warehouseRoot/stg_allocations").count(), ok = true)
+    }
+
+    results.result()
+  }
+}

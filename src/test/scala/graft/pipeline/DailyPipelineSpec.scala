@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.maintenance.Retention
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path}
+import java.time.LocalDate
+
+/** End-to-end daily run over a synthetic file lake shaped like the
+  * reference's validation_output/data trees (FIXTURES.md §1). */
+class DailyPipelineSpec extends SparkSpec {
+
+  private def write(dir: Path, name: String, content: String): Unit = {
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(name), content)
+  }
+
+  test("full pipeline: all stages land, replay is stable") {
+    val root = Files.createTempDirectory("lake")
+    val wh = s"$root/warehouse"
+
+    write(root.resolve("lake/master/Financial Times"), "ft_master.csv",
+      "ticker,asset_type,name,status,source,date_added\n" +
+        "VUSA,ETF,Vanguard SP500,new,Financial Times,2024-05-01\n" +
+        "ABC,FUND,Alpha Fund,new,Financial Times,2024-05-01\n")
+    write(root.resolve("lake/nav/Financial Times"), "nav.csv",
+      "ticker,asset_type,source,nav_price,currency,as_of_date,scrape_date\n" +
+        "VUSA,ETF,Financial Times,101.5,USD,2024-05-01,2024-05-01\n")
+    write(root.resolve("lake/history/Financial Times/etf/2024-05-01"),
+      "VUSA_history.csv",
+      "Date,Open,High,Low,Close,Volume\n2024-04-30,99,100,98,99.5,1000\n")
+    write(root.resolve("lake/dividends/Yahoo Finance/fund/2024-05-01"),
+      "ABC_dividend.csv", "Date,Dividend\n2024-03-01,0.52\n")
+    write(root.resolve("lake/details/Stock Analysis"), "screener.csv",
+      "ticker,asset_type,name,expense_ratio,assets_aum\n" +
+        "VUSA,ETF,Vanguard SP500,0.07%,842.33m USD\n")
+    write(root.resolve("lake/holdings/Financial Times/etf/2024-05-01"),
+      "VUSA_etf_holdings.csv",
+      "ticker,asset_type,name,symbol,weight\nVUSA,ETF,Apple,AAPL,5.9%\n")
+    write(root.resolve("lake/allocations/Stock Analysis/2024-05-01"),
+      "VUSA_allocations.csv",
+      "ticker,sector,percentage,scrape_date\nVUSA,Technology,28.4%,2024-05-01\n")
+
+    val results = DailyPipeline.run(spark, s"$root/lake", wh, lit("2024-05-01"))
+    val byStage = results.map(r => r.stage -> r.rows).toMap
+    assert(results.forall(_.ok), results.mkString("; "))
+    assert(byStage("master_sync") == 2)
+    assert(byStage("nav_sync") == 1)
+    assert(byStage("history_sync/Financial Times") == 1)
+    assert(byStage("dividend_sync/Yahoo Finance") == 1)
+    assert(byStage("detail_sync/Stock Analysis") == 4) // 1 row x 4 tables
+    assert(byStage("holdings_sync/Financial Times") == 1)
+    assert(byStage("allocations_sync/Stock Analysis") == 1)
+
+    // replay the whole day -> identical warehouse row counts (idempotence)
+    val replay = DailyPipeline.run(spark, s"$root/lake", wh, lit("2024-05-01"))
+    assert(replay.map(r => r.stage -> r.rows).toMap == byStage)
+  }
+
+  test("Retention.purgeDatedDirs drops only dirs older than the cutoff") {
+    val root = Files.createTempDirectory("retention")
+    Files.createDirectories(root.resolve("2024-01-01"))
+    Files.createDirectories(root.resolve("2024-03-01"))
+    Files.createDirectories(root.resolve("not-a-date"))
+    val deleted = Retention.purgeDatedDirs(spark, root.toString,
+      LocalDate.parse("2024-03-15"), keepDays = 60)
+    assert(deleted == Seq("2024-01-01"))
+    assert(Files.exists(root.resolve("2024-03-01")))
+    assert(Files.exists(root.resolve("not-a-date")))
+  }
+}

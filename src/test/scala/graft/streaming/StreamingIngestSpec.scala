@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.HashFns
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path}
+
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("ticker", StringType), StructField("price", DoubleType)))
+
+  private def write(dir: Path, name: String, content: String): Unit = {
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve(name), content)
+  }
+
+  test("file stream + foreachBatch merge: drain, then late file, then replayed content") {
+    val root = Files.createTempDirectory("stream")
+    val landing = root.resolve("landing")
+    val target = s"$root/warehouse"
+    write(landing, "f1.csv", "ticker,price\nAAA,10.0\nBBB,20.0\n")
+
+    def drain(): Unit = {
+      val stream = StreamingIngest.csvStream(spark, landing.toString, schema)
+        .withColumn("row_hash",
+          HashFns.canonicalRowHash(Seq(col("ticker")), Seq(col("price"))))
+        .drop("origin_file")
+      val q = StreamingIngest.upsertStream(spark, stream, target,
+        Seq("ticker"), s"$root/ckpt")
+      q.awaitTermination()
+    }
+
+    drain()
+    assert(spark.read.parquet(target).count() == 2)
+
+    // T4: a late/repair file lands; next AvailableNow run picks up ONLY it
+    // (checkpoint remembers f1) and merges: BBB updated, CCC inserted
+    write(landing, "f2.csv", "ticker,price\nBBB,21.0\nCCC,30.0\n")
+    drain()
+    val rows = spark.read.parquet(target).orderBy("ticker")
+      .select("ticker", "price").as[(String, Double)].collect().toSeq
+    assert(rows == Seq(("AAA", 10.0), ("BBB", 21.0), ("CCC", 30.0)))
+
+    // T3: replayed content (same rows, new file name) is absorbed by the merge
+    write(landing, "f3_replay.csv", "ticker,price\nBBB,21.0\nCCC,30.0\n")
+    drain()
+    assert(spark.read.parquet(target).count() == 3)
+  }
+
+  test("windowedCounts is a valid streaming plan and matches batch semantics") {
+    // semantic check runs the same expression in batch mode
+    val events = Seq(
+      ("2024-05-01 10:05:00", "click", 1.0),
+      ("2024-05-01 10:20:00", "click", 2.0),
+      ("2024-05-01 11:05:00", "view", 3.0))
+      .toDF("ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = StreamingIngest.windowedCounts(events, "ts", "1 hour", "1 hour")
+      .orderBy("ws", "event_type")
+      .select(col("ws").cast("string"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-05-01 10:00:00", "click", 2L),
+      ("2024-05-01 11:00:00", "view", 1L)))
+  }
+
+  test("sessionized (session_window) matches the batch sessionization of q32") {
+    val events = Seq(
+      (1L, "2024-05-01 10:00:00"), (1L, "2024-05-01 10:10:00"), // session 1
+      (1L, "2024-05-01 11:30:00"),                              // session 2
+      (2L, "2024-05-01 09:00:00"))
+      .toDF("user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("value", lit(1.0))
+    val out = StreamingIngest.sessionized(events, "ts", "1 hour", "30 minutes")
+      .orderBy("user_id", "session_start")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+}
