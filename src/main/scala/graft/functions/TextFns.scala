@@ -89,6 +89,20 @@ object TextFns {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** Hashed word n-gram shingles as `array<long>`: tokens are xxhash64'd,
+    * each shingle is the hash of its n token hashes (short docs: hash of the
+    * whole token-hash array, mirroring [[shingles]]' one-shingle fallback).
+    * Set semantics are identical to [[shingles]] modulo a ~2^-65-per-pair
+    * hash collision; everything downstream (distinct, joins, shuffles)
+    * runs on longs instead of strings — the scale path for corpus dedup. */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val toksH = transform(tokens(text), t => xxhash64(t))
+    when(size(toksH) >= n,
+      transform(sequence(lit(1), size(toksH) - (n - 1)),
+        i => xxhash64(slice(toksH, i, lit(n)))))
+      .otherwise(array(xxhash64(toksH)))
+  }
+
   /** Character n-gram shingles (robust to tokenization for CJK-ish text). */
   def charShingles(text: Column, n: Int): Column = {
     val s = normalizedText(text)

@@ -40,17 +40,96 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
+  /** splitmix64 finalizer — a strong 64-bit mixer (public-domain constant
+    * set; used for token/shingle hashing and simulated MinHash families). */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline private def hashString(s: String): Long = {
+    // FNV-1a 64 over UTF-16 code units, finalized with splitmix64
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Compiled shingle-set kernel: whitespace-tokenize, hash tokens, slide an
+    * n-window hashing (prev-combine via FNV over token hashes), distinct.
+    * A plain Scala UDF on purpose: Spark's higher-order array functions
+    * (transform/filter/aggregate) are CodegenFallback — interpreted, with
+    * per-element lambda dispatch — and profile ~10x slower than this
+    * compiled loop on short-document corpora. The UDF breaks codegen for
+    * this one projection but the projection IS the work. */
+  private def shingleSetKernel(n: Int): String => Array[Long] = { text =>
+    if (text == null) Array.empty[Long]
+    else {
+      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val th = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { th(i) = hashString(toks(i)); i += 1 }
+      val out =
+        if (th.length >= n) {
+          val m = th.length - n + 1
+          val a = new Array[Long](m)
+          var j = 0
+          while (j < m) {
+            var h = 0xcbf29ce484222325L
+            var k = 0
+            while (k < n) { h ^= th(j + k); h *= 0x100000001b3L; k += 1 }
+            a(j) = mix64(h)
+            j += 1
+          }
+          a
+        } else {
+          var h = 0xcbf29ce484222325L
+          var k = 0
+          while (k < th.length) { h ^= th(k); h *= 0x100000001b3L; k += 1 }
+          Array(mix64(h))
+        }
+      val seen = new java.util.HashSet[Long](out.length * 2)
+      out.filter(seen.add)
+    }
+  }
+
+  /** Distinct HASHED word-shingle set per document (`array<long>`) — the
+    * shared basis of the Jaccard family, ONE narrow compiled projection
+    * (no explode, no shuffle). Hashed shingles keep every downstream
+    * distinct/join/shuffle in integer land, with set semantics identical
+    * to string shingles modulo a ~2^-64 per-pair collision. */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int): DataFrame = {
+    val kernel = udf(shingleSetKernel(shingleN))
+    df.select(col(idCol), kernel(col(textCol)).as("shset"))
+  }
+
   /** MinHash signatures: k independent hash functions simulated as
-    * xxhash64(seed_i, shingle); signature_i = min over the doc's shingle set.
-    * One explode + one groupBy(id) — the classic scalable formulation. */
+    * splitmix64(seed_i ^ shingle); signature_i = min over the doc's shingle
+    * set. Computed per-row by a compiled kernel (narrow, zero shuffle) —
+    * at 100 TB this pipelines with the parquet scan instead of paying an
+    * explode + k-column groupBy shuffle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(array_distinct(TextFns.shingles(col(textCol), shingleN))).as("sh"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    sh.groupBy(col(idCol))
-      .agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("signature"))
+    val sigKernel = udf { (shset: Array[Long]) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < shset.length) {
+        val s = shset(i)
+        var h = 0
+        while (h < numHashes) {
+          val v = mix64(s ^ (h * 0xc2b2ae3d27d4eb4fL))
+          if (v < sig(h)) sig(h) = v
+          h += 1
+        }
+        i += 1
+      }
+      sig
+    }
+    shingleSets(df, idCol, textCol, shingleN)
+      .select(col(idCol), sigKernel(col("shset")).as("signature"))
   }
 
   /** LSH banding: signature split into `bands` bands of k/bands rows; docs
@@ -84,19 +163,25 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
                    maxPostings: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      explode(array_distinct(TextFns.shingles(col(textCol), shingleN))).as("sh"))
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
-    val capped = sh
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("__n") <= maxPostings).drop("__n")
-    val inter = capped.select(col("sh"), col("__id").as("id_a"))
-      .join(capped.select(col("sh"), col("__id").as("id_b")), Seq("sh"))
+    // each posting row carries its doc's set size, so the Jaccard needs NO
+    // side join back to a sizes table (which would recompute the shingling
+    // once per join side) — one explode, one shuffle, one groupBy
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sh = sets.select(col(idCol).as("__id"), size(col("shset")).as("sz"),
+      explode(col("shset")).as("sh"))
+    val capped =
+      if (maxPostings == Int.MaxValue) sh // cap disabled -> skip the window shuffle
+      else sh
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__n") <= maxPostings).drop("__n")
+    // one explicit exchange on the posting key, REUSED by both self-join
+    // sides (identical subtree -> ReusedExchange): the exploded posting
+    // list is computed and shuffled once, not once per side
+    val posts = capped.repartition(col("sh"))
+    posts.select(col("sh"), col("__id").as("id_a"), col("sz").as("sz_a"))
+      .join(posts.select(col("sh"), col("__id").as("id_b"), col("sz").as("sz_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -110,45 +195,56 @@ object Dedup {
                    shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sigs  = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
     val pairs = lshCandidatePairs(sigs, idCol, bands)
-    jaccardForPairsShared(df, pairs, idCol, textCol, shingleN)
+    jaccardForPairs(df, pairs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Preferred pair-verification: joins each side's shingle set and counts
-    * matches (equi-join on (pair, shingle)). */
-  def jaccardForPairsShared(df: DataFrame, pairs: DataFrame, idCol: String,
-                            textCol: String, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      explode(array_distinct(TextFns.shingles(col(textCol), shingleN))).as("sh"))
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("sz"))
-    val shA = sh.select(col("__id").as("id_a"), col("sh"))
-    val shB = sh.select(col("__id").as("id_b"), col("sh"))
-    val inter = pairs.join(shA, Seq("id_a")).join(shB, Seq("id_b", "sh"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    pairs.join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select(col("__id").as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+  /** Exact-Jaccard verification of candidate pairs: join each side's
+    * shingle-set array, intersect per row (array_intersect). Shuffles only
+    * the candidate pairs and two set arrays — never an exploded posting
+    * list — so verification cost scales with |pairs|, not corpus size. */
+  def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
+                      textCol: String, shingleN: Int = 3): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    pairs
+      .join(sets.select(col(idCol).as("id_a"), col("shset").as("__sa")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("shset").as("__sb")), Seq("id_b"))
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__sa")) + size(col("__sb")) - col("__inter")).cast("double"))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over word tokens: per bit position, sum +1/-1 weighted by
-    * token frequency; bit = sign. Single explode + one groupBy. */
+  /** 64-bit SimHash over word tokens: per bit position, sum +1/-1 weighted
+    * by token frequency; bit = sign. A compiled per-row kernel — the
+    * classic explode + 64-column groupBy formulation shuffles every token;
+    * this computes each doc's simhash inside the scan with zero shuffle. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(TextFns.tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val bitSums = (0 until 64).map { k =>
-      sum(when(col("h").bitwiseAND(lit(1L << k)) =!= 0, 1).otherwise(-1)).as(s"b$k")
+    val kernel = udf { (text: String) =>
+      val counts = new Array[Int](64)
+      if (text != null) {
+        val toks = text.toLowerCase.trim.split("\\s+")
+        var i = 0
+        while (i < toks.length) {
+          if (toks(i).nonEmpty) {
+            val h = hashString(toks(i))
+            var k = 0
+            while (k < 64) {
+              if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
+              k += 1
+            }
+          }
+          i += 1
+        }
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 64) { if (counts(k) >= 0) sig |= (1L << k); k += 1 }
+      sig
     }
-    tok.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol),
-        (0 until 64).map(k => when(col(s"b$k") >= 0, lit(1L << k)).otherwise(lit(0L)))
-          .reduce((a: Column, b: Column) => a.bitwiseOR(b)).as("simhash"))
+    df.select(col(idCol), kernel(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using the
@@ -166,6 +262,9 @@ object Dedup {
       explode(array((0 until chunks).map(c =>
         struct(lit(c).as("chunk_id"), chunkCol(c))): _*)).as("c"))
       .select(col(idCol), col("simhash"), col("c.chunk_id"), col("c.chunk_val"))
+      // shared exchange on the block key -> both self-join sides reuse one
+      // computation of the simhash aggregation instead of running it twice
+      .repartition(col("chunk_id"), col("chunk_val"))
     val a = blocked.select(col("chunk_id"), col("chunk_val"),
       col(idCol).as("id_a"), col("simhash").as("sim_a"))
     val b = blocked.select(col("chunk_id"), col("chunk_val"),

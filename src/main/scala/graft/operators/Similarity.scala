@@ -79,6 +79,8 @@ object Similarity {
     val pairs = seeds.map { s =>
       val b = withSrpBucket(df, vecCol, dim, bits, s)
         .select(col("bucket"), col(idCol), col(vecCol))
+        // shared exchange: both self-join sides reuse one bucket computation
+        .repartition(col("bucket"))
       val a = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
       val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
       a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
