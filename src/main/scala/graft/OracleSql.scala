@@ -400,6 +400,21 @@ object OracleSql {
            md5(text) AS content_md5,
            CAST(n_chars % 640 AS INTEGER) AS fake_width,
            CAST((n_chars * 7) % 480 AS INTEGER) AS fake_height
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    "q46_asof_join" ->
+      """WITH l AS (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_shipdate
+           FROM lineitem WHERE l_orderkey % 7 = 0),
+         r AS (
+           SELECT l_partkey, l_shipdate,
+                  MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS ref_price
+           FROM lineitem WHERE l_orderkey % 7 <> 0
+           GROUP BY l_partkey, l_shipdate)
+         SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_shipdate,
+                r.ref_price, r.l_shipdate AS asof_time
+         FROM l ASOF LEFT JOIN r
+           ON l.l_partkey = r.l_partkey AND l.l_shipdate >= r.l_shipdate
+         ORDER BY 1, 2, 3, 4, 5"""
   )
 }

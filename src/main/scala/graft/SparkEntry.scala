@@ -541,6 +541,26 @@ object SparkEntry {
         dim = 64, threshold = 0.3, bits = 6)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** As-of (point-in-time) join — the canonical financial operator Spark
+    * lacks natively: each sampled lineitem gets the most recent reference
+    * price for its part at ship time. Single shuffle on the key; oracle is
+    * DuckDB's native ASOF JOIN. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    val leftSide = li.filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_shipdate"))
+    val rightSide = li.filter(col("l_orderkey") % 7 =!= 0)
+      .groupBy(col("l_partkey"), col("l_shipdate"))
+      .agg(max(dec2(col("l_extendedprice"))).as("ref_price"))
+    AsOfJoin.asofJoin(leftSide, rightSide, Seq("l_partkey"),
+        "l_shipdate", "l_shipdate")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_shipdate"), col("ref_price"), col("asof_time"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_shipdate"), col("ref_price"))
+  }
+
   // ===================================================================
   // North-star: multimodal column plumbing
   // ===================================================================
@@ -604,7 +624,8 @@ object SparkEntry {
     "q42_ann_bruteforce" -> q42 _,
     "q43_ann_lsh" -> q43 _,
     "q44_embed_neardup" -> q44 _,
-    "q45_multimodal_meta" -> q45 _
+    "q45_multimodal_meta" -> q45 _,
+    "q46_asof_join" -> q46 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
