@@ -117,8 +117,8 @@ object OracleSql {
          SELECT
            CASE WHEN uh.o_orderkey IS NOT NULL AND (th.o_orderkey IS NULL OR th.row_hash IS DISTINCT FROM uh.row_hash)
                 THEN uh.o_orderkey ELSE th.o_orderkey END AS o_orderkey,
-           CASE WHEN uh.o_orderkey IS NOT NULL AND (th.o_orderkey IS NULL OR th.row_hash IS DISTINCT FROM uh.row_hash)
-                THEN uh.total_price ELSE th.total_price END AS total_price,
+           CAST(CASE WHEN uh.o_orderkey IS NOT NULL AND (th.o_orderkey IS NULL OR th.row_hash IS DISTINCT FROM uh.row_hash)
+                THEN uh.total_price ELSE th.total_price END AS DOUBLE) AS total_price,
            CASE WHEN uh.o_orderkey IS NOT NULL AND (th.o_orderkey IS NULL OR th.row_hash IS DISTINCT FROM uh.row_hash)
                 THEN uh.status ELSE th.status END AS status,
            CASE WHEN uh.o_orderkey IS NOT NULL AND (th.o_orderkey IS NULL OR th.row_hash IS DISTINCT FROM uh.row_hash)
@@ -306,7 +306,7 @@ object OracleSql {
              CASE WHEN o_custkey % 5 = 0 THEN 'new' ELSE 'active' END AS status
            FROM orders GROUP BY o_custkey)
          SELECT o_custkey, last_seen,
-           CASE WHEN last_seen < DATE '2001-08-01' - 7 THEN 'inactive'
+           CASE WHEN status = 'active' AND last_seen < DATE '2001-08-01' - 7 THEN 'inactive'
                 WHEN status = 'new' AND LENGTH(TRIM(COALESCE(name, ''))) > 0 THEN 'active'
                 ELSE status END AS status
          FROM m ORDER BY o_custkey""",
@@ -412,7 +412,7 @@ object OracleSql {
            FROM lineitem WHERE l_orderkey % 7 <> 0
            GROUP BY l_partkey, l_shipdate)
          SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_shipdate,
-                r.ref_price, r.l_shipdate AS asof_time
+                CAST(r.ref_price AS DOUBLE) AS ref_price, r.l_shipdate AS asof_time
          FROM l ASOF LEFT JOIN r
            ON l.l_partkey = r.l_partkey AND l.l_shipdate >= r.l_shipdate
          ORDER BY 1, 2, 3, 4, 5"""

@@ -175,6 +175,7 @@ object SparkEntry {
         when(col("o_orderkey") % 4 === 0, 1).otherwise(0)).cast(DecimalType(12, 2)).as("total_price"),
       col("o_orderstatus").as("status")))
     MergeSink.merge(target, updates, Seq("o_orderkey"), Some("row_hash"))
+      .withColumn("total_price", col("total_price").cast("double"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -556,7 +557,8 @@ object SparkEntry {
     AsOfJoin.asofJoin(leftSide, rightSide, Seq("l_partkey"),
         "l_shipdate", "l_shipdate")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        col("l_shipdate"), col("ref_price"), col("asof_time"))
+        col("l_shipdate"), col("ref_price").cast("double").as("ref_price"),
+        col("asof_time"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_shipdate"), col("ref_price"))
   }

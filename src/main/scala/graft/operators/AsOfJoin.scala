@@ -60,10 +60,20 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (rightPayload :+ "__rt").foldLeft(unioned)((d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    // ONE struct carries the whole latest right tuple atomically. Per-column
+    // last(ignoreNulls) would skip a null payload cell and fill it from a
+    // STALER right row (mixing values across right rows) — a right row with
+    // e.g. a missing NAV must still win as-of its timestamp. The struct is
+    // null on left rows, so ignoreNulls skips exactly the non-right rows.
+    val payStruct = struct((rightPayload.map(col) :+ col("__rt")): _*)
+    val carried = unioned
+      .withColumn("__pay", when(col("__side") === 0, payStruct))
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
 
-    val joined = carried.filter(col("__side") === 1)
+    val joined = (rightPayload :+ "__rt").foldLeft(
+        carried.filter(col("__side") === 1))((d, c) =>
+      d.withColumn(c, col("__pay").getField(c)))
+      .drop("__pay")
     val bounded = toleranceDays match {
       case Some(tol) =>
         val stale = col("__rt").isNull ||

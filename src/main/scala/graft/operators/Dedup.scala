@@ -112,7 +112,15 @@ object Dedup {
     * at 100 TB this pipelines with the parquet scan instead of paying an
     * explode + k-column groupBy shuffle. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+                        numHashes: Int = 64, shingleN: Int = 3): DataFrame =
+    minhashSignaturesFromSets(
+      shingleSets(df, idCol, textCol, shingleN), idCol, numHashes)
+
+  /** Signature kernel over a precomputed `shset` frame — lets callers that
+    * already hold the shingle sets (minhashDedup) reuse them instead of
+    * re-shingling the corpus per consumer. */
+  def minhashSignaturesFromSets(sets: DataFrame, idCol: String,
+                                numHashes: Int): DataFrame = {
     val sigKernel = udf { (shset: Array[Long]) =>
       val sig = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
@@ -128,16 +136,18 @@ object Dedup {
       }
       sig
     }
-    shingleSets(df, idCol, textCol, shingleN)
-      .select(col(idCol), sigKernel(col("shset")).as("signature"))
+    sets.select(col(idCol), sigKernel(col("shset")).as("signature"))
   }
 
   /** LSH banding: signature split into `bands` bands of k/bands rows; docs
     * sharing any band bucket become candidate pairs. Returns distinct
     * (id_a, id_b) with id_a < id_b. */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
-                        bands: Int, maxBucketSize: Int = 1000): DataFrame = {
-    val numHashes = signatures.select(size(col("signature"))).head().getInt(0)
+                        bands: Int, numHashes: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    // numHashes is a caller-supplied parameter: deriving it from the data
+    // (head() on the signature frame) would run an extra driver-side Spark
+    // job recomputing the signature kernel, and throw on an empty corpus
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("signature"), b * rows + 1, rows)).as("bucket"))
@@ -193,9 +203,16 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
                    shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sigs  = minhashSignatures(df, idCol, textCol, numHashes, shingleN)
-    val pairs = lshCandidatePairs(sigs, idCol, bands)
-    jaccardForPairs(df, pairs, idCol, textCol, shingleN)
+    // Shingle the corpus ONCE and persist: the set frame feeds (1) the
+    // signature kernel and (2) both sides of the verification join — without
+    // the persist, the tokenize+hash kernel (the dominant scan cost at
+    // 100 TB) would run three times. MEMORY_AND_DISK: spills rather than
+    // recomputes when the corpus outgrows executor memory.
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs  = minhashSignaturesFromSets(sets, idCol, numHashes)
+    val pairs = lshCandidatePairs(sigs, idCol, bands, numHashes)
+    jaccardForPairsSets(sets, pairs, idCol)
       .filter(col("jaccard") >= threshold)
   }
 
@@ -204,8 +221,13 @@ object Dedup {
     * the candidate pairs and two set arrays — never an exploded posting
     * list — so verification cost scales with |pairs|, not corpus size. */
   def jaccardForPairs(df: DataFrame, pairs: DataFrame, idCol: String,
-                      textCol: String, shingleN: Int = 3): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, shingleN)
+                      textCol: String, shingleN: Int = 3): DataFrame =
+    jaccardForPairsSets(shingleSets(df, idCol, textCol, shingleN), pairs, idCol)
+
+  /** Same as [[jaccardForPairs]], over a precomputed (and ideally persisted)
+    * shingle-set frame. */
+  def jaccardForPairsSets(sets: DataFrame, pairs: DataFrame,
+                          idCol: String): DataFrame =
     pairs
       .join(sets.select(col(idCol).as("id_a"), col("shset").as("__sa")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("shset").as("__sb")), Seq("id_b"))
@@ -213,7 +235,6 @@ object Dedup {
       .withColumn("jaccard", col("__inter").cast("double") /
         (size(col("__sa")) + size(col("__sb")) - col("__inter")).cast("double"))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   // ---------------------------------------------------------------- SimHash
 

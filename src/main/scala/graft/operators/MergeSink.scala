@@ -90,15 +90,22 @@ object MergeSink {
     replaceParquet(spark, path, merged)
   }
 
-  /** T5 status lifecycle (src/utils/status_manager.py:9-13,63-88) as a pure
-    * column rewrite of the master table:
-    *  - last_seen older than `asOf - inactiveDays` -> 'inactive'
-    *  - 'new' with a non-blank name               -> 'active'
+  /** T5 status lifecycle (src/utils/status_manager.py:63-88) as a pure
+    * column rewrite of the master table. The reference runs two sequential
+    * UPDATEs: first `get_sql_update_inactive` (targets ONLY rows WHERE
+    * status='active' AND last_seen < cutoff), then
+    * `get_sql_promote_new_to_active` ('new' with non-blank name). A stale
+    * 'new' row therefore is never demoted — it stays 'new' or gets
+    * promoted; only 'active' rows age out. The when-chain mirrors that
+    * exact transition order:
+    *  - 'active' + last_seen older than `asOf - inactiveDays` -> 'inactive'
+    *  - 'new' with a non-blank name                           -> 'active'
     *  - otherwise unchanged. */
   def applyStatusLifecycle(master: DataFrame, asOf: Column,
                            inactiveDays: Int = 7): DataFrame =
     master.withColumn("status",
-      when(col("last_seen") < date_sub(asOf, inactiveDays), lit("inactive"))
+      when(col("status") === "active" &&
+          col("last_seen") < date_sub(asOf, inactiveDays), lit("inactive"))
         .when(col("status") === "new" &&
           length(trim(coalesce(col("name"), lit("")))) > 0, lit("active"))
         .otherwise(col("status")))

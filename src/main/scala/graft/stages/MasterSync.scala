@@ -112,13 +112,32 @@ object MasterSync {
     spark.read.parquet(path)
   }
 
-  /** The full stage: raw per-source frames in, warehouse state out. */
+  /** Remediation hop (03_master_list_remediator.py:26-37): promote the
+    * validated batch into the ready-to-load generation. The reference stage
+    * is a copy guarded by file-existence memoization (T7: "file already
+    * exists in 04_ready_to_load -> skip") — here, if the generation dir
+    * already exists it is REUSED as-is, so a crashed/replayed run resumes
+    * from the materialized batch instead of recomputing upstream stages. */
+  def remediate(spark: SparkSession, valid: DataFrame, readyDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(readyDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) valid.write.mode("errorifexists").parquet(readyDir)
+    spark.read.parquet(readyDir)
+  }
+
+  /** The full stage: raw per-source frames in, warehouse state out.
+    * Chain parity with the reference: cleaner -> consolidator -> validator
+    * -> remediator -> loader -> status lifecycle. `readyDir` (when set)
+    * materializes the remediated ready-to-load generation. */
   def run(spark: SparkSession, rawBySource: Seq[DataFrame], warehousePath: String,
-          asOf: Column, rejectSink: Option[String] = None): DataFrame = {
+          asOf: Column, rejectSink: Option[String] = None,
+          readyDir: Option[String] = None): DataFrame = {
     val consolidated = consolidate(rawBySource.map(clean))
     val (valid, rejects) = validate(consolidated)
     rejectSink.foreach(p =>
       rejects.write.mode("overwrite").option("header", "true").csv(p))
-    load(spark, warehousePath, toWarehouse(valid, asOf), asOf)
+    val batch = toWarehouse(valid, asOf)
+    val ready = readyDir.map(remediate(spark, batch, _)).getOrElse(batch)
+    load(spark, warehousePath, ready, asOf)
   }
 }

@@ -31,7 +31,13 @@ object PerformanceSync {
 
   /** Clean a glob-union of raw NAV files (00_performance_data_cleaner.py:45-146):
     * conform, normalize keys, dedup keep-last (last file read wins, made
-    * deterministic by origin_file ordering), coerce dates/prices. */
+    * deterministic by origin_file ordering), coerce dates/prices.
+    *
+    * `origin_file` lineage survives the clean — the reference persists it
+    * through the merge (00_performance_data_cleaner.py:79) and it reaches
+    * stg_daily_nav. Within one file the reference keeps the last row READ;
+    * CSV row order isn't an exposed column in a distributed scan, so
+    * payload columns pin a deterministic within-file survivor instead. */
   def cleanNav(raw: DataFrame): DataFrame = {
     val spec = Conform.SourceSpec(
       renameMap = Map("price" -> "nav_price", "date" -> "as_of_date"),
@@ -44,8 +50,10 @@ object PerformanceSync {
       .withColumn("scrape_date", CleanFns.parseDate(col("scrape_date")))
     Dedup.keyedKeepFirst(conformed,
       Seq("ticker", "asset_type", "source", "as_of_date"),
-      Seq(col("origin_file").desc_nulls_last))
-      .drop("origin_file")
+      Seq(col("origin_file").desc_nulls_last,
+        col("scrape_date").desc_nulls_last,
+        col("nav_price").desc_nulls_last,
+        col("currency").desc_nulls_last))
   }
 
   /** Validator rules (01_performance_validator.py:42-78) with explicit

@@ -98,9 +98,18 @@ class DedupSpec extends SparkSpec {
     val many = (0L until 50L).map(i => (i, "same same same same text"))
       .toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(many, "doc_id", "text", 16, 3)
-    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, maxBucketSize = 10)
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4,
+      numHashes = 16, maxBucketSize = 10)
     assert(capped.count() == 0)
-    val uncapped = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, maxBucketSize = 1000)
+    val uncapped = Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4,
+      numHashes = 16, maxBucketSize = 1000)
     assert(uncapped.count() == 50L * 49L / 2L)
+  }
+
+  test("lshCandidatePairs on an empty corpus returns empty (no head() crash)") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(empty, "doc_id", "text", 16, 3)
+    assert(Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, numHashes = 16).count() == 0)
+    assert(Dedup.minhashDedup(empty, "doc_id", "text", 16, 4, 3, 0.3).count() == 0)
   }
 }

@@ -46,11 +46,12 @@ class DailyPipelineSpec extends SparkSpec {
     assert(results.forall(_.ok), results.mkString("; "))
     assert(byStage("master_sync") == 2)
     assert(byStage("nav_sync") == 1)
-    assert(byStage("history_sync/Financial Times") == 1)
-    assert(byStage("dividend_sync/Yahoo Finance") == 1)
+    // batched per-table merges: ONE upsert per target table per run
+    assert(byStage("history_sync") == 1)
+    assert(byStage("dividend_sync") == 1)
     assert(byStage("detail_sync/Stock Analysis") == 4) // 1 row x 4 tables
-    assert(byStage("holdings_sync/Financial Times") == 1)
-    assert(byStage("allocations_sync/Stock Analysis") == 1)
+    assert(byStage("holdings_sync") == 1)
+    assert(byStage("allocations_sync") == 1)
 
     // replay the whole day -> identical warehouse row counts (idempotence)
     val replay = DailyPipeline.run(spark, s"$root/lake", wh, lit("2024-05-01"))
