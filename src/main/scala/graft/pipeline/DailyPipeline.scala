@@ -78,7 +78,7 @@ object DailyPipeline {
       PerformanceSync.loadHistory(spark, s"$warehouseRoot/stg_price_history",
         PerformanceSync.hashHistory(cleaned, asOf))
       results += StageResult("history_sync",
-        spark.read.parquet(s"$warehouseRoot/stg_price_history").count(), ok = true)
+        MergeSink.readTable(spark, s"$warehouseRoot/stg_price_history").count(), ok = true)
     }
 
     val divSrcs = sources(spark, s"$lakeRoot/dividends")
@@ -91,7 +91,7 @@ object DailyPipeline {
         PerformanceSync.hashDividends(cleaned, asOf),
         graft.schema.Schemas.naturalKeys("stg_dividend_history"))
       results += StageResult("dividend_sync",
-        spark.read.parquet(s"$warehouseRoot/stg_dividend_history").count(), ok = true)
+        MergeSink.readTable(spark, s"$warehouseRoot/stg_dividend_history").count(), ok = true)
     }
 
     for ((source, dir) <- sources(spark, s"$lakeRoot/details")) {
@@ -110,7 +110,7 @@ object DailyPipeline {
       HoldingsSync.loadHoldings(spark,
         s"$warehouseRoot/stg_fund_holdings", cleaned, asOf)
       results += StageResult("holdings_sync",
-        spark.read.parquet(s"$warehouseRoot/stg_fund_holdings").count(), ok = true)
+        MergeSink.readTable(spark, s"$warehouseRoot/stg_fund_holdings").count(), ok = true)
     }
 
     val allocSrcs = sources(spark, s"$lakeRoot/allocations")
@@ -123,7 +123,7 @@ object DailyPipeline {
       HoldingsSync.loadAllocations(spark,
         s"$warehouseRoot/stg_allocations", cleaned, asOf)
       results += StageResult("allocations_sync",
-        spark.read.parquet(s"$warehouseRoot/stg_allocations").count(), ok = true)
+        MergeSink.readTable(spark, s"$warehouseRoot/stg_allocations").count(), ok = true)
     }
 
     results.result()

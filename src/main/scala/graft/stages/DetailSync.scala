@@ -101,7 +101,7 @@ object DetailSync {
       val path = s"$warehouseRoot/$table"
       MergeSink.upsertParquet(spark, path, withHash(df, asOf),
         Schemas.naturalKeys(table))
-      table -> spark.read.parquet(path)
+      table -> MergeSink.readTable(spark, path)
     }
   }
 }

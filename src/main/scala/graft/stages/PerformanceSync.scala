@@ -85,7 +85,7 @@ object PerformanceSync {
     rejectSink.foreach(p =>
       rejects.write.mode("overwrite").option("header", "true").csv(p))
     loadNav(spark, warehousePath, valid, today)
-    spark.read.parquet(warehousePath)
+    MergeSink.readTable(spark, warehousePath)
   }
 
   // ------------------------------------------------------------- history
@@ -138,7 +138,7 @@ object PerformanceSync {
     val raw = CsvLake.readRecursive(spark, root,
       nameMustContain = "history", nameMustNotContain = "holdings")
     loadHistory(spark, warehousePath, hashHistory(cleanHistory(raw, source), asOf))
-    spark.read.parquet(warehousePath)
+    MergeSink.readTable(spark, warehousePath)
   }
 
   // ------------------------------------------------------------ dividends
@@ -180,6 +180,6 @@ object PerformanceSync {
     MergeSink.upsertParquet(spark, warehousePath,
       hashDividends(cleanDividends(raw, source), asOf),
       Schemas.naturalKeys("stg_dividend_history"))
-    spark.read.parquet(warehousePath)
+    MergeSink.readTable(spark, warehousePath)
   }
 }

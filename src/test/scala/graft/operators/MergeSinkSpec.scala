@@ -4,6 +4,7 @@ import graft.SparkSpec
 import graft.functions.HashFns
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 class MergeSinkSpec extends SparkSpec {
   import spark.implicits._
@@ -57,16 +58,80 @@ class MergeSinkSpec extends SparkSpec {
     val path = s"$dir/warehouse"
     val b1 = withHash(Seq(("AAA", 10.0), ("BBB", 20.0)).toDF("ticker", "price"))
     MergeSink.upsertParquet(spark, path, b1, Seq("ticker"))
-    assert(spark.read.parquet(path).count() == 2)
+    assert(MergeSink.readTable(spark, path).count() == 2)
 
     MergeSink.upsertParquet(spark, path, b1, Seq("ticker")) // replay
-    assert(spark.read.parquet(path).count() == 2)
+    assert(MergeSink.readTable(spark, path).count() == 2)
 
     val b2 = withHash(Seq(("BBB", 21.0), ("CCC", 30.0)).toDF("ticker", "price"))
     MergeSink.upsertParquet(spark, path, b2, Seq("ticker"))
-    val rows = spark.read.parquet(path).orderBy("ticker")
+    val rows = MergeSink.readTable(spark, path).orderBy("ticker")
       .as[(String, Double, String)].collect().toSeq.map(r => (r._1, r._2))
     assert(rows == Seq(("AAA", 10.0), ("BBB", 21.0), ("CCC", 30.0)))
+  }
+
+  /** File listing (relative path -> length) of every data file under dir. */
+  private def dataFiles(path: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(path)
+    val s = java.nio.file.Files.walk(root)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString -> java.nio.file.Files.size(p))
+      .toMap
+    finally s.close()
+  }
+
+  test("bucketed upsert touching 1 key rewrites ONLY that key's bucket dir") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_bucket").toString
+    val path = s"$dir/warehouse"
+    // enough keys to populate several buckets
+    val keys = (0 until 64).map(i => (f"TICK$i%03d", i.toDouble))
+    MergeSink.upsertParquet(spark, path,
+      withHash(keys.toDF("ticker", "price")), Seq("ticker"), numBuckets = 8)
+    val before = dataFiles(path)
+    assert(before.keys.map(_.split("/")(0)).toSet.size > 2) // several buckets
+
+    // single-key update
+    MergeSink.upsertParquet(spark, path,
+      withHash(Seq(("TICK001", 999.0)).toDF("ticker", "price")), Seq("ticker"))
+    val after = dataFiles(path)
+
+    val changedBuckets = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+      .map(_.split("/")(0))
+    assert(changedBuckets.size == 1, s"expected 1 rewritten bucket, got $changedBuckets")
+    // value actually updated, untouched rows intact
+    val rows = MergeSink.readTable(spark, path)
+    assert(rows.filter(col("ticker") === "TICK001")
+      .select("price").as[Double].head() == 999.0)
+    assert(rows.count() == 64)
+  }
+
+  test("recoverSwap heals an interrupted bucket swap (staged dir rolls forward)") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_recover").toString
+    val path = s"$dir/warehouse"
+    MergeSink.upsertParquet(spark, path,
+      withHash(Seq(("AAA", 1.0), ("BBB", 2.0)).toDF("ticker", "price")),
+      Seq("ticker"), numBuckets = 4)
+
+    // simulate a crash mid-swap: stage a new generation of one bucket dir,
+    // move the live dir away, write the marker, and "crash" before renaming
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bucketDir = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("__bucket=")).head.getName
+    val cur = new org.apache.hadoop.fs.Path(path, bucketDir)
+    val stg = new org.apache.hadoop.fs.Path(path + "__tmp", bucketDir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "__tmp"))
+    fs.rename(cur, stg) // staged generation exists, live dir gone
+    val m = fs.create(new org.apache.hadoop.fs.Path(path + "__swap"), true)
+    m.write(bucketDir.getBytes("UTF-8")); m.close()
+
+    assert(MergeSink.recoverSwap(spark, path)) // heals
+    assert(MergeSink.readTable(spark, path).count() == 2) // nothing lost
+    assert(!new java.io.File(path + "__swap").exists())
+    assert(!new java.io.File(path + "__tmp").exists())
   }
 
   test("applyStatusLifecycle: aging to inactive, new+named to active") {

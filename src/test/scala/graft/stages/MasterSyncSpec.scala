@@ -74,4 +74,28 @@ class MasterSyncSpec extends SparkSpec {
       .as[(String, String, String)].head()
     assert(vusa == ("active", "2024-05-01", "2024-05-10"))
   }
+
+  test("remediator hop: ready-to-load generation reaches the warehouse and memoizes") {
+    val root = java.nio.file.Files.createTempDirectory("master_remediate")
+    val path = s"$root/stg_security_master"
+    val ready = s"$root/ready"
+    val day1 = Seq(
+      ("VUSA", "ETF", "Vanguard", "new", "Financial Times", "2024-05-01"))
+      .toDF("ticker", "asset_type", "name", "status", "source", "date_added")
+
+    val s1 = MasterSync.run(spark, Seq(day1), path, lit("2024-05-01"),
+      readyDir = Some(ready))
+    assert(s1.count() == 1) // remediated row reached the warehouse
+    assert(new java.io.File(ready).isDirectory) // generation materialized
+
+    // T7 memoization: a changed upstream batch does NOT recompute the
+    // existing ready generation — the materialized file wins (reference
+    // remediator: "file already exists ... skipping copy")
+    val changed = Seq(
+      ("ABCD", "ETF", "Other", "new", "Financial Times", "2024-05-01"))
+      .toDF("ticker", "asset_type", "name", "status", "source", "date_added")
+    val s2 = MasterSync.run(spark, Seq(changed), path, lit("2024-05-01"),
+      readyDir = Some(ready))
+    assert(s2.select("ticker").as[String].collect().toSeq == Seq("VUSA"))
+  }
 }

@@ -103,6 +103,20 @@ class PerformanceSyncSpec extends SparkSpec {
       .as[String].head() == "2024-05-02") // no-op: nothing re-stamped
   }
 
+  test("origin_file lineage survives clean + merge into stg_daily_nav") {
+    val root = Files.createTempDirectory("nav_lineage")
+    val wh = s"$root/stg_daily_nav"
+    write(root.resolve("ft"), "nav_a.csv",
+      "ticker,asset_type,source,nav_price,currency,as_of_date,scrape_date\n" +
+        "VUSA,ETF,Financial Times,101.5,USD,2024-05-01,2024-05-01\n")
+    val out = PerformanceSync.runNav(spark,
+      Map("Financial Times" -> root.resolve("ft").toString), wh,
+      lit("2024-05-01").cast("date"))
+    assert(out.columns.contains("origin_file"))
+    val origin = out.select("origin_file").as[String].head()
+    assert(origin != null && origin.endsWith("nav_a.csv"))
+  }
+
   test("dividends: rename drift, defaults, key dedup") {
     val root = Files.createTempDirectory("div_sync")
     val wh = s"$root/stg_dividend_history"
