@@ -1,0 +1,163 @@
+package graft.sinks
+
+import java.sql.DriverManager
+import java.util.Properties
+
+import graft.SparkSpec
+import graft.sinks.JdbcUpsert._
+
+class JdbcUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val spec = UpsertSpec(
+    table = "stg_price_history",
+    keys = Seq("ticker", "asset_type", "source", "date"),
+    hashCol = Some("row_hash"))
+
+  private val cols = Seq("ticker", "asset_type", "source", "date",
+    "close", "row_hash", "updated_at")
+
+  // ------------------------------------------------------- SQL generation
+
+  test("Postgres staged merge reproduces the reference's ON CONFLICT shape") {
+    val sql = Postgres.stagedMergeSql(spec, "temp_stg_price_history_1", cols)
+    assert(sql.contains("INSERT INTO stg_price_history (ticker, asset_type, source, date, close, row_hash, updated_at)"))
+    assert(sql.contains("SELECT ticker, asset_type, source, date, close, row_hash, updated_at FROM temp_stg_price_history_1"))
+    assert(sql.contains("ON CONFLICT (ticker, asset_type, source, date)"))
+    assert(sql.contains("close = EXCLUDED.close"))
+    assert(sql.contains("row_hash = EXCLUDED.row_hash"))
+    assert(sql.contains("WHERE stg_price_history.row_hash IS DISTINCT FROM EXCLUDED.row_hash"))
+    // keys are never in the SET list
+    assert(!sql.contains("ticker = EXCLUDED.ticker"))
+  }
+
+  test("excludeFromUpdate columns stay out of the SET list (reference id/updated_at)") {
+    val s = spec.copy(excludeFromUpdate = Seq("id", "updated_at"))
+    val sql = Postgres.stagedMergeSql(s, "t", cols :+ "id")
+    assert(sql.contains("INSERT INTO stg_price_history (ticker, asset_type, source, date, close, row_hash, updated_at, id)"))
+    assert(!sql.contains("id = EXCLUDED.id"))
+    assert(!sql.contains("updated_at = EXCLUDED.updated_at"))
+  }
+
+  test("no hash column -> unconditional DO UPDATE (K4 shape)") {
+    val sql = Postgres.stagedMergeSql(spec.copy(hashCol = None), "t", cols)
+    assert(!sql.contains("WHERE"))
+    assert(sql.contains("DO UPDATE SET"))
+  }
+
+  test("Postgres row upsert is a parameterized single-row ON CONFLICT") {
+    val sql = Postgres.rowUpsertSql(spec, cols).get
+    assert(sql.contains("VALUES (?, ?, ?, ?, ?, ?, ?)"))
+    assert(sql.contains("ON CONFLICT (ticker, asset_type, source, date)"))
+    assert(sql.contains("WHERE stg_price_history.row_hash IS DISTINCT FROM EXCLUDED.row_hash"))
+  }
+
+  test("AnsiMerge emits standard MERGE with null-safe hash guard") {
+    val sql = AnsiMerge.stagedMergeSql(spec, "tmp", cols)
+    assert(sql.contains("MERGE INTO stg_price_history t"))
+    assert(sql.contains("USING tmp s"))
+    assert(sql.contains("""ON t."ticker" = s."ticker" AND t."asset_type" = s."asset_type" AND t."source" = s."source" AND t."date" = s."date""""))
+    assert(sql.contains("""WHEN MATCHED AND (t."row_hash" <> s."row_hash" OR (t."row_hash" IS NULL AND s."row_hash" IS NOT NULL) OR (t."row_hash" IS NOT NULL AND s."row_hash" IS NULL)) THEN UPDATE SET"""))
+    assert(sql.contains("""WHEN NOT MATCHED THEN INSERT ("ticker", "asset_type", "source", "date", "close", "row_hash", "updated_at")"""))
+  }
+
+  // ----------------------------------------------------------- batching
+
+  test("chunks honors the reference's chunksize contract") {
+    val got = chunks((1 to 2503).iterator, 1000).map(_.size).toSeq
+    assert(got == Seq(1000, 1000, 503))
+    assert(chunks(Iterator.empty[Int], 1000).isEmpty)
+    assert(chunks((1 to 5).iterator, 1000).toSeq == Seq(Seq(1, 2, 3, 4, 5)))
+  }
+
+  // ------------------------------------- end-to-end on embedded Derby
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private val props = new Properties()
+
+  private def withDb[T](f: java.sql.Connection => T): T = {
+    val conn = DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  private def queryAll(): Map[String, (Double, String)] = withDb { conn =>
+    val rs = conn.createStatement()
+      .executeQuery("""SELECT "ticker", "px", "row_hash" FROM prices ORDER BY "ticker"""")
+    val b = Map.newBuilder[String, (Double, String)]
+    while (rs.next()) b += rs.getString(1) -> ((rs.getDouble(2), rs.getString(3)))
+    b.result()
+  }
+
+  test("upsertViaTemp against a real database: insert, hash-guarded update, no-op") {
+    withDb { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE prices") catch { case _: Exception => () }
+      // case-exact quoted columns, as any Spark-created table carries
+      st.executeUpdate(
+        """CREATE TABLE prices (
+          |  "ticker" VARCHAR(16) NOT NULL PRIMARY KEY,
+          |  "px" DOUBLE,
+          |  "row_hash" VARCHAR(64))""".stripMargin)
+      st.executeUpdate("INSERT INTO prices VALUES ('AAA', 10.0, 'h-aaa-1')")
+      st.executeUpdate("INSERT INTO prices VALUES ('BBB', 20.0, 'h-bbb-1')")
+    }
+    val s = UpsertSpec("prices", Seq("ticker"), Some("row_hash"), batchSize = 2)
+
+    // AAA unchanged hash (value differs -> proves the guard, not the value,
+    // decides); BBB changed hash; CCC new
+    val updates = Seq(
+      ("AAA", 99.0, "h-aaa-1"),
+      ("BBB", 21.0, "h-bbb-2"),
+      ("CCC", 30.0, "h-ccc-1")
+    ).toDF("ticker", "px", "row_hash")
+
+    JdbcUpsert.upsertViaTemp(updates, url, props, s, AnsiMerge)
+
+    val after = queryAll()
+    assert(after("AAA") == ((10.0, "h-aaa-1")), "identical hash must be a no-op")
+    assert(after("BBB") == ((21.0, "h-bbb-2")), "changed hash must update")
+    assert(after("CCC") == ((30.0, "h-ccc-1")), "new key must insert")
+
+    // replay the same updates: idempotent (T3 at-least-once contract)
+    JdbcUpsert.upsertViaTemp(updates, url, props, s, AnsiMerge)
+    assert(queryAll() == after)
+
+    // temp tables are dropped afterwards
+    val leftover = withDb { conn =>
+      val rs = conn.getMetaData.getTables(null, null, "TEMP_%", null)
+      val names = Seq.newBuilder[String]
+      while (rs.next()) names += rs.getString("TABLE_NAME")
+      names.result()
+    }
+    assert(leftover.isEmpty, s"temp tables not dropped: $leftover")
+  }
+
+  test("upsertViaTemp without hash column updates unconditionally") {
+    withDb { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE plain") catch { case _: Exception => () }
+      st.executeUpdate(
+        """CREATE TABLE plain ("k" VARCHAR(8) NOT NULL PRIMARY KEY, "v" DOUBLE)""")
+      st.executeUpdate("INSERT INTO plain VALUES ('a', 1.0)")
+    }
+    val s = UpsertSpec("plain", Seq("k"), hashCol = None)
+    JdbcUpsert.upsertViaTemp(
+      Seq(("a", 5.0), ("b", 2.0)).toDF("k", "v"), url, props, s, AnsiMerge)
+    val got = withDb { conn =>
+      val rs = conn.createStatement()
+        .executeQuery("""SELECT "k", "v" FROM plain ORDER BY "k"""")
+      val b = Seq.newBuilder[(String, Double)]
+      while (rs.next()) b += ((rs.getString(1), rs.getDouble(2)))
+      b.result()
+    }
+    assert(got == Seq(("a", 5.0), ("b", 2.0)))
+  }
+
+  test("upsertDirect refuses dialects without a single-row form") {
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.upsertDirect(
+        Seq(("a", 1.0)).toDF("k", "v"), url, props,
+        UpsertSpec("plain", Seq("k")), AnsiMerge)
+    }
+  }
+}
