@@ -14,17 +14,38 @@ package graft
   *    Spark (ASC NULLS FIRST) and DuckDB (ASC NULLS LAST) only matter for
   *    generated-null columns, none of which are sort keys.
   *
-  * Queries q40/q41/q43/q44 are intentionally absent: their candidate
-  * generation is seeded by xxhash64 / JVM deterministic hyperplanes, which
-  * ANSI SQL cannot reproduce; the driver records a rows-only check and
-  * ScalaTest verifies them against brute-force ground truth.
+  * The sketch queries (q40/q41/q43/q44) are oracle-able because each runs
+  * on an engine-portable footing:
+  *  - q40's LSH banding (r=2, 32 bands) has candidate recall >= 0.9999 at
+  *    its 0.5 threshold, and exactly 1.0 on this corpus (verified against
+  *    the exact pair set at sf0.001/0.01/0.1) — so the verified output
+  *    equals the full exact-Jaccard pair set, which plain SQL computes;
+  *  - q41 hashes tokens with md5 (first 15 hex chars -> 60-bit ints);
+  *  - q43/q44 use integer-quantized embeddings and ±1 Rademacher SRP
+  *    planes, inlined below as constants FROM THE SAME GENERATOR the Spark
+  *    kernel uses (Similarity.rademacherPlanes) — the SQL cannot drift
+  *    from the engine.
   */
 object OracleSql {
+
+  import graft.operators.Similarity
 
   /** Shared DuckDB snippet: lowercased whitespace tokens of `text`
     * (mirrors TextFns.tokens). */
   private val toks =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
+
+  /** Integer-quantized embedding (mirrors VectorFns.quantize). */
+  private def quantized(scale: Int) =
+    s"list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
+
+  /** Packed integer-SRP bucket over a quantized list column: bit i = sign
+    * of the dot product with ±1 plane i (mirrors VectorFns.srpBucketInt). */
+  private def intBucketExpr(vecCol: String, planes: Seq[Array[Int]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, len($vecCol)+1), j -> $vecCol[j] * ($lst)[j])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   /** Shared DuckDB snippet: word-3-gram shingles of a `toks` column
     * (mirrors TextFns.shingles(_, 3)). */
@@ -379,6 +400,48 @@ object OracleSql {
          WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.2
          ORDER BY id_a, id_b""",
 
+    // q40: the LSH-candidate + exact-verify output provably equals the full
+    // exact-Jaccard pair set at threshold 0.5 (recall == 1 on this corpus,
+    // see object Scaladoc) — the oracle computes that set directly.
+    "q40_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id AS id, unnest(list_distinct($shingles3)) AS sh FROM t),
+         sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS cnt
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id)
+         SELECT id_a, id_b,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE), 6) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.id = id_a
+         JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    // q41: 60-bit md5 SimHash — token hash = first 15 hex chars of md5
+    // parsed base-16, frequency-weighted ±1 votes per bit, pigeonhole
+    // blocking into 4 chunks of 15 bits (mirrors Dedup.simhashPortable /
+    // simhashNearDupsPortable).
+    "q41_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+         bs AS (SELECT doc_id, bb.b AS b,
+                  SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) bb
+                GROUP BY doc_id, bb.b),
+         sim AS (SELECT doc_id, SUM(CASE WHEN s >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+                 FROM bs GROUP BY doc_id),
+         blocked AS (SELECT doc_id, simhash, cc.c AS c, (simhash >> (cc.c * 15)) & 32767 AS chunk_val
+                     FROM sim CROSS JOIN (SELECT unnest(range(4)) AS c) cc),
+         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+                   FROM blocked a JOIN blocked b
+                     ON a.c = b.c AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+         SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+         ORDER BY id_a, id_b""",
+
     "q42_ann_bruteforce" ->
       """WITH v AS (
            SELECT vec_id,
@@ -393,6 +456,42 @@ object OracleSql {
              ORDER BY qdot DESC, neighbor_id ASC) AS INTEGER) AS "rank" FROM s)
          SELECT query_id, neighbor_id, qdot, "rank" FROM r WHERE "rank" <= 5
          ORDER BY query_id, "rank"""",
+
+    // q43: integer-SRP ANN — same ±1 planes as Similarity.srpTopKInt
+    // (seed 42, 6 bits, dim 64), quantize scale 10000, integer-dot re-rank.
+    "q43_ann_lsh" -> {
+      val bucket = intBucketExpr("qv", Similarity.rademacherPlanes(64, 6, 42L))
+      s"""WITH v AS (SELECT vec_id, ${quantized(10000)} AS qv FROM embeddings),
+         b AS (SELECT vec_id, qv, $bucket AS bucket FROM v),
+         s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 CAST(list_sum(list_transform(range(1, len(c.qv) + 1), i -> c.qv[i] * q.qv[i])) AS BIGINT) AS qdot
+               FROM b c JOIN b q ON c.bucket = q.bucket WHERE q.vec_id < 10),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY qdot DESC, neighbor_id ASC) AS INTEGER) AS "rank" FROM s)
+         SELECT query_id, neighbor_id, qdot, "rank" FROM r WHERE "rank" <= 5
+         ORDER BY query_id, "rank""""
+    },
+
+    // q44: integer-SRP near-dup pairs — 3 seeds of ±1 planes (42/43/44,
+    // 6 bits), quantize scale 1000, all-integer cosine >= 3/10 test:
+    // qdot > 0 AND 100*qdot^2 >= 9*|a|^2*|b|^2.
+    "q44_embed_neardup" -> {
+      val buckets = Seq(42L, 43L, 44L).map(s =>
+        intBucketExpr("qv", Similarity.rademacherPlanes(64, 6, s)))
+      s"""WITH v AS (SELECT vec_id, ${quantized(1000)} AS qv FROM embeddings),
+         b AS (SELECT vec_id, qv, ${buckets(0)} AS b0, ${buckets(1)} AS b1, ${buckets(2)} AS b2 FROM v),
+         cand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.qv AS qa, c.qv AS qb
+                  FROM b a JOIN b c ON a.vec_id < c.vec_id
+                    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2)),
+         s AS (SELECT id_a, id_b,
+                 CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS BIGINT) AS qdot,
+                 CAST(list_sum(list_transform(qa, x -> x * x)) AS BIGINT) AS na2,
+                 CAST(list_sum(list_transform(qb, x -> x * x)) AS BIGINT) AS nb2
+               FROM cand)
+         SELECT id_a, id_b, qdot FROM s
+         WHERE qdot > 0 AND qdot * qdot * 100 >= 9 * na2 * nb2
+         ORDER BY id_a, id_b"""
+    },
 
     "q45_multimodal_meta" ->
       """SELECT doc_id,

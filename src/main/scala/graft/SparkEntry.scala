@@ -490,20 +490,35 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   // ===================================================================
-  // North-star: dedup sketches + similarity search (rows-only oracles:
-  // xxhash64/JVM-seeded hyperplanes are not expressible in ANSI SQL;
-  // correctness is enforced by ScalaTest against brute-force ground truth)
+  // North-star: dedup sketches + similarity search. Each sketch query is
+  // configured on its engine-portable footing so a DuckDB oracle can
+  // replay the candidate generation exactly:
+  //  - q40: LSH banding at r=2 (64 hashes / 32 bands) with threshold 0.5
+  //    puts candidate recall at 1-(1-s^2)^32 >= 0.9999 for s >= 0.5 — on
+  //    this corpus the verified output provably equals the FULL exact-
+  //    Jaccard pair set, which IS ANSI-SQL-expressible;
+  //  - q41: 60-bit md5-derived SimHash (md5 is in every engine; 60 bits
+  //    keeps shifts in signed-64 range);
+  //  - q43/q44: integer-quantized embeddings + ±1 Rademacher SRP planes —
+  //    all-integer, inlined as constants into the oracle SQL.
+  // The FNV/xxhash64 kernels stay the 100 TB fast path (DedupSpec checks
+  // them against brute-force ground truth); these queries exercise the
+  // same operators through their portable hash families.
   // ===================================================================
 
-  /** MinHash + LSH near-dup pairs, exact-Jaccard verified. */
+  /** MinHash + LSH near-dup pairs, exact-Jaccard verified. Bucket cap
+    * disabled for oracle parity (recall must be exactly 1 here). */
   private def q40(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashDedup(T(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 16, shingleN = 3, threshold = 0.2)
+        numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs (Hamming <= 3, pigeonhole-blocked). */
+  /** SimHash near-dup pairs (Hamming <= 3, pigeonhole-blocked), over the
+    * portable 60-bit md5 hash family. */
   private def q41(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashNearDupsPortable(T(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Brute-force ANN top-k, integer-quantized dot product (exact, portable —
@@ -524,22 +539,24 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN top-k (sign-random-projection buckets). */
+  /** LSH-bucketed ANN top-k: integer-SRP (±1 Rademacher planes over
+    * quantized embeddings), exact integer-dot re-rank within buckets. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir, "embeddings")
-    Similarity.srpTopK(
+    Similarity.srpTopKInt(
         e, "vec_id", "embedding",
         e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, dim = 64, bits = 6)
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Embedding cosine near-duplicate pairs (SRP blocking + exact cosine).
-    * Threshold 0.3 ~= p99 of the synthetic corpus's pairwise cosine (max is
-    * ~0.51), so the blocking recall is actually exercised. */
+  /** Embedding cosine near-duplicate pairs (integer-SRP blocking + exact
+    * integer cosine-threshold test at 3/10). Threshold 0.3 ~= p99 of the
+    * synthetic corpus's pairwise cosine (max is ~0.51), so the blocking
+    * recall is actually exercised. */
   private def q44(s: SparkSession, dir: String): DataFrame =
-    Similarity.embeddingNearDups(T(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.3, bits = 6)
+    Similarity.embeddingNearDupsInt(T(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, thresholdNum = 3, thresholdDen = 10, bits = 6)
       .orderBy(col("id_a"), col("id_b"))
 
   /** As-of (point-in-time) join — the canonical financial operator Spark

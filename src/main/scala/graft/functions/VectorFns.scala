@@ -35,6 +35,35 @@ object VectorFns {
   def quantizedDot(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Integer SRP bucket over a QUANTIZED (`array<long>`) embedding with
+    * ±1 Rademacher hyperplanes: bucket bit i = sign of Σ_j plane_ij * q_j.
+    * All-integer, so the bucket assignment is exactly reproducible by any
+    * engine given the same constants (the DuckDB oracle replays it
+    * bit-for-bit) — no float summation-order hazard at the sign boundary.
+    * Rademacher projections preserve the SRP cosine-collision property
+    * (random ±1 rows are an isotropic-enough projection family). */
+  def srpBucketInt(vec: Column, planes: Seq[Array[Int]]): Column = {
+    val ps = planes.toArray
+    val kernel = udf { (v: Array[Long]) =>
+      if (v == null) 0L
+      else {
+        var bucket = 0L
+        var i = 0
+        while (i < ps.length) {
+          val p = ps(i)
+          var acc = 0L
+          var j = 0
+          val m = math.min(p.length, v.length)
+          while (j < m) { acc += v(j) * p(j); j += 1 }
+          if (acc >= 0) bucket |= (1L << i)
+          i += 1
+        }
+        bucket
+      }
+    }
+    kernel(vec)
+  }
+
   /** Sign-random-projection (SimHash-for-vectors) bucket id: for each
     * deterministic Gaussian hyperplane, emit the sign bit of the
     * projection; pack bits into a long. Compiled kernel — the equivalent

@@ -79,17 +79,82 @@ object Multimodal {
     }
   }
 
+  /** Real decode for the codecs the JDK ships (PNG, BMP, GIF, JPEG via
+    * javax.imageio). Payloads no reader claims (raw video, exotic codecs,
+    * synthetic text bytes) fall through to [[DecodeStub]], so the operator
+    * is total over arbitrary binary columns either way.
+    *  - grey_mean: Rec.601 luma averaged over a <=64x64 sample grid (cost
+    *    bounded per row regardless of image size, deterministic);
+    *  - phash: 64-bit average-hash — 8x8 block-mean luma grid, bit i set
+    *    when cell i >= the grid mean. */
+  object ImageDecoder {
+    def decode(mediaId: Long, payload: Array[Byte]): ImageFeatures = {
+      val img =
+        if (payload == null || payload.length == 0) null
+        else
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+      if (img == null) DecodeStub.decodeImage(mediaId, payload)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sx = math.max(1, w / 64)
+        val sy = math.max(1, h / 64)
+        var sum = 0.0
+        var n = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += luma(img.getRGB(x, y)); n += 1; x += sx
+          }
+          y += sy
+        }
+        val mean = if (n == 0) 0.0 else sum / n
+        // 8x8 block-mean grid for the average-hash
+        val cell = new Array[Double](64)
+        var i = 0
+        while (i < 64) {
+          val cx0 = (i % 8) * w / 8; val cx1 = math.max(cx0 + 1, (i % 8 + 1) * w / 8)
+          val cy0 = (i / 8) * h / 8; val cy1 = math.max(cy0 + 1, (i / 8 + 1) * h / 8)
+          val csx = math.max(1, (cx1 - cx0) / 8); val csy = math.max(1, (cy1 - cy0) / 8)
+          var cs = 0.0; var cn = 0; var cy = cy0
+          while (cy < cy1 && cy < h) {
+            var cx = cx0
+            while (cx < cx1 && cx < w) { cs += luma(img.getRGB(cx, cy)); cn += 1; cx += csx }
+            cy += csy
+          }
+          cell(i) = if (cn == 0) 0.0 else cs / cn
+          i += 1
+        }
+        val gridMean = cell.sum / 64
+        var ph = 0L
+        i = 0
+        while (i < 64) { if (cell(i) >= gridMean) ph |= (1L << i); i += 1 }
+        ImageFeatures(mediaId, w, h, mean, ph)
+      }
+    }
+
+    @inline private def luma(rgb: Int): Double = {
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      0.299 * r + 0.587 * g + 0.114 * b
+    }
+  }
+
   /** Partition-mapped decode: the Scala analog of a mapInPandas batch UDF.
-    * Decoder state (here: none; really: codec contexts) initializes once
-    * per partition, rows stream through without materializing the
-    * partition. */
+    * Decoder state (codec contexts) initializes once per partition, rows
+    * stream through without materializing the partition. Dispatch is
+    * per-row: JDK-readable codecs decode for real ([[ImageDecoder]]),
+    * everything else degrades to the deterministic [[DecodeStub]]. */
   def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: open codec once here
-        rows.map { case (id, bytes) => DecodeStub.decodeImage(id, bytes) }
+        // one decoder/codec init per partition lives here; ImageIO caching
+        // is static so the JVM-wide reader registry is reused across tasks
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file spill per row
+        rows.map { case (id, bytes) => ImageDecoder.decode(id, bytes) }
       }
   }
 
@@ -99,9 +164,13 @@ object Multimodal {
     * ceil(bytes / targetBytesPerPartition) is the shuffle-cheap version. */
   def repartitionForDecode(media: DataFrame, targetBytesPerTask: Long = 64L << 20,
                            parallelism: Int = 200): DataFrame = {
+    // salt derived from media_id, NOT rand(): rand() is partition-order
+    // dependent, so a task retry could re-salt rows differently and break
+    // deterministic re-runs; pmod(xxhash64(id), chunks) is row-stable
+    val chunks = greatest(lit(1L),
+      (col("byte_len") / targetBytesPerTask).cast(LongType))
     val weighted = media.withColumn("__salt",
-      (rand(42) * greatest(lit(1), (col("byte_len") / targetBytesPerTask)
-        .cast(IntegerType))).cast(IntegerType))
+      pmod(xxhash64(col("media_id")), chunks).cast(IntegerType))
     weighted.repartition(parallelism, col("__salt"), col("media_id"))
       .drop("__salt")
   }

@@ -155,10 +155,12 @@ object Dedup {
     val buckets = signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val capped = buckets
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__n") <= maxBucketSize)
-      .drop("__n")
+    val capped =
+      if (maxBucketSize == Int.MaxValue) buckets // cap disabled -> skip the window shuffle
+      else buckets
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n")
     val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -202,7 +204,8 @@ object Dedup {
     * exact-Jaccard verification -> pairs >= threshold. */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 64, bands: Int = 16,
-                   shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+                   shingleN: Int = 3, threshold: Double = 0.8,
+                   maxBucketSize: Int = 1000): DataFrame = {
     // Shingle the corpus ONCE and persist: the set frame feeds (1) the
     // signature kernel and (2) both sides of the verification join — without
     // the persist, the tokenize+hash kernel (the dominant scan cost at
@@ -211,7 +214,7 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs  = minhashSignaturesFromSets(sets, idCol, numHashes)
-    val pairs = lshCandidatePairs(sigs, idCol, bands, numHashes)
+    val pairs = lshCandidatePairs(sigs, idCol, bands, numHashes, maxBucketSize)
     jaccardForPairsSets(sets, pairs, idCol)
       .filter(col("jaccard") >= threshold)
   }
@@ -268,14 +271,66 @@ object Dedup {
     df.select(col(idCol), kernel(col(textCol)).as("simhash"))
   }
 
+  /** 60-bit ENGINE-PORTABLE SimHash: token hash = first 15 hex chars of
+    * md5(utf8(token)) parsed base-16 (< 2^60, so every shift/mask stays in
+    * signed-64 range for any SQL engine), frequency-weighted ±1 bit votes,
+    * bit = sign. Slower than [[simhash]]'s FNV kernel (one MD5 per token) —
+    * use it when an external system (the DuckDB oracle, a Python sidecar)
+    * must reproduce signatures exactly; use [[simhash]] for the 100 TB path. */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val kernel = udf { (text: String) =>
+      val counts = new Array[Int](60)
+      if (text != null) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val toks = text.toLowerCase.trim.split("\\s+")
+        var i = 0
+        while (i < toks.length) {
+          if (toks(i).nonEmpty) {
+            md.reset()
+            val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            // first 15 hex chars == high 60 bits of the first 8 digest bytes
+            var h = 0L
+            var b = 0
+            while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+            h = h >>> 4 // drop the 16th hex char -> 60 bits
+            var k = 0
+            while (k < 60) {
+              if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
+              k += 1
+            }
+          }
+          i += 1
+        }
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 60) { if (counts(k) >= 0) sig |= (1L << k); k += 1 }
+      sig
+    }
+    df.select(col(idCol), kernel(col(textCol)).as("simhash"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using the
     * standard pigeonhole blocking: split 64 bits into (maxHamming+1) chunks;
     * any pair within distance must agree on >= 1 chunk -> equi-join per chunk. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
-    val chunks   = maxHamming + 1
-    val width    = 64 / chunks
-    val sh       = simhash(df, idCol, textCol)
+                      maxHamming: Int = 3): DataFrame =
+    simhashNearDupsFrom(simhash(df, idCol, textCol), idCol, 64, maxHamming)
+
+  /** Portable variant: same pigeonhole blocking over [[simhashPortable]]'s
+    * 60-bit signatures (chunk width 60/(maxHamming+1)). */
+  def simhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame =
+    simhashNearDupsFrom(simhashPortable(df, idCol, textCol), idCol, 60, maxHamming)
+
+  /** Pigeonhole-blocked Hamming self-join over a precomputed
+    * (id, simhash) frame with `bits`-wide signatures. */
+  def simhashNearDupsFrom(sh: DataFrame, idCol: String, bits: Int,
+                          maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    require(bits % chunks == 0,
+      s"pigeonhole blocking needs bits ($bits) divisible by maxHamming+1 ($chunks)")
+    val width = bits / chunks
     val chunkCol = (c: Int) => shiftright(col("simhash"), c * width)
       .bitwiseAND(lit((1L << width) - 1)).as("chunk_val")
     val blocked = sh.select(

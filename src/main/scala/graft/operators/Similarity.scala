@@ -30,6 +30,38 @@ object Similarity {
     Seq.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic ±1 Rademacher hyperplanes (java.util.Random LCG, spec'd
+    * — identical on every JVM). Used by the integer SRP path, where the
+    * bucket must be exactly reproducible outside the JVM too. */
+  def rademacherPlanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Array[Int]] =
+    (0 until nPlanes).map { i =>
+      val rnd = new scala.util.Random(seed ^ (i * 0x9e3779b97f4a7c15L))
+      Array.fill(dim)(if (rnd.nextBoolean()) 1 else -1)
+    }
+
+  /** Bits sizing for SRP bucketing: 2^bits buckets must keep the expected
+    * bucket population bounded, or the within-bucket self-join goes
+    * quadratic — at 100 TB a `bits` tuned for a 60k-row test corpus is a
+    * mega-partition factory. Derive bits from the (approx) corpus count:
+    * bits = ceil(log2(n / targetBucketRows)), clamped to [1, 62]. Callers
+    * with a fixed `bits` can assert it with [[requireSaneBits]]. */
+  def autoBits(corpusRows: Long, targetBucketRows: Long = 256L): Int = {
+    require(corpusRows >= 0, s"corpusRows must be >= 0, got $corpusRows")
+    val buckets = math.max(1.0, corpusRows.toDouble / math.max(1L, targetBucketRows))
+    math.min(62, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
+
+  /** Guard: fail fast (with the fix in the message) when a fixed `bits`
+    * leaves expected bucket sizes above `maxExpectedBucketRows`. */
+  def requireSaneBits(bits: Int, corpusRows: Long,
+                      maxExpectedBucketRows: Long = 10000L): Unit = {
+    val expected = corpusRows.toDouble / math.pow(2.0, bits)
+    require(expected <= maxExpectedBucketRows,
+      f"SRP bits=$bits gives ~$expected%.0f rows per bucket for a $corpusRows-row corpus " +
+        f"(limit $maxExpectedBucketRows); raise bits to >= ${autoBits(corpusRows, maxExpectedBucketRows)} " +
+        "or derive it with Similarity.autoBits")
+  }
+
   /** Exact cosine top-k per query. `queries` must be small (broadcast). */
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
@@ -68,6 +100,65 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Integer-SRP ANN top-k: the engine-portable variant of [[srpTopK]].
+    * Embeddings are integer-quantized (round(x*scale)); buckets come from
+    * ±1 Rademacher planes over the quantized vector; ranking is the exact
+    * integer dot product. Every step is integer arithmetic, so a SQL oracle
+    * with the same inlined plane constants reproduces the result
+    * bit-for-bit — and the integer kernel is cheaper than the Gaussian
+    * double-dot at the same recall class. */
+  def srpTopKInt(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int, dim: Int, bits: Int = 8, seed: Long = 42L,
+                 scale: Int = 10000): DataFrame = {
+    val planes = rademacherPlanes(dim, bits, seed)
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+        VectorFns.quantize(col(corpusVec), scale).as("__cv"))
+      .withColumn("bucket", VectorFns.srpBucketInt(col("__cv"), planes))
+    val q = queries.select(col(queryId).as("query_id"),
+        VectorFns.quantize(col(queryVec), scale).as("__qv"))
+      .withColumn("bucket", VectorFns.srpBucketInt(col("__qv"), planes))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .withColumn("qdot", VectorFns.quantizedDot(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank"))
+  }
+
+  /** Integer-SRP embedding near-dup pairs: multi-seed ±1-plane blocking over
+    * quantized vectors, then an ALL-INTEGER cosine threshold test —
+    * qdot > 0 && qdot^2 * tden^2 >= tnum^2 * |a|^2 * |b|^2, i.e.
+    * cosine(qa, qb) >= tnum/tden on the quantized vectors. `scale` defaults
+    * to 1000 so the products stay far from Long overflow (|q| <= ~1e3 ⇒
+    * qdot <= ~6e7 for dim 64 ⇒ qdot^2*tden^2 <= ~4e19/… safe). */
+  def embeddingNearDupsInt(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                           thresholdNum: Int = 3, thresholdDen: Int = 10,
+                           bits: Int = 10, seeds: Seq[Long] = Seq(42L, 43L, 44L),
+                           scale: Int = 1000): DataFrame = {
+    val qdf = df.select(col(idCol), VectorFns.quantize(col(vecCol), scale).as("__qv"))
+    val pairs = seeds.map { s =>
+      val planes = rademacherPlanes(dim, bits, s)
+      val b = qdf.withColumn("bucket", VectorFns.srpBucketInt(col("__qv"), planes))
+        // shared exchange: both self-join sides reuse one bucket computation
+        .repartition(col("bucket"))
+      val a = b.select(col("bucket"), col(idCol).as("id_a"), col("__qv").as("__qa"))
+      val c = b.select(col("bucket"), col(idCol).as("id_b"), col("__qv").as("__qb"))
+      a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("__qa"), col("__qb"))
+    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    val na2 = aggregate(col("__qa"), lit(0L), (acc, v) => acc + v * v)
+    val nb2 = aggregate(col("__qb"), lit(0L), (acc, v) => acc + v * v)
+    pairs
+      .withColumn("qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
+      .withColumn("__na2", na2).withColumn("__nb2", nb2)
+      .filter(col("qdot") > 0 &&
+        col("qdot") * col("qdot") * lit(thresholdDen.toLong * thresholdDen) >=
+          lit(thresholdNum.toLong * thresholdNum) * col("__na2") * col("__nb2"))
+      .select(col("id_a"), col("id_b"), col("qdot"))
   }
 
   /** Embedding near-duplicate pairs: SRP-bucket blocking + exact cosine >=

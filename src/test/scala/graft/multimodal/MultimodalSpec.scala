@@ -32,6 +32,40 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.phash).distinct.length == 3)
   }
 
+  test("decodeImages decodes a real PNG's dimensions via javax.imageio") {
+    // render a 120x80 gradient, encode as PNG bytes
+    val img = new java.awt.image.BufferedImage(120, 80,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 80; x <- 0 until 120)
+      img.setRGB(x, y, ((x * 2) << 16) | ((y * 3) << 8) | 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val mediaDf = Seq((7L, "image", png, "image/png", png.length.toLong,
+      "test://png")).toDF("media_id", "kind", "payload", "mime", "byte_len", "source_uri")
+    val f = Multimodal.decodeImages(spark, mediaDf).collect().head
+    assert(f.width == 120 && f.height == 80) // REAL decode, not the stub
+    assert(f.grey_mean > 0 && f.grey_mean < 255)
+    // deterministic: same bytes -> same features (incl. average-hash)
+    val again = Multimodal.decodeImages(spark, mediaDf).collect().head
+    assert(f == again)
+    // a BMP of the same image decodes to the same dimensions
+    val bmpBos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bmpBos)
+    val bmp = bmpBos.toByteArray
+    val bmpDf = Seq((8L, "image", bmp, "image/bmp", bmp.length.toLong,
+      "test://bmp")).toDF("media_id", "kind", "payload", "mime", "byte_len", "source_uri")
+    val fb = Multimodal.decodeImages(spark, bmpDf).collect().head
+    assert(fb.width == 120 && fb.height == 80)
+  }
+
+  test("non-image payloads fall back to the deterministic stub") {
+    val f = Multimodal.decodeImages(spark, media).collect().sortBy(_.media_id).head
+    val expected = Multimodal.DecodeStub.decodeImage(1L,
+      "hello world".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(f == expected)
+  }
+
   test("metadata-only query prunes the payload column from the parquet scan") {
     val dir = Files.createTempDirectory("media").toString
     media.write.mode("overwrite").parquet(s"$dir/media")

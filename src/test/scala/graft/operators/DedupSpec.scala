@@ -112,4 +112,44 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshCandidatePairs(sigs, "doc_id", bands = 4, numHashes = 16).count() == 0)
     assert(Dedup.minhashDedup(empty, "doc_id", "text", 16, 4, 3, 0.3).count() == 0)
   }
+
+  test("simhashNearDupsPortable matches brute-force 60-bit md5 hamming pairs exactly") {
+    // driver-side replay of the portable simhash (md5 -> high 60 bits,
+    // frequency-weighted bit votes)
+    def sim60(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](60)
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        md.reset()
+        val d = md.digest(tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        (0 until 8).foreach(b => h = (h << 8) | (d(b) & 0xffL))
+        h = h >>> 4
+        (0 until 60).foreach(k =>
+          if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1)
+      }
+      (0 until 60).foldLeft(0L)((sig, k) => if (counts(k) >= 0) sig | (1L << k) else sig)
+    }
+    val texts = docs.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    val hashes = texts.map { case (id, t) => (id, sim60(t)) }
+    // pigeonhole blocking is EXACT for hamming <= maxHamming: expect the
+    // full brute-force pair set, not a recall fraction
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    val got = Dedup.simhashNearDupsPortable(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got.map { case (a, b, d) => (a, b, d.toLong) } ==
+      expected.map { case (a, b, d) => (a, b, d.toLong) })
+    assert(got.exists { case (a, b, d) => a == 2L && b == 3L && d == 0 })
+  }
+
+  test("simhashNearDupsFrom rejects bits not divisible by chunk count") {
+    val sh = Dedup.simhashPortable(docs, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupsFrom(sh, "doc_id", bits = 60, maxHamming = 6) // 7 chunks
+    }
+    assert(e.getMessage.contains("divisible"))
+  }
 }

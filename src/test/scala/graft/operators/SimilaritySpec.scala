@@ -74,4 +74,89 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.hyperplanes(4, 3)
     assert(a.flatten == b.flatten)
   }
+
+  // ---- integer-SRP (engine-portable) variants ----
+
+  private def quant(v: Seq[Float], scale: Int): Array[Long] =
+    v.map(x => math.round(x.toDouble * scale)).toArray
+
+  private def intBucket(q: Array[Long], planes: Seq[Array[Int]]): Long =
+    planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+      val dot = q.zip(p).map { case (x, c) => x * c }.sum
+      if (dot >= 0) acc | (1L << i) else acc
+    }
+
+  test("srpTopKInt matches a full driver-side integer replay") {
+    val queries = corpus.filter(col("vec_id") < 3)
+    val got = Similarity.srpTopKInt(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, dim = 8, bits = 4)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "qdot", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // replay: same planes, same quantization, same bucket + ranking rules
+    val planes = Similarity.rademacherPlanes(8, 4, 42L)
+    val q = vecs.map { case (i, v) => (i, quant(v, 10000)) }
+    val buckets = q.map { case (i, qv) => (i, intBucket(qv, planes)) }.toMap
+    val byId = q.toMap
+    val expected = for {
+      qid <- 0L until 3L
+      ranked = q.filter { case (cid, _) => buckets(cid) == buckets(qid) }
+        .map { case (cid, cv) =>
+          (cid, cv.zip(byId(qid)).map { case (x, y) => x * y }.sum) }
+        .sortBy { case (cid, dot) => (-dot, cid) }.take(4)
+      ((nid, dot), r) <- ranked.zipWithIndex
+    } yield (qid, nid, dot, r + 1)
+    assert(got == expected)
+  }
+
+  test("embeddingNearDupsInt: integer threshold test is exact; planted cluster recalled") {
+    // scale 100 keeps qdot^2 * tden^2 far below Long overflow at tden=1000
+    val got = Similarity.embeddingNearDupsInt(corpus, "vec_id", "embedding",
+        dim = 8, thresholdNum = 999, thresholdDen = 1000, bits = 4, scale = 100)
+      .select("id_a", "id_b", "qdot").as[(Long, Long, Long)].collect().toSeq
+    val byId = vecs.map { case (i, v) => (i, quant(v, 100)) }.toMap
+    // every reported pair passes the integer test exactly (no float wobble)
+    got.foreach { case (a, b, qdot) =>
+      val qa = byId(a); val qb = byId(b)
+      val d = qa.zip(qb).map { case (x, y) => x * y }.sum
+      assert(d == qdot)
+      val na2 = qa.map(x => x * x).sum
+      val nb2 = qb.map(x => x * x).sum
+      assert(d > 0 && d * d * 1000000L >= 999L * 999L * na2 * nb2)
+    }
+    // planted near-identical cluster pairs survive blocking + threshold
+    val ids = got.map { case (a, b, _) => (a, b) }.toSet
+    val planted = for {
+      a <- 50L until 60L; b <- (a + 1) until 60L
+      qa = byId(a); qb = byId(b)
+      d = qa.zip(qb).map { case (x, y) => x * y }.sum
+      if d > 0 && d * d * 1000000L >= 999L * 999L *
+        qa.map(x => x * x).sum * qb.map(x => x * x).sum
+    } yield (a, b)
+    assert(planted.nonEmpty)
+    val recalled = planted.count(ids.contains).toDouble / planted.size
+    assert(recalled >= 0.9, s"recall $recalled of ${planted.size} planted pairs")
+  }
+
+  test("rademacherPlanes are deterministic ±1 and seed-distinct") {
+    val a = Similarity.rademacherPlanes(16, 4, 42L)
+    val b = Similarity.rademacherPlanes(16, 4, 42L)
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    assert(a.flatten.forall(x => x == 1 || x == -1))
+    val c = Similarity.rademacherPlanes(16, 4, 43L)
+    assert(a.map(_.toSeq) != c.map(_.toSeq))
+  }
+
+  test("autoBits bounds expected bucket population; requireSaneBits guards") {
+    // 1M rows at 256/bucket -> 4096 buckets -> 12 bits
+    assert(Similarity.autoBits(1000000L, 256L) == 12)
+    assert(Similarity.autoBits(100L, 256L) == 1)   // clamp floor
+    assert(Similarity.autoBits(Long.MaxValue, 1L) == 62) // clamp ceiling
+    Similarity.requireSaneBits(bits = 12, corpusRows = 1000000L) // fine
+    val e = intercept[IllegalArgumentException] {
+      // 6 bits over 10M rows -> ~156k rows/bucket: the 100 TB mega-bucket
+      Similarity.requireSaneBits(bits = 6, corpusRows = 10000000L)
+    }
+    assert(e.getMessage.contains("raise bits"))
+  }
 }
