@@ -139,17 +139,26 @@ object Similarity {
                            thresholdNum: Int = 3, thresholdDen: Int = 10,
                            bits: Int = 10, seeds: Seq[Long] = Seq(42L, 43L, 44L),
                            scale: Int = 1000): DataFrame = {
+    // all seeds' buckets in ONE kernel pass over the corpus, then ONE
+    // seed-tagged explode + ONE (seed, bucket)-keyed self-join — the
+    // per-seed union formulation scans and shuffles the corpus |seeds|
+    // times for identical pairs (this is the same multi-band shape as
+    // Dedup.lshCandidatePairs)
     val qdf = df.select(col(idCol), VectorFns.quantize(col(vecCol), scale).as("__qv"))
-    val pairs = seeds.map { s =>
-      val planes = rademacherPlanes(dim, bits, s)
-      val b = qdf.withColumn("bucket", VectorFns.srpBucketInt(col("__qv"), planes))
-        // shared exchange: both self-join sides reuse one bucket computation
-        .repartition(col("bucket"))
-      val a = b.select(col("bucket"), col(idCol).as("id_a"), col("__qv").as("__qa"))
-      val c = b.select(col("bucket"), col(idCol).as("id_b"), col("__qv").as("__qb"))
-      a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("__qa"), col("__qb"))
-    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    val seedBuckets = seeds.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("seed"),
+        VectorFns.srpBucketInt(col("__qv"), rademacherPlanes(dim, bits, s)).as("bucket"))
+    }
+    val blocked = qdf
+      .select(col(idCol), col("__qv"), explode(array(seedBuckets: _*)).as("sb"))
+      .select(col(idCol), col("__qv"), col("sb.seed"), col("sb.bucket"))
+      // shared exchange: both self-join sides reuse one bucket computation
+      .repartition(col("seed"), col("bucket"))
+    val a = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_a"), col("__qv").as("__qa"))
+    val c = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_b"), col("__qv").as("__qb"))
+    val pairs = a.join(c, Seq("seed", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__qa"), col("__qb"))
+      .dropDuplicates("id_a", "id_b")
     val na2 = aggregate(col("__qa"), lit(0L), (acc, v) => acc + v * v)
     val nb2 = aggregate(col("__qb"), lit(0L), (acc, v) => acc + v * v)
     pairs
@@ -167,16 +176,22 @@ object Similarity {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                         threshold: Double = 0.95, bits: Int = 10,
                         seeds: Seq[Long] = Seq(42L, 43L, 44L)): DataFrame = {
-    val pairs = seeds.map { s =>
-      val b = withSrpBucket(df, vecCol, dim, bits, s)
-        .select(col("bucket"), col(idCol), col(vecCol))
-        // shared exchange: both self-join sides reuse one bucket computation
-        .repartition(col("bucket"))
-      val a = b.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
-      val c = b.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
-      a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
-    }.reduce(_ unionByName _).dropDuplicates("id_a", "id_b")
+    // single multi-band pass (see embeddingNearDupsInt): one bucket-kernel
+    // scan, one seed-tagged explode, one (seed, bucket) self-join
+    val seedBuckets = seeds.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("seed"),
+        VectorFns.srpBucket(col(vecCol), hyperplanes(dim, bits, s)).as("bucket"))
+    }
+    val blocked = df
+      .select(col(idCol), col(vecCol), explode(array(seedBuckets: _*)).as("sb"))
+      .select(col(idCol), col(vecCol), col("sb.seed"), col("sb.bucket"))
+      // shared exchange: both self-join sides reuse one bucket computation
+      .repartition(col("seed"), col("bucket"))
+    val a = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val c = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val pairs = a.join(c, Seq("seed", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .dropDuplicates("id_a", "id_b")
     pairs
       .withColumn("cosine", VectorFns.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
