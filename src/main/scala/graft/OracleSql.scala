@@ -514,6 +514,28 @@ object OracleSql {
                 CAST(r.ref_price AS DOUBLE) AS ref_price, r.l_shipdate AS asof_time
          FROM l ASOF LEFT JOIN r
            ON l.l_partkey = r.l_partkey AND l.l_shipdate >= r.l_shipdate
-         ORDER BY 1, 2, 3, 4, 5"""
+         ORDER BY 1, 2, 3, 4, 5""",
+
+    // q47: the oracle states the range join as the plain interval
+    // predicate — the binned equi-join must produce the identical set.
+    "q47_range_join" ->
+      """WITH p AS (
+           SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day
+           FROM lineitem WHERE l_orderkey % 31 = 0),
+         w AS (
+           SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS lo_day
+           FROM orders WHERE o_orderkey % 211 = 0)
+         SELECT p.l_orderkey, p.l_linenumber, p.ship_day, w.o_orderkey, w.lo_day
+         FROM p JOIN w ON p.ship_day >= w.lo_day AND p.ship_day < w.lo_day + 30
+         ORDER BY 1, 2, 3, 4, 5""",
+
+    // q48: the salted join's result multiset is exactly the plain join's.
+    "q48_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name, s.s_acctbal
+         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         WHERE l.l_orderkey % 17 = 0
+         ORDER BY 1, 2, 3"""
   )
 }

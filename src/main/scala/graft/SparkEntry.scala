@@ -580,6 +580,44 @@ object SparkEntry {
         col("l_shipdate"), col("ref_price"))
   }
 
+  /** Binned range join: sampled lineitems (points = ship epoch-day)
+    * against sampled 30-day order windows — an equi-join on day bins
+    * instead of the BroadcastNestedLoopJoin a bare interval predicate
+    * plans to. Oracle is the plain interval join (same result set). */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val points = T(s, dir, "lineitem").filter(col("l_orderkey") % 31 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ship_day"))
+    val windows = T(s, dir, "orders").filter(col("o_orderkey") % 211 === 0)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("lo_day"))
+      .withColumn("hi_day", col("lo_day") + 30)
+    RangeJoin.pointInRange(points, "ship_day", windows, "lo_day", "hi_day",
+        binWidth = 32)
+      .select(col("l_orderkey"), col("l_linenumber"), col("ship_day"),
+        col("o_orderkey"), col("lo_day"))
+      // synthetic lineitem repeats (orderkey, linenumber) with distinct
+      // shipdates — sort every output column so the order is total
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_day"),
+        col("o_orderkey"), col("lo_day"))
+  }
+
+  /** Salted skew join: sampled lineitems joined to supplier on the
+    * (potentially hot) suppkey through a (key, salt) composite — result
+    * multiset identical to the plain join the oracle runs. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem").filter(col("l_orderkey") % 17 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+    val sup = T(s, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"), col("s_acctbal"))
+    SkewJoin.saltedInnerJoin(li, sup, Seq("l_suppkey"),
+        saltFrom = "l_orderkey", saltFactor = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("s_name"), col("s_acctbal"))
+      // duplicate (orderkey, linenumber) rows exist; suppkey totalizes
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
+  }
+
   // ===================================================================
   // North-star: multimodal column plumbing
   // ===================================================================
@@ -644,7 +682,9 @@ object SparkEntry {
     "q43_ann_lsh" -> q43 _,
     "q44_embed_neardup" -> q44 _,
     "q45_multimodal_meta" -> q45 _,
-    "q46_asof_join" -> q46 _
+    "q46_asof_join" -> q46 _,
+    "q47_range_join" -> q47 _,
+    "q48_salted_join" -> q48 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
