@@ -336,10 +336,13 @@ object OracleSql {
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents)
          SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
            CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS INTEGER) AS n_chars_norm,
            ROUND(CASE WHEN len(toks) > 0
              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
-             ELSE 0.0 END, 6) AS mean_word_len
+             ELSE 0.0 END, 6) AS mean_word_len,
+           list_min(list_transform($shingles3,
+             s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS doc_sig
          FROM t ORDER BY doc_id""",
 
     "q35_quality_score" ->

@@ -440,13 +440,16 @@ object SparkEntry {
   // North-star: text analysis
   // ===================================================================
 
-  /** Token counting + normalized length stats. */
+  /** Token counting (whitespace + BPE-ish subword proxy), normalized length
+    * stats, and the min-pooled rolling-hash document signature. */
   private def q34(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("doc_id"),
         TextFns.tokenCount(col("text")).as("n_tokens"),
+        TextFns.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"),
         length(TextFns.normalizedText(col("text"))).as("n_chars_norm"),
-        round(TextFns.meanWordLen(col("text")), 6).as("mean_word_len"))
+        round(TextFns.meanWordLen(col("text")), 6).as("mean_word_len"),
+        TextFns.docSignaturePortable(col("text"), 3).as("doc_sig"))
       .orderBy(col("doc_id"))
 
   /** Quality scoring (length/stopword/punctuation composite). */

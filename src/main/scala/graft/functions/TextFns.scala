@@ -20,10 +20,12 @@ object TextFns {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword-count estimate: words + digit runs + punctuation marks
-    * counted separately (a cheap, deterministic proxy for a real tokenizer). */
+  /** BPE-ish subword-count estimate: letter runs, digit runs, and single
+    * punctuation marks counted separately (a cheap, deterministic proxy for
+    * a real tokenizer). Stated as a match-count — RE2-compatible (no
+    * lookarounds), so any engine's regex evaluates it identically. */
   def tokenCountBpeIsh(text: Column): Column =
-    size(filter(split(lower(trim(text)), "(?=[^a-z0-9])|(?<=[^a-z0-9])"), t => length(trim(t)) > 0))
+    size(regexp_extract_all(lower(trim(text)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 
   /** Ratio of punctuation characters to total characters. Uses the explicit
     * ASCII punctuation ranges (portable: Java's \p{Punct} is POSIX-ASCII but
@@ -115,4 +117,12 @@ object TextFns {
     * min-pooled — a 1-long cheap sketch (full MinHash lives in Dedup). */
   def docSignature(text: Column, n: Int = 3): Column =
     array_min(transform(shingles(text, n), s => xxhash64(s)))
+
+  /** Engine-portable variant of [[docSignature]]: shingle hash = first 15
+    * hex chars of md5 parsed base-16 (< 2^60 — exact in any engine's
+    * signed-64 SQL), min-pooled. Use where an external system must
+    * reproduce signatures; [[docSignature]] is the fast path. */
+  def docSignaturePortable(text: Column, n: Int = 3): Column =
+    array_min(transform(shingles(text, n),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
 }
