@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.operators.MergeSink
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming ingest (SURVEY.md §2.10): the reference's daily
@@ -61,6 +61,68 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("total_value"))
+
+  // ---- custom state: flatMapGroupsWithState ----
+
+  /** (key, row_hash) input row for the stateful change detector. */
+  final case class KeyedRow(key: String, row_hash: String)
+  /** Per-key state: last accepted hash + how many updates it has seen. */
+  final case class KeyState(lastHash: String, changes: Long)
+  /** Emitted transition: insert (first sight), update (hash changed), or
+    * expired (idle past the timeout; state evicted). Replays with an
+    * unchanged hash emit NOTHING — the streaming twin of the hash-guarded
+    * merge's no-op arm. */
+  final case class Change(key: String, row_hash: String, change_type: String,
+                          changes: Long)
+
+  /** Custom-state change detection over a keyed stream
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): GroupState holds each
+    * key's last row_hash across micro-batches, so the operator classifies
+    * every arriving row as insert/update/no-op WITHOUT re-reading the
+    * warehouse — the state store is the "target side" of the merge.
+    *
+    * Scale notes: one shuffle per micro-batch (groupByKey on the natural
+    * key); state is O(live keys). `idleTimeout = Some(d)` evicts idle keys
+    * after d (emitting a final 'expired' row — the reference's liveness
+    * lifecycle, SURVEY §2.10 T5, as streaming state) — but ONLY for
+    * continuously-running queries: FlatMapGroupsWithStateExec's
+    * shouldRunAnotherBatch is always true under ProcessingTimeTimeout
+    * (wall-clock keeps advancing), so a Trigger.AvailableNow drain would
+    * never terminate; batch-drain deployments must leave it None
+    * (NoTimeout) and age keys out-of-band (Retention). At 100 TB key
+    * cardinality the state store backs onto RocksDB via
+    * spark.sql.streaming.stateStore.providerClass. */
+  def changeDetect(spark: SparkSession, rows: Dataset[KeyedRow],
+                   idleTimeout: Option[String] = None): Dataset[Change] = {
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    rows.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyState, Change](OutputMode.Append, timeoutConf) {
+        (key: String, it: Iterator[KeyedRow], state: GroupState[KeyState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(Change(key, st.lastHash, "expired", st.changes))
+          } else {
+            var st = state.getOption.getOrElse(KeyState(null, 0L))
+            val out = Seq.newBuilder[Change]
+            it.foreach { r =>
+              if (st.lastHash == null) {
+                st = KeyState(r.row_hash, 0L)
+                out += Change(key, r.row_hash, "insert", 0L)
+              } else if (st.lastHash != r.row_hash) {
+                st = KeyState(r.row_hash, st.changes + 1)
+                out += Change(key, r.row_hash, "update", st.changes)
+              } // unchanged hash: no-op, emit nothing
+            }
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
 
   /** Sessionization with idle-gap timeout via the built-in session_window —
     * the streaming twin of SparkEntry q32's batch computation. */

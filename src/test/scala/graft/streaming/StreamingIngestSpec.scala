@@ -50,6 +50,40 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 3)
   }
 
+  test("changeDetect keeps per-key hash state across micro-batches (flatMapGroupsWithState)") {
+    import StreamingIngest.KeyedRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("cd")
+    val input = MemoryStream[KeyedRow]
+    // AvailableNow runs, NOT processAllAvailable: with ProcessingTimeTimeout
+    // armed, a default-trigger query schedules empty timeout-check batches
+    // forever and processAllAvailable never settles
+    def drain(): Unit = {
+      val q = StreamingIngest.changeDetect(spark, input.toDS())
+        .writeStream.format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: two fresh keys -> two inserts
+    input.addData(KeyedRow("AAA", "h1"), KeyedRow("BBB", "h2"))
+    drain()
+    // batch 2: AAA changed, BBB replayed unchanged -> one update, no no-op
+    // row; state survives the restart via the checkpointed state store
+    input.addData(KeyedRow("AAA", "h1b"), KeyedRow("BBB", "h2"))
+    drain()
+    val out = spark.read.parquet(s"$root/out")
+      .select("key", "row_hash", "change_type", "changes")
+      .as[(String, String, String, Long)].collect().toSeq.sorted
+    assert(out == Seq(
+      ("AAA", "h1", "insert", 0L),
+      ("AAA", "h1b", "update", 1L),
+      ("BBB", "h2", "insert", 0L)))
+  }
+
   test("windowedCounts is a valid streaming plan and matches batch semantics") {
     // semantic check runs the same expression in batch mode
     val events = Seq(
