@@ -539,6 +539,26 @@ object OracleSql {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name, s.s_acctbal
          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
          WHERE l.l_orderkey % 17 = 0
-         ORDER BY 1, 2, 3"""
+         ORDER BY 1, 2, 3""",
+
+    // q49: unique (partkey, day) after the groupBy -> every window order is
+    // total; ROWS frames stated explicitly to match Spark's.
+    "q49_window_analytics" ->
+      """WITH daily AS (
+           SELECT l_partkey,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS ship_day,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS day_qty
+           FROM lineitem WHERE l_partkey % 199 = 0
+           GROUP BY 1, 2)
+         SELECT l_partkey, ship_day, day_qty,
+           lag(day_qty, 1) OVER w AS prev_qty,
+           lead(day_qty, 1) OVER w AS next_qty,
+           CAST(SUM(day_qty) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qty,
+           ROUND(AVG(day_qty) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3_qty,
+           CAST(rank() OVER (PARTITION BY l_partkey ORDER BY day_qty DESC, ship_day) AS INTEGER) AS qty_rank,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         FROM daily
+         WINDOW w AS (PARTITION BY l_partkey ORDER BY ship_day)
+         ORDER BY l_partkey, ship_day"""
   )
 }

@@ -621,6 +621,28 @@ object SparkEntry {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"))
   }
 
+  /** Window-analytics family over a per-part daily series: lag/lead,
+    * running total, centered-less moving average, rank by volume, ntile
+    * quartiles. The groupBy first makes (partkey, day) unique, so every
+    * window order is total and the oracle is bit-deterministic. */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir, "lineitem").filter(col("l_partkey") % 199 === 0)
+      .groupBy(col("l_partkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ship_day"))
+      .agg(sum(col("l_quantity").cast("long")).as("day_qty"))
+    val w  = Window.partitionBy(col("l_partkey")).orderBy(col("ship_day"))
+    val wr = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("day_qty").desc, col("ship_day"))
+    daily.select(col("l_partkey"), col("ship_day"), col("day_qty"),
+        lag(col("day_qty"), 1).over(w).as("prev_qty"),
+        lead(col("day_qty"), 1).over(w).as("next_qty"),
+        sum(col("day_qty")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("cum_qty"),
+        round(avg(col("day_qty")).over(w.rowsBetween(-2, 0)), 6).as("ma3_qty"),
+        rank().over(wr).as("qty_rank"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("l_partkey"), col("ship_day"))
+  }
+
   // ===================================================================
   // North-star: multimodal column plumbing
   // ===================================================================
@@ -687,7 +709,8 @@ object SparkEntry {
     "q45_multimodal_meta" -> q45 _,
     "q46_asof_join" -> q46 _,
     "q47_range_join" -> q47 _,
-    "q48_salted_join" -> q48 _
+    "q48_salted_join" -> q48 _,
+    "q49_window_analytics" -> q49 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -48,4 +48,35 @@ object Warehouse {
   def pendingWork(workList: DataFrame, done: DataFrame,
                   keys: Seq[String]): DataFrame =
     workList.join(done, keys, "left_anti")
+
+  // ---- JDBC scale helpers (SQL generation is unit-tested; no DB ships
+  // in this container, mirroring JdbcUpsert's approach) ----
+
+  /** SQL string literal with single-quote escaping (the only quoting the
+    * generated subqueries need; identifiers come from engine config, not
+    * user data). */
+  def sqlLiteral(v: String): String = "'" + v.replace("'", "''") + "'"
+
+  /** Pushdown subquery for the `dbtable` operand: projection + predicates
+    * run inside the database regardless of Catalyst's JDBC filter-pushdown
+    * eligibility (e.g. disjunctions of casts it declines). Mirrors the
+    * reference's handwritten warehouse queries
+    * (src/utils/db_connector.py:353-378). */
+  def pushdownSubquery(table: String, cols: Seq[String],
+                       where: Seq[String] = Nil): String = {
+    require(cols.nonEmpty, "projection must name at least one column")
+    val sel = s"SELECT ${cols.mkString(", ")} FROM $table"
+    val q = if (where.isEmpty) sel else sel + where.mkString(" WHERE (", ") AND (", ")")
+    s"($q) AS pushed"
+  }
+
+  /** Partition-parallel JDBC scan: numPartitions concurrent range queries
+    * on a numeric partition column — the only way a JDBC source scales
+    * past a single connection's throughput. At warehouse scale, pick a
+    * clustered/indexed column and bounds from a cheap MIN/MAX probe. */
+  def jdbcPartitionedRead(spark: SparkSession, url: String, dbtable: String,
+                          partCol: String, lower: Long, upper: Long,
+                          numPartitions: Int,
+                          props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, dbtable, partCol, lower, upper, numPartitions, props)
 }

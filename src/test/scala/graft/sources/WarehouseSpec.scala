@@ -39,4 +39,20 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.pendingWork(work, done, Seq("ticker"))
       .as[String].collect().toSet == Set("A", "C"))
   }
+
+  test("pushdownSubquery generates a projection + conjunctive-WHERE dbtable operand") {
+    val q = Warehouse.pushdownSubquery("stg_price_history",
+      Seq("ticker", "MAX(date) AS max_date"),
+      Seq(s"source = ${Warehouse.sqlLiteral("Stock Analysis")}", "status = 'active'"))
+    assert(q ==
+      "(SELECT ticker, MAX(date) AS max_date FROM stg_price_history" +
+        " WHERE (source = 'Stock Analysis') AND (status = 'active')) AS pushed")
+    // no predicates -> bare projection subquery
+    assert(Warehouse.pushdownSubquery("t", Seq("a")) == "(SELECT a FROM t) AS pushed")
+    intercept[IllegalArgumentException](Warehouse.pushdownSubquery("t", Nil))
+  }
+
+  test("sqlLiteral escapes embedded quotes") {
+    assert(Warehouse.sqlLiteral("O'Leary's") == "'O''Leary''s'")
+  }
 }
