@@ -67,4 +67,24 @@ class PlanShapeSpec extends SparkSpec {
 
   private def T2(d: String, n: String): DataFrame =
     spark.read.parquet(s"$d/$n.parquet")
+
+  test("q47 range join stays an equi-join on the bin key (no nested loop)") {
+    val plan = executed(SparkEntry.queries("q47_range_join")(spark, dir))
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"interval predicate degenerated to a product:\n$plan")
+  }
+
+  test("q49 window family computes all per-(part,day) windows off ONE sort order") {
+    val plan = executed(SparkEntry.queries("q49_window_analytics")(spark, dir))
+    // lag/lead/cum-sum/ma3/ntile share the (l_partkey, ship_day) order ->
+    // exactly one single-key exchange on l_partkey feeds both Window
+    // operators; the rank-by-volume window re-sorts only WITHIN partitions
+    // (its Sort node is partition-local, no second exchange). The other
+    // hashpartitioning hit is the groupBy's composite-key exchange.
+    val exchanges = "Exchange hashpartitioning\\(l_partkey#\\d+L, \\d+\\)".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected one window exchange, got $exchanges:\n$plan")
+    assert("Sort \\[l_partkey#\\d+L ASC NULLS FIRST, day_qty#\\d+L DESC NULLS LAST[^\n]*\\], false".r
+      .findAllIn(plan).nonEmpty, s"rank window should re-sort locally:\n$plan")
+  }
 }
