@@ -559,6 +559,17 @@ object OracleSql {
            CAST(ntile(4) OVER w AS INTEGER) AS quartile
          FROM daily
          WINDOW w AS (PARTITION BY l_partkey ORDER BY ship_day)
-         ORDER BY l_partkey, ship_day"""
+         ORDER BY l_partkey, ship_day""",
+
+    // q50: pivot(melt(x)) == per-key conditional aggregation of the
+    // original columns — the oracle states it directly.
+    "q50_eav_pivot" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS extendedprice,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS discount
+         FROM lineitem WHERE l_orderkey % 23 = 0
+         GROUP BY 1, 2
+         ORDER BY 1, 2, 3, 4, 5"""
   )
 }

@@ -389,6 +389,25 @@ object SparkEntry {
           "'discount', l_discount) as (metric, value)")
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("value"))
 
+  /** EAV pivot — the inverse of q30's melt: long (key, metric, value) rows
+    * back to wide columns via groupBy().pivot() with an EXPLICIT metric
+    * list (an implicit list would launch a distinct-scan job and make the
+    * output schema data-dependent — never at 100 TB). Conditional
+    * aggregation in the oracle states the same computation. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val long = T(s, dir, "lineitem").filter(col("l_orderkey") % 23 === 0)
+      .selectExpr("l_orderkey", "l_linenumber",
+        "stack(3, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+          "'discount', l_discount) as (metric, value)")
+    long.groupBy(col("l_orderkey"), col("l_linenumber"))
+      // decimal sum: double addition is order-sensitive under shuffle and
+      // duplicate keys exist in the synthetic data; decimals are exact
+      .pivot("metric", Seq("quantity", "extendedprice", "discount"))
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("quantity"),
+        col("extendedprice"), col("discount"))
+  }
+
   // ===================================================================
   // §2.10 incremental/streaming semantics (batch-equivalent queries;
   // the Structured Streaming runtime lives in graft.streaming)
@@ -710,7 +729,8 @@ object SparkEntry {
     "q46_asof_join" -> q46 _,
     "q47_range_join" -> q47 _,
     "q48_salted_join" -> q48 _,
-    "q49_window_analytics" -> q49 _
+    "q49_window_analytics" -> q49 _,
+    "q50_eav_pivot" -> q50 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
