@@ -570,6 +570,17 @@ object OracleSql {
            CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS discount
          FROM lineitem WHERE l_orderkey % 23 = 0
          GROUP BY 1, 2
-         ORDER BY 1, 2, 3, 4, 5"""
+         ORDER BY 1, 2, 3, 4, 5""",
+
+    // q51: exact percentiles — DuckDB quantile_cont uses the same linear
+    // interpolation at h = (n-1)*p as Spark's percentile.
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS qty_p25,
+           quantile_cont(l_quantity, 0.5) AS qty_median,
+           quantile_cont(l_quantity, 0.75) AS qty_p75,
+           quantile_cont(l_extendedprice, 0.95) AS price_p95,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -408,6 +408,23 @@ object SparkEntry {
         col("extendedprice"), col("discount"))
   }
 
+  /** Exact grouped percentiles (linear interpolation — Spark `percentile`,
+    * not the approximate sketch): quartiles + median of quantity and the
+    * p95 of extended price per return flag. Exact percentile needs a
+    * per-group sort; at 100 TB prefer approx_percentile (t-digest, one
+    * pass, mergeable) unless the contract demands exactness — this query
+    * IS the exactness contract, oracle = DuckDB quantile_cont. */
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("qty_p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("qty_median"),
+        percentile(col("l_quantity"), lit(0.75)).as("qty_p75"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("price_p95"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   // ===================================================================
   // §2.10 incremental/streaming semantics (batch-equivalent queries;
   // the Structured Streaming runtime lives in graft.streaming)
@@ -730,7 +747,8 @@ object SparkEntry {
     "q47_range_join" -> q47 _,
     "q48_salted_join" -> q48 _,
     "q49_window_analytics" -> q49 _,
-    "q50_eav_pivot" -> q50 _
+    "q50_eav_pivot" -> q50 _,
+    "q51_percentiles" -> q51 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
