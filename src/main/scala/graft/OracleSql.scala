@@ -581,6 +581,22 @@ object OracleSql {
            quantile_cont(l_quantity, 0.75) AS qty_p75,
            quantile_cont(l_extendedprice, 0.95) AS price_p95,
            COUNT(*) AS n
-         FROM lineitem GROUP BY 1 ORDER BY 1"""
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // q52: non-distinct word bigrams (short docs fall back to the whole
+    // text as one gram, mirroring TextFns.shingles); global counts joined
+    // back per doc — all-integer.
+    "q52_bigram_corpus_score" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(
+             CASE WHEN len(toks) >= 2
+               THEN list_transform(generate_series(1, len(toks) - 1), i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS bigram
+           FROM t),
+         c AS (SELECT bigram, COUNT(*) AS gf FROM g GROUP BY 1)
+         SELECT g.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(c.gf) AS BIGINT) AS corpus_freq_sum
+         FROM g JOIN c ON g.bigram = c.bigram
+         GROUP BY g.doc_id ORDER BY g.doc_id"""
   )
 }

@@ -509,6 +509,34 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-frequency quality signal — the two-pass corpus-stats pattern
+    * every LM-data pipeline needs (rare-bigram docs are gibberish/OCR
+    * noise; high-frequency docs are boilerplate): pass 1 aggregates global
+    * bigram counts, pass 2 joins them back per document. All-integer
+    * (count sums), so the oracle replays it exactly. At 100 TB the counts
+    * frame is Zipf-headed — AQE broadcasts it when trimmed, else it's one
+    * shuffle keyed by bigram with map-side partial counts. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    // HASHED bigrams via the compiled kernel (Dedup.shingleLists): the
+    // Catalyst higher-order formulation is CodegenFallback and re-evaluates
+    // the token-hash subtree per output element (O(tokens^2)/doc
+    // interpreted — profiled 8s at sf0.1 vs ~1s compiled); hash grams keep
+    // the exploded frame, both shuffles and the join key in integer land
+    // (count semantics identical modulo a ~2^-64 collision, the same
+    // documented tradeoff as the Jaccard family). One explicit exchange on
+    // the gram key, REUSED by both consumers (count aggregation + join
+    // probe side).
+    val grams = Dedup.shingleLists(docs, "doc_id", "text", 2)
+      .select(col("doc_id"), explode(col("shlist")).as("bigram"))
+      .repartition(col("bigram"))
+    val counts = grams.groupBy(col("bigram")).agg(count(lit(1)).as("gf"))
+    grams.join(counts, Seq("bigram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("gf")).as("corpus_freq_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting == exact dedup survivor table. */
   private def q37(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(T(s, dir, "documents"), "doc_id", "text")
@@ -748,7 +776,8 @@ object SparkEntry {
     "q48_salted_join" -> q48 _,
     "q49_window_analytics" -> q49 _,
     "q50_eav_pivot" -> q50 _,
-    "q51_percentiles" -> q51 _
+    "q51_percentiles" -> q51 _,
+    "q52_bigram_corpus_score" -> q52 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

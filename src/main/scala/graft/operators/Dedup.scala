@@ -64,35 +64,54 @@ object Dedup {
     * per-element lambda dispatch — and profile ~10x slower than this
     * compiled loop on short-document corpora. The UDF breaks codegen for
     * this one projection but the projection IS the work. */
-  private def shingleSetKernel(n: Int): String => Array[Long] = { text =>
+  /** Non-distinct hashed n-gram list (frequency-preserving). */
+  private def shingleListKernel(n: Int): String => Array[Long] = { text =>
     if (text == null) Array.empty[Long]
     else {
       val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
       val th = new Array[Long](toks.length)
       var i = 0
       while (i < toks.length) { th(i) = hashString(toks(i)); i += 1 }
-      val out =
-        if (th.length >= n) {
-          val m = th.length - n + 1
-          val a = new Array[Long](m)
-          var j = 0
-          while (j < m) {
-            var h = 0xcbf29ce484222325L
-            var k = 0
-            while (k < n) { h ^= th(j + k); h *= 0x100000001b3L; k += 1 }
-            a(j) = mix64(h)
-            j += 1
-          }
-          a
-        } else {
+      if (th.length >= n) {
+        val m = th.length - n + 1
+        val a = new Array[Long](m)
+        var j = 0
+        while (j < m) {
           var h = 0xcbf29ce484222325L
           var k = 0
-          while (k < th.length) { h ^= th(k); h *= 0x100000001b3L; k += 1 }
-          Array(mix64(h))
+          while (k < n) { h ^= th(j + k); h *= 0x100000001b3L; k += 1 }
+          a(j) = mix64(h)
+          j += 1
         }
+        a
+      } else {
+        var h = 0xcbf29ce484222325L
+        var k = 0
+        while (k < th.length) { h ^= th(k); h *= 0x100000001b3L; k += 1 }
+        Array(mix64(h))
+      }
+    }
+  }
+
+  private def shingleSetKernel(n: Int): String => Array[Long] = {
+    val list = shingleListKernel(n)
+    text => {
+      val out = list(text)
       val seen = new java.util.HashSet[Long](out.length * 2)
       out.filter(seen.add)
     }
+  }
+
+  /** Non-distinct hashed word-shingle LIST per document (`array<long>`) —
+    * the frequency-preserving sibling of [[shingleSets]], for consumers
+    * that weight by occurrence (corpus-frequency scoring). Same compiled
+    * kernel rationale: the equivalent nested higher-order expressions are
+    * CodegenFallback AND re-evaluate the token-hash subtree per output
+    * element — O(tokens^2) per document interpreted, vs this linear loop. */
+  def shingleLists(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int): DataFrame = {
+    val kernel = udf(shingleListKernel(shingleN))
+    df.select(col(idCol), kernel(col(textCol)).as("shlist"))
   }
 
   /** Distinct HASHED word-shingle set per document (`array<long>`) — the
