@@ -95,8 +95,14 @@ object TextFns {
     * each shingle is the hash of its n token hashes (short docs: hash of the
     * whole token-hash array, mirroring [[shingles]]' one-shingle fallback).
     * Set semantics are identical to [[shingles]] modulo a ~2^-65-per-pair
-    * hash collision; everything downstream (distinct, joins, shuffles)
-    * runs on longs instead of strings — the scale path for corpus dedup. */
+    * hash collision.
+    *
+    * PERFORMANCE WARNING — expression-only reference form: nested
+    * higher-order array lambdas are CodegenFallback and the interpreter
+    * re-evaluates the token-hash subtree per output element, i.e.
+    * O(tokens^2) per document (profiled 8s vs 0.9s at sf0.1 on q52). Hot
+    * paths use the compiled kernels instead: `Dedup.shingleSets` (distinct)
+    * / `Dedup.shingleLists` (frequency-preserving). */
   def shingleHashes(text: Column, n: Int): Column = {
     val toksH = transform(tokens(text), t => xxhash64(t))
     when(size(toksH) >= n,
