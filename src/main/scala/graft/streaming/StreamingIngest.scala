@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.operators.MergeSink
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming ingest (SURVEY.md §2.10): the reference's daily
@@ -122,6 +122,50 @@ object StreamingIngest {
             out.result().iterator
           }
       }
+  }
+
+  /** [[changeDetect]] on the Spark-4-native transformWithState API: typed
+    * ValueState per key, optional state TTL handled by the store itself
+    * (no timeout batches — TTL eviction is silent, so no 'expired' rows),
+    * and the arbitrary-state flexibility (list/map state, timers) the old
+    * single-state flatMapGroupsWithState lacks. Requires the RocksDB state
+    * store provider in streaming mode:
+    * spark.sql.streaming.stateStore.providerClass =
+    * org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider. */
+  class ChangeDetectProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[String, KeyedRow, Change] {
+    @transient private var state: ValueState[KeyState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyState]("keyState",
+        Encoders.product[KeyState], ttl)
+
+    override def handleInputRows(key: String, rows: Iterator[KeyedRow],
+                                 timerValues: TimerValues): Iterator[Change] = {
+      var st = if (state.exists()) state.get() else KeyState(null, 0L)
+      val out = Seq.newBuilder[Change]
+      rows.foreach { r =>
+        if (st.lastHash == null) {
+          st = KeyState(r.row_hash, 0L)
+          out += Change(key, r.row_hash, "insert", 0L)
+        } else if (st.lastHash != r.row_hash) {
+          st = KeyState(r.row_hash, st.changes + 1)
+          out += Change(key, r.row_hash, "update", st.changes)
+        } // unchanged hash: no-op
+      }
+      state.update(st)
+      out.result().iterator
+    }
+  }
+
+  /** transformWithState variant of [[changeDetect]] (same semantics minus
+    * the 'expired' emission — TTL eviction is store-side and silent). */
+  def changeDetectTws(spark: SparkSession, rows: Dataset[KeyedRow],
+                      ttl: TTLConfig = TTLConfig.NONE): Dataset[Change] = {
+    import spark.implicits._
+    rows.groupByKey(_.key)
+      .transformWithState(new ChangeDetectProcessor(ttl),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Sessionization with idle-gap timeout via the built-in session_window —

@@ -84,6 +84,42 @@ class StreamingIngestSpec extends SparkSpec {
       ("BBB", "h2", "insert", 0L)))
   }
 
+  test("changeDetectTws (transformWithState + RocksDB) matches the fMGWS semantics") {
+    import StreamingIngest.KeyedRow
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("cdtws")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[KeyedRow]
+      def drain(): Unit = {
+        val q = StreamingIngest.changeDetectTws(spark, input.toDS())
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      input.addData(KeyedRow("AAA", "h1"), KeyedRow("BBB", "h2"))
+      drain()
+      input.addData(KeyedRow("AAA", "h1b"), KeyedRow("BBB", "h2"))
+      drain()
+      val out = spark.read.parquet(s"$root/out")
+        .select("key", "row_hash", "change_type", "changes")
+        .as[(String, String, String, Long)].collect().toSeq.sorted
+      assert(out == Seq(
+        ("AAA", "h1", "insert", 0L),
+        ("AAA", "h1b", "update", 1L),
+        ("BBB", "h2", "insert", 0L)))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("windowedCounts is a valid streaming plan and matches batch semantics") {
     // semantic check runs the same expression in batch mode
     val events = Seq(
