@@ -597,6 +597,40 @@ object OracleSql {
          SELECT g.doc_id, COUNT(*) AS n_bigrams,
            CAST(SUM(c.gf) AS BIGINT) AS corpus_freq_sum
          FROM g JOIN c ON g.bigram = c.bigram
-         GROUP BY g.doc_id ORDER BY g.doc_id"""
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    // q53: connected components over the exact >= 0.5 Jaccard pair set
+    // (q40's edge set) via recursive transitive closure; canonical = min
+    // reachable id (incl. self), plus cluster sizes.
+    "q53_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id AS id, unnest(list_distinct($shingles3)) AS sh FROM t),
+         sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         cand AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS cnt
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+         edges AS (
+           SELECT id_a, id_b FROM cand
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.5),
+         sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                 UNION ALL SELECT id_b, id_a FROM edges),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         comp AS (
+           SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical_id
+           FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           GROUP BY d.doc_id),
+         csize AS (SELECT canonical_id, COUNT(*) AS cluster_size
+                   FROM comp GROUP BY 1)
+         SELECT c.doc_id, c.canonical_id, s.cluster_size
+         FROM comp c JOIN csize s USING (canonical_id)
+         ORDER BY c.doc_id"""
   )
 }

@@ -588,6 +588,16 @@ object SparkEntry {
         maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Dedup clustering: near-dup pairs (same config as q40, recall 1.0 on
+    * this corpus) -> connected components -> canonical survivor + cluster
+    * size per doc. Oracle computes the same components via a recursive
+    * transitive closure over the exact pair set. */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .orderBy(col("doc_id"))
+
   /** Brute-force ANN top-k, integer-quantized dot product (exact, portable —
     * this one HAS a DuckDB oracle). */
   private def q42(s: SparkSession, dir: String): DataFrame = {
@@ -777,7 +787,8 @@ object SparkEntry {
     "q49_window_analytics" -> q49 _,
     "q50_eav_pivot" -> q50 _,
     "q51_percentiles" -> q51 _,
-    "q52_bigram_corpus_score" -> q52 _
+    "q52_bigram_corpus_score" -> q52 _,
+    "q53_dedup_clusters" -> q53 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

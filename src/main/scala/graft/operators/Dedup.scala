@@ -258,6 +258,90 @@ object Dedup {
         (size(col("__sa")) + size(col("__sb")) - col("__inter")).cast("double"))
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
+  // ----------------------------------------------------- dedup clustering
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise similarity into actual deduplication: docs linked (directly
+    * or transitively) form one cluster; the minimum id is the canonical
+    * survivor.
+    *
+    * Algorithm: iterative min-label propagation. labels start as self;
+    * each round every node takes the min of its own label and its
+    * neighbors' labels; converged when no label changes. Rounds needed =
+    * graph diameter (near-dup clusters are small and dense, so typically
+    * 2-3; the `maxIterations` guard bounds pathological chains). Each
+    * round is one join + one aggregation keyed by node — at 100 TB this
+    * is the standard label-propagation shape (upgrade path: large-star/
+    * small-star halves the round count on long chains). The driver-side
+    * loop condition is an aggregated count, not a data collect.
+    *
+    * Returns (idCol, canonical_id) for EVERY node in `nodes` (singletons
+    * map to themselves). Ids must be numeric (the convergence witness is
+    * an exact decimal label sum). */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                          maxIterations: Int = 20): DataFrame = {
+    // persist the pair list BEFORE the symmetric union: both union branches
+    // otherwise materialize the (expensive) upstream pair pipeline once each
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try connectedComponentsFromSym(nodes, idCol, sym, maxIterations)
+    finally { sym.unpersist(); p.unpersist() }
+  }
+
+  private def connectedComponentsFromSym(nodes: DataFrame, idCol: String,
+                                         sym: DataFrame,
+                                         maxIterations: Int): DataFrame = {
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // labels only ever DECREASE (least of own + neighbors'), so the label
+    // sum is a strictly-decreasing convergence witness: one aggregate per
+    // round instead of a full old-vs-new comparison join
+    // decimal sum: exact at any node count (a wrapped long sum could
+    // collide with the previous round's and fake convergence)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      // each node's new label: min over (own label, neighbors' labels)
+      val viaEdges = sym
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "nLabel"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("nLabel")).as("minNeighbor"))
+      val next = labels.join(viaEdges, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    labels.select(col("node").as(idCol), col("label").as("canonical_id"))
+  }
+
+  /** Full near-dup deduplication: MinHash-LSH pairs -> connected
+    * components -> one row per doc with its canonical survivor and the
+    * cluster size (survivors have canonical_id == id). */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int = 64, bands: Int = 32,
+                    shingleN: Int = 3, threshold: Double = 0.5,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = minhashDedup(df, idCol, textCol, numHashes, bands, shingleN,
+      threshold, maxBucketSize)
+    val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
+    val sizes = comps.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comps.join(sizes, Seq("canonical_id"))
+      .select(col(idCol), col("canonical_id"), col("cluster_size"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens: per bit position, sum +1/-1 weighted

@@ -152,4 +152,24 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("divisible"))
   }
+
+  test("connectedComponents: chain merges transitively, singleton maps to itself") {
+    // chain 1-2, 2-3 plus pair 10-11 and singleton 20
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)))
+  }
+
+  test("dedupClusters: identical docs cluster under the min id with correct size") {
+    val got = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.9,
+        maxBucketSize = Int.MaxValue)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // docs 2 and 3 are identical -> canonical 2, size 2; everything else solo
+    assert(got.filter(_._1 == 2L).head == ((2L, 2L, 2L)))
+    assert(got.filter(_._1 == 3L).head == ((3L, 2L, 2L)))
+    assert(got.filter(_._1 == 4L).head == ((4L, 4L, 1L)))
+    assert(got.length == 6)
+  }
 }
