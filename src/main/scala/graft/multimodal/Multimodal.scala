@@ -158,6 +158,21 @@ object Multimodal {
       }
   }
 
+  /** Image near-duplicates by perceptual hash: decode -> 64-bit
+    * average-hash -> pigeonhole-blocked Hamming self-join (the SAME
+    * blocking operator the text SimHash dedup uses — sketch families
+    * compose). Returns (id_a, id_b, hamming) for pairs within
+    * `maxHamming`. At 100 TB: decode cost dominates; run it once, persist
+    * (media_id, phash) — 16 bytes/image — and re-block cheaply.
+    * maxHamming + 1 must divide 64 (pigeonhole chunking): 1, 3, 7, 15. */
+  def imageNearDups(spark: SparkSession, media: DataFrame,
+                    maxHamming: Int = 7): DataFrame = {
+    val phashes = decodeImages(spark, media)
+      .select(col("media_id"), col("phash").as("simhash"))
+    graft.operators.Dedup.simhashNearDupsFrom(phashes, "media_id",
+      bits = 64, maxHamming = maxHamming)
+  }
+
   /** Byte-weighted repartition: equalizes decode work per task when payload
     * sizes are skewed (videos vs thumbnails). Ranges over cumulative bytes
     * would need a global sort; hashing on a salted bucket of size

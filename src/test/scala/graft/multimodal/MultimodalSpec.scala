@@ -59,6 +59,33 @@ class MultimodalSpec extends SparkSpec {
     assert(fb.width == 120 && fb.height == 80)
   }
 
+  test("imageNearDups pairs a PNG with its lightly-perturbed copy, not with noise") {
+    def png(seed: Int, perturb: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = if (seed == 99) rnd.nextInt(256) // pure noise image
+          else ((x * 4 + y * 2) % 256 + (if (perturb && x == 0) 8 else 0)) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      (1L, png(1, perturb = false)), // gradient
+      (2L, png(2, perturb = true)),  // same gradient, one column nudged
+      (3L, png(99, perturb = false)) // random noise
+    ).map { case (id, p) => (id, "image", p, "image/png", p.length.toLong, s"t://$id") }
+    val mediaDf = rows.toDF("media_id", "kind", "payload", "mime", "byte_len", "source_uri")
+    val got = Multimodal.imageNearDups(spark, mediaDf, maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"near-identical images not paired: $got")
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L },
+      s"noise image wrongly paired: $got")
+  }
+
   test("non-image payloads fall back to the deterministic stub") {
     val f = Multimodal.decodeImages(spark, media).collect().sortBy(_.media_id).head
     val expected = Multimodal.DecodeStub.decodeImage(1L,
