@@ -631,6 +631,75 @@ object OracleSql {
                    FROM comp GROUP BY 1)
          SELECT c.doc_id, c.canonical_id, s.cluster_size
          FROM comp c JOIN csize s USING (canonical_id)
-         ORDER BY c.doc_id"""
+         ORDER BY c.doc_id""",
+
+    // q54: the capstone corpus filter — language argmax (q36), quality
+    // composite (q35), dedup-survivor test (q53's components), first
+    // failing gate as drop_reason.
+    "q54_corpus_filter" ->
+      s"""WITH RECURSIVE
+         t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id AS id, unnest(list_distinct($shingles3)) AS sh FROM t),
+         sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         cand AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS cnt
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+         edges AS (
+           SELECT id_a, id_b FROM cand
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.5),
+         sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                 UNION ALL SELECT id_b, id_a FROM edges),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         comp AS (
+           SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical_id
+           FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           GROUP BY d.doc_id),
+         lang AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\\b(the|a|is|and|of)\\b')) AS INTEGER) AS en_hits,
+             CAST(len(regexp_extract_all(lower(text), '\\b(el|la|de|que|es)\\b')) AS INTEGER) AS es_hits,
+             CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS INTEGER) AS de_hits
+           FROM documents),
+         q AS (
+           SELECT d.doc_id, d.text, $toks AS toks FROM documents d),
+         qs AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','was','at','by'], x))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE)
+               ELSE 0.0 END AS swr,
+             CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END AS pr,
+             length(text) AS n_chars
+           FROM q),
+         scored AS (
+           SELECT l.doc_id,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                  WHEN es_hits >= de_hits THEN 'es'
+                  ELSE 'de' END AS predicted,
+             ROUND((LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+                  + LEAST(swr * 5.0, 1.0)
+                  + GREATEST(0.0, 1.0 - pr * 4.0)) / 3.0, 6) AS quality
+           FROM lang l JOIN qs USING (doc_id)),
+         gated AS (
+           SELECT s.doc_id, s.predicted, s.quality, c.canonical_id,
+             CASE WHEN s.predicted <> 'en' THEN 'non_english'
+                  WHEN s.quality < 0.5 THEN 'low_quality'
+                  WHEN s.doc_id <> c.canonical_id THEN 'duplicate'
+                  ELSE NULL END AS drop_reason
+           FROM scored s JOIN comp c USING (doc_id))
+         SELECT doc_id, predicted, quality, canonical_id, drop_reason,
+           (drop_reason IS NULL) AS keep
+         FROM gated ORDER BY doc_id"""
   )
 }

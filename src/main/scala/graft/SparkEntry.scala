@@ -598,6 +598,36 @@ object SparkEntry {
         maxBucketSize = Int.MaxValue)
       .orderBy(col("doc_id"))
 
+  /** Capstone corpus filter — the decision a training-data pipeline ships:
+    * keep a document iff it is English (marker argmax), clears the quality
+    * floor, AND is its dedup cluster's canonical survivor. Composes the
+    * independently-oracled q36/q35/q53 pieces into one plan; emits the
+    * first failing gate as drop_reason so rejected docs are auditable
+    * (the reference's reject-capture pattern, F2/F5, applied to corpus
+    * curation). */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val en = TextFns.langHits(col("text"), "\\b(the|a|is|and|of)\\b")
+    val es = TextFns.langHits(col("text"), "\\b(el|la|de|que|es)\\b")
+    val de = TextFns.langHits(col("text"), "\\b(der|die|das|und|ist)\\b")
+    val scored = docs.select(col("doc_id"),
+      when(en >= es && en >= de, lit("en"))
+        .when(es >= de, lit("es")).otherwise(lit("de")).as("predicted"),
+      TextFns.qualityScore(col("text")).as("quality"))
+    val comps = Dedup.dedupClusters(docs, "doc_id", "text",
+      numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
+      maxBucketSize = Int.MaxValue)
+    scored.join(comps, Seq("doc_id"))
+      .select(col("doc_id"), col("predicted"), col("quality"),
+        col("canonical_id"),
+        when(col("predicted") =!= "en", lit("non_english"))
+          .when(col("quality") < 0.5, lit("low_quality"))
+          .when(col("doc_id") =!= col("canonical_id"), lit("duplicate"))
+          .otherwise(lit(null).cast("string")).as("drop_reason"))
+      .withColumn("keep", col("drop_reason").isNull)
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force ANN top-k, integer-quantized dot product (exact, portable —
     * this one HAS a DuckDB oracle). */
   private def q42(s: SparkSession, dir: String): DataFrame = {
@@ -788,7 +818,8 @@ object SparkEntry {
     "q50_eav_pivot" -> q50 _,
     "q51_percentiles" -> q51 _,
     "q52_bigram_corpus_score" -> q52 _,
-    "q53_dedup_clusters" -> q53 _
+    "q53_dedup_clusters" -> q53 _,
+    "q54_corpus_filter" -> q54 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
