@@ -173,22 +173,20 @@ object Multimodal {
       bits = 64, maxHamming = maxHamming)
   }
 
-  /** Byte-weighted repartition: equalizes decode work per task when payload
-    * sizes are skewed (videos vs thumbnails). Ranges over cumulative bytes
-    * would need a global sort; hashing on a salted bucket of size
-    * ceil(bytes / targetBytesPerPartition) is the shuffle-cheap version. */
-  def repartitionForDecode(media: DataFrame, targetBytesPerTask: Long = 64L << 20,
-                           parallelism: Int = 200): DataFrame = {
-    // salt derived from media_id, NOT rand(): rand() is partition-order
-    // dependent, so a task retry could re-salt rows differently and break
-    // deterministic re-runs; pmod(xxhash64(id), chunks) is row-stable
-    val chunks = greatest(lit(1L),
-      (col("byte_len") / targetBytesPerTask).cast(LongType))
-    val weighted = media.withColumn("__salt",
-      pmod(xxhash64(col("media_id")), chunks).cast(IntegerType))
-    weighted.repartition(parallelism, col("__salt"), col("media_id"))
-      .drop("__salt")
-  }
+  /** Decode repartition: spreads rows uniformly over `parallelism` tasks,
+    * keyed by media_id (deterministic under task retry — no rand()).
+    *
+    * Honest scale note: a per-ROW decode cannot be subdivided, so no
+    * partitioning scheme can equalize task cost when single payloads are
+    * huge — hashing on media_id is already uniform in expectation, and a
+    * "byte-weighted salt" added to the same hash key changes nothing
+    * observable. Byte-weighting becomes real where rows MULTIPLY:
+    * [[frameSamplePlan]] fans a video row into per-frame rows whose count
+    * scales with byte_len, and repartitioning THAT output spreads a big
+    * video's frames across tasks. */
+  def repartitionForDecode(media: DataFrame,
+                           parallelism: Int = 200): DataFrame =
+    media.repartition(parallelism, col("media_id"))
 
   /** Frame-sample plan for video rows: one output row per sampled frame
     * index — a generator (posexplode over a sequence) so the downstream

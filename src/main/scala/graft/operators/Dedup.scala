@@ -277,7 +277,10 @@ object Dedup {
     *
     * Returns (idCol, canonical_id) for EVERY node in `nodes` (singletons
     * map to themselves). Ids must be numeric (the convergence witness is
-    * an exact decimal label sum). */
+    * an exact decimal label sum). The returned frame is PERSISTED (the
+    * loop's final label cache — downstream consumers like dedupClusters
+    * read it twice); callers that are done with it should `.unpersist()`
+    * to release the executors' block memory. */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           maxIterations: Int = 20): DataFrame = {
     // persist the pair list BEFORE the symmetric union: both union branches
@@ -299,9 +302,12 @@ object Dedup {
     // sum is a strictly-decreasing convergence witness: one aggregate per
     // round instead of a full old-vs-new comparison join
     // decimal sum: exact at any node count (a wrapped long sum could
-    // collide with the previous round's and fake convergence)
+    // collide with the previous round's and fake convergence); SUM over
+    // zero rows is NULL -> coalesce so an empty node set converges
+    // immediately instead of NPEing
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -323,6 +329,13 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
+    // a silent non-converged return would emit WRONG canonical ids (and
+    // diverge from the oracle's exact closure) — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds " +
+          "(graph diameter exceeds the budget); raise maxIterations, or " +
+          "switch to large-star/small-star for long-chain graphs")
     labels.select(col("node").as(idCol), col("label").as("canonical_id"))
   }
 
@@ -383,12 +396,14 @@ object Dedup {
   def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val kernel = udf { (text: String) =>
       val counts = new Array[Int](60)
+      var nTokens = 0
       if (text != null) {
         val md = java.security.MessageDigest.getInstance("MD5")
         val toks = text.toLowerCase.trim.split("\\s+")
         var i = 0
         while (i < toks.length) {
           if (toks(i).nonEmpty) {
+            nTokens += 1
             md.reset()
             val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
             // first 15 hex chars == high 60 bits of the first 8 digest bytes
@@ -405,10 +420,18 @@ object Dedup {
           i += 1
         }
       }
-      var sig = 0L
-      var k = 0
-      while (k < 60) { if (counts(k) >= 0) sig |= (1L << k); k += 1 }
-      sig
+      // token-less docs get sentinel -1 (outside the 60-bit signature
+      // space): a vote-less signature would be all-ones and pair every
+      // blank doc with every other at hamming 0 — and the SQL oracle,
+      // where empty token lists unnest to zero rows, would disagree.
+      // Callers filter the sentinel out of near-dup consideration.
+      if (nTokens == 0) -1L
+      else {
+        var sig = 0L
+        var k = 0
+        while (k < 60) { if (counts(k) >= 0) sig |= (1L << k); k += 1 }
+        sig
+      }
     }
     df.select(col(idCol), kernel(col(textCol)).as("simhash"))
   }
@@ -421,10 +444,14 @@ object Dedup {
     simhashNearDupsFrom(simhash(df, idCol, textCol), idCol, 64, maxHamming)
 
   /** Portable variant: same pigeonhole blocking over [[simhashPortable]]'s
-    * 60-bit signatures (chunk width 60/(maxHamming+1)). */
+    * 60-bit signatures (chunk width 60/(maxHamming+1)); token-less docs
+    * (sentinel signature) take part in no pairs, matching the SQL oracle
+    * where their empty token list unnests to nothing. */
   def simhashNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
                               maxHamming: Int = 3): DataFrame =
-    simhashNearDupsFrom(simhashPortable(df, idCol, textCol), idCol, 60, maxHamming)
+    simhashNearDupsFrom(
+      simhashPortable(df, idCol, textCol).filter(col("simhash") >= 0),
+      idCol, 60, maxHamming)
 
   /** Pigeonhole-blocked Hamming self-join over a precomputed
     * (id, simhash) frame with `bits`-wide signatures. */

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Binned range join — the scale-safe fix for interval predicates.
@@ -28,16 +28,24 @@ object RangeJoin {
     * days/seconds first). Each matching pair emerges exactly once — the
     * point lives in exactly one bin. Right rows with hi <= lo (empty
     * intervals) are dropped, matching the exact-predicate semantics. */
+  /** Exact integral floor division: `c - pmod(c, w)` is exactly divisible
+    * (pmod is the non-negative remainder, so this floors for negatives
+    * too), and the decimal divide keeps values beyond 2^53 exact — a
+    * double `/` would mis-bin epoch-nanos / snowflake-id magnitudes. */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c.cast("long") - pmod(c.cast("long"), lit(w))).cast("decimal(38,0)") / lit(w))
+      .cast("long")
+
   def pointInRange(left: DataFrame, pointCol: String,
                    right: DataFrame, loCol: String, hiCol: String,
                    binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val lb = left.withColumn("__bin", floor(col(pointCol) / binWidth).cast("long"))
+    val lb = left.withColumn("__bin", floorDiv(col(pointCol), binWidth))
     val rb = right
       .filter(col(hiCol) > col(loCol)) // guard: sequence() descends when hi < lo
       .withColumn("__bin", explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor((col(hiCol) - 1) / binWidth).cast("long"))))
+        floorDiv(col(loCol), binWidth),
+        floorDiv(col(hiCol) - 1, binWidth))))
     lb.join(rb, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")

@@ -138,7 +138,19 @@ object Similarity {
   def embeddingNearDupsInt(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                            thresholdNum: Int = 3, thresholdDen: Int = 10,
                            bits: Int = 10, seeds: Seq[Long] = Seq(42L, 43L, 44L),
-                           scale: Int = 1000): DataFrame = {
+                           scale: Int = 1000,
+                           maxAbsComponent: Double = 2.0): DataFrame = {
+    // the threshold test multiplies plain Longs (Spark wraps silently, the
+    // oracle's engine may error) — reject configurations whose worst-case
+    // qdot^2 * tden^2 can exceed Long range. maxAbsComponent bounds the
+    // embedding's per-component magnitude (2.0 covers unit-ish vectors).
+    val maxQ = math.ceil(maxAbsComponent * scale).toLong
+    val maxQdot = dim.toLong * maxQ * maxQ
+    val tden2 = thresholdDen.toLong * thresholdDen
+    require(maxQdot <= Long.MaxValue / maxQdot / tden2,
+      s"qdot^2*tden^2 can overflow Long for dim=$dim scale=$scale " +
+        s"thresholdDen=$thresholdDen (|component| <= $maxAbsComponent): " +
+        "lower the quantization scale")
     // all seeds' buckets in ONE kernel pass over the corpus, then ONE
     // seed-tagged explode + ONE (seed, bucket)-keyed self-join — the
     // per-seed union formulation scans and shuffles the corpus |seeds|

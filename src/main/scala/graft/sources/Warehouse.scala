@@ -52,9 +52,12 @@ object Warehouse {
   // ---- JDBC scale helpers (SQL generation is unit-tested; no DB ships
   // in this container, mirroring JdbcUpsert's approach) ----
 
-  /** SQL string literal with single-quote escaping (the only quoting the
-    * generated subqueries need; identifiers come from engine config, not
-    * user data). */
+  /** ANSI SQL string literal (single quotes doubled). ANSI-dialect
+    * warehouses only: engines that ALSO treat backslash as an escape in
+    * plain literals (MySQL's default sql_mode) can see a trailing
+    * backslash swallow the closing quote — route values through the
+    * prepared-statement paths (JdbcUpsert) for such targets instead of
+    * interpolating. */
   def sqlLiteral(v: String): String = "'" + v.replace("'", "''") + "'"
 
   /** Pushdown subquery for the `dbtable` operand: projection + predicates

@@ -159,13 +159,18 @@ object StreamingIngest {
   }
 
   /** transformWithState variant of [[changeDetect]] (same semantics minus
-    * the 'expired' emission — TTL eviction is store-side and silent). */
+    * the 'expired' emission — TTL eviction is store-side and silent).
+    * A non-NONE TTL requires TimeMode.ProcessingTime (Spark's handle
+    * rejects TTL registration in any other mode), so the mode is derived
+    * from the ttl argument. */
   def changeDetectTws(spark: SparkSession, rows: Dataset[KeyedRow],
                       ttl: TTLConfig = TTLConfig.NONE): Dataset[Change] = {
     import spark.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     rows.groupByKey(_.key)
       .transformWithState(new ChangeDetectProcessor(ttl),
-        TimeMode.None(), OutputMode.Append())
+        timeMode, OutputMode.Append())
   }
 
   /** Sessionization with idle-gap timeout via the built-in session_window —

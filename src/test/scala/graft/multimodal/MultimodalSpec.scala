@@ -104,8 +104,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("repartitionForDecode spreads rows and preserves them all") {
-    val out = Multimodal.repartitionForDecode(media, targetBytesPerTask = 8,
-      parallelism = 4)
+    val out = Multimodal.repartitionForDecode(media, parallelism = 4)
     assert(out.count() == 3)
     assert(out.columns.toSeq == media.columns.toSeq)
   }

@@ -21,13 +21,20 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
-  test("co-bucketed tables join with ZERO exchanges; results match plain join") {
+  private lazy val orders = (1L to 500L).map(k => (k, s"order_$k")).toDF("key", "o_payload")
+  private lazy val items  = (1L to 500L).flatMap(k => Seq((k, k * 10), (k, k * 10 + 1)))
+    .toDF("key", "i_payload")
+
+  // shared fixture, (re)built on first touch per run so each test stands
+  // alone (no sibling-test ordering dependency)
+  private lazy val fixture: Unit = {
     dropManaged("bkt_orders"); dropManaged("bkt_items")
-    val orders = (1L to 500L).map(k => (k, s"order_$k")).toDF("key", "o_payload")
-    val items  = (1L to 500L).flatMap(k => Seq((k, k * 10), (k, k * 10 + 1)))
-      .toDF("key", "i_payload")
     Bucketing.writeBucketed(orders, "bkt_orders", Seq("key"), 4)
     Bucketing.writeBucketed(items, "bkt_items", Seq("key"), 4)
+  }
+
+  test("co-bucketed tables join with ZERO exchanges; results match plain join") {
+    fixture
 
     // tiny test tables would broadcast (planner rightly prefers it and
     // disables bucketing); force the shuffle-join path a 100 TB fact-fact
@@ -53,6 +60,7 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("groupBy on the bucket key skips its shuffle") {
+    fixture
     val agg = Bucketing.readBucketed(spark, "bkt_items")
       .groupBy("key").agg(count(lit(1)).as("n"))
     agg.collect()
