@@ -234,8 +234,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs  = minhashSignaturesFromSets(sets, idCol, numHashes)
     val pairs = lshCandidatePairs(sigs, idCol, bands, numHashes, maxBucketSize)
-    jaccardForPairsSets(sets, pairs, idCol)
+    // eager localCheckpoint severs lineage so the set cache can be
+    // RELEASED here instead of leaking one persisted frame per call for
+    // the session's lifetime; the checkpointed pair set is small and its
+    // blocks are GC-cleaned once unreferenced
+    val out = jaccardForPairsSets(sets, pairs, idCol)
       .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    sets.unpersist()
+    out
   }
 
   /** Exact-Jaccard verification of candidate pairs: join each side's
@@ -277,10 +284,9 @@ object Dedup {
     *
     * Returns (idCol, canonical_id) for EVERY node in `nodes` (singletons
     * map to themselves). Ids must be numeric (the convergence witness is
-    * an exact decimal label sum). The returned frame is PERSISTED (the
-    * loop's final label cache — downstream consumers like dedupClusters
-    * read it twice); callers that are done with it should `.unpersist()`
-    * to release the executors' block memory. */
+    * an exact decimal label sum). The result is locally checkpointed
+    * (consumers re-read materialized blocks, not the iteration lineage;
+    * blocks are GC-cleaned when the frame is unreferenced). */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
                           maxIterations: Int = 20): DataFrame = {
     // persist the pair list BEFORE the symmetric union: both union branches
@@ -336,7 +342,12 @@ object Dedup {
         s"connectedComponents did not converge in $maxIterations rounds " +
           "(graph diameter exceeds the budget); raise maxIterations, or " +
           "switch to large-star/small-star for long-chain graphs")
-    labels.select(col("node").as(idCol), col("label").as("canonical_id"))
+    // sever lineage so the loop's label cache can be released now rather
+    // than leaking per call (blocks are GC-cleaned once unreferenced)
+    val out = labels.select(col("node").as(idCol), col("label").as("canonical_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Full near-dup deduplication: MinHash-LSH pairs -> connected

@@ -69,6 +69,23 @@ object MergeSink {
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Marker line encoding the whole-directory swap: a root swap's subdir
+    * is the empty string, which would serialize to an EMPTY marker file —
+    * recovery would then parse zero entries and delete both the backup
+    * and the staged generation (total table loss). The sentinel keeps the
+    * marker one non-blank line per swapped dir. */
+  private val RootDirSentinel = "."
+  private def encodeDir(d: String) = if (d.isEmpty) RootDirSentinel else d
+  private def decodeDir(l: String) = if (l == RootDirSentinel) "" else l
+
+  /** Hadoop FileSystem.rename reports failure by RETURNING FALSE on many
+    * implementations (dest-parent races, quotas, cross-fs paths) — an
+    * ignored false here would let the cleanup deletes below destroy the
+    * only copy of the data while reporting success. */
+  private def renameOrThrow(fs: FileSystem, src: Path, dst: Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+
   /** Swaps `subdirs` of staged generation `tmp` into `path` (tmp/<d> ->
     * path/<d>, previous path/<d> parked under path__old until the swap
     * completes). `subdirs == Seq("")` swaps the whole directory. */
@@ -77,15 +94,14 @@ object MergeSink {
     val old = path + "__old"
     fs.delete(new Path(old), true)
     fs.mkdirs(new Path(old))
-    // marker content is informational; its EXISTENCE drives recovery
     val m = fs.create(swapMarker(path), true)
-    m.write(subdirs.mkString("\n").getBytes("UTF-8")); m.close()
+    m.write(subdirs.map(encodeDir).mkString("\n").getBytes("UTF-8")); m.close()
     subdirs.foreach { d =>
       val cur = if (d.isEmpty) new Path(path) else new Path(path, d)
       val stg = if (d.isEmpty) new Path(tmp) else new Path(tmp, d)
       val bak = new Path(old, if (d.isEmpty) "__root" else d)
-      if (fs.exists(cur)) fs.rename(cur, bak)
-      if (fs.exists(stg)) fs.rename(stg, cur)
+      if (fs.exists(cur)) renameOrThrow(fs, cur, bak)
+      if (fs.exists(stg)) renameOrThrow(fs, stg, cur)
     }
     fs.delete(new Path(old), true)
     fs.delete(new Path(tmp), true)
@@ -100,7 +116,8 @@ object MergeSink {
     val fs = fsFor(spark, path)
     if (!fs.exists(swapMarker(path))) return false
     val in = fs.open(swapMarker(path))
-    val subdirs = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    val subdirs = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map(decodeDir).toList
     in.close()
     val old = path + "__old"
     subdirs.foreach { d =>
@@ -108,8 +125,8 @@ object MergeSink {
       val stg = if (d.isEmpty) new Path(path + "__tmp") else new Path(path + "__tmp", d)
       val bak = new Path(old, if (d.isEmpty) "__root" else d)
       if (!fs.exists(cur)) {
-        if (fs.exists(stg)) fs.rename(stg, cur)
-        else if (fs.exists(bak)) fs.rename(bak, cur)
+        if (fs.exists(stg)) renameOrThrow(fs, stg, cur)
+        else if (fs.exists(bak)) renameOrThrow(fs, bak, cur)
       }
     }
     fs.delete(new Path(old), true)
@@ -214,8 +231,13 @@ object MergeSink {
 
     readNumBuckets(fs, path) match {
       case None =>
-        // legacy unbucketed layout: one-time migration via full merge
-        val merged = merge(spark.read.parquet(path), updates, keys, hashCol)
+        // legacy unbucketed layout — OR a bucketed table whose meta write
+        // was lost to a crash between the data write and writeMeta (the
+        // two aren't atomic). readTable hides any __bucket column, so the
+        // migration merge works for both states (the half-created case
+        // costs one full re-bucket instead of bricking every upsert with
+        // an unresolvable-__bucket analysis error)
+        val merged = merge(readTable(spark, path), updates, keys, hashCol)
           .withColumn("__bucket", bucketExpr(keys, numBuckets))
         merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
         swapDirs(fs, path, tmp, Seq(""))

@@ -45,13 +45,20 @@ object DailyPipeline {
           asOf: Column): Seq[StageResult] = {
     val results = Seq.newBuilder[StageResult]
 
+    // the remediator's ready-dir memoization is RUN-scoped: the dir must
+    // be dated, or day 2's run would find day 1's generation and silently
+    // load stale data forever (resume-within-a-day still works — a retry
+    // of the same asOf reuses its own generation)
+    val asOfTag = spark.range(1).select(asOf.cast("string").as("d"))
+      .head().getString(0)
+
     val masterSrcs = sources(spark, s"$lakeRoot/master")
     if (masterSrcs.nonEmpty) {
       val master = MasterSync.run(spark,
         masterSrcs.map { case (_, dir) => CsvLake.readCsv(spark, dir) },
         s"$warehouseRoot/stg_security_master", asOf,
         rejectSink = Some(s"$warehouseRoot/rejects/master"),
-        readyDir = Some(s"$warehouseRoot/staging/master_ready"))
+        readyDir = Some(s"$warehouseRoot/staging/master_ready/dt=$asOfTag"))
       results += StageResult("master_sync", master.count(), ok = true)
     }
 

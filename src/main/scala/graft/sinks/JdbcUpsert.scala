@@ -64,25 +64,30 @@ object JdbcUpsert {
     def stagedStringType: Option[String] = None
   }
 
-  /** PostgreSQL `INSERT … ON CONFLICT` — byte-for-byte the reference's
-    * statement shape (db_connector.py:403-417, price_history_loader.py:41-55). */
+  /** PostgreSQL `INSERT … ON CONFLICT` — the reference's statement shape
+    * (db_connector.py:403-417, price_history_loader.py:41-55), with
+    * quoted (case-exact) identifiers: Spark's JDBC writer quotes the
+    * staged temp table's columns, so unquoted references would be folded
+    * to lowercase by Postgres and miss any mixed-case column. */
   case object Postgres extends Dialect {
+    private def q(id: String): String = "\"" + id + "\""
+
     private def conflictClause(spec: UpsertSpec, cols: Seq[String]): String = {
       val sets = spec.updateCols(cols)
-        .map(c => s"$c = EXCLUDED.$c").mkString(",\n  ")
+        .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(",\n  ")
       val guard = spec.hashCol.fold("")(h =>
-        s"\nWHERE ${spec.table}.$h IS DISTINCT FROM EXCLUDED.$h")
-      s"ON CONFLICT (${spec.keys.mkString(", ")})\nDO UPDATE SET\n  $sets$guard"
+        s"\nWHERE ${spec.table}.${q(h)} IS DISTINCT FROM EXCLUDED.${q(h)}")
+      s"ON CONFLICT (${spec.keys.map(q).mkString(", ")})\nDO UPDATE SET\n  $sets$guard"
     }
 
     def stagedMergeSql(spec: UpsertSpec, temp: String, cols: Seq[String]): String =
-      s"""INSERT INTO ${spec.table} (${cols.mkString(", ")})
-         |SELECT ${cols.mkString(", ")} FROM $temp
+      s"""INSERT INTO ${spec.table} (${cols.map(q).mkString(", ")})
+         |SELECT ${cols.map(q).mkString(", ")} FROM $temp
          |${conflictClause(spec, cols)}""".stripMargin
 
     def rowUpsertSql(spec: UpsertSpec, cols: Seq[String]): Option[String] =
       Some(
-        s"""INSERT INTO ${spec.table} (${cols.mkString(", ")})
+        s"""INSERT INTO ${spec.table} (${cols.map(q).mkString(", ")})
            |VALUES (${cols.map(_ => "?").mkString(", ")})
            |${conflictClause(spec, cols)}""".stripMargin)
   }
@@ -136,7 +141,10 @@ object JdbcUpsert {
   def upsertViaTemp(df: DataFrame, url: String, props: Properties,
                     spec: UpsertSpec, dialect: Dialect): Long = {
     val cols = df.columns.toSeq
-    val temp = s"temp_${spec.table}_${System.currentTimeMillis()}"
+    // UUID, not a timestamp: two concurrent upserts into the same target
+    // within one clock step would share a temp table, and the second
+    // writer's overwrite would drop the first's staged rows mid-protocol
+    val temp = s"temp_${spec.table}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
     val writer = df.write.mode("overwrite")
       .option("batchsize", spec.batchSize.toString)

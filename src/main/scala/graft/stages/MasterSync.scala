@@ -118,6 +118,10 @@ object MasterSync {
     * exists in 04_ready_to_load -> skip") — here, if the generation dir
     * already exists it is REUSED as-is, so a crashed/replayed run resumes
     * from the materialized batch instead of recomputing upstream stages. */
+  /** Resume memoization is PER readyDir: an existing generation is reused
+    * unconditionally (the reference's file-existence-as-state pattern,
+    * T7), so callers MUST scope the dir to the run (e.g. a dt= suffix) —
+    * a fixed path would pin the first run's batch forever. */
   def remediate(spark: SparkSession, valid: DataFrame, readyDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(readyDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -134,6 +134,33 @@ class MergeSinkSpec extends SparkSpec {
     assert(!new java.io.File(path + "__tmp").exists())
   }
 
+  test("recoverSwap heals an interrupted WHOLE-TABLE swap (root marker sentinel)") {
+    // regression: the root swap's subdir is "", which serialized to an
+    // EMPTY marker — recovery parsed zero entries and deleted both the
+    // backup and the staged generation (total table loss)
+    val dir = java.nio.file.Files.createTempDirectory("merge_root_recover").toString
+    val path = s"$dir/table"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // stage a new generation and simulate the crash window: live dir
+    // parked under __old, staged dir not yet renamed in, marker present
+    withHash(Seq(("AAA", 1.0)).toDF("ticker", "price"))
+      .write.parquet(path + "__tmp")
+    withHash(Seq(("OLD", 9.0)).toDF("ticker", "price"))
+      .write.parquet(path + "__old/__root")
+    val m = fs.create(new org.apache.hadoop.fs.Path(path + "__swap"), true)
+    m.write(".".getBytes("UTF-8")); m.close()
+
+    assert(MergeSink.recoverSwap(spark, path))
+    // the staged generation rolled FORWARD — the table exists and is the
+    // new data, not lost and not the old generation
+    val rows = spark.read.parquet(path).select("ticker").as[String].collect().toSeq
+    assert(rows == Seq("AAA"))
+    assert(!new java.io.File(path + "__swap").exists())
+    assert(!new java.io.File(path + "__old").exists())
+    assert(!new java.io.File(path + "__tmp").exists())
+  }
+
   test("applyStatusLifecycle: aging to inactive, new+named to active") {
     val master = Seq(
       ("T1", "2024-01-01", "active", "Fund One"),   // stale -> inactive

@@ -21,22 +21,24 @@ class JdbcUpsertSpec extends SparkSpec {
 
   test("Postgres staged merge reproduces the reference's ON CONFLICT shape") {
     val sql = Postgres.stagedMergeSql(spec, "temp_stg_price_history_1", cols)
-    assert(sql.contains("INSERT INTO stg_price_history (ticker, asset_type, source, date, close, row_hash, updated_at)"))
-    assert(sql.contains("SELECT ticker, asset_type, source, date, close, row_hash, updated_at FROM temp_stg_price_history_1"))
-    assert(sql.contains("ON CONFLICT (ticker, asset_type, source, date)"))
-    assert(sql.contains("close = EXCLUDED.close"))
-    assert(sql.contains("row_hash = EXCLUDED.row_hash"))
-    assert(sql.contains("WHERE stg_price_history.row_hash IS DISTINCT FROM EXCLUDED.row_hash"))
+    // identifiers quoted case-exact: Spark's JDBC writer quotes the temp
+    // table's columns, so unquoted names would be folded by Postgres
+    assert(sql.contains("""INSERT INTO stg_price_history ("ticker", "asset_type", "source", "date", "close", "row_hash", "updated_at")"""))
+    assert(sql.contains("""SELECT "ticker", "asset_type", "source", "date", "close", "row_hash", "updated_at" FROM temp_stg_price_history_1"""))
+    assert(sql.contains("""ON CONFLICT ("ticker", "asset_type", "source", "date")"""))
+    assert(sql.contains(""""close" = EXCLUDED."close""""))
+    assert(sql.contains(""""row_hash" = EXCLUDED."row_hash""""))
+    assert(sql.contains("""WHERE stg_price_history."row_hash" IS DISTINCT FROM EXCLUDED."row_hash""""))
     // keys are never in the SET list
-    assert(!sql.contains("ticker = EXCLUDED.ticker"))
+    assert(!sql.contains(""""ticker" = EXCLUDED."ticker""""))
   }
 
   test("excludeFromUpdate columns stay out of the SET list (reference id/updated_at)") {
     val s = spec.copy(excludeFromUpdate = Seq("id", "updated_at"))
     val sql = Postgres.stagedMergeSql(s, "t", cols :+ "id")
-    assert(sql.contains("INSERT INTO stg_price_history (ticker, asset_type, source, date, close, row_hash, updated_at, id)"))
-    assert(!sql.contains("id = EXCLUDED.id"))
-    assert(!sql.contains("updated_at = EXCLUDED.updated_at"))
+    assert(sql.contains("""INSERT INTO stg_price_history ("ticker", "asset_type", "source", "date", "close", "row_hash", "updated_at", "id")"""))
+    assert(!sql.contains(""""id" = EXCLUDED."id""""))
+    assert(!sql.contains(""""updated_at" = EXCLUDED."updated_at""""))
   }
 
   test("no hash column -> unconditional DO UPDATE (K4 shape)") {
@@ -48,8 +50,8 @@ class JdbcUpsertSpec extends SparkSpec {
   test("Postgres row upsert is a parameterized single-row ON CONFLICT") {
     val sql = Postgres.rowUpsertSql(spec, cols).get
     assert(sql.contains("VALUES (?, ?, ?, ?, ?, ?, ?)"))
-    assert(sql.contains("ON CONFLICT (ticker, asset_type, source, date)"))
-    assert(sql.contains("WHERE stg_price_history.row_hash IS DISTINCT FROM EXCLUDED.row_hash"))
+    assert(sql.contains("""ON CONFLICT ("ticker", "asset_type", "source", "date")"""))
+    assert(sql.contains("""WHERE stg_price_history."row_hash" IS DISTINCT FROM EXCLUDED."row_hash""""))
   }
 
   test("AnsiMerge emits standard MERGE with null-safe hash guard") {
