@@ -700,6 +700,26 @@ object OracleSql {
            FROM scored s JOIN comp c USING (doc_id))
          SELECT doc_id, predicted, quality, canonical_id, drop_reason,
            (drop_reason IS NULL) AS keep
-         FROM gated ORDER BY doc_id"""
+         FROM gated ORDER BY doc_id""",
+
+    // q55: deterministic md5-derived stratified sampling (en 40%,
+    // minority languages kept whole).
+    "q55_hash_sample" ->
+      """WITH lang AS (
+           SELECT doc_id,
+             CASE WHEN len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b'))
+                    >= len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b'))
+                   AND len(regexp_extract_all(lower(text), '\b(the|a|is|and|of)\b'))
+                    >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+                  THEN 'en'
+                  WHEN len(regexp_extract_all(lower(text), '\b(el|la|de|que|es)\b'))
+                    >= len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist)\b'))
+                  THEN 'es'
+                  ELSE 'de' END AS predicted,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS sample_bucket
+           FROM documents)
+         SELECT doc_id, predicted, sample_bucket FROM lang
+         WHERE (predicted = 'en' AND sample_bucket < 40) OR predicted <> 'en'
+         ORDER BY doc_id"""
   )
 }

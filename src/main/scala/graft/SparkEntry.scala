@@ -628,6 +628,30 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic stratified sampling — corpus curation's downsample/
+    * upsample step done the reproducible way: keep a row iff
+    * md5(id) mod 100 < rate(language). Hash-derived sampling (vs rand())
+    * is retry-stable, engine-portable, and composable: a row's fate is a
+    * pure function of its id, so incremental reruns and cross-engine
+    * audits agree row-for-row. Rates: en 40% (downsample the majority),
+    * es/de 100% (keep minority languages whole). */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val en = TextFns.langHits(col("text"), "\\b(the|a|is|and|of)\\b")
+    val es = TextFns.langHits(col("text"), "\\b(el|la|de|que|es)\\b")
+    val de = TextFns.langHits(col("text"), "\\b(der|die|das|und|ist)\\b")
+    val lang = when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es")).otherwise(lit("de"))
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100L))
+    T(s, dir, "documents")
+      .select(col("doc_id"), lang.as("predicted"), bucket.as("sample_bucket"))
+      .filter(
+        (col("predicted") === "en" && col("sample_bucket") < 40) ||
+        (col("predicted") =!= "en"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force ANN top-k, integer-quantized dot product (exact, portable —
     * this one HAS a DuckDB oracle). */
   private def q42(s: SparkSession, dir: String): DataFrame = {
@@ -819,7 +843,8 @@ object SparkEntry {
     "q51_percentiles" -> q51 _,
     "q52_bigram_corpus_score" -> q52 _,
     "q53_dedup_clusters" -> q53 _,
-    "q54_corpus_filter" -> q54 _
+    "q54_corpus_filter" -> q54 _,
+    "q55_hash_sample" -> q55 _
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
