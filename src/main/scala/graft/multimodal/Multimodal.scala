@@ -20,9 +20,11 @@ import org.apache.spark.sql.types._
   *  - payloads ride in parquet binary columns; metadata queries prune the
   *    payload column entirely (columnar projection — verified by
   *    `.explain` ReadSchema in the spec);
-  *  - decode is embarrassingly parallel; `repartitionForDecode` sizes
-  *    partitions by total payload bytes, not row count, so 4 KB thumbnails
-  *    and 40 MB videos produce comparable tasks.
+  *  - decode is embarrassingly parallel; `repartitionForDecode` spreads
+  *    rows uniformly by id (a per-row decode can't be subdivided, so
+  *    byte-weighting a row-level partitioner is a no-op — see its doc;
+  *    byte-proportional spreading happens where rows multiply, in
+  *    `frameSamplePlan`).
   */
 object Multimodal {
 
@@ -167,7 +169,13 @@ object Multimodal {
     * maxHamming + 1 must divide 64 (pigeonhole chunking): 1, 3, 7, 15. */
   def imageNearDups(spark: SparkSession, media: DataFrame,
                     maxHamming: Int = 7): DataFrame = {
-    val phashes = decodeImages(spark, media)
+    // empty/null payloads all stub-decode to phash 0 — left in, N dead
+    // rows (failed fetches, truncated uploads) would emit N*(N-1)/2
+    // hamming-0 "pairs" and quadratically blow up one block (the same
+    // blank-input class simhashPortable excludes via its sentinel)
+    val decodable = media.filter(
+      col("payload").isNotNull && octet_length(col("payload")) > 0)
+    val phashes = decodeImages(spark, decodable)
       .select(col("media_id"), col("phash").as("simhash"))
     graft.operators.Dedup.simhashNearDupsFrom(phashes, "media_id",
       bits = 64, maxHamming = maxHamming)

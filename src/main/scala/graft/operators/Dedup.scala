@@ -237,7 +237,11 @@ object Dedup {
     // eager localCheckpoint severs lineage so the set cache can be
     // RELEASED here instead of leaking one persisted frame per call for
     // the session's lifetime; the checkpointed pair set is small and its
-    // blocks are GC-cleaned once unreferenced
+    // blocks are GC-cleaned once unreferenced. Tradeoffs, deliberately
+    // accepted: the call executes the pipeline NOW (this operator's
+    // result is always consumed), and local checkpoint blocks don't
+    // survive executor loss — HA deployments with dynamic allocation
+    // should set spark.checkpoint.dir and switch to reliable checkpoint
     val out = jaccardForPairsSets(sets, pairs, idCol)
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)

@@ -116,9 +116,14 @@ object MergeSink {
     val fs = fsFor(spark, path)
     if (!fs.exists(swapMarker(path))) return false
     val in = fs.open(swapMarker(path))
-    val subdirs = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+    val parsed = scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).map(decodeDir).toList
     in.close()
+    // a marker that parses to ZERO entries is a pre-sentinel root-swap
+    // marker (the empty subdir serialized to an empty file) — treat it as
+    // the whole-directory swap it was, or the deletes below would destroy
+    // both the backup and the staged generation
+    val subdirs = if (parsed.isEmpty) List("") else parsed
     val old = path + "__old"
     subdirs.foreach { d =>
       val cur = if (d.isEmpty) new Path(path) else new Path(path, d)

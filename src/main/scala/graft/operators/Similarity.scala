@@ -132,25 +132,15 @@ object Similarity {
   /** Integer-SRP embedding near-dup pairs: multi-seed ±1-plane blocking over
     * quantized vectors, then an ALL-INTEGER cosine threshold test —
     * qdot > 0 && qdot^2 * tden^2 >= tnum^2 * |a|^2 * |b|^2, i.e.
-    * cosine(qa, qb) >= tnum/tden on the quantized vectors. `scale` defaults
-    * to 1000 so the products stay far from Long overflow (|q| <= ~1e3 ⇒
-    * qdot <= ~6e7 for dim 64 ⇒ qdot^2*tden^2 <= ~4e19/… safe). */
+    * cosine(qa, qb) >= tnum/tden on the quantized vectors, evaluated in
+    * arbitrary precision so no dim/scale choice can wrap. (An external SQL
+    * oracle replaying the test in fixed-width integers must size scale/dim
+    * so its own products fit — the q44 config is validated for DuckDB
+    * BIGINT.) */
   def embeddingNearDupsInt(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                            thresholdNum: Int = 3, thresholdDen: Int = 10,
                            bits: Int = 10, seeds: Seq[Long] = Seq(42L, 43L, 44L),
-                           scale: Int = 1000,
-                           maxAbsComponent: Double = 2.0): DataFrame = {
-    // the threshold test multiplies plain Longs (Spark wraps silently, the
-    // oracle's engine may error) — reject configurations whose worst-case
-    // qdot^2 * tden^2 can exceed Long range. maxAbsComponent bounds the
-    // embedding's per-component magnitude (2.0 covers unit-ish vectors).
-    val maxQ = math.ceil(maxAbsComponent * scale).toLong
-    val maxQdot = dim.toLong * maxQ * maxQ
-    val tden2 = thresholdDen.toLong * thresholdDen
-    require(maxQdot <= Long.MaxValue / maxQdot / tden2,
-      s"qdot^2*tden^2 can overflow Long for dim=$dim scale=$scale " +
-        s"thresholdDen=$thresholdDen (|component| <= $maxAbsComponent): " +
-        "lower the quantization scale")
+                           scale: Int = 1000): DataFrame = {
     // all seeds' buckets in ONE kernel pass over the corpus, then ONE
     // seed-tagged explode + ONE (seed, bucket)-keyed self-join — the
     // per-seed union formulation scans and shuffles the corpus |seeds|
@@ -173,12 +163,21 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
     val na2 = aggregate(col("__qa"), lit(0L), (acc, v) => acc + v * v)
     val nb2 = aggregate(col("__qb"), lit(0L), (acc, v) => acc + v * v)
+    // the threshold products (qdot^2*tden^2 vs tnum^2*na2*nb2) can exceed
+    // Long for large dim/scale and Spark would wrap silently; arbitrary-
+    // precision arithmetic in a compiled kernel keeps the test exact at
+    // ANY configuration. Runs only on candidate pairs (post-blocking), so
+    // the non-codegen kernel costs nothing measurable.
+    val tnum = thresholdNum.toLong
+    val tden = thresholdDen.toLong
+    val passes = udf { (qdot: Long, a2: Long, b2: Long) =>
+      qdot > 0 &&
+        BigInt(qdot) * qdot * (tden * tden) >= BigInt(tnum) * tnum * a2 * b2
+    }
     pairs
       .withColumn("qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
       .withColumn("__na2", na2).withColumn("__nb2", nb2)
-      .filter(col("qdot") > 0 &&
-        col("qdot") * col("qdot") * lit(thresholdDen.toLong * thresholdDen) >=
-          lit(thresholdNum.toLong * thresholdNum) * col("__na2") * col("__nb2"))
+      .filter(passes(col("qdot"), col("__na2"), col("__nb2")))
       .select(col("id_a"), col("id_b"), col("qdot"))
   }
 

@@ -54,12 +54,22 @@ object DailyPipeline {
 
     val masterSrcs = sources(spark, s"$lakeRoot/master")
     if (masterSrcs.nonEmpty) {
+      val readyRoot = s"$warehouseRoot/staging/master_ready"
       val master = MasterSync.run(spark,
         masterSrcs.map { case (_, dir) => CsvLake.readCsv(spark, dir) },
         s"$warehouseRoot/stg_security_master", asOf,
         rejectSink = Some(s"$warehouseRoot/rejects/master"),
-        readyDir = Some(s"$warehouseRoot/staging/master_ready/dt=$asOfTag"))
+        readyDir = Some(s"$readyRoot/dt=$asOfTag"))
       results += StageResult("master_sync", master.count(), ok = true)
+      // retention: prior days' materialized generations have served their
+      // resume purpose once this run's load succeeded — without cleanup
+      // the staging area accumulates one full master batch per day forever
+      sources(spark, readyRoot)
+        .filter { case (name, _) => name != s"dt=$asOfTag" }
+        .foreach { case (_, dirPath) =>
+          val p = new org.apache.hadoop.fs.Path(dirPath)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        }
     }
 
     val navSrcs = sources(spark, s"$lakeRoot/nav")
