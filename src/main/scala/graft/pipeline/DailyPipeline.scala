@@ -31,6 +31,16 @@ object DailyPipeline {
   final case class StageResult(stage: String, rows: Long, ok: Boolean,
                                error: Option[String] = None)
 
+  /** Fail-fast abort that still carries the A6 run summary: the reference's
+    * global pipeline aborts on the first failing stage (main_pipeline.py:
+    * 60-83) but its log_execution_summary (src/utils/logger.py:81-117)
+    * records WHICH stage failed — so the summary, including the failed
+    * stage's error, must survive the abort. */
+  final class PipelineFailedException(val summary: Seq[StageResult],
+                                      cause: Throwable)
+    extends RuntimeException(
+      s"pipeline aborted at stage '${summary.lastOption.map(_.stage).getOrElse("?")}'", cause)
+
   private def sources(spark: SparkSession, dir: String): Seq[(String, String)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -39,11 +49,23 @@ object DailyPipeline {
       .map(s => s.getPath.getName -> s.getPath.toString).toSeq.sortBy(_._1)
   }
 
-  /** Runs every stage whose input directory exists; fail-fast like the
-    * reference's global pipeline. Returns per-stage row counts. */
+  /** Runs every stage whose input directory exists. Each stage's outcome
+    * (rows or error) is captured as a [[StageResult]]; with
+    * `failFast = true` (the reference's global-pipeline behavior) the
+    * first failure aborts via [[PipelineFailedException]] carrying the
+    * partial summary, with `failFast = false` (the reference's standalone
+    * orchestrators) remaining stages still run and the failed stage is
+    * reported in the returned summary. */
   def run(spark: SparkSession, lakeRoot: String, warehouseRoot: String,
-          asOf: Column): Seq[StageResult] = {
+          asOf: Column, failFast: Boolean = true): Seq[StageResult] = {
     val results = Seq.newBuilder[StageResult]
+
+    def stage(name: String)(body: => Long): Unit =
+      try results += StageResult(name, body, ok = true)
+      catch { case e: Exception =>
+        results += StageResult(name, 0, ok = false, error = Some(e.toString))
+        if (failFast) throw new PipelineFailedException(results.result(), e)
+      }
 
     // the remediator's ready-dir memoization is RUN-scoped: the dir must
     // be dated, or day 2's run would find day 1's generation and silently
@@ -53,14 +75,14 @@ object DailyPipeline {
       .head().getString(0)
 
     val masterSrcs = sources(spark, s"$lakeRoot/master")
-    if (masterSrcs.nonEmpty) {
+    if (masterSrcs.nonEmpty) stage("master_sync") {
       val readyRoot = s"$warehouseRoot/staging/master_ready"
       val master = MasterSync.run(spark,
         masterSrcs.map { case (_, dir) => CsvLake.readCsv(spark, dir) },
         s"$warehouseRoot/stg_security_master", asOf,
         rejectSink = Some(s"$warehouseRoot/rejects/master"),
         readyDir = Some(s"$readyRoot/dt=$asOfTag"))
-      results += StageResult("master_sync", master.count(), ok = true)
+      val n = master.count()
       // retention: prior days' materialized generations have served their
       // resume purpose once this run's load succeeded — without cleanup
       // the staging area accumulates one full master batch per day forever
@@ -70,14 +92,14 @@ object DailyPipeline {
           val p = new org.apache.hadoop.fs.Path(dirPath)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
         }
+      n
     }
 
     val navSrcs = sources(spark, s"$lakeRoot/nav")
-    if (navSrcs.nonEmpty) {
-      val nav = PerformanceSync.runNav(spark, navSrcs.toMap,
+    if (navSrcs.nonEmpty) stage("nav_sync") {
+      PerformanceSync.runNav(spark, navSrcs.toMap,
         s"$warehouseRoot/stg_daily_nav", asOf,
-        rejectSink = Some(s"$warehouseRoot/rejects/nav"))
-      results += StageResult("nav_sync", nav.count(), ok = true)
+        rejectSink = Some(s"$warehouseRoot/rejects/nav")).count()
     }
 
     // One merge per TARGET TABLE per run: all sources' cleaned frames are
@@ -86,7 +108,7 @@ object DailyPipeline {
     // the scale killer VERDICT r1 flagged — at 100 TB each extra cycle is
     // a full shuffle + rewrite of the table's touched partitions.
     val histSrcs = sources(spark, s"$lakeRoot/history")
-    if (histSrcs.nonEmpty) {
+    if (histSrcs.nonEmpty) stage("history_sync") {
       val cleaned = histSrcs.map { case (source, dir) =>
         PerformanceSync.cleanHistory(
           CsvLake.readRecursive(spark, dir, nameMustContain = "history",
@@ -94,12 +116,11 @@ object DailyPipeline {
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       PerformanceSync.loadHistory(spark, s"$warehouseRoot/stg_price_history",
         PerformanceSync.hashHistory(cleaned, asOf))
-      results += StageResult("history_sync",
-        MergeSink.readTable(spark, s"$warehouseRoot/stg_price_history").count(), ok = true)
+      MergeSink.readTable(spark, s"$warehouseRoot/stg_price_history").count()
     }
 
     val divSrcs = sources(spark, s"$lakeRoot/dividends")
-    if (divSrcs.nonEmpty) {
+    if (divSrcs.nonEmpty) stage("dividend_sync") {
       val cleaned = divSrcs.map { case (source, dir) =>
         PerformanceSync.cleanDividends(
           CsvLake.readRecursive(spark, dir, nameMustContain = "dividend"), source)
@@ -107,31 +128,34 @@ object DailyPipeline {
       MergeSink.upsertParquet(spark, s"$warehouseRoot/stg_dividend_history",
         PerformanceSync.hashDividends(cleaned, asOf),
         graft.schema.Schemas.naturalKeys("stg_dividend_history"))
-      results += StageResult("dividend_sync",
-        MergeSink.readTable(spark, s"$warehouseRoot/stg_dividend_history").count(), ok = true)
+      MergeSink.readTable(spark, s"$warehouseRoot/stg_dividend_history").count()
     }
 
-    for ((source, dir) <- sources(spark, s"$lakeRoot/details")) {
-      val tables = DetailSync.run(spark, CsvLake.readCsv(spark, dir), source,
-        warehouseRoot, asOf)
-      results += StageResult(s"detail_sync/$source",
-        tables.values.map(_.count()).sum, ok = true)
+    // details follow the same batched pattern as history/dividends: the
+    // per-source halves (normalize + display parse) run per directory, but
+    // each of the four stg_fund_* tables is merged exactly ONCE per run
+    val detailSrcs = sources(spark, s"$lakeRoot/details")
+    if (detailSrcs.nonEmpty) stage("detail_sync") {
+      val wides = detailSrcs.map { case (source, dir) =>
+        DetailSync.prepareWide(CsvLake.readCsv(spark, dir), source)
+      }
+      val tables = DetailSync.runAll(spark, wides, warehouseRoot, asOf)
+      tables.values.map(_.count()).sum
     }
 
     val holdSrcs = sources(spark, s"$lakeRoot/holdings")
-    if (holdSrcs.nonEmpty) {
+    if (holdSrcs.nonEmpty) stage("holdings_sync") {
       val cleaned = holdSrcs.map { case (source, dir) =>
         HoldingsSync.cleanHoldings(
           CsvLake.readRecursive(spark, dir, nameMustContain = "holdings"), source)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       HoldingsSync.loadHoldings(spark,
         s"$warehouseRoot/stg_fund_holdings", cleaned, asOf)
-      results += StageResult("holdings_sync",
-        MergeSink.readTable(spark, s"$warehouseRoot/stg_fund_holdings").count(), ok = true)
+      MergeSink.readTable(spark, s"$warehouseRoot/stg_fund_holdings").count()
     }
 
     val allocSrcs = sources(spark, s"$lakeRoot/allocations")
-    if (allocSrcs.nonEmpty) {
+    if (allocSrcs.nonEmpty) stage("allocations_sync") {
       val cleaned = allocSrcs.map { case (source, dir) =>
         HoldingsSync.cleanAllocations(
           CsvLake.readRecursive(spark, dir, nameMustContain = "allocations"),
@@ -139,8 +163,7 @@ object DailyPipeline {
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       HoldingsSync.loadAllocations(spark,
         s"$warehouseRoot/stg_allocations", cleaned, asOf)
-      results += StageResult("allocations_sync",
-        MergeSink.readTable(spark, s"$warehouseRoot/stg_allocations").count(), ok = true)
+      MergeSink.readTable(spark, s"$warehouseRoot/stg_allocations").count()
     }
 
     results.result()

@@ -34,6 +34,10 @@ class DailyPipelineSpec extends SparkSpec {
     write(root.resolve("lake/details/Stock Analysis"), "screener.csv",
       "ticker,asset_type,name,expense_ratio,assets_aum\n" +
         "VUSA,ETF,Vanguard SP500,0.07%,842.33m USD\n")
+    // second detail source with heterogeneous headers (symbol/expense/aum
+    // aliases, no asset_type) — exercises the batched union-by-name path
+    write(root.resolve("lake/details/Financial Times"), "ft_screener.csv",
+      "symbol,name,expense,aum\nABC,Alpha Fund,0.45%,12.5m USD\n")
     write(root.resolve("lake/holdings/Financial Times/etf/2024-05-01"),
       "VUSA_etf_holdings.csv",
       "ticker,asset_type,name,symbol,weight\nVUSA,ETF,Apple,AAPL,5.9%\n")
@@ -49,13 +53,47 @@ class DailyPipelineSpec extends SparkSpec {
     // batched per-table merges: ONE upsert per target table per run
     assert(byStage("history_sync") == 1)
     assert(byStage("dividend_sync") == 1)
-    assert(byStage("detail_sync/Stock Analysis") == 4) // 1 row x 4 tables
+    // BOTH detail sources land through ONE batched merge per table:
+    // 2 rows x 4 tables, and the stage reports once (not per source)
+    assert(byStage("detail_sync") == 8)
+    assert(!byStage.keys.exists(_.startsWith("detail_sync/")))
     assert(byStage("holdings_sync") == 1)
     assert(byStage("allocations_sync") == 1)
 
     // replay the whole day -> identical warehouse row counts (idempotence)
     val replay = DailyPipeline.run(spark, s"$root/lake", wh, lit("2024-05-01"))
     assert(replay.map(r => r.stage -> r.rows).toMap == byStage)
+  }
+
+  test("a failing stage is captured in the run summary (A6 contract)") {
+    val root = Files.createTempDirectory("lakefail")
+    val wh = s"$root/warehouse"
+    // details CSV with NO ticker/symbol column -> DetailSync's key
+    // normalization throws; holdings after it is healthy
+    write(root.resolve("lake/details/Broken Source"), "screener.csv",
+      "name,expense_ratio\nNameless Fund,0.10%\n")
+    write(root.resolve("lake/holdings/Financial Times/etf/2024-05-01"),
+      "VUSA_etf_holdings.csv",
+      "ticker,asset_type,name,symbol,weight\nVUSA,ETF,Apple,AAPL,5.9%\n")
+
+    // failFast=false (standalone-orchestrator mode): the failed stage is
+    // recorded and later stages still run
+    val results = DailyPipeline.run(spark, s"$root/lake", wh,
+      lit("2024-05-01"), failFast = false)
+    val detail = results.find(_.stage == "detail_sync").get
+    assert(!detail.ok && detail.rows == 0 && detail.error.exists(_.nonEmpty))
+    val holdings = results.find(_.stage == "holdings_sync").get
+    assert(holdings.ok && holdings.rows == 1)
+
+    // failFast=true (reference global-pipeline mode): aborts at the failed
+    // stage but the thrown summary still records it
+    val e = intercept[DailyPipeline.PipelineFailedException] {
+      DailyPipeline.run(spark, s"$root/lake", s"$root/warehouse2",
+        lit("2024-05-01"))
+    }
+    val failed = e.summary.last
+    assert(failed.stage == "detail_sync" && !failed.ok && failed.error.nonEmpty)
+    assert(!e.summary.exists(_.stage == "holdings_sync"), "abort must stop later stages")
   }
 
   test("Retention.purgeDatedDirs drops only dirs older than the cutoff") {
