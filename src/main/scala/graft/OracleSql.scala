@@ -720,6 +720,19 @@ object OracleSql {
            FROM documents)
          SELECT doc_id, predicted, sample_bucket FROM lang
          WHERE (predicted = 'en' AND sample_bucket < 40) OR predicted <> 'en'
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q56: approx-sketch error envelope — the oracle replays the EXACT
+    // statistics and pins the in-bounds booleans at TRUE; Spark's side
+    // computes them from its HLL++/approx-percentile sketches, so a
+    // sketch drifting outside its envelope hash-fails the row.
+    "q56_approx_sketch" ->
+      """SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_distinct,
+           TRUE AS distinct_in_bounds,
+           quantile_cont(l_quantity, 0.5) AS exact_p50,
+           TRUE AS p50_in_bounds,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -425,6 +425,38 @@ object SparkEntry {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate-sketch family under an oracle-checkable error envelope.
+    * HLL++ distinct counts and t-digest-style percentiles are
+    * engine-specific (no external system reproduces the sketch bits), so
+    * the query emits the EXACT statistics plus booleans asserting each
+    * approximation landed inside its published bound — the DuckDB oracle
+    * replays the exact values and pins the booleans at literal TRUE, so a
+    * drifting sketch fails the strict hash gate. Envelopes: HLL rsd 0.02
+    * checked at 3 sigma (6% relative); approx_percentile accuracy 10000
+    * checked against the exact p45..p55 value bracket (rank error is
+    * n/10000 << 0.05 quantile). Sketches are the 100 TB default for these
+    * statistics — one pass, fixed memory, mergeable across partitions —
+    * where exact distinct/percentile need a full shuffle + per-group sort
+    * (q51 is the exactness contract; this is the scale path). */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_distinct"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("__ad"),
+        percentile(col("l_quantity"), lit(0.5)).as("exact_p50"),
+        percentile(col("l_quantity"), lit(0.45)).as("__p45"),
+        percentile(col("l_quantity"), lit(0.55)).as("__p55"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__ap"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_distinct"),
+        (abs(col("__ad") - col("exact_distinct")) <=
+          col("exact_distinct") * 0.06).as("distinct_in_bounds"),
+        col("exact_p50"),
+        (col("__ap") >= col("__p45") && col("__ap") <= col("__p55")).as("p50_in_bounds"),
+        col("n"))
+      .orderBy(col("l_returnflag"))
+
   // ===================================================================
   // §2.10 incremental/streaming semantics (batch-equivalent queries;
   // the Structured Streaming runtime lives in graft.streaming)
@@ -847,7 +879,8 @@ object SparkEntry {
     "q52_bigram_corpus_score" -> q52 _,
     "q53_dedup_clusters" -> q53 _,
     "q54_corpus_filter" -> q54 _,
-    "q55_hash_sample" -> q55 _
+    "q55_hash_sample" -> q55 _,
+    "q56_approx_sketch" -> q56 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -66,6 +66,15 @@ object Multimodal {
     * one init per partition, streamed iterator, no driver collect —
     * is the part the engine owns and tests. */
   object DecodeStub {
+    /** Deterministic fake frame "decode": [[decodeImage]] plus a
+      * frame-index-dependent perturbation, so sampled frames of one video
+      * are distinct but reproducible. */
+    def decodeFrame(mediaId: Long, frameIdx: Int, payload: Array[Byte]): ImageFeatures = {
+      val base = decodeImage(mediaId, payload)
+      base.copy(phash = java.lang.Long.rotateLeft(
+        base.phash ^ (frameIdx * 0x9e3779b97f4a7c15L), frameIdx % 63))
+    }
+
     /** Deterministic fake "decode": dimensions/stats derived from bytes. */
     def decodeImage(mediaId: Long, payload: Array[Byte]): ImageFeatures = {
       val len = if (payload == null) 0 else payload.length
@@ -188,21 +197,58 @@ object Multimodal {
     * partitioning scheme can equalize task cost when single payloads are
     * huge — hashing on media_id is already uniform in expectation, and a
     * "byte-weighted salt" added to the same hash key changes nothing
-    * observable. Byte-weighting becomes real where rows MULTIPLY:
-    * [[frameSamplePlan]] fans a video row into per-frame rows whose count
-    * scales with byte_len, and repartitioning THAT output spreads a big
-    * video's frames across tasks. */
+    * observable. That applies to [[decodeFrames]] too: a video's frames
+    * decode inside the task holding its single payload copy (shipping
+    * payload bytes per frame row to "spread" one video would cost more in
+    * shuffle than it buys in balance), so byte_len skew is bounded by
+    * one video per task, not fixable below it. */
   def repartitionForDecode(media: DataFrame,
                            parallelism: Int = 200): DataFrame =
     media.repartition(parallelism, col("media_id"))
 
   /** Frame-sample plan for video rows: one output row per sampled frame
-    * index — a generator (posexplode over a sequence) so the downstream
-    * decode fans out WITHOUT shuffling payload bytes more than once. */
+    * index, PAYLOAD-FREE — (media_id, frame_idx) derives entirely from
+    * metadata (byte_len), so column pruning keeps the binary payload out
+    * of the scan and no shuffle ever carries it per frame row. (The prior
+    * shape selected payload alongside each exploded index: a 1 GB video
+    * sampled at 1,000 frames would have materialized 1,000 payload copies
+    * into the next exchange.) Frame features come from [[decodeFrames]],
+    * which binds the single payload copy per media row in-partition. */
   def frameSamplePlan(media: DataFrame, fps: Int, everyN: Int): DataFrame =
     media.filter(col("kind") === "video")
       .withColumn("frame_idx",
         explode(sequence(lit(0),
           greatest(lit(0), (col("byte_len") / (fps * everyN)).cast(IntegerType)))))
-      .select(col("media_id"), col("frame_idx"), col("payload"))
+      .select(col("media_id"), col("frame_idx"))
+
+  /** frame row: the per-frame sibling of [[ImageFeatures]]. */
+  final case class FrameFeatures(media_id: Long, frame_idx: Int, width: Int,
+                                 height: Int, grey_mean: Double, phash: Long)
+
+  /** Partition-mapped frame decode: each video row's payload is read ONCE
+    * into the task, and its sampled frames decode in place from that
+    * single copy (same index arithmetic as [[frameSamplePlan]], so counts
+    * line up row-for-row). The fan-out happens AFTER the bytes land in the
+    * task — frames multiply, payload bytes don't. Use
+    * [[repartitionForDecode]] upstream to spread videos across tasks;
+    * the per-frame output is small (fixed-width features) and safe to
+    * shuffle. */
+  def decodeFrames(spark: SparkSession, media: DataFrame,
+                   fps: Int, everyN: Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    val step = fps.toLong * everyN
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"), col("byte_len"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, payload, byteLen) =>
+          val last = math.max(0L, byteLen / step).toInt
+          (0 to last).iterator.map { f =>
+            val feat = DecodeStub.decodeFrame(id, f, payload)
+            FrameFeatures(id, f, feat.width, feat.height, feat.grey_mean, feat.phash)
+          }
+        }
+      }
+  }
 }

@@ -109,12 +109,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.columns.toSeq == media.columns.toSeq)
   }
 
-  test("frameSamplePlan fans out video rows without touching others") {
-    val withVideo = media.withColumn("kind",
-      when(col("media_id") === 2, "video").otherwise(col("kind")))
+  test("frameSamplePlan fans out video rows payload-free (no bytes per frame row)") {
+    val dir = Files.createTempDirectory("framemedia").toString
+    media.withColumn("kind",
+        when(col("media_id") === 2, "video").otherwise(col("kind")))
+      .write.mode("overwrite").parquet(s"$dir/media")
+    val withVideo = spark.read.parquet(s"$dir/media")
     val frames = Multimodal.frameSamplePlan(withVideo, fps = 1, everyN = 10)
+    assert(frames.columns.toSeq == Seq("media_id", "frame_idx"))
+    // the exploded frame relation must never carry the binary payload:
+    // the parquet scan prunes it (metadata-only plan)
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("payload"), s"payload not pruned from frame plan:\n$plan")
     assert(frames.select("media_id").distinct().as[Long].collect().toSeq == Seq(2L))
     assert(frames.count() >= 1)
-    assert(frames.columns.toSeq == Seq("media_id", "frame_idx", "payload"))
+  }
+
+  test("decodeFrames decodes every sampled frame from one in-partition payload copy") {
+    val withVideo = media.withColumn("kind",
+      when(col("media_id") === 2, "video").otherwise(col("kind")))
+    val planned = Multimodal.frameSamplePlan(withVideo, fps = 1, everyN = 10)
+      .as[(Long, Int)].collect().toSet
+    val decoded = Multimodal.decodeFrames(spark, withVideo, fps = 1, everyN = 10)
+      .collect()
+    // same index arithmetic as the plan: counts line up row-for-row
+    assert(decoded.map(f => (f.media_id, f.frame_idx)).toSet == planned)
+    assert(decoded.length == planned.size)
+    // frame features are deterministic and frame-dependent
+    val again = Multimodal.decodeFrames(spark, withVideo, fps = 1, everyN = 10)
+      .collect()
+    assert(decoded.sortBy(_.frame_idx).toSeq == again.sortBy(_.frame_idx).toSeq)
+    assert(decoded.map(_.phash).distinct.length == decoded.length,
+      "frame perturbation must distinguish frames of one video")
   }
 }
