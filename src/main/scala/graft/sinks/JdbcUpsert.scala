@@ -125,6 +125,33 @@ object JdbcUpsert {
     override def stagedStringType: Option[String] = Some("VARCHAR(4000)")
   }
 
+  /** Append-only INSERT — no conflict handling. Two uses: (1) genuinely
+    * append-only targets (immutable event/history feeds where the natural
+    * key is new by construction — the reference's append shape without
+    * the CSV detour), and (2) the only per-row statement every embedded
+    * engine accepts: the sandbox ships no `ON CONFLICT`-capable database
+    * (Derby lacks both it and a derived-table MERGE source), so this is
+    * the dialect through which the test suite drives [[upsertDirect]]'s
+    * full partition/prepared-batch machinery against a real database.
+    * The Postgres `ON CONFLICT` text itself is pinned by exact-string
+    * golden tests — the one thing this environment cannot do is execute
+    * it, which stays a documented gap until a PG-compatible engine
+    * ships. */
+  case object InsertOnly extends Dialect {
+    private def q(id: String): String = "\"" + id + "\""
+
+    def stagedMergeSql(spec: UpsertSpec, temp: String, cols: Seq[String]): String =
+      s"""INSERT INTO ${spec.table} (${cols.map(q).mkString(", ")})
+         |SELECT ${cols.map(q).mkString(", ")} FROM $temp""".stripMargin
+
+    def rowUpsertSql(spec: UpsertSpec, cols: Seq[String]): Option[String] =
+      Some(
+        s"""INSERT INTO ${spec.table} (${cols.map(q).mkString(", ")})
+           |VALUES (${cols.map(_ => "?").mkString(", ")})""".stripMargin)
+
+    override def stagedStringType: Option[String] = Some("VARCHAR(4000)")
+  }
+
   /** Pure chunking helper — the reference's `chunksize` behavior; exposed
     * for direct unit testing of the batching contract. */
   def chunks[T](it: Iterator[T], size: Int): Iterator[Seq[T]] =

@@ -155,6 +155,80 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(got == Seq(("a", 5.0), ("b", 2.0)))
   }
 
+  test("Postgres staged merge matches the reference statement text exactly") {
+    // pinned whole-string: the reference's INSERT ... SELECT ... ON
+    // CONFLICT DO UPDATE SET ... WHERE shape (db_connector.py:403-417)
+    val s = UpsertSpec("prices", Seq("ticker"), Some("row_hash"))
+    val sql = Postgres.stagedMergeSql(s, "temp_prices_x", Seq("ticker", "px", "row_hash"))
+    assert(sql ==
+      """INSERT INTO prices ("ticker", "px", "row_hash")
+        |SELECT "ticker", "px", "row_hash" FROM temp_prices_x
+        |ON CONFLICT ("ticker")
+        |DO UPDATE SET
+        |  "px" = EXCLUDED."px",
+        |  "row_hash" = EXCLUDED."row_hash"
+        |WHERE prices."row_hash" IS DISTINCT FROM EXCLUDED."row_hash"""".stripMargin)
+    val row = Postgres.rowUpsertSql(s, Seq("ticker", "px", "row_hash")).get
+    assert(row ==
+      """INSERT INTO prices ("ticker", "px", "row_hash")
+        |VALUES (?, ?, ?)
+        |ON CONFLICT ("ticker")
+        |DO UPDATE SET
+        |  "px" = EXCLUDED."px",
+        |  "row_hash" = EXCLUDED."row_hash"
+        |WHERE prices."row_hash" IS DISTINCT FROM EXCLUDED."row_hash"""".stripMargin)
+  }
+
+  test("upsertDirect drives per-partition prepared batches against a real database") {
+    // InsertOnly is the one per-row statement Derby accepts, so this
+    // exercises upsertDirect's actual machinery — partition fan-out, one
+    // connection per partition, positional setObject binding (string,
+    // double, timestamp), executeBatch at batchSize boundaries plus the
+    // tail flush, commit — end-to-end. The Postgres ON CONFLICT text runs
+    // through the same machinery and is text-pinned above.
+    withDb { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE applog") catch { case _: Exception => () }
+      st.executeUpdate(
+        """CREATE TABLE applog ("k" VARCHAR(16), "v" DOUBLE, "ts" TIMESTAMP)""")
+    }
+    val ts = java.sql.Timestamp.valueOf("2024-05-01 12:00:00")
+    val rows = (1 to 7).map(i => (s"k$i", i * 1.5, ts))
+    // batchSize=3 with 7 rows across 2 partitions: both the full-batch
+    // flush path and the pending-tail flush path execute
+    JdbcUpsert.upsertDirect(rows.toDF("k", "v", "ts").repartition(2),
+      url, props, UpsertSpec("applog", Seq("k"), hashCol = None, batchSize = 3),
+      InsertOnly)
+    val got = withDb { conn =>
+      val rs = conn.createStatement()
+        .executeQuery("""SELECT "k", "v", "ts" FROM applog ORDER BY "k"""")
+      val b = Seq.newBuilder[(String, Double, java.sql.Timestamp)]
+      while (rs.next()) b += ((rs.getString(1), rs.getDouble(2), rs.getTimestamp(3)))
+      b.result()
+    }
+    assert(got.map(_._1) == rows.map(_._1).sorted)
+    assert(got.map(_._2).toSet == rows.map(_._2).toSet)
+    assert(got.forall(_._3 == ts))
+  }
+
+  test("upsertViaTemp with InsertOnly appends through the staged path") {
+    withDb { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate("DROP TABLE appendlog") catch { case _: Exception => () }
+      st.executeUpdate("""CREATE TABLE appendlog ("k" VARCHAR(8), "v" DOUBLE)""")
+    }
+    val s = UpsertSpec("appendlog", Seq("k"), hashCol = None)
+    JdbcUpsert.upsertViaTemp(Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"),
+      url, props, s, InsertOnly)
+    JdbcUpsert.upsertViaTemp(Seq(("c", 3.0)).toDF("k", "v"),
+      url, props, s, InsertOnly)
+    val n = withDb { conn =>
+      val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM appendlog")
+      rs.next(); rs.getInt(1)
+    }
+    assert(n == 3)
+  }
+
   test("upsertDirect refuses dialects without a single-row form") {
     intercept[IllegalArgumentException] {
       JdbcUpsert.upsertDirect(
