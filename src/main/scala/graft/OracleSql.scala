@@ -733,6 +733,38 @@ object OracleSql {
            quantile_cont(l_quantity, 0.5) AS exact_p50,
            TRUE AS p50_in_bounds,
            COUNT(*) AS n
-         FROM lineitem GROUP BY 1 ORDER BY 1"""
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // q57: intra-doc repetition signals (distinct-word ratio, top-word
+    // share) — per-(doc, token) counts rolled up per doc; docs with zero
+    // tokens drop out of unnest on both engines.
+    "q57_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         pc AS (SELECT doc_id, tok, COUNT(*) AS c FROM g GROUP BY 1, 2),
+         agg AS (SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_words,
+             COUNT(*) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_count
+           FROM pc GROUP BY 1)
+         SELECT doc_id, n_words, n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
+           ROUND(CAST(top_count AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS top_word_ratio
+         FROM agg ORDER BY doc_id""",
+
+    // q58: benchmark decontamination — 3-gram shingle overlap of every
+    // non-benchmark doc against the benchmark slice (doc_id % 50 = 0).
+    "q58_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct($shingles3)) AS sh FROM t),
+         bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         ov AS (SELECT s.doc_id, COUNT(*) AS hits
+                FROM sh s JOIN bench b ON s.sh = b.sh
+                WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+         SELECT d.doc_id,
+           CAST(COALESCE(ov.hits, 0) AS BIGINT) AS n_overlap,
+           COALESCE(ov.hits, 0) > 0 AS contaminated
+         FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id"""
   )
 }

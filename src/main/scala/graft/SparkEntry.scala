@@ -438,24 +438,33 @@ object SparkEntry {
     * statistics — one pass, fixed memory, mergeable across partitions —
     * where exact distinct/percentile need a full shuffle + per-group sort
     * (q51 is the exactness contract; this is the scale path). */
-  private def q56(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    // exact distinct as its OWN two-stage hash aggregation: folding
+    // countDistinct into the sketch agg would plan an Expand (row
+    // duplication per distinct spec) and drag the percentile sort over
+    // the expanded frame — measured 3x the whole query's cost
+    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_distinct"))
+    // one exact-percentile pass evaluating all three quantiles (single
+    // per-group sort instead of three)
+    val sk = li.groupBy(col("l_returnflag"))
       .agg(
-        countDistinct(col("l_partkey")).as("exact_distinct"),
         approx_count_distinct(col("l_partkey"), 0.02).as("__ad"),
-        percentile(col("l_quantity"), lit(0.5)).as("exact_p50"),
-        percentile(col("l_quantity"), lit(0.45)).as("__p45"),
-        percentile(col("l_quantity"), lit(0.55)).as("__p55"),
+        percentile(col("l_quantity"),
+          array(lit(0.45), lit(0.5), lit(0.55))).as("__p"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__ap"),
         count(lit(1)).as("n"))
+    exact.join(sk, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_distinct"),
         (abs(col("__ad") - col("exact_distinct")) <=
           col("exact_distinct") * 0.06).as("distinct_in_bounds"),
-        col("exact_p50"),
-        (col("__ap") >= col("__p45") && col("__ap") <= col("__p55")).as("p50_in_bounds"),
+        col("__p").getItem(1).as("exact_p50"),
+        (col("__ap") >= col("__p").getItem(0) &&
+          col("__ap") <= col("__p").getItem(2)).as("p50_in_bounds"),
         col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   // ===================================================================
   // §2.10 incremental/streaming semantics (batch-equivalent queries;
@@ -687,6 +696,58 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document repetition signals — the Gopher/RefinedWeb-style
+    * quality gates that catch boilerplate and degenerate generations:
+    * distinct-word ratio and the share of the single most frequent token.
+    * Distributed shape: one shuffle of the exploded token frame keyed by
+    * (doc, token) with map-side partial counts, then a per-doc rollup —
+    * the max-frequency statistic needs the per-token counts, so this is
+    * the minimal-shuffle formulation (a per-row UDF holding a hashmap
+    * would compute the same in zero shuffles but outside codegen; at
+    * 100 TB both work — this one also yields the reusable per-token
+    * frame). Docs with zero tokens drop out (explode of an empty array),
+    * matching the oracle's unnest semantics. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents")
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val perTok = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    perTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_words").cast("double"), 6)
+          .as("distinct_ratio"),
+        round(col("top_count").cast("double") / col("n_words").cast("double"), 6)
+          .as("top_word_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination — the training-data step that keeps eval
+    * sets out of the corpus: every doc sharing a 3-gram shingle with the
+    * "benchmark" slice (here: doc_id % 50 == 0, standing in for an eval
+    * suite) is flagged with its overlap count. The benchmark shingle set
+    * is tiny relative to the corpus, so it is BROADCAST — the contamination
+    * scan is then a map-side hash probe of the exploded shingle frame, no
+    * corpus shuffle at all (the per-doc count aggregation shuffles only
+    * matching shingles, a vanishing fraction at 100 TB). */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(TextFns.shingles(col("text"), 3))).as("sh"))
+    val bench = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+    val overlap = sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hits"), lit(0L)).as("n_overlap"),
+        (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force ANN top-k, integer-quantized dot product (exact, portable —
     * this one HAS a DuckDB oracle). */
   private def q42(s: SparkSession, dir: String): DataFrame = {
@@ -880,7 +941,9 @@ object SparkEntry {
     "q53_dedup_clusters" -> q53 _,
     "q54_corpus_filter" -> q54 _,
     "q55_hash_sample" -> q55 _,
-    "q56_approx_sketch" -> q56 _
+    "q56_approx_sketch" -> q56 _,
+    "q57_repetition" -> q57 _,
+    "q58_decontaminate" -> q58 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -910,6 +973,39 @@ object SparkEntry {
         Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
             maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))),
+      // q34/q38 twins: same statistics through the compiled FNV shingle
+      // kernel instead of the md5/string-shingle higher-order expressions
+      // the oracle needs (CodegenFallback + per-element re-evaluation —
+      // the documented interpreted-vs-compiled 9-10x)
+      "q34_token_stats" -> ((s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFns.tokenCount(col("text")).as("n_tokens"),
+            TextFns.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"),
+            length(TextFns.normalizedText(col("text"))).as("n_chars_norm"),
+            round(TextFns.meanWordLen(col("text")), 6).as("mean_word_len"),
+            array_min(Dedup.shingleSetCol(col("text"), 3)).as("doc_sig"))
+          .orderBy(col("doc_id"))),
+      "q38_shingle_stats" -> ((s, dir) =>
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            size(Dedup.shingleSetCol(col("text"), 3)).as("n_shingles"))
+          .orderBy(col("doc_id"))),
+      "q58_decontaminate" -> ((s, dir) => {
+        val docs = T(s, dir, "documents")
+        val sh = Dedup.shingleSets(docs, "doc_id", "text", 3)
+          .select(col("doc_id"), explode(col("shset")).as("sh"))
+        val bench = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+        val overlap = sh.filter(col("doc_id") % 50 =!= 0)
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+        docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+          .join(overlap, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("hits"), lit(0L)).as("n_overlap"),
+            (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
+          .orderBy(col("doc_id"))
+      }),
       "q53_dedup_clusters" -> ((s, dir) =>
         Dedup.dedupClusters(T(s, dir, "documents"), "doc_id", "text",
             numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5)

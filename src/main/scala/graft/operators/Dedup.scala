@@ -120,9 +120,15 @@ object Dedup {
     * distinct/join/shuffle in integer land, with set semantics identical
     * to string shingles modulo a ~2^-64 per-pair collision. */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                  shingleN: Int): DataFrame = {
+                  shingleN: Int): DataFrame =
+    df.select(col(idCol), shingleSetCol(col(textCol), shingleN).as("shset"))
+
+  /** The compiled distinct-shingle kernel as a reusable Column, for
+    * consumers that append it to a wider projection (doc signatures,
+    * shingle counts) instead of taking the (id, shset) frame. */
+  def shingleSetCol(text: Column, shingleN: Int): Column = {
     val kernel = udf(shingleSetKernel(shingleN))
-    df.select(col(idCol), kernel(col(textCol)).as("shset"))
+    kernel(text)
   }
 
   /** MinHash signatures: k independent hash functions simulated as

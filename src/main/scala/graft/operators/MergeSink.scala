@@ -58,6 +58,59 @@ object MergeSink {
     }: _*)
   }
 
+  // ------------------------------------------------------------------ lock
+
+  /** A second writer is already mid-upsert on the same table. */
+  final class ConcurrentWriteException(path: String, holder: String)
+    extends RuntimeException(
+      s"table $path is locked by another writer ($holder); " +
+        "concurrent upserts into one parquet table are serialized, not merged")
+
+  private def lockPath(path: String) = new Path(path + "__lock")
+
+  /** Table-level writer mutex via atomic create-if-absent of a lock file.
+    *
+    * The parquet swap-sink is crash-safe (marker + [[recoverSwap]]) but a
+    * SECOND concurrent writer would race the staged dirs and the marker
+    * itself. This lock serializes writers: acquisition is
+    * `FileSystem.create(overwrite = false)`, which is atomic on HDFS and
+    * object stores with conditional-put semantics; a writer that died
+    * mid-hold is healed by the stale-lock timeout (its swap marker is then
+    * rolled forward by recoverSwap under the new lock). Honest limits,
+    * documented: this is optimistic writer-EXCLUSION, not transaction
+    * isolation — readers still see generation boundaries, not snapshots,
+    * and on filesystems without atomic create the race window is the
+    * create call itself. Delta/Iceberg `MERGE INTO` with a real commit
+    * protocol remains the upgrade path (no such jars ship here). */
+  private[graft] def withTableLock[T](fs: FileSystem, path: String,
+                                      staleAfterMs: Long = 30 * 60 * 1000L)
+                                     (body: => T): T = {
+    val lp = lockPath(path)
+    val holder = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/${java.util.UUID.randomUUID()}"
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lp, false) // overwrite=false: atomic create-if-absent
+        out.write(holder.getBytes("UTF-8")); out.close(); true
+      } catch { case _: java.io.IOException => false }
+    def holderOf: String =
+      try {
+        val in = fs.open(lp)
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        in.close(); s
+      } catch { case _: Exception => "unknown" }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > staleAfterMs
+        catch { case _: Exception => false } // vanished between create and stat -> retry below
+      if (stale) fs.delete(lp, false) // dead writer; its swap marker heals under our lock
+      acquired = tryAcquire()
+      if (!acquired) throw new ConcurrentWriteException(path, holderOf)
+    }
+    try body
+    finally fs.delete(lp, false)
+  }
+
   // ------------------------------------------------------------------ swap
 
   /** Marker-file path for an in-flight swap of `path`. The marker is
@@ -146,13 +199,15 @@ object MergeSink {
     * [[recoverSwap]] on the next sink call instead of losing the table. */
   def replaceParquet(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val fs = fsFor(spark, path)
-    recoverSwap(spark, path)
-    val tmp = path + "__tmp"
-    df.write.mode("overwrite").parquet(tmp)
-    swapDirs(fs, path, tmp, Seq(""))
-    // drop cached file listings so readers created after the swap see the
-    // new generation (stale FileStatusCache entries would 404 on old parts)
-    spark.catalog.refreshByPath(path)
+    withTableLock(fs, path) {
+      recoverSwap(spark, path)
+      val tmp = path + "__tmp"
+      df.write.mode("overwrite").parquet(tmp)
+      swapDirs(fs, path, tmp, Seq(""))
+      // drop cached file listings so readers created after the swap see the
+      // new generation (stale FileStatusCache entries would 404 on old parts)
+      spark.catalog.refreshByPath(path)
+    }
   }
 
   // -------------------------------------------------------------- bucketed
@@ -220,51 +275,50 @@ object MergeSink {
                     keys: Seq[String], hashCol: Option[String] = Some("row_hash"),
                     numBuckets: Int = 32): Unit = {
     val fs = fsFor(spark, path)
-    recoverSwap(spark, path)
-    val tgt = new Path(path)
-    val tmp = path + "__tmp"
+    withTableLock(fs, path) {
+      recoverSwap(spark, path)
+      val tgt = new Path(path)
+      val tmp = path + "__tmp"
 
-    if (!fs.exists(tgt)) {
-      val nb = numBuckets
-      updates.dropDuplicates(keys)
-        .withColumn("__bucket", bucketExpr(keys, nb))
-        .write.mode("overwrite").partitionBy("__bucket").parquet(path)
-      writeMeta(fs, path, keys, nb)
-      spark.catalog.refreshByPath(path)
-      return
-    }
-
-    readNumBuckets(fs, path) match {
-      case None =>
-        // legacy unbucketed layout — OR a bucketed table whose meta write
-        // was lost to a crash between the data write and writeMeta (the
-        // two aren't atomic). readTable hides any __bucket column, so the
-        // migration merge works for both states (the half-created case
-        // costs one full re-bucket instead of bricking every upsert with
-        // an unresolvable-__bucket analysis error)
-        val merged = merge(readTable(spark, path), updates, keys, hashCol)
-          .withColumn("__bucket", bucketExpr(keys, numBuckets))
-        merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-        swapDirs(fs, path, tmp, Seq(""))
-        writeMeta(fs, path, keys, numBuckets)
-        spark.catalog.refreshByPath(path)
-
-      case Some(nb) =>
-        val upd = updates
+      if (!fs.exists(tgt)) {
+        val nb = numBuckets
+        updates.dropDuplicates(keys)
           .withColumn("__bucket", bucketExpr(keys, nb))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val touched = upd.select("__bucket").distinct()
-            .collect().map(_.getInt(0)).sorted
-          if (touched.nonEmpty) {
-            val target = spark.read.parquet(path)
-              .filter(col("__bucket").isin(touched.map(Int.box): _*))
-            val merged = merge(target, upd, keys, hashCol)
-            merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-            swapDirs(fs, path, tmp, touched.map(n => s"__bucket=$n").toSeq)
-            spark.catalog.refreshByPath(path)
-          }
-        } finally upd.unpersist()
+          .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+        writeMeta(fs, path, keys, nb)
+        spark.catalog.refreshByPath(path)
+      } else readNumBuckets(fs, path) match {
+        case None =>
+          // legacy unbucketed layout — OR a bucketed table whose meta write
+          // was lost to a crash between the data write and writeMeta (the
+          // two aren't atomic). readTable hides any __bucket column, so the
+          // migration merge works for both states (the half-created case
+          // costs one full re-bucket instead of bricking every upsert with
+          // an unresolvable-__bucket analysis error)
+          val merged = merge(readTable(spark, path), updates, keys, hashCol)
+            .withColumn("__bucket", bucketExpr(keys, numBuckets))
+          merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+          swapDirs(fs, path, tmp, Seq(""))
+          writeMeta(fs, path, keys, numBuckets)
+          spark.catalog.refreshByPath(path)
+
+        case Some(nb) =>
+          val upd = updates
+            .withColumn("__bucket", bucketExpr(keys, nb))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val touched = upd.select("__bucket").distinct()
+              .collect().map(_.getInt(0)).sorted
+            if (touched.nonEmpty) {
+              val target = spark.read.parquet(path)
+                .filter(col("__bucket").isin(touched.map(Int.box): _*))
+              val merged = merge(target, upd, keys, hashCol)
+              merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+              swapDirs(fs, path, tmp, touched.map(n => s"__bucket=$n").toSeq)
+              spark.catalog.refreshByPath(path)
+            }
+          } finally upd.unpersist()
+      }
     }
   }
 

@@ -13,12 +13,17 @@ object BenchRepeat {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "4").toInt
     val spark = Graft.session("graft-bench-repeat")
     spark.sparkContext.setLogLevel("WARN")
+    // same harness as Bench: production (benchQueries) config, noop-sink
+    // materialization so sorts/projections are billed
+    def exec(n: String): Unit = SparkEntry.benchQueries(n)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
     // warm-up at the target sf (JIT + page cache)
-    names.foreach(n => SparkEntry.queries(n)(spark, dir).count())
+    names.foreach(exec)
     names.foreach { n =>
       val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache(); System.gc()
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, dir).count()
+        exec(n)
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[rep] $n%-24s min=${ts.min}%6.2f med=${ts.sorted.apply(reps / 2)}%6.2f max=${ts.max}%6.2f")

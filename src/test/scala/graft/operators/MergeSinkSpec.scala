@@ -161,6 +161,48 @@ class MergeSinkSpec extends SparkSpec {
     assert(!new java.io.File(path + "__tmp").exists())
   }
 
+  test("writer lock: a second writer is rejected while the first holds the table") {
+    val path = java.nio.file.Files.createTempDirectory("locktbl").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val df = withHash(Seq(("A", 1.0)).toDF("ticker", "price"))
+    MergeSink.withTableLock(fs, path) {
+      val e = intercept[MergeSink.ConcurrentWriteException] {
+        MergeSink.upsertParquet(spark, path, df, Seq("ticker"))
+      }
+      assert(e.getMessage.contains("locked by another writer"))
+    }
+    // lock released -> the same upsert now succeeds, and releases again
+    MergeSink.upsertParquet(spark, path, df, Seq("ticker"))
+    assert(MergeSink.readTable(spark, path).count() == 1)
+    assert(!new java.io.File(path + "__lock").exists())
+  }
+
+  test("writer lock: a stale lock from a dead writer is broken, not honored") {
+    val path = java.nio.file.Files.createTempDirectory("staletbl").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(path + "__lock")
+    val out = fs.create(lock, false)
+    out.write("dead-writer".getBytes("UTF-8")); out.close()
+    // age the lock past the stale horizon
+    fs.setTimes(lock, System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+    MergeSink.upsertParquet(spark, path,
+      withHash(Seq(("A", 1.0)).toDF("ticker", "price")), Seq("ticker"))
+    assert(MergeSink.readTable(spark, path).count() == 1)
+    assert(!new java.io.File(path + "__lock").exists())
+  }
+
+  test("writer lock: lock failures release the lock (finally path)") {
+    val path = java.nio.file.Files.createTempDirectory("failtbl").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[RuntimeException] {
+      MergeSink.withTableLock(fs, path) { throw new RuntimeException("boom") }
+    }
+    assert(!new java.io.File(path + "__lock").exists())
+  }
+
   test("applyStatusLifecycle: aging to inactive, new+named to active") {
     val master = Seq(
       ("T1", "2024-01-01", "active", "Fund One"),   // stale -> inactive
