@@ -765,6 +765,41 @@ object OracleSql {
            CAST(COALESCE(ov.hits, 0) AS BIGINT) AS n_overlap,
            COALESCE(ov.hits, 0) > 0 AS contaminated
          FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
-         WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id"""
+         WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""",
+
+    // q59: PII scrub — deterministic injected email/phone, RE2-safe
+    // patterns, md5 of the doubly-redacted text.
+    "q59_pii_scrub" ->
+      """WITH r AS (
+           SELECT doc_id,
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+               || '@example.com tel: +1 (555) 01'
+               || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS raw
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '\+[0-9][0-9()\- ]{7,}[0-9]')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g')) AS scrub_md5
+         FROM r ORDER BY doc_id""",
+
+    // q60: cross-doc boilerplate (sentences in >= 3 distinct docs).
+    "q60_boilerplate" ->
+      """WITH s0 AS (
+           SELECT doc_id, trim(unnest(regexp_split_to_array(text, '\.'))) AS sent
+           FROM documents),
+         sents AS (SELECT DISTINCT doc_id, sent FROM s0 WHERE length(sent) > 0),
+         boiler AS (SELECT sent FROM (
+             SELECT sent, COUNT(*) AS df FROM sents GROUP BY 1) WHERE df >= 3),
+         nb AS (SELECT doc_id, COUNT(*) AS n_boilerplate
+                FROM sents JOIN boiler USING (sent) GROUP BY 1),
+         ns AS (SELECT doc_id, COUNT(*) AS n_sentences FROM sents GROUP BY 1)
+         SELECT ns.doc_id, ns.n_sentences,
+           CAST(COALESCE(nb.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+           ROUND(CAST(COALESCE(nb.n_boilerplate, 0) AS DOUBLE)
+             / CAST(ns.n_sentences AS DOUBLE), 6) AS boilerplate_ratio
+         FROM ns LEFT JOIN nb ON ns.doc_id = nb.doc_id
+         ORDER BY ns.doc_id"""
   )
 }

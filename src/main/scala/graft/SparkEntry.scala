@@ -748,6 +748,59 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing — redact emails/phones and count what was removed, the
+    * compliance pass every shipped training corpus runs. Patterns are
+    * RE2-safe (no lookarounds) so the oracle replays them; PII instances
+    * are INJECTED deterministically from doc_id (the q29 constructed-then-
+    * parsed trick) because the synthetic corpus contains none. Pure
+    * regexp Column expressions: codegen'd, zero shuffle, pipelines with
+    * the scan at 100 TB. Output carries md5(scrubbed) rather than the
+    * scrubbed text so the compare stays narrow. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(col("text"), lit(" contact: user"),
+      col("doc_id").cast("string"),
+      lit("@example.com tel: +1 (555) 01"),
+      lpad((col("doc_id") % 100).cast("string"), 2, "0"))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9][0-9()\\- ]{7,}[0-9]"
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(raw, lit(email)).as("n_emails"),
+        regexp_count(raw, lit(phone)).as("n_phones"),
+        md5(regexp_replace(regexp_replace(raw, email, "<EMAIL>"),
+          phone, "<PHONE>")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document boilerplate detection (C4-style): sentences appearing
+    * in >= 3 distinct documents are boilerplate (nav text, disclaimers,
+    * license headers); each doc reports how much of it is boilerplate.
+    * Distributed shape: per-doc DISTINCT sentences -> one shuffle keyed by
+    * sentence for document frequency -> the (small, Zipf-headed)
+    * boilerplate set BROADCASTS back against the per-doc sentences — the
+    * same probe shape as q58's decontamination, no second corpus shuffle.
+    * At 100 TB hash the sentences (xxhash64) before the shuffle so the
+    * exchange carries 8 bytes/sentence; kept as strings here for oracle
+    * parity. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val sents = T(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\.")).as("s0"))
+      .select(col("doc_id"), trim(col("s0")).as("sent"))
+      .filter(length(col("sent")) > 0)
+      .distinct()
+    val boiler = sents.groupBy(col("sent")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3).select(col("sent"))
+    val nb = sents.join(broadcast(boiler), Seq("sent"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boilerplate"))
+    sents.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sentences"))
+      .join(nb, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sentences"),
+        coalesce(col("n_boilerplate"), lit(0L)).as("n_boilerplate"),
+        round(coalesce(col("n_boilerplate"), lit(0L)).cast("double") /
+          col("n_sentences").cast("double"), 6).as("boilerplate_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force ANN top-k, integer-quantized dot product (exact, portable —
     * this one HAS a DuckDB oracle). */
   private def q42(s: SparkSession, dir: String): DataFrame = {
@@ -943,7 +996,9 @@ object SparkEntry {
     "q55_hash_sample" -> q55 _,
     "q56_approx_sketch" -> q56 _,
     "q57_repetition" -> q57 _,
-    "q58_decontaminate" -> q58 _
+    "q58_decontaminate" -> q58 _,
+    "q59_pii_scrub" -> q59 _,
+    "q60_boilerplate" -> q60 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

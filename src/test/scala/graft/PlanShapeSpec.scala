@@ -87,4 +87,18 @@ class PlanShapeSpec extends SparkSpec {
     assert("Sort \\[l_partkey#\\d+L ASC NULLS FIRST, day_qty#\\d+L DESC NULLS LAST[^\n]*\\], false".r
       .findAllIn(plan).nonEmpty, s"rank window should re-sort locally:\n$plan")
   }
+
+  test("q58 decontamination probes a BROADCAST benchmark set (no corpus shuffle join)") {
+    val plan = executed(SparkEntry.benchQueries("q58_decontaminate")(spark, dir))
+    // the contamination check must be a broadcast hash join on the shingle
+    // key — a shuffled join would move the whole exploded corpus frame
+    assert("BroadcastHashJoin \\[sh#\\d+L\\]".r.findAllIn(plan).nonEmpty,
+      s"benchmark set not broadcast:\n$plan")
+  }
+
+  test("q56 sketch query plans NO Expand (multi-distinct would drag the percentile sort)") {
+    val plan = executed(SparkEntry.queries("q56_approx_sketch")(spark, dir))
+    assert(!plan.contains("Expand"),
+      s"exact-distinct fused back into the sketch agg (Expand regression):\n$plan")
+  }
 }
