@@ -800,6 +800,20 @@ object OracleSql {
            ROUND(CAST(COALESCE(nb.n_boilerplate, 0) AS DOUBLE)
              / CAST(ns.n_sentences AS DOUBLE), 6) AS boilerplate_ratio
          FROM ns LEFT JOIN nb ON ns.doc_id = nb.doc_id
-         ORDER BY ns.doc_id"""
+         ORDER BY ns.doc_id""",
+
+    // q61: concat-and-chunk sequence packing over the global token
+    // prefix sum (window form here; the engine computes the same numbers
+    // with the distributed two-phase scan). Integer // division.
+    "q61_sequence_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, n_tokens, cum_tokens,
+           (cum_tokens - n_tokens) // 2048 AS seq_first,
+           (cum_tokens - 1) // 2048 AS seq_last,
+           (cum_tokens - n_tokens) % 2048 AS tok_offset
+         FROM c WHERE n_tokens > 0 ORDER BY doc_id"""
   )
 }

@@ -801,6 +801,28 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** GPT-style sequence packing (concat-and-chunk): documents concatenate
+    * in doc_id order into one token stream cut every 2048 tokens; each doc
+    * reports its inclusive running total, first/last training sequence and
+    * offset within the first. Built on [[PrefixSum.withRunningTotal]] —
+    * the naive `Window.orderBy` formulation plans `Exchange
+    * SinglePartition` and serializes the entire corpus through one task
+    * (PlanShapeSpec pins the distributed shape). All-integer arithmetic
+    * (`div`, not double division: token streams pass 2^53 at corpus
+    * scale). */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    PrefixSum.withRunningTotal(s, toks, "doc_id", "n_tokens", "cum_tokens")
+      .filter(col("n_tokens") > 0)
+      .selectExpr("doc_id", "n_tokens", "cum_tokens",
+        "(cum_tokens - n_tokens) div 2048 as seq_first",
+        "(cum_tokens - 1) div 2048 as seq_last",
+        "(cum_tokens - n_tokens) % 2048 as tok_offset")
+      .orderBy(col("doc_id"))
+  }
+
   /** Brute-force ANN top-k, integer-quantized dot product (exact, portable —
     * this one HAS a DuckDB oracle). */
   private def q42(s: SparkSession, dir: String): DataFrame = {
@@ -998,7 +1020,8 @@ object SparkEntry {
     "q57_repetition" -> q57 _,
     "q58_decontaminate" -> q58 _,
     "q59_pii_scrub" -> q59 _,
-    "q60_boilerplate" -> q60 _
+    "q60_boilerplate" -> q60 _,
+    "q61_sequence_pack" -> q61 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

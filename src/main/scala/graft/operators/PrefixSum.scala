@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global prefix sum — the primitive behind ordered corpus
+  * operations (GPT-style sequence packing, ordered chunk assignment,
+  * global row numbering) that are usually written as
+  * `Window.orderBy(...)` with NO partition keys: Spark plans that as
+  * `Exchange SinglePartition` + one task doing all the work — the
+  * classic 100 TB scale killer.
+  *
+  * Two-phase formulation instead (the textbook parallel scan):
+  *   1. range-repartition by the order column, local cumulative sum per
+  *      partition (a window PARTITIONED by `spark_partition_id()` — every
+  *      partition sums in parallel);
+  *   2. per-partition totals (one tiny aggregate, <= numPartitions rows)
+  *      get their own exclusive prefix on the driver-side-sized frame,
+  *      then BROADCAST-join back as offsets.
+  * Total cost: two shuffles of the data (range + pid hash) plus a
+  * broadcast of numPartitions longs — no serial stage anywhere.
+  *
+  * Correctness notes:
+  *  - `orderCol` must be globally UNIQUE: the prefix sum is then
+  *    independent of where the (sampled, run-varying) range boundaries
+  *    land, because addition is associative and the order is total.
+  *  - the running total is INCLUSIVE (row's own value included);
+  *    subtract the value column for the exclusive form.
+  *  - values are summed as longs (token counts, byte sizes, row counts —
+  *    the intended domains).
+  */
+object PrefixSum {
+
+  /** Appends `outCol` = inclusive running total of `valueCol` in global
+    * `orderCol` order. `numPartitions` defaults to the session's shuffle
+    * partitioning. */
+  def withRunningTotal(spark: SparkSession, df: DataFrame, orderCol: String,
+                       valueCol: String, outCol: String,
+                       numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // phase 1: range partition + parallel per-partition cumulative sums
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("__local",
+      sum(col(valueCol).cast("long")).over(local))
+    // phase 2: exclusive prefix of the per-partition totals. The totals
+    // frame has <= numPartitions rows, so ITS single-partition window is
+    // bounded by configuration, not data — that is the entire trick.
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol).cast("long")).as("__total"))
+    val offsetW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = totals
+      .withColumn("__offset", coalesce(
+        sum(col("__total")).over(offsetW) - col("__total"), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    withLocal.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(outCol, col("__local") + col("__offset"))
+      .drop("__pid", "__local")
+  }
+}

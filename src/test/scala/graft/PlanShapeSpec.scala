@@ -101,4 +101,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Expand"),
       s"exact-distinct fused back into the sketch agg (Expand regression):\n$plan")
   }
+
+  test("q61 prefix sum: corpus never serializes through one task") {
+    val plan = executed(SparkEntry.queries("q61_sequence_pack")(spark, dir))
+    // exactly ONE SinglePartition exchange is allowed — the per-partition
+    // TOTALS frame (<= numPartitions rows, bounded by config not data);
+    // the corpus itself flows through range/hash exchanges + a broadcast
+    // join of the offsets
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single == 1, s"expected 1 bounded SinglePartition exchange, got $single:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+  }
 }
