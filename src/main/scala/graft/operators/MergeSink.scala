@@ -91,7 +91,12 @@ object MergeSink {
       try {
         val out = fs.create(lp, false) // overwrite=false: atomic create-if-absent
         out.write(holder.getBytes("UTF-8")); out.close(); true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        // only an EXISTING lock is contention; a transient infrastructure
+        // failure (outage, permissions) must surface as itself, not as a
+        // phantom concurrent writer
+        case e: java.io.IOException => if (fs.exists(lp)) false else throw e
+      }
     def holderOf: String =
       try {
         val in = fs.open(lp)
@@ -100,15 +105,34 @@ object MergeSink {
       } catch { case _: Exception => "unknown" }
     var acquired = tryAcquire()
     if (!acquired) {
-      val stale =
-        try System.currentTimeMillis() - fs.getFileStatus(lp).getModificationTime > staleAfterMs
-        catch { case _: Exception => false } // vanished between create and stat -> retry below
-      if (stale) fs.delete(lp, false) // dead writer; its swap marker heals under our lock
+      // break ONLY the exact stale lock we observed: re-check that the
+      // file still carries the same mtime before deleting, so two writers
+      // probing the same stale lock can't each delete the other's FRESH
+      // replacement (a conditional-delete TOCTOU window narrower than the
+      // observe-then-delete remains — inherent without a CAS primitive;
+      // the real fix is a Delta/Iceberg commit protocol)
+      val staleMtime =
+        try {
+          val st = fs.getFileStatus(lp)
+          if (System.currentTimeMillis() - st.getModificationTime > staleAfterMs)
+            Some(st.getModificationTime)
+          else None
+        } catch { case _: Exception => None } // vanished -> plain retry below
+      staleMtime.foreach { m =>
+        try if (fs.getFileStatus(lp).getModificationTime == m) fs.delete(lp, false)
+        catch { case _: Exception => () } // already gone/replaced: don't touch
+      }
       acquired = tryAcquire()
       if (!acquired) throw new ConcurrentWriteException(path, holderOf)
     }
     try body
-    finally fs.delete(lp, false)
+    finally {
+      // release ONLY our own lock: if a stale-breaker replaced it while we
+      // overran staleAfterMs, deleting blindly would free the table under
+      // the new holder's feet and admit a third writer mid-swap
+      try if (holderOf == holder) fs.delete(lp, false)
+      catch { case _: Exception => () }
+    }
   }
 
   // ------------------------------------------------------------------ swap

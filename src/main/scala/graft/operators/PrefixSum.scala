@@ -40,9 +40,16 @@ object PrefixSum {
                        numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // phase 1: range partition + parallel per-partition cumulative sums
+    // phase 1: range partition + parallel per-partition cumulative sums.
+    // EAGERLY materialized (localCheckpoint): phases 1 and 2 both consume
+    // this frame, and as two lazy branches they would each plan their OWN
+    // range exchange with independently SAMPLED boundaries — a row near a
+    // boundary could land in partition p for the local sums but p+1 for
+    // the totals, silently corrupting the offsets. One materialization
+    // pins the boundaries (and the __pid values) for both consumers.
     val ranged = df.repartitionByRange(n, col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val local = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLocal = ranged.withColumn("__local",

@@ -54,6 +54,10 @@ object JdbcUpsert {
   }
 
   sealed trait Dialect {
+    /** Case-exact identifier quoting, shared by every dialect: Spark's
+      * JDBC writer quotes the staged temp table's columns, so the merge
+      * SQL must reference them the same way. */
+    protected def q(id: String): String = "\"" + id + "\""
     /** One set-based merge from staged temp table into the target. */
     def stagedMergeSql(spec: UpsertSpec, temp: String, cols: Seq[String]): String
     /** Per-row parameterized upsert (None if the dialect needs a temp table). */
@@ -70,8 +74,6 @@ object JdbcUpsert {
     * staged temp table's columns, so unquoted references would be folded
     * to lowercase by Postgres and miss any mixed-case column. */
   case object Postgres extends Dialect {
-    private def q(id: String): String = "\"" + id + "\""
-
     private def conflictClause(spec: UpsertSpec, cols: Seq[String]): String = {
       val sets = spec.updateCols(cols)
         .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(",\n  ")
@@ -100,7 +102,6 @@ object JdbcUpsert {
     * are expected to carry matching case-exact columns (any table created
     * by Spark does). */
   case object AnsiMerge extends Dialect {
-    private def q(id: String): String = "\"" + id + "\""
     private def distinctFrom(a: String, b: String): String =
       s"($a <> $b OR ($a IS NULL AND $b IS NOT NULL) OR ($a IS NOT NULL AND $b IS NULL))"
 
@@ -138,8 +139,6 @@ object JdbcUpsert {
     * it, which stays a documented gap until a PG-compatible engine
     * ships. */
   case object InsertOnly extends Dialect {
-    private def q(id: String): String = "\"" + id + "\""
-
     def stagedMergeSql(spec: UpsertSpec, temp: String, cols: Seq[String]): String =
       s"""INSERT INTO ${spec.table} (${cols.map(q).mkString(", ")})
          |SELECT ${cols.map(q).mkString(", ")} FROM $temp""".stripMargin
