@@ -62,6 +62,22 @@ object StreamingIngest {
       .select(col("window.start").as("ws"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** At-least-once ingestion dedup (T3) in its streaming-native form:
+    * duplicate deliveries of the same key arriving within the watermark
+    * horizon are dropped by the state store itself
+    * (`dropDuplicatesWithinWatermark`), BEFORE the foreachBatch merge —
+    * so redelivered rows never even reach the sink. State is bounded:
+    * entries age out once the watermark passes them (the plain
+    * `dropDuplicates` on a stream would grow state forever). The
+    * downstream hash-guarded merge stays idempotent for duplicates
+    * arriving OUTSIDE the horizon — two bounded layers instead of one
+    * unbounded one. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           tsCol: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   // ---- custom state: flatMapGroupsWithState ----
 
   /** (key, row_hash) input row for the stateful change detector. */

@@ -50,6 +50,30 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 3)
   }
 
+  test("dedupWithinWatermark drops redelivered keys via bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = Files.createTempDirectory("wmdedup")
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 10:00:00")
+    def ts(min: Int) = java.sql.Timestamp.valueOf(s"2024-05-01 10:${"%02d".format(min)}:00")
+    // duplicate deliveries of AAA within the horizon + a distinct BBB
+    input.addData(("AAA", t0, 10.0), ("AAA", ts(1), 10.0), ("BBB", ts(2), 20.0),
+      ("AAA", ts(3), 10.0))
+    val deduped = StreamingIngest.dedupWithinWatermark(
+      input.toDF().toDF("ticker", "ts", "price"),
+      keys = Seq("ticker"), tsCol = "ts", watermark = "10 minutes")
+    val q = deduped.writeStream
+      .format("memory").queryName("wm_dedup").outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("wm_dedup").orderBy("ticker")
+      .select("ticker").as[String].collect().toSeq
+    assert(got == Seq("AAA", "BBB"), s"duplicates within watermark must drop: $got")
+  }
+
   test("changeDetect keeps per-key hash state across micro-batches (flatMapGroupsWithState)") {
     import StreamingIngest.KeyedRow
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
