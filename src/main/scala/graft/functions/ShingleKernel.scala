@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** The compiled shingle-set kernel, callable from BOTH the Scala UDF path
+  * and generated whole-stage-codegen Java (`ShingleSetExpr`): whitespace-
+  * tokenize, FNV-1a+splitmix64-hash tokens, slide an n-window combining
+  * hash, distinct. Kept as a plain object with static forwarders so
+  * codegen can reference `graft.functions.ShingleKernel.shingleSetData`
+  * directly.
+  *
+  * Behavioral spec mirrors TextFns.shingles (and the DuckDB oracle's
+  * fallback arm): fewer than n tokens -> the whole token sequence as ONE
+  * shingle — including the empty string, whose zero tokens hash to the
+  * single empty-gram sentinel; only NULL text yields an empty set. */
+object ShingleKernel {
+
+  /** splitmix64 finalizer (public-domain constant set). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-16 code units, finalized with splitmix64. */
+  @inline def hashString(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Non-distinct hashed n-gram list (frequency-preserving sibling). */
+  def shingleList(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty[Long]
+    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = hashString(toks(i)); i += 1 }
+    if (th.length >= n) {
+      val m = th.length - n + 1
+      val a = new Array[Long](m)
+      var j = 0
+      while (j < m) {
+        var h = 0xcbf29ce484222325L
+        var k = 0
+        while (k < n) { h ^= th(j + k); h *= 0x100000001b3L; k += 1 }
+        a(j) = mix64(h)
+        j += 1
+      }
+      a
+    } else {
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < th.length) { h ^= th(k); h *= 0x100000001b3L; k += 1 }
+      Array(mix64(h))
+    }
+  }
+
+  /** Distinct hashed n-gram set (first-occurrence order). */
+  def shingleSet(text: String, n: Int): Array[Long] = {
+    val out = shingleList(text, n)
+    val seen = new java.util.HashSet[Long](out.length * 2)
+    out.filter(seen.add)
+  }
+
+  /** Catalyst-facing form: the distinct set as an `ArrayData` (what both
+    * `ShingleSetExpr.eval` and its generated code return). */
+  def shingleSetData(text: String, n: Int): ArrayData =
+    new GenericArrayData(shingleSet(text, n))
+}

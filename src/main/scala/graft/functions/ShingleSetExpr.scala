@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the hashed shingle-set kernel — the
+  * step above a Scala UDF in the custom-operator ladder: `doGenCode`
+  * emits a direct static call into [[ShingleKernel]], so the projection
+  * stays inside the whole-stage-codegen span (no ScalaUDF
+  * encoder/serializer boundary, no per-row closure dispatch — the
+  * generated Java calls the same compiled loop the UDF wraps).
+  *
+  * Semantics are identical to the UDF form (`ShingleExprSpec` pins the
+  * equality, including null/empty text -> EMPTY ARRAY, never null —
+  * hence `nullable = false` and a hand-rolled eval/codegen instead of
+  * the null-propagating `nullSafeEval` template). */
+case class ShingleSetExpr(child: Expression, shingleN: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_set expects a STRING child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingle_set"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.shingleSetData(
+      if (v == null) null else v.asInstanceOf[UTF8String].toString, shingleN)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.ShingleKernel.shingleSetData(
+            ${c.isNull} ? null : ${c.value}.toString(), $shingleN);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
+    copy(child = newChild)
+}

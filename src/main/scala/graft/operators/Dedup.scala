@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextFns
+import graft.functions.{ShingleKernel, TextFns}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,67 +40,12 @@ object Dedup {
 
   // ---------------------------------------------------------------- MinHash
 
-  /** splitmix64 finalizer — a strong 64-bit mixer (public-domain constant
-    * set; used for token/shingle hashing and simulated MinHash families). */
-  @inline private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  @inline private def hashString(s: String): Long = {
-    // FNV-1a 64 over UTF-16 code units, finalized with splitmix64
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
-    mix64(h)
-  }
-
-  /** Compiled shingle-set kernel: whitespace-tokenize, hash tokens, slide an
-    * n-window hashing (prev-combine via FNV over token hashes), distinct.
-    * A plain Scala UDF on purpose: Spark's higher-order array functions
-    * (transform/filter/aggregate) are CodegenFallback — interpreted, with
-    * per-element lambda dispatch — and profile ~10x slower than this
-    * compiled loop on short-document corpora. The UDF breaks codegen for
-    * this one projection but the projection IS the work. */
-  /** Non-distinct hashed n-gram list (frequency-preserving). */
-  private def shingleListKernel(n: Int): String => Array[Long] = { text =>
-    if (text == null) Array.empty[Long]
-    else {
-      val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
-      val th = new Array[Long](toks.length)
-      var i = 0
-      while (i < toks.length) { th(i) = hashString(toks(i)); i += 1 }
-      if (th.length >= n) {
-        val m = th.length - n + 1
-        val a = new Array[Long](m)
-        var j = 0
-        while (j < m) {
-          var h = 0xcbf29ce484222325L
-          var k = 0
-          while (k < n) { h ^= th(j + k); h *= 0x100000001b3L; k += 1 }
-          a(j) = mix64(h)
-          j += 1
-        }
-        a
-      } else {
-        var h = 0xcbf29ce484222325L
-        var k = 0
-        while (k < th.length) { h ^= th(k); h *= 0x100000001b3L; k += 1 }
-        Array(mix64(h))
-      }
-    }
-  }
-
-  private def shingleSetKernel(n: Int): String => Array[Long] = {
-    val list = shingleListKernel(n)
-    text => {
-      val out = list(text)
-      val seen = new java.util.HashSet[Long](out.length * 2)
-      out.filter(seen.add)
-    }
-  }
+  // token/shingle hashing delegates to the shared compiled kernel
+  // (graft.functions.ShingleKernel) — one implementation feeds the UDF
+  // path, the native ShingleSetExpr codegen path, and the MinHash/SimHash
+  // families below
+  @inline private def mix64(z0: Long): Long = ShingleKernel.mix64(z0)
+  @inline private def hashString(s: String): Long = ShingleKernel.hashString(s)
 
   /** Non-distinct hashed word-shingle LIST per document (`array<long>`) —
     * the frequency-preserving sibling of [[shingleSets]], for consumers
@@ -110,7 +55,7 @@ object Dedup {
     * element — O(tokens^2) per document interpreted, vs this linear loop. */
   def shingleLists(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int): DataFrame = {
-    val kernel = udf(shingleListKernel(shingleN))
+    val kernel = udf((text: String) => ShingleKernel.shingleList(text, shingleN))
     df.select(col(idCol), kernel(col(textCol)).as("shlist"))
   }
 
@@ -123,13 +68,15 @@ object Dedup {
                   shingleN: Int): DataFrame =
     df.select(col(idCol), shingleSetCol(col(textCol), shingleN).as("shset"))
 
-  /** The compiled distinct-shingle kernel as a reusable Column, for
-    * consumers that append it to a wider projection (doc signatures,
-    * shingle counts) instead of taking the (id, shset) frame. */
-  def shingleSetCol(text: Column, shingleN: Int): Column = {
-    val kernel = udf(shingleSetKernel(shingleN))
-    kernel(text)
-  }
+  /** The compiled distinct-shingle kernel as a reusable Column — backed
+    * by the NATIVE Catalyst expression ([[graft.functions.ShingleSetExpr]]):
+    * its doGenCode emits a direct static call into the kernel, so the
+    * projection stays inside the whole-stage-codegen span instead of
+    * paying the ScalaUDF encoder boundary per row. */
+  def shingleSetCol(text: Column, shingleN: Int): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      graft.functions.ShingleSetExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(text), shingleN))
 
   /** MinHash signatures: k independent hash functions simulated as
     * splitmix64(seed_i ^ shingle); signature_i = min over the doc's shingle
