@@ -69,4 +69,27 @@ object ShingleKernel {
     * `ShingleSetExpr.eval` and its generated code return). */
   def shingleSetData(text: String, n: Int): ArrayData =
     new GenericArrayData(shingleSet(text, n))
+
+  /** MinHash signature over a hashed shingle set: k hash functions
+    * simulated as splitmix64(shingle ^ seed_i); signature_i = min over the
+    * set. Null input (never produced by [[shingleSetData]], defensive) ->
+    * the all-MaxValue empty-set signature. */
+  def minhashSignature(shset: ArrayData, numHashes: Int): ArrayData = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (shset != null) {
+      val len = shset.numElements()
+      var i = 0
+      while (i < len) {
+        val s = shset.getLong(i)
+        var h = 0
+        while (h < numHashes) {
+          val v = mix64(s ^ (h * 0xc2b2ae3d27d4eb4fL))
+          if (v < sig(h)) sig(h) = v
+          h += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
 }

@@ -53,3 +53,42 @@ case class ShingleSetExpr(child: Expression, shingleN: Int)
   override protected def withNewChildInternal(newChild: Expression): ShingleSetExpr =
     copy(child = newChild)
 }
+
+/** Native MinHash-signature expression over a hashed shingle set
+  * (`array<long>` -> `array<long>` of length `numHashes`) — the second
+  * compute-bound per-row kernel of the dedup family, same codegen
+  * strategy as [[ShingleSetExpr]]: a static call into [[ShingleKernel]]
+  * inside the whole-stage span. */
+case class MinHashSigExpr(child: Expression, numHashes: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "minhash_sig"
+
+  override def eval(input: InternalRow): Any =
+    ShingleKernel.minhashSignature(
+      child.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.ShingleKernel.minhashSignature(
+            ${c.isNull} ? null : ${c.value}, $numHashes);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}

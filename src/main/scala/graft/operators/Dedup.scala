@@ -90,26 +90,17 @@ object Dedup {
 
   /** Signature kernel over a precomputed `shset` frame — lets callers that
     * already hold the shingle sets (minhashDedup) reuse them instead of
-    * re-shingling the corpus per consumer. */
+    * re-shingling the corpus per consumer. Native codegen expression
+    * ([[graft.functions.MinHashSigExpr]]), same rationale as
+    * [[shingleSetCol]]: the k-hash min loop runs inside the whole-stage
+    * span, no ScalaUDF array re-encoding per row. */
   def minhashSignaturesFromSets(sets: DataFrame, idCol: String,
-                                numHashes: Int): DataFrame = {
-    val sigKernel = udf { (shset: Array[Long]) =>
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      var i = 0
-      while (i < shset.length) {
-        val s = shset(i)
-        var h = 0
-        while (h < numHashes) {
-          val v = mix64(s ^ (h * 0xc2b2ae3d27d4eb4fL))
-          if (v < sig(h)) sig(h) = v
-          h += 1
-        }
-        i += 1
-      }
-      sig
-    }
-    sets.select(col(idCol), sigKernel(col("shset")).as("signature"))
-  }
+                                numHashes: Int): DataFrame =
+    sets.select(col(idCol),
+      org.apache.spark.sql.graft.ExprBridge.column(
+        graft.functions.MinHashSigExpr(
+          org.apache.spark.sql.graft.ExprBridge.expression(col("shset")),
+          numHashes)).as("signature"))
 
   /** LSH banding: signature split into `bands` bands of k/bands rows; docs
     * sharing any band bucket become candidate pairs. Returns distinct

@@ -64,6 +64,23 @@ class ShingleExprSpec extends SparkSpec {
       .toLongArray().toSeq == ShingleKernel.shingleSet("p q r s", 3).toSeq)
   }
 
+  test("native minhash signature matches the reference formula exactly") {
+    val shset = ShingleKernel.shingleSet("alpha beta gamma delta epsilon", 3)
+    val got = ShingleKernel.minhashSignature(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(shset), 16)
+      .toLongArray().toSeq
+    // driver-side replay of the k-seed min formula
+    val expected = (0 until 16).map { h =>
+      shset.map(s => ShingleKernel.mix64(s ^ (h * 0xc2b2ae3d27d4eb4fL))).min
+    }
+    assert(got == expected)
+    // empty set -> all-MaxValue signature (same as the old UDF on Array())
+    val empty = ShingleKernel.minhashSignature(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long]), 4)
+      .toLongArray().toSeq
+    assert(empty == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("downstream dedup family is unchanged through the native kernel (q40 shape)") {
     val pairs = Dedup.minhashDedup(
         Seq((0L, "alpha beta gamma delta epsilon"),
