@@ -70,6 +70,32 @@ object ShingleKernel {
   def shingleSetData(text: String, n: Int): ArrayData =
     new GenericArrayData(shingleSet(text, n))
 
+  /** 64-bit SimHash over word tokens: per bit position, ±1 votes weighted
+    * by token frequency; bit = sign. Null/empty -> the zero-vote
+    * signature (all bits set, matching the historical kernel). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    if (text != null) {
+      val toks = text.toLowerCase.trim.split("\\s+")
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).nonEmpty) {
+          val h = hashString(toks(i))
+          var k = 0
+          while (k < 64) {
+            if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
+            k += 1
+          }
+        }
+        i += 1
+      }
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (counts(k) >= 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
   /** MinHash signature over a hashed shingle set: k hash functions
     * simulated as splitmix64(shingle ^ seed_i); signature_i = min over the
     * set. Null input (never produced by [[shingleSetData]], defensive) ->

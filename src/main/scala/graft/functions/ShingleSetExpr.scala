@@ -92,3 +92,40 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
 }
+
+/** Native 64-bit SimHash expression (string -> long) — the FNV fast-path
+  * kernel of the SimHash family as a codegen expression; the md5-based
+  * 60-bit portable variant stays a UDF (it exists only for external-
+  * engine parity, never on the hot path). */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects a STRING child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash64"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.simhash64(
+      if (v == null) null else v.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = graft.functions.ShingleKernel.simhash64(
+          ${c.isNull} ? null : ${c.value}.toString());
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}

@@ -337,34 +337,16 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens: per bit position, sum +1/-1 weighted
-    * by token frequency; bit = sign. A compiled per-row kernel — the
-    * classic explode + 64-column groupBy formulation shuffles every token;
-    * this computes each doc's simhash inside the scan with zero shuffle. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val kernel = udf { (text: String) =>
-      val counts = new Array[Int](64)
-      if (text != null) {
-        val toks = text.toLowerCase.trim.split("\\s+")
-        var i = 0
-        while (i < toks.length) {
-          if (toks(i).nonEmpty) {
-            val h = hashString(toks(i))
-            var k = 0
-            while (k < 64) {
-              if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
-              k += 1
-            }
-          }
-          i += 1
-        }
-      }
-      var sig = 0L
-      var k = 0
-      while (k < 64) { if (counts(k) >= 0) sig |= (1L << k); k += 1 }
-      sig
-    }
-    df.select(col(idCol), kernel(col(textCol)).as("simhash"))
-  }
+    * by token frequency; bit = sign. Native codegen expression
+    * ([[graft.functions.SimHash64Expr]]) — the classic explode +
+    * 64-column groupBy formulation shuffles every token; this computes
+    * each doc's simhash inside the scan's codegen span with zero shuffle. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      org.apache.spark.sql.graft.ExprBridge.column(
+        graft.functions.SimHash64Expr(
+          org.apache.spark.sql.graft.ExprBridge.expression(col(textCol))))
+        .as("simhash"))
 
   /** 60-bit ENGINE-PORTABLE SimHash: token hash = first 15 hex chars of
     * md5(utf8(token)) parsed base-16 (< 2^60, so every shift/mask stays in

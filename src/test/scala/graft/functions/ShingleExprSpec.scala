@@ -81,6 +81,27 @@ class ShingleExprSpec extends SparkSpec {
     assert(empty == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("native simhash64 matches the driver-side replay (incl. empty/null)") {
+    def replay(text: String): Long = {
+      val counts = new Array[Int](64)
+      text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        val h = ShingleKernel.hashString(tok)
+        (0 until 64).foreach(k =>
+          if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1)
+      }
+      (0 until 64).foldLeft(0L)((s, k) => if (counts(k) >= 0) s | (1L << k) else s)
+    }
+    val texts = Seq("the quick brown fox", "", "a b a b a")
+    texts.foreach(t => assert(ShingleKernel.simhash64(t) == replay(t), s"'$t'"))
+    assert(ShingleKernel.simhash64(null) == replay(""))
+    // through the Dedup operator (native expression path)
+    val got = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val expected = docs.orderBy("doc_id").as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, replay(t)) }
+    assert(got == expected)
+  }
+
   test("downstream dedup family is unchanged through the native kernel (q40 shape)") {
     val pairs = Dedup.minhashDedup(
         Seq((0L, "alpha beta gamma delta epsilon"),
