@@ -432,8 +432,12 @@ object SparkEntry {
     * approximation landed inside its published bound — the DuckDB oracle
     * replays the exact values and pins the booleans at literal TRUE, so a
     * drifting sketch fails the strict hash gate. Envelopes: HLL rsd 0.02
-    * checked at 3 sigma (6% relative); approx_percentile accuracy 10000
-    * checked against the exact p45..p55 value bracket (rank error is
+    * checked at 5 sigma (10% relative) — the bit-exact oracle gate must
+    * never fail spuriously on new data, so the gate takes the
+    * essentially-zero-false-positive bound while SketchEnvelopeSpec pins
+    * the tighter 3-sigma (6%) bound on the fixed sf0.01 corpus;
+    * approx_percentile accuracy 10000 is checked against the exact
+    * p45..p55 value bracket (rank error is
     * n/10000 << 0.05 quantile). Sketches are the 100 TB default for these
     * statistics — one pass, fixed memory, mergeable across partitions —
     * where exact distinct/percentile need a full shuffle + per-group sort
@@ -458,7 +462,7 @@ object SparkEntry {
     exact.join(sk, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_distinct"),
         (abs(col("__ad") - col("exact_distinct")) <=
-          col("exact_distinct") * 0.06).as("distinct_in_bounds"),
+          col("exact_distinct") * 0.10).as("distinct_in_bounds"),
         col("__p").getItem(1).as("exact_p50"),
         (col("__ap") >= col("__p").getItem(0) &&
           col("__ap") <= col("__p").getItem(2)).as("p50_in_bounds"),
@@ -779,15 +783,21 @@ object SparkEntry {
     * sentence for document frequency -> the (small, Zipf-headed)
     * boilerplate set BROADCASTS back against the per-doc sentences — the
     * same probe shape as q58's decontamination, no second corpus shuffle.
-    * At 100 TB hash the sentences (xxhash64) before the shuffle so the
-    * exchange carries 8 bytes/sentence; kept as strings here for oracle
-    * parity. */
+    * Two scale moves (both oracle-neutral — the output is counts, and the
+    * DuckDB oracle keeps grouping the strings):
+    *  - sentences are xxhash64'd BEFORE any shuffle, so every exchange
+    *    and the broadcast carry 8 bytes per sentence instead of the text;
+    *  - the per-doc distinct sentence frame feeds THREE consumers
+    *    (doc frequency, boilerplate probe, n_sentences), so it is
+    *    persisted — one corpus scan + explode, not three (PlanShapeSpec
+    *    pins zero direct file scans in the executed plan). */
   private def q60(s: SparkSession, dir: String): DataFrame = {
     val sents = T(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), "\\.")).as("s0"))
-      .select(col("doc_id"), trim(col("s0")).as("sent"))
-      .filter(length(col("sent")) > 0)
+      .filter(length(trim(col("s0"))) > 0)
+      .select(col("doc_id"), xxhash64(trim(col("s0"))).as("sent"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boiler = sents.groupBy(col("sent")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 3).select(col("sent"))
     val nb = sents.join(broadcast(boiler), Seq("sent"))

@@ -69,10 +69,10 @@ object Multimodal {
     /** Deterministic fake frame "decode": [[decodeImage]] plus a
       * frame-index-dependent perturbation, so sampled frames of one video
       * are distinct but reproducible. */
-    def decodeFrame(mediaId: Long, frameIdx: Int, payload: Array[Byte]): ImageFeatures = {
+    def decodeFrame(mediaId: Long, frameIdx: Long, payload: Array[Byte]): ImageFeatures = {
       val base = decodeImage(mediaId, payload)
       base.copy(phash = java.lang.Long.rotateLeft(
-        base.phash ^ (frameIdx * 0x9e3779b97f4a7c15L), frameIdx % 63))
+        base.phash ^ (frameIdx * 0x9e3779b97f4a7c15L), (frameIdx % 63).toInt))
     }
 
     /** Deterministic fake "decode": dimensions/stats derived from bytes. */
@@ -217,12 +217,17 @@ object Multimodal {
   def frameSamplePlan(media: DataFrame, fps: Int, everyN: Int): DataFrame =
     media.filter(col("kind") === "video")
       .withColumn("frame_idx",
-        explode(sequence(lit(0),
-          greatest(lit(0), (col("byte_len") / (fps * everyN)).cast(IntegerType)))))
+        // INTEGRAL division (`div`), LongType indices — the exact
+        // arithmetic decodeFrames runs on the JVM side. Double division
+        // would diverge for byte_len near 2^53 and an Int cast overflows
+        // past 2^31 frames; `div` + bigint shares exact semantics at any
+        // magnitude.
+        explode(sequence(lit(0L),
+          greatest(lit(0L), expr(s"byte_len div ${fps.toLong * everyN}L")))))
       .select(col("media_id"), col("frame_idx"))
 
   /** frame row: the per-frame sibling of [[ImageFeatures]]. */
-  final case class FrameFeatures(media_id: Long, frame_idx: Int, width: Int,
+  final case class FrameFeatures(media_id: Long, frame_idx: Long, width: Int,
                                  height: Int, grey_mean: Double, phash: Long)
 
   /** Partition-mapped frame decode: each video row's payload is read ONCE
@@ -243,8 +248,8 @@ object Multimodal {
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.flatMap { case (id, payload, byteLen) =>
-          val last = math.max(0L, byteLen / step).toInt
-          (0 to last).iterator.map { f =>
+          val last = math.max(0L, byteLen / step)
+          (0L to last).iterator.map { f =>
             val feat = DecodeStub.decodeFrame(id, f, payload)
             FrameFeatures(id, f, feat.width, feat.height, feat.grey_mean, feat.phash)
           }

@@ -297,6 +297,12 @@ object Dedup {
           least(col("label"), coalesce(col("jLabel"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nextSum = labelSum(next)
+      // `next` is now materialized in its own persist blocks, so this
+      // round's checkpoint is dead weight — free it NOW. Checkpoint
+      // blocks aren't cache-manager-tracked (unpersist on the Dataset
+      // wouldn't touch them) and otherwise stay resident until JVM GC,
+      // accumulating one generation per round across the whole loop.
+      org.apache.spark.sql.graft.ExprBridge.releaseLocalCheckpoint(propagated)
       labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

@@ -28,8 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object DailyPipeline {
 
+  /** One stage's outcome. `durationMs` mirrors the reference's
+    * log_execution_summary per-stage duration (src/utils/logger.py:81-117)
+    * — wall-clock of the stage body, populated for failures too (a stage
+    * that dies 40 minutes in should say so). */
   final case class StageResult(stage: String, rows: Long, ok: Boolean,
-                               error: Option[String] = None)
+                               error: Option[String] = None,
+                               durationMs: Long = 0L)
 
   /** Fail-fast abort that still carries the A6 run summary: the reference's
     * global pipeline aborts on the first failing stage (main_pipeline.py:
@@ -60,12 +65,18 @@ object DailyPipeline {
           asOf: Column, failFast: Boolean = true): Seq[StageResult] = {
     val results = Seq.newBuilder[StageResult]
 
-    def stage(name: String)(body: => Long): Unit =
-      try results += StageResult(name, body, ok = true)
-      catch { case e: Exception =>
-        results += StageResult(name, 0, ok = false, error = Some(e.toString))
+    def stage(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      def elapsedMs = (System.nanoTime() - t0) / 1000000L
+      try {
+        val rows = body
+        results += StageResult(name, rows, ok = true, durationMs = elapsedMs)
+      } catch { case e: Exception =>
+        results += StageResult(name, 0, ok = false, error = Some(e.toString),
+          durationMs = elapsedMs)
         if (failFast) throw new PipelineFailedException(results.result(), e)
       }
+    }
 
     // the remediator's ready-dir memoization is RUN-scoped: the dir must
     // be dated, or day 2's run would find day 1's generation and silently

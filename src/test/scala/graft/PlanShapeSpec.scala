@@ -102,6 +102,31 @@ class PlanShapeSpec extends SparkSpec {
       s"exact-distinct fused back into the sketch agg (Expand regression):\n$plan")
   }
 
+  test("q60 boilerplate: ONE corpus scan feeds all three sentence consumers") {
+    val df = SparkEntry.queries("q60_boilerplate")(spark, dir)
+    // the per-doc distinct sentence frame is persisted and consumed three
+    // times (doc frequency, probe join, n_sentences): cache substitution
+    // must replace EVERY direct corpus relation in the optimized plan with
+    // the InMemoryRelation leaf — a LogicalRelation surviving outside the
+    // cache means the corpus scan+explode runs more than once
+    val opt = df.queryExecution.optimizedPlan
+    val direct = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    val cached = opt.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+    }
+    assert(cached.nonEmpty, s"sentence frame not persisted:\n$opt")
+    assert(direct.isEmpty,
+      s"corpus scanned ${direct.size} times outside the persisted frame:\n$opt")
+    // the cached frame carries (doc_id, xxhash64(sentence)) — every
+    // exchange moves 8-byte bigints, never sentence text
+    assert(cached.head.output.map(_.dataType).forall(
+      _ == org.apache.spark.sql.types.LongType),
+      s"sentence column not hashed to bigint before shuffle: ${cached.head.output}")
+    spark.catalog.clearCache() // release the query-internal persist
+  }
+
   test("q61 prefix sum: corpus never serializes through one task") {
     val plan = executed(SparkEntry.queries("q61_sequence_pack")(spark, dir))
     // exactly ONE SinglePartition exchange is allowed — the per-partition

@@ -129,7 +129,7 @@ class MultimodalSpec extends SparkSpec {
     val withVideo = media.withColumn("kind",
       when(col("media_id") === 2, "video").otherwise(col("kind")))
     val planned = Multimodal.frameSamplePlan(withVideo, fps = 1, everyN = 10)
-      .as[(Long, Int)].collect().toSet
+      .as[(Long, Long)].collect().toSet
     val decoded = Multimodal.decodeFrames(spark, withVideo, fps = 1, everyN = 10)
       .collect()
     // same index arithmetic as the plan: counts line up row-for-row

@@ -48,6 +48,10 @@ class DailyPipelineSpec extends SparkSpec {
     val results = DailyPipeline.run(spark, s"$root/lake", wh, lit("2024-05-01"))
     val byStage = results.map(r => r.stage -> r.rows).toMap
     assert(results.forall(_.ok), results.mkString("; "))
+    // per-stage durations (reference logger.py:81-117): every stage that
+    // ran real Spark work reports a positive wall-clock duration
+    assert(results.forall(_.durationMs > 0),
+      s"stage duration missing: ${results.map(r => r.stage -> r.durationMs)}")
     assert(byStage("master_sync") == 2)
     assert(byStage("nav_sync") == 1)
     // batched per-table merges: ONE upsert per target table per run
@@ -82,6 +86,8 @@ class DailyPipelineSpec extends SparkSpec {
       lit("2024-05-01"), failFast = false)
     val detail = results.find(_.stage == "detail_sync").get
     assert(!detail.ok && detail.rows == 0 && detail.error.exists(_.nonEmpty))
+    // a FAILED stage still reports how long it ran before dying
+    assert(detail.durationMs > 0, "failed stage must carry its duration")
     val holdings = results.find(_.stage == "holdings_sync").get
     assert(holdings.ok && holdings.rows == 1)
 
