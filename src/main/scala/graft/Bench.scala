@@ -12,8 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    count() lets Catalyst prune global sorts and unreferenced
   *    projections, under-billing sort-heavy queries, while the noop sink
   *    consumes every output row of the full plan with zero I/O cost;
-  *  - each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
-  *    the MEDIAN — single runs vary ±25% in one JVM (BenchRepeat measured);
+  *  - each query runs SPARK_GRAFT_BENCH_REPS times (default 7) and reports
+  *    the MEDIAN, plus a parallel `queries_min` map of per-query minima —
+  *    single runs vary ±25% in one JVM (BenchRepeat measured), and at
+  *    reps=3 the judge saw nine phantom cross-round "regressions" (r5);
+  *    the min is the low-noise floor to attribute real deltas against;
   *  - cached blocks are dropped and a GC is forced between timings so one
   *    query's persist/localCheckpoint traffic can't inflate its neighbors
   *    (the q30 10x artifact in BENCH_r03);
@@ -36,7 +39,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -74,17 +77,20 @@ object Bench {
         }
       }
       val good = times.filter(_ >= 0).sorted
-      name -> (if (good.isEmpty) -1.0 else good(good.length / 2))
+      name -> (if (good.isEmpty) (-1.0, -1.0)
+               else (good(good.length / 2), good.head))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+      .mkString("{", ",", "}")
+    val qmins = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$errJson}"""
+    val total = if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum else 0.0
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"sf":"$sfDir","reps":$reps$errJson}"""
     // The driver parses the bench JSON; sbt decorates stdout with [info]
     // prefixes, so ALSO persist the line to a file it can read directly.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

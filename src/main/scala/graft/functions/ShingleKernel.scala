@@ -70,6 +70,11 @@ object ShingleKernel {
   def shingleSetData(text: String, n: Int): ArrayData =
     new GenericArrayData(shingleSet(text, n))
 
+  /** Catalyst-facing form of the frequency-preserving list (what both
+    * `ShingleListExpr.eval` and its generated code return). */
+  def shingleListData(text: String, n: Int): ArrayData =
+    new GenericArrayData(shingleList(text, n))
+
   /** 64-bit SimHash over word tokens: per bit position, ±1 votes weighted
     * by token frequency; bit = sign. Null/empty -> the zero-vote
     * signature (all bits set, matching the historical kernel). */

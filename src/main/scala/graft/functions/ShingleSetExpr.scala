@@ -54,6 +54,47 @@ case class ShingleSetExpr(child: Expression, shingleN: Int)
     copy(child = newChild)
 }
 
+/** Native expression for the frequency-preserving shingle LIST kernel —
+  * the non-distinct sibling of [[ShingleSetExpr]], same codegen strategy
+  * (static call into [[ShingleKernel]] inside the whole-stage span).
+  * Closes the last hot-path ScalaUDF in the dedup family: the q52
+  * corpus-frequency pass now shingles 100 TB without crossing the UDF
+  * encoder boundary per row. */
+case class ShingleListExpr(child: Expression, shingleN: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_list expects a STRING child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "shingle_list"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.shingleListData(
+      if (v == null) null else v.asInstanceOf[UTF8String].toString, shingleN)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.ShingleKernel.shingleListData(
+            ${c.isNull} ? null : ${c.value}.toString(), $shingleN);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleListExpr =
+    copy(child = newChild)
+}
+
 /** Native MinHash-signature expression over a hashed shingle set
   * (`array<long>` -> `array<long>` of length `numHashes`) — the second
   * compute-bound per-row kernel of the dedup family, same codegen

@@ -52,12 +52,21 @@ object Dedup {
     * that weight by occurrence (corpus-frequency scoring). Same compiled
     * kernel rationale: the equivalent nested higher-order expressions are
     * CodegenFallback AND re-evaluate the token-hash subtree per output
-    * element — O(tokens^2) per document interpreted, vs this linear loop. */
+    * element — O(tokens^2) per document interpreted, vs this linear loop.
+    * Backed by the NATIVE Catalyst expression
+    * ([[graft.functions.ShingleListExpr]]) since round 6 — the last
+    * hot-path ScalaUDF in the dedup family, now inside whole-stage
+    * codegen like its distinct sibling. */
   def shingleLists(df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int): DataFrame = {
-    val kernel = udf((text: String) => ShingleKernel.shingleList(text, shingleN))
-    df.select(col(idCol), kernel(col(textCol)).as("shlist"))
-  }
+                   shingleN: Int): DataFrame =
+    df.select(col(idCol), shingleListCol(col(textCol), shingleN).as("shlist"))
+
+  /** The compiled frequency-preserving shingle kernel as a reusable
+    * Column — native-codegen twin of [[shingleSetCol]]. */
+  def shingleListCol(text: Column, shingleN: Int): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      graft.functions.ShingleListExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(text), shingleN))
 
   /** Distinct HASHED word-shingle set per document (`array<long>`) — the
     * shared basis of the Jaccard family, ONE narrow compiled projection

@@ -68,6 +68,34 @@ object MergeSink {
 
   private def lockPath(path: String) = new Path(path + "__lock")
 
+  /** This writer's lock was broken (stale-judged) by a contender while it
+    * was still alive; the critical section must abort, not proceed. */
+  final class LockLostException(path: String, newHolder: String)
+    extends RuntimeException(
+      s"lock on $path was lost to another writer ($newHolder) while this " +
+        "writer was still running; aborting before the table swap to avoid " +
+        "two concurrent swaps corrupting the table")
+
+  /** Handle to an acquired table lock. [[assertOwned]] re-reads the lock
+    * file and aborts if another writer replaced it — called immediately
+    * before the swap critical section so a slow-but-alive writer whose
+    * lock was stale-broken can never race the new holder's renames. */
+  private[graft] final class TableLock(fs: FileSystem, path: String,
+                                       val holder: String) {
+    private val lp = lockPath(path)
+    private[MergeSink] def holderOf: String =
+      try {
+        val in = fs.open(lp)
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        in.close(); s
+      } catch { case _: Exception => "unknown" }
+    def owned: Boolean = holderOf == holder
+    def assertOwned(): Unit = {
+      val h = holderOf
+      if (h != holder) throw new LockLostException(path, h)
+    }
+  }
+
   /** Table-level writer mutex via atomic create-if-absent of a lock file.
     *
     * The parquet swap-sink is crash-safe (marker + [[recoverSwap]]) but a
@@ -76,41 +104,52 @@ object MergeSink {
     * `FileSystem.create(overwrite = false)`, which is atomic on HDFS and
     * object stores with conditional-put semantics; a writer that died
     * mid-hold is healed by the stale-lock timeout (its swap marker is then
-    * rolled forward by recoverSwap under the new lock). Honest limits,
-    * documented: this is optimistic writer-EXCLUSION, not transaction
-    * isolation — readers still see generation boundaries, not snapshots,
-    * and on filesystems without atomic create the race window is the
-    * create call itself. Delta/Iceberg `MERGE INTO` with a real commit
-    * protocol remains the upgrade path (no such jars ship here). */
+    * rolled forward by recoverSwap under the new lock).
+    *
+    * Liveness vs the stale horizon: a daemon HEARTBEAT re-touches the lock
+    * mtime every `heartbeatMs` while `body` runs, so a slow-but-alive
+    * writer (a big merge overrunning `staleAfterMs`) never LOOKS dead —
+    * only a truly crashed holder goes stale. Defense in depth on top: the
+    * critical section re-reads the holder via [[TableLock.assertOwned]]
+    * immediately before [[swapDirs]] and aborts with [[LockLostException]]
+    * if the lock was lost anyway (e.g. a heartbeat write outage), so two
+    * concurrent swaps cannot both proceed. Honest limits, documented: this
+    * is optimistic writer-EXCLUSION, not transaction isolation — readers
+    * still see generation boundaries, not snapshots, and on filesystems
+    * without atomic create the race window is the create call itself.
+    * Delta/Iceberg `MERGE INTO` with a real commit protocol remains the
+    * upgrade path (no such jars ship here). */
   private[graft] def withTableLock[T](fs: FileSystem, path: String,
-                                      staleAfterMs: Long = 30 * 60 * 1000L)
-                                     (body: => T): T = {
+                                      staleAfterMs: Long = 30 * 60 * 1000L,
+                                      heartbeatMs: Long = -1L)
+                                     (body: TableLock => T): T = {
     val lp = lockPath(path)
     val holder = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/${java.util.UUID.randomUUID()}"
-    def tryAcquire(): Boolean =
-      try {
-        val out = fs.create(lp, false) // overwrite=false: atomic create-if-absent
-        out.write(holder.getBytes("UTF-8")); out.close(); true
-      } catch {
-        // only an EXISTING lock is contention; a transient infrastructure
-        // failure (outage, permissions) must surface as itself, not as a
-        // phantom concurrent writer
-        case e: java.io.IOException => if (fs.exists(lp)) false else throw e
-      }
-    def holderOf: String =
-      try {
-        val in = fs.open(lp)
-        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        in.close(); s
-      } catch { case _: Exception => "unknown" }
+    val lock = new TableLock(fs, path, holder)
+    def tryAcquire(): Boolean = {
+      val created =
+        try {
+          val out = fs.create(lp, false) // overwrite=false: atomic create-if-absent
+          out.write(holder.getBytes("UTF-8")); out.close(); true
+        } catch {
+          // only an EXISTING lock is contention; a transient infrastructure
+          // failure (outage, permissions) must surface as itself, not as a
+          // phantom concurrent writer
+          case e: java.io.IOException => if (fs.exists(lp)) false else throw e
+        }
+      // read-back verify: two stale-breakers can both pass the mtime
+      // re-check, one deletes the other's FRESH replacement, and both
+      // "create" — the loser's create lands second and its bytes are the
+      // file, or it lands first and was overwritten. Only the writer whose
+      // holder string IS the file content actually owns the lock.
+      created && lock.owned
+    }
     var acquired = tryAcquire()
     if (!acquired) {
       // break ONLY the exact stale lock we observed: re-check that the
       // file still carries the same mtime before deleting, so two writers
       // probing the same stale lock can't each delete the other's FRESH
-      // replacement (a conditional-delete TOCTOU window narrower than the
-      // observe-then-delete remains — inherent without a CAS primitive;
-      // the real fix is a Delta/Iceberg commit protocol)
+      // replacement
       val staleMtime =
         try {
           val st = fs.getFileStatus(lp)
@@ -123,14 +162,34 @@ object MergeSink {
         catch { case _: Exception => () } // already gone/replaced: don't touch
       }
       acquired = tryAcquire()
-      if (!acquired) throw new ConcurrentWriteException(path, holderOf)
+      if (!acquired) throw new ConcurrentWriteException(path, lock.holderOf)
     }
-    try body
+    // heartbeat: keep the lock visibly alive for as long as body runs.
+    // Touch only while we still own it — freshening a usurper's lock would
+    // extend THEIR hold. hbMs <= 0 with the default sentinel derives a
+    // period well inside the stale horizon; tests pass Long.MaxValue to
+    // simulate a heartbeat-less overrunning writer.
+    val hbMs = if (heartbeatMs > 0) heartbeatMs
+               else math.max(50L, staleAfterMs / 6)
+    val hb = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(hbMs)
+          try if (lock.owned) fs.setTimes(lp, System.currentTimeMillis(), -1)
+          catch { case _: InterruptedException => throw new InterruptedException
+                  case _: Exception => () }
+        }
+      } catch { case _: InterruptedException => () }
+    })
+    hb.setDaemon(true); hb.setName("graft-lock-heartbeat")
+    if (hbMs != Long.MaxValue) hb.start()
+    try body(lock)
     finally {
+      hb.interrupt()
       // release ONLY our own lock: if a stale-breaker replaced it while we
       // overran staleAfterMs, deleting blindly would free the table under
       // the new holder's feet and admit a third writer mid-swap
-      try if (holderOf == holder) fs.delete(lp, false)
+      try if (lock.owned) fs.delete(lp, false)
       catch { case _: Exception => () }
     }
   }
@@ -165,9 +224,15 @@ object MergeSink {
 
   /** Swaps `subdirs` of staged generation `tmp` into `path` (tmp/<d> ->
     * path/<d>, previous path/<d> parked under path__old until the swap
-    * completes). `subdirs == Seq("")` swaps the whole directory. */
+    * completes). `subdirs == Seq("")` swaps the whole directory.
+    *
+    * Entry gate: re-verifies lock ownership RIGHT BEFORE the first
+    * destructive step. A writer whose lock was stale-broken during the
+    * (long) staged write aborts here with [[LockLostException]] instead of
+    * racing the new holder's renames. */
   private def swapDirs(fs: FileSystem, path: String, tmp: String,
-                       subdirs: Seq[String]): Unit = {
+                       subdirs: Seq[String], lock: TableLock): Unit = {
+    lock.assertOwned()
     val old = path + "__old"
     fs.delete(new Path(old), true)
     fs.mkdirs(new Path(old))
@@ -223,11 +288,11 @@ object MergeSink {
     * [[recoverSwap]] on the next sink call instead of losing the table. */
   def replaceParquet(spark: SparkSession, path: String, df: DataFrame): Unit = {
     val fs = fsFor(spark, path)
-    withTableLock(fs, path) {
+    withTableLock(fs, path) { lock =>
       recoverSwap(spark, path)
       val tmp = path + "__tmp"
       df.write.mode("overwrite").parquet(tmp)
-      swapDirs(fs, path, tmp, Seq(""))
+      swapDirs(fs, path, tmp, Seq(""), lock)
       // drop cached file listings so readers created after the swap see the
       // new generation (stale FileStatusCache entries would 404 on old parts)
       spark.catalog.refreshByPath(path)
@@ -299,7 +364,7 @@ object MergeSink {
                     keys: Seq[String], hashCol: Option[String] = Some("row_hash"),
                     numBuckets: Int = 32): Unit = {
     val fs = fsFor(spark, path)
-    withTableLock(fs, path) {
+    withTableLock(fs, path) { lock =>
       recoverSwap(spark, path)
       val tgt = new Path(path)
       val tmp = path + "__tmp"
@@ -322,7 +387,7 @@ object MergeSink {
           val merged = merge(readTable(spark, path), updates, keys, hashCol)
             .withColumn("__bucket", bucketExpr(keys, numBuckets))
           merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-          swapDirs(fs, path, tmp, Seq(""))
+          swapDirs(fs, path, tmp, Seq(""), lock)
           writeMeta(fs, path, keys, numBuckets)
           spark.catalog.refreshByPath(path)
 
@@ -338,7 +403,7 @@ object MergeSink {
                 .filter(col("__bucket").isin(touched.map(Int.box): _*))
               val merged = merge(target, upd, keys, hashCol)
               merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
-              swapDirs(fs, path, tmp, touched.map(n => s"__bucket=$n").toSeq)
+              swapDirs(fs, path, tmp, touched.map(n => s"__bucket=$n").toSeq, lock)
               spark.catalog.refreshByPath(path)
             }
           } finally upd.unpersist()

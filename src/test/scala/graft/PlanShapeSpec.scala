@@ -127,6 +127,13 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache() // release the query-internal persist
   }
 
+  test("q52 corpus-frequency pass executes with NO ScalaUDF (native shingle_list)") {
+    val df = SparkEntry.queries("q52_bigram_corpus_score")(spark, dir)
+    val plan = executed(df)
+    assert(!plan.contains("ScalaUDF"), s"UDF boundary present in q52:\n$plan")
+    assert(plan.contains("shingle_list"), s"native shingle_list absent:\n$plan")
+  }
+
   test("q61 prefix sum: corpus never serializes through one task") {
     val plan = executed(SparkEntry.queries("q61_sequence_pack")(spark, dir))
     // exactly ONE SinglePartition exchange is allowed — the per-partition

@@ -64,6 +64,20 @@ class ShingleExprSpec extends SparkSpec {
       .toLongArray().toSeq == ShingleKernel.shingleSet("p q r s", 3).toSeq)
   }
 
+  test("native shingle_list matches the UDF kernel exactly (frequency-preserving)") {
+    val kernel = udf((t: String) => ShingleKernel.shingleList(t, 2))
+    val both = docs.select(col("doc_id"),
+        Dedup.shingleListCol(col("text"), 2).as("native"),
+        kernel(col("text")).as("viaUdf"))
+      .orderBy("doc_id")
+      .as[(Long, Seq[Long], Seq[Long])].collect().toSeq
+    both.foreach { case (id, n, u) => assert(n == u, s"doc $id diverged") }
+    // repeats are PRESERVED (the point of the list sibling): doc 5 has
+    // 5 tokens -> 4 bigrams, all identical
+    val d5 = both.find(_._1 == 5L).get._2
+    assert(d5.length == 4 && d5.distinct.length == 1)
+  }
+
   test("native minhash signature matches the reference formula exactly") {
     val shset = ShingleKernel.shingleSet("alpha beta gamma delta epsilon", 3)
     val got = ShingleKernel.minhashSignature(

@@ -166,7 +166,7 @@ class MergeSinkSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val df = withHash(Seq(("A", 1.0)).toDF("ticker", "price"))
-    MergeSink.withTableLock(fs, path) {
+    MergeSink.withTableLock(fs, path) { _ =>
       val e = intercept[MergeSink.ConcurrentWriteException] {
         MergeSink.upsertParquet(spark, path, df, Seq("ticker"))
       }
@@ -193,12 +193,57 @@ class MergeSinkSpec extends SparkSpec {
     assert(!new java.io.File(path + "__lock").exists())
   }
 
+  test("writer lock: heartbeat keeps a slow-but-alive writer's lock fresh " +
+       "past the stale horizon") {
+    val path = java.nio.file.Files.createTempDirectory("hbtbl").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // writer A holds with a 400 ms stale horizon and a live heartbeat;
+    // writer B probes AFTER that horizon has elapsed — the heartbeat must
+    // have re-touched the mtime, so B sees a FRESH lock and is rejected
+    MergeSink.withTableLock(fs, path, staleAfterMs = 400L) { _ =>
+      Thread.sleep(900L) // overrun the horizon while alive
+      intercept[MergeSink.ConcurrentWriteException] {
+        MergeSink.withTableLock(fs, path, staleAfterMs = 400L) { _ => () }
+      }
+    }
+    assert(!new java.io.File(path + "__lock").exists())
+  }
+
+  test("writer lock: an overrunning writer whose lock was stale-broken " +
+       "aborts before its swap — exactly one swap wins") {
+    val path = java.nio.file.Files.createTempDirectory("racetbl").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dfB = withHash(Seq(("B", 2.0)).toDF("ticker", "price"))
+    // writer A: heartbeat suppressed (simulates a heartbeat outage /
+    // pre-fix writer); aging the lock below stands in for A overrunning
+    // the real 30-minute horizon mid-merge
+    val e = intercept[MergeSink.LockLostException] {
+      MergeSink.withTableLock(fs, path,
+                              heartbeatMs = Long.MaxValue) { lockA =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(path + "__lock"),
+                    System.currentTimeMillis() - 60 * 60 * 1000L, -1)
+        // writer B judges A stale, breaks the lock, and completes its upsert
+        MergeSink.upsertParquet(spark, path, dfB, Seq("ticker"))
+        // A now reaches its own swap: the pre-swap ownership re-check must
+        // abort it — B's swap already won
+        lockA.assertOwned()
+      }
+    }
+    assert(e.getMessage.contains("lost to another writer"))
+    // the table is B's generation, intact — A corrupted nothing
+    val rows = MergeSink.readTable(spark, path)
+      .select("ticker").as[String].collect().toSeq
+    assert(rows == Seq("B"))
+  }
+
   test("writer lock: lock failures release the lock (finally path)") {
     val path = java.nio.file.Files.createTempDirectory("failtbl").toString + "/t"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     intercept[RuntimeException] {
-      MergeSink.withTableLock(fs, path) { throw new RuntimeException("boom") }
+      MergeSink.withTableLock(fs, path) { _ => throw new RuntimeException("boom") }
     }
     assert(!new java.io.File(path + "__lock").exists())
   }
