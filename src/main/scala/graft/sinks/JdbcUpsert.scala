@@ -130,14 +130,17 @@ object JdbcUpsert {
     * append-only targets (immutable event/history feeds where the natural
     * key is new by construction — the reference's append shape without
     * the CSV detour), and (2) the only per-row statement every embedded
-    * engine accepts: the sandbox ships no `ON CONFLICT`-capable database
-    * (Derby lacks both it and a derived-table MERGE source), so this is
-    * the dialect through which the test suite drives [[upsertDirect]]'s
-    * full partition/prepared-batch machinery against a real database.
-    * The Postgres `ON CONFLICT` text itself is pinned by exact-string
-    * golden tests — the one thing this environment cannot do is execute
-    * it, which stays a documented gap until a PG-compatible engine
-    * ships. */
+    * JDBC engine here accepts: no Postgres/H2 jar ships in the sandbox
+    * (Derby lacks both `ON CONFLICT` and a derived-table MERGE source),
+    * so this is the dialect through which the test suite drives
+    * [[upsertDirect]]'s full partition/prepared-batch machinery against
+    * a live JDBC database. The Postgres `ON CONFLICT` statements are
+    * pinned by exact-string goldens AND executed on a PG-compatible
+    * engine: DuckDB implements the `ON CONFLICT (key) DO UPDATE ...
+    * WHERE` form, and JdbcUpsertSpec runs the generated text through it
+    * (tools/onconflict_duckdb.py) — insert, hash-guarded update,
+    * equal-hash no-op, NULL-hash distinctness, staged-merge idempotence
+    * all verified by execution. */
   case object InsertOnly extends Dialect {
     def stagedMergeSql(spec: UpsertSpec, temp: String, cols: Seq[String]): String =
       s"""INSERT INTO ${spec.table} (${cols.map(q).mkString(", ")})

@@ -197,6 +197,72 @@ class DedupSpec extends SparkSpec {
     assert(cCapped == cUncapped)
   }
 
+  test("MEASURED recall of the production cap (maxBucketSize=1000) on a " +
+       "corpus with a deliberate hot bucket") {
+    // Corpus, ground truth BY CONSTRUCTION:
+    //  - hot cluster: 1100 IDENTICAL docs -> one LSH bucket of 1100 per
+    //    band, overflowing the production cap -> its C(1100,2) = 604,450
+    //    true pairs are deliberately suppressed;
+    //  - 50 scattered near-dup pairs (41-word doc, one word changed ->
+    //    word-3-shingle Jaccard ~0.85) in buckets of size 2, untouched by
+    //    the cap;
+    //  - 200 unrelated noise docs (disjoint per-doc vocabularies).
+    val hotText = "annual disclosure boilerplate " +
+      (1 to 38).map(i => s"hw$i").mkString(" ")
+    val hot = (0L until 1100L).map(i => (i, hotText))
+    val scatteredBase = (0 until 50).map { p =>
+      (1 to 41).map(i => s"p${p}w$i").mkString(" ")
+    }
+    val scattered = scatteredBase.zipWithIndex.flatMap { case (base, p) =>
+      val twin = base.replace(s"p${p}w20", s"p${p}xCHANGED")
+      Seq((2000L + 2 * p, base), (2001L + 2 * p, twin))
+    }
+    val noise = (0 until 200).map { i =>
+      (5000L + i, (1 to 30).map(j => s"n${i}w$j").mkString(" "))
+    }
+    val corpus = (hot ++ scattered ++ noise).toDF("doc_id", "text")
+
+    val threshold = 0.8
+    // scattered ground truth verified through the ENGINE's own kernel
+    val truthScattered = (0 until 50).flatMap { p =>
+      val a = graft.functions.ShingleKernel.shingleSet(scatteredBase(p), 3).toSet
+      val b = graft.functions.ShingleKernel.shingleSet(
+        scatteredBase(p).replace(s"p${p}w20", s"p${p}xCHANGED"), 3).toSet
+      val j = a.intersect(b).size.toDouble / a.union(b).size.toDouble
+      if (j >= threshold) Some((2000L + 2 * p, 2001L + 2 * p)) else None
+    }.toSet
+    assert(truthScattered.size == 50, "construction must yield 50 true pairs")
+    val truthHot = 1100L * 1099L / 2L
+
+    val found = Dedup.minhashDedup(corpus, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleN = 3, threshold = threshold,
+        maxBucketSize = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val scatteredFound = found.intersect(truthScattered)
+    val hotFound = found.count(_._1 < 1100L)
+    val recallOutsideHot = scatteredFound.size.toDouble / truthScattered.size
+    val recallOverall = found.size.toDouble / (truthHot + truthScattered.size)
+    info(f"capped-config recall: outside hot bucket = $recallOutsideHot%.3f " +
+      f"(${scatteredFound.size}/${truthScattered.size}); overall = " +
+      f"$recallOverall%.5f (hot cluster's $truthHot pairs deliberately " +
+      "suppressed by the cap)")
+    // the cap is surgical: every pair OUTSIDE the hot bucket survives,
+    // every pair INSIDE it is suppressed (the documented tradeoff — a
+    // >1000-member near-identical cluster is boilerplate you drop wholesale,
+    // not pairs you enumerate)
+    assert(recallOutsideHot == 1.0,
+      s"cap harmed pairs outside the hot bucket: $recallOutsideHot")
+    assert(hotFound == 0, s"hot bucket not fully suppressed: $hotFound pairs")
+    // and with the cap disabled the same corpus yields FULL recall
+    val uncapped = Dedup.minhashDedup(corpus, "doc_id", "text",
+        numHashes = 64, bands = 16, shingleN = 3, threshold = threshold,
+        maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.size.toLong == truthHot + truthScattered.size,
+      s"uncapped recall not 1.0: ${uncapped.size} of ${truthHot + truthScattered.size}")
+  }
+
   test("dedupClusters: identical docs cluster under the min id with correct size") {
     val got = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.9,
         maxBucketSize = Int.MaxValue)
