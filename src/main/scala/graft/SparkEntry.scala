@@ -1061,6 +1061,20 @@ object SparkEntry {
         Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
             maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))),
+      // q44 twin: PRODUCTION bucket sizing. The oracled q44 pins bits=6
+      // (the SQL oracle inlines those plane constants), which holds bucket
+      // COUNT fixed while the corpus grows — the within-bucket self-join
+      // then scales quadratically (measured slope 1.55 on the r6 sweep).
+      // The production path sizes bits off the corpus count so expected
+      // bucket occupancy stays ~constant and candidates scale linearly —
+      // exactly what autoBits/requireSaneBits exist for (Similarity.scala).
+      "q44_embed_neardup" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val bits = Similarity.autoBits(e.count(), targetBucketRows = 256L)
+        Similarity.embeddingNearDupsInt(e, "vec_id", "embedding", dim = 64,
+            thresholdNum = 3, thresholdDen = 10, bits = bits)
+          .orderBy(col("id_a"), col("id_b"))
+      }),
       // q34/q38 twins: same statistics through the compiled FNV shingle
       // kernel instead of the md5/string-shingle higher-order expressions
       // the oracle needs (CodegenFallback + per-element re-evaluation —

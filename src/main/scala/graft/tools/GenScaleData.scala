@@ -1,0 +1,217 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Seeded generator for scale-factor-shaped test data BEYOND the read-only
+  * `/root/testdata` (which tops out at sf0.1): same 10 tables, same schemas
+  * and dtypes, same value distributions (measured off sf0.1), at any sf —
+  * the input for the SCALING_r06 slope measurements.
+  *
+  * Fully deterministic and fully distributed: every value is a pure
+  * function of (table, column, row id, seed 42) through xxhash64 — no RNG
+  * state, no driver-side data, so the same sf generates bit-identical
+  * tables at any parallelism, and generating sf1000 would be the same
+  * code on a real cluster (spark.range parallelizes; every column expr is
+  * codegen'd).
+  *
+  * Usage: runMain graft.tools.GenScaleData <outDir> <sf> [<sf2> ...]
+  * Row counts scale linearly off the sf0.1 shape (documents/embeddings
+  * floored at 500 like the driver's own small SFs).
+  */
+object GenScaleData {
+
+  private val Seed = 42L
+
+  /** Independent hash stream per (tag, key columns). */
+  private def h(tag: String, cs: Column*): Column =
+    xxhash64((lit(tag) +: cs :+ lit(Seed)): _*)
+  private def pm(c: Column, m: Long): Column = pmod(c, lit(m))
+  /** Uniform [0,1) off a hash stream. */
+  private def u(tag: String, cs: Column*): Column =
+    pm(h(tag, cs: _*), 1000000L).cast("double") / 1e6
+  private def pick(opts: Seq[String], tag: String, cs: Column*): Column =
+    element_at(array(opts.map(lit): _*),
+      (pm(h(tag, cs: _*), opts.size.toLong) + 1).cast("int"))
+
+  private def ids(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).toDF("id")
+
+  // 1995-01-01 / 1995-01-02 / 2024-01-01 midnights UTC
+  private val OrderEpoch = 788918400L
+  private val ShipEpoch  = 789004800L
+  private val EventEpochUs = 1704067200000000L
+
+  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+
+  def customer(spark: SparkSession, n: Long): DataFrame =
+    ids(spark, n).select(
+      col("id").as("c_custkey"),
+      format_string("Customer#%09d", col("id")).as("c_name"),
+      pm(h("c_nat", col("id")), 25L).cast("int").as("c_nationkey"),
+      round(lit(-1000.0) + u("c_bal", col("id")) * 11000.0, 2).as("c_acctbal"),
+      pick(Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+        "c_seg", col("id")).as("c_mktsegment"))
+
+  def supplier(spark: SparkSession, n: Long): DataFrame =
+    ids(spark, n).select(
+      col("id").as("s_suppkey"),
+      format_string("Supplier#%09d", col("id")).as("s_name"),
+      pm(h("s_nat", col("id")), 25L).cast("int").as("s_nationkey"),
+      round(u("s_bal", col("id")) * 9999.0, 2).as("s_acctbal"))
+
+  def part(spark: SparkSession, n: Long): DataFrame =
+    ids(spark, n).select(
+      col("id").as("p_partkey"),
+      concat_ws(" ",
+        pick(Seq("large", "small", "hot", "cold", "blue", "red", "green",
+          "plated", "brushed", "polished"), "p_adj", col("id")),
+        pick(Seq("ring", "bolt", "washer", "gear", "cog", "pin", "plate",
+          "rod", "wheel", "spring"), "p_noun", col("id"))).as("p_name"),
+      concat(lit("Brand#"), (pm(h("p_brand", col("id")), 25L) + 1).cast("string"))
+        .as("p_brand"),
+      pick(Seq("LARGE", "STANDARD", "MEDIUM", "SMALL", "PROMO", "ECONOMY"),
+        "p_type", col("id")).as("p_type"),
+      (pm(h("p_size", col("id")), 50L) + 1).cast("int").as("p_size"),
+      round(lit(900.0) + pm(h("p_rp", col("id")), 1000L).cast("double") / 10.0, 1)
+        .as("p_retailprice"))
+
+  def orders(spark: SparkSession, n: Long, nCust: Long): DataFrame =
+    ids(spark, n).select(
+      col("id").as("o_orderkey"),
+      pm(h("o_cust", col("id")), nCust).as("o_custkey"),
+      pick(Seq("O", "P", "F"), "o_stat", col("id")).as("o_orderstatus"),
+      round(lit(1000.0) + u("o_tot", col("id")) * 499000.0, 2).as("o_totalprice"),
+      timestamp_seconds(lit(OrderEpoch) +
+        pm(h("o_date", col("id")), 2404L) * 86400L).as("o_orderdate"),
+      pick(Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        "o_prio", col("id")).as("o_orderpriority"))
+
+  /** l_orderkey hashed over orders (not id div 4): lines-per-order becomes
+    * ~Poisson(4) with natural duplicate (l_orderkey, l_linenumber) pairs
+    * carrying distinct payloads — the same degeneracy the driver's data
+    * has (FIXTURES/TESTDATA) and the queries' total ORDER BYs exist for. */
+  def lineitem(spark: SparkSession, n: Long, nOrders: Long, nPart: Long,
+               nSupp: Long): DataFrame =
+    ids(spark, n).select(
+      pm(h("l_ord", col("id")), nOrders).as("l_orderkey"),
+      pm(h("l_part", col("id")), nPart).as("l_partkey"),
+      pm(h("l_supp", col("id")), nSupp).as("l_suppkey"),
+      (pm(h("l_ln", col("id")), 7L) + 1).cast("int").as("l_linenumber"),
+      (pm(h("l_qty", col("id")), 50L) + 1).cast("double").as("l_quantity"),
+      round(lit(900.0) + u("l_ep", col("id")) * 104100.0, 2).as("l_extendedprice"),
+      (pm(h("l_disc", col("id")), 11L).cast("double") / 100.0).as("l_discount"),
+      (pm(h("l_tax", col("id")), 9L).cast("double") / 100.0).as("l_tax"),
+      pick(Seq("A", "N", "R"), "l_rf", col("id")).as("l_returnflag"),
+      pick(Seq("O", "F"), "l_ls", col("id")).as("l_linestatus"),
+      timestamp_seconds(lit(ShipEpoch) +
+        pm(h("l_ship", col("id")), 2498L) * 86400L).as("l_shipdate"))
+
+  def events(spark: SparkSession, n: Long, nUsers: Long): DataFrame =
+    ids(spark, n).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(EventEpochUs) +
+        pm(h("e_ts", col("id")), 30L * 86400L * 1000000L)).as("ts"),
+      pm(h("e_user", col("id")), nUsers).as("user_id"),
+      pick(Seq("click", "error", "purchase", "signup", "view"),
+        "e_type", col("id")).as("event_type"),
+      round(u("e_v1", col("id")) * u("e_v2", col("id")) * 560.0, 2).as("value"),
+      format_string("{\"k\": %d}", pm(h("e_k", col("id")), 100L)).as("props"))
+
+  def documents(spark: SparkSession, n: Long): DataFrame = {
+    // ~0.2% of docs replay the PREVIOUS doc's content seed -> exact dups
+    // (what exact-dedup and the near-dup families chew on), without any
+    // cross-row reference: text is a pure function of the content seed
+    val seed0 = col("id")
+    val contentSeed = when(
+      pm(h("d_dup", seed0), 500L) === 0 && seed0 > 0, seed0 - 1).otherwise(seed0)
+    val len = (pm(h("d_len", contentSeed), 100L) + 8).cast("int")
+    val vocabArr = array(Vocab.map(lit): _*)
+    val text = array_join(
+      transform(sequence(lit(1), len), i =>
+        element_at(vocabArr,
+          (pm(h("d_w", contentSeed, i), Vocab.size.toLong) + 1).cast("int"))),
+      " ")
+    ids(spark, n).select(
+      col("id").as("doc_id"),
+      text.as("text"),
+      // en 40%, zh/fr/es/de ~15% each (the sf0.1 mix)
+      element_at(
+        array((Seq.fill(8)("en") ++ Seq.fill(3)("zh") ++ Seq.fill(3)("fr") ++
+          Seq.fill(3)("es") ++ Seq.fill(3)("de")).map(lit): _*),
+        (pm(h("d_lang", col("id")), 20L) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pm(h("d_src", col("id")), 20L).cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def embeddings(spark: SparkSession, n: Long): DataFrame =
+    ids(spark, n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), d =>
+        ((pm(h("v", col("id"), d), 2000L) - 1000L).cast("double") / 2500.0)
+          .cast("float")).as("embedding"),
+      pm(h("v_label", col("id")), 10L).cast("int").as("label"))
+
+  def region(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
+      (4, "MIDDLE EAST")).toDF("r_regionkey", "r_name")
+  }
+
+  def nation(spark: SparkSession): DataFrame =
+    ids(spark, 25).select(
+      col("id").cast("int").as("n_nationkey"),
+      concat(lit("NATION_"), col("id").cast("string")).as("n_name"),
+      pm(col("id"), 5L).cast("int").as("n_regionkey"))
+
+  def writeAll(spark: SparkSession, outDir: String, sf: Double): Unit = {
+    def rows(perSf1: Long, floor: Long = 0L): Long =
+      math.max(floor, (perSf1 * sf).toLong)
+    val nCust = rows(150000L)
+    val nSupp = rows(10000L)
+    val nPart = rows(200000L)
+    val nOrd  = rows(1500000L)
+    val nLine = rows(6000000L)
+    val nEvt  = rows(1000000L)
+    val nUsers = math.max(100L, (15000L * sf).toLong)
+    val nDoc  = rows(50000L, 500L)
+    val nEmb  = rows(20000L, 500L)
+    def w(df: DataFrame, name: String): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[gen] $name -> $outDir/$name.parquet")
+    }
+    w(region(spark), "region")
+    w(nation(spark), "nation")
+    w(customer(spark, nCust), "customer")
+    w(supplier(spark, nSupp), "supplier")
+    w(part(spark, nPart), "part")
+    w(orders(spark, nOrd, nCust), "orders")
+    w(lineitem(spark, nLine, nOrd, nPart, nSupp), "lineitem")
+    w(events(spark, nEvt, nUsers), "events")
+    w(documents(spark, nDoc), "documents")
+    w(embeddings(spark, nEmb), "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: GenScaleData <outBase> <sf> [<sf2> ...] (writes <outBase>/sf<sf>)")
+    val outBase = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-gen-scale-data").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.drop(1).foreach { s =>
+      val sf = s.toDouble
+      writeAll(spark, s"$outBase/sf$s", sf)
+    }
+    spark.stop()
+  }
+}
