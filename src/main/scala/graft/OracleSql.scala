@@ -814,6 +814,54 @@ object OracleSql {
            (cum_tokens - n_tokens) // 2048 AS seq_first,
            (cum_tokens - 1) // 2048 AS seq_last,
            (cum_tokens - n_tokens) % 2048 AS tok_offset
-         FROM c WHERE n_tokens > 0 ORDER BY doc_id"""
+         FROM c WHERE n_tokens > 0 ORDER BY doc_id""",
+
+    // q62: IVF-Flat ANN — seed centroids = 8 lowest-id vectors, squared-L2
+    // argmin assignment (ties to lowest cid), nProbe=2 probe lists, exact
+    // integer re-rank. Mirrors Similarity.ivfTopKInt(k=5, nCentroids=8,
+    // nProbe=2, scale=1000) arithmetic step for step.
+    "q62_ann_ivf" ->
+      s"""WITH v AS (SELECT vec_id, ${quantized(1000)} AS qv FROM embeddings),
+         cent AS (SELECT vec_id AS cid, qv AS cv FROM v ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT v.vec_id, v.qv, cent.cid,
+             CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+               i -> (v.qv[i] - cent.cv[i]) * (v.qv[i] - cent.cv[i]))) AS BIGINT) AS d2
+           FROM v, cent),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+         assign AS (SELECT vec_id AS neighbor_id, qv AS cv2, cid AS centroid_id FROM r WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, qv AS qv2, cid AS centroid_id
+                    FROM r WHERE vec_id < 10 AND rn <= 2),
+         cand AS (
+           SELECT p.query_id, a.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(p.qv2) + 1),
+               i -> (p.qv2[i] - a.cv2[i]) * (p.qv2[i] - a.cv2[i]))) AS BIGINT) AS dist2
+           FROM probes p JOIN assign a USING (centroid_id)),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY dist2, neighbor_id) AS INTEGER) AS "rank" FROM cand)
+         SELECT query_id, neighbor_id, dist2, "rank" FROM rk WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+
+    // q63: k-means Lloyd assignment sums — same argmin assignment as q62,
+    // then per (centroid, dimension) SUM + COUNT of the quantized
+    // components (division-free: no floor/truncate semantics to diverge).
+    // pos is 0-based to match Spark's posexplode.
+    "q63_kmeans_step" ->
+      s"""WITH v AS (SELECT vec_id, ${quantized(1000)} AS qv FROM embeddings),
+         cent AS (SELECT vec_id AS cid, qv AS cv FROM v ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT v.vec_id, v.qv, cent.cid,
+             CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+               i -> (v.qv[i] - cent.cv[i]) * (v.qv[i] - cent.cv[i]))) AS BIGINT) AS d2
+           FROM v, cent),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+         assign AS (SELECT cid AS centroid_id, qv FROM r WHERE rn = 1),
+         e AS (
+           SELECT centroid_id, CAST(i - 1 AS INTEGER) AS pos, qv[i] AS v
+           FROM assign, (SELECT UNNEST(range(1, 65)) AS i))
+         SELECT centroid_id, pos,
+           CAST(SUM(v) AS BIGINT) AS sum_q, COUNT(*) AS n
+         FROM e GROUP BY centroid_id, pos
+         ORDER BY centroid_id, pos"""
   )
 }

@@ -862,6 +862,33 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-Flat ANN top-k: seeded coarse centroids inlined as literals
+    * (zero-shuffle squared-L2 argmin assignment), nProbe=2 probe lists,
+    * exact integer re-rank — the list-partitioned ANN scale path beside
+    * q43's LSH buckets. All-integer, so the DuckDB oracle replays it
+    * bit-for-bit. */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    Similarity.ivfTopKInt(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nCentroids = 8, nProbe = 2, scale = 1000)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Distributed k-means (Lloyd) assignment sums — the IVF index-BUILD
+    * pass: nearest-centroid assignment as a zero-shuffle inlined-literal
+    * map, then per-(centroid, dimension) integer sums + counts (the only
+    * shuffle; nCentroids x dim result rows at any corpus size). Emitting
+    * sums instead of means keeps the aggregate division-free, so the
+    * oracle comparison has no truncation semantics to disagree on. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val cents = Similarity.seedCentroidsInt(e, "vec_id", "embedding", n = 8, scale = 1000)
+    KMeansInt.assignmentSums(e, "vec_id", "embedding", cents, scale = 1000)
+      .orderBy(col("centroid_id"), col("pos"))
+  }
+
   /** Embedding cosine near-duplicate pairs (integer-SRP blocking + exact
     * integer cosine-threshold test at 3/10). Threshold 0.3 ~= p99 of the
     * synthetic corpus's pairwise cosine (max is ~0.51), so the blocking
@@ -1031,7 +1058,9 @@ object SparkEntry {
     "q58_decontaminate" -> q58 _,
     "q59_pii_scrub" -> q59 _,
     "q60_boilerplate" -> q60 _,
-    "q61_sequence_pack" -> q61 _
+    "q61_sequence_pack" -> q61 _,
+    "q62_ann_ivf" -> q62 _,
+    "q63_kmeans_step" -> q63 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -1107,6 +1136,21 @@ object SparkEntry {
             coalesce(col("hits"), lit(0L)).as("n_overlap"),
             (coalesce(col("hits"), lit(0L)) > 0).as("contaminated"))
           .orderBy(col("doc_id"))
+      }),
+      // q62 twin: PRODUCTION list sizing. The oracled q62 pins nCentroids=8
+      // (the SQL oracle inlines the seed-centroid choice), which holds list
+      // COUNT fixed while the corpus grows — per-list population then grows
+      // linearly, the IVF analog of q44's fixed-bits hazard. Production
+      // sizes nlist off the corpus count (autoNlist: min(n/target, sqrt n))
+      // so probe work per query stays ~constant.
+      "q62_ann_ivf" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val nlist = Similarity.autoNlist(e.count(), targetListRows = 4096L)
+        Similarity.ivfTopKInt(
+            e, "vec_id", "embedding",
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nCentroids = nlist, nProbe = math.min(2, nlist), scale = 1000)
+          .orderBy(col("query_id"), col("rank"))
       }),
       "q53_dedup_clusters" -> ((s, dir) =>
         Dedup.dedupClusters(T(s, dir, "documents"), "doc_id", "text",

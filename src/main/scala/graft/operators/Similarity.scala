@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -179,6 +179,87 @@ object Similarity {
       .withColumn("__na2", na2).withColumn("__nb2", nb2)
       .filter(passes(col("qdot"), col("__na2"), col("__nb2")))
       .select(col("id_a"), col("id_b"), col("qdot"))
+  }
+
+  /** Squared L2 distance between two quantized (`array<long>`) vectors —
+    * pure integer arithmetic, associative, engine-portable. */
+  private def qdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Deterministic seed centroids for the IVF coarse quantizer: the `n`
+    * lowest-id corpus vectors, integer-quantized, collected to the driver
+    * (bounded by `n`, like a broadcast dim — NOT a data collect). Production
+    * swaps in k-means|| output ([[KMeansInt.lloydStep]] is the distributed
+    * refinement step); the centroid CHOICE moves recall, not plan shape. */
+  def seedCentroidsInt(corpus: DataFrame, idCol: String, vecCol: String,
+                       n: Int, scale: Int): Seq[(Long, Array[Long])] =
+    corpus.select(col(idCol).cast("long").as("cid"),
+        VectorFns.quantize(col(vecCol), scale).as("cv"))
+      .orderBy(col("cid")).limit(n)
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+
+  /** nCentroids sizing for IVF: keep expected list population near
+    * `targetListRows` as the corpus grows (the fixed-nlist analog of the
+    * fixed-bits mega-bucket hazard [[autoBits]] guards against). The
+    * standard sqrt(n) rule is the upper bound — inlined-literal assignment
+    * costs O(nlist) per row, so cap where that map stays cheap. */
+  def autoNlist(corpusRows: Long, targetListRows: Long = 4096L, maxNlist: Int = 4096): Int = {
+    require(corpusRows >= 0, s"corpusRows must be >= 0, got $corpusRows")
+    val byOccupancy = math.ceil(corpusRows.toDouble / math.max(1L, targetListRows))
+    val bySqrt = math.ceil(math.sqrt(corpusRows.toDouble))
+    math.max(1, math.min(maxNlist.toDouble, math.min(byOccupancy, bySqrt)).toInt)
+  }
+
+  /** Per-row (dist², cid)-sorted ranking of INLINED centroid literals over a
+    * quantized vector column: `array_sort` on the struct orders by dist²
+    * then cid ascending (the documented tie-break — lowest cid wins);
+    * element 1 is the argmin assignment. Zero-shuffle, whole-stage-codegen
+    * map — shared by [[ivfTopKInt]] and [[KMeansInt.assignmentSums]]. */
+  private[operators] def centroidRanking(cents: Seq[(Long, Array[Long])])(qv: Column): Column = {
+    val centArr = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit(_)).toIndexedSeq: _*).as("cv"))
+    }: _*)
+    array_sort(transform(centArr, c =>
+      struct(qdist2(qv, c.getField("cv")).as("d"), c.getField("cid").as("cid"))))
+  }
+
+  /** IVF-Flat ANN top-k (the list-partitioned scale path next to the
+    * LSH-bucketed [[srpTopKInt]]): every corpus vector is assigned to its
+    * nearest coarse centroid by squared-L2 argmin; a query probes its
+    * `nProbe` nearest centroids and exact-re-ranks only those lists.
+    *
+    * 100 TB shape: centroids are INLINED LITERALS, so assignment is a
+    * zero-shuffle map (`array_sort` over a per-row centroid array inside
+    * whole-stage codegen — no crossJoin, no groupBy-argmin shuffle of the
+    * corpus). The only corpus movement is the centroid_id equi-join, and a
+    * deployment that writes the corpus `partitionBy("centroid_id")` turns
+    * probing into partition pruning: a query touches nProbe/nCentroids of
+    * the data. All-integer (quantize → dist² in Long), so an external SQL
+    * oracle replays the result bit-for-bit: ties break on (dist², cid) /
+    * (dist², neighbor_id) ascending, both explicit in the sort keys. */
+  def ivfTopKInt(corpus: DataFrame, corpusId: String, corpusVec: String,
+                 queries: DataFrame, queryId: String, queryVec: String,
+                 k: Int, nCentroids: Int = 8, nProbe: Int = 2,
+                 scale: Int = 1000): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCentroids,
+      s"nProbe must be in [1, nCentroids=$nCentroids], got $nProbe")
+    val cents = seedCentroidsInt(corpus, corpusId, corpusVec, nCentroids, scale)
+    def ranked(qv: Column): Column = centroidRanking(cents)(qv)
+    val c = corpus.select(col(corpusId).as("neighbor_id"),
+        VectorFns.quantize(col(corpusVec), scale).as("__cv"))
+      .withColumn("centroid_id", element_at(ranked(col("__cv")), 1).getField("cid"))
+    val q = queries.select(col(queryId).as("query_id"),
+        VectorFns.quantize(col(queryVec), scale).as("__qv"))
+      .withColumn("centroid_id",
+        explode(transform(slice(ranked(col("__qv")), 1, nProbe), x => x.getField("cid"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    c.join(q, Seq("centroid_id"))
+      .withColumn("dist2", qdist2(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist2"), col("rank"))
   }
 
   /** Embedding near-duplicate pairs: SRP-bucket blocking + exact cosine >=

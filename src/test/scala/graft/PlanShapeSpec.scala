@@ -144,4 +144,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(single == 1, s"expected 1 bounded SinglePartition exchange, got $single:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
   }
+
+  test("q62 IVF: centroid assignment is a zero-shuffle codegen map; probe join is an equi-join") {
+    val plan = executed(SparkEntry.queries("q62_ann_ivf")(spark, dir))
+    // inlined-literal centroids: no crossJoin against a centroid table and
+    // no UDF — the argmin runs inside the scan's codegen span
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"IVF assignment fell back to a product join:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF boundary present in q62:\n$plan")
+    // candidate generation is keyed by centroid_id (equi-join, not a scan
+    // of the full corpus per query)
+    assert(plan.contains("centroid_id"), s"centroid_id equi-join missing:\n$plan")
+  }
+
+  test("q63 k-means sums aggregate with map-side partials (one bounded shuffle)") {
+    val plan = executed(SparkEntry.queries("q63_kmeans_step")(spark, dir))
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("ScalaUDF"),
+      s"assignment not an inlined map:\n$plan")
+  }
 }

@@ -138,6 +138,82 @@ class SimilaritySpec extends SparkSpec {
     assert(recalled >= 0.9, s"recall $recalled of ${planted.size} planted pairs")
   }
 
+  // ---- IVF-Flat + k-means (index build) ----
+
+  private def d2(a: Array[Long], b: Array[Long]): Long =
+    a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+  test("ivfTopKInt matches a full driver-side integer replay") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    val got = Similarity.ivfTopKInt(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, nCentroids = 6, nProbe = 2, scale = 100)
+      .orderBy("query_id", "rank")
+      .select("query_id", "neighbor_id", "dist2", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    // replay: centroids = 6 lowest ids; argmin assignment w/ lowest-cid
+    // tie-break; probe the 2 nearest lists; exact L2 re-rank
+    val q = vecs.map { case (i, v) => (i, quant(v, 100)) }
+    val byId = q.toMap
+    val cents = q.sortBy(_._1).take(6)
+    def rankedCents(qv: Array[Long]) =
+      cents.map { case (cid, cv) => (d2(qv, cv), cid) }.sorted
+    val assign = q.map { case (i, qv) => (i, rankedCents(qv).head._2) }.toMap
+    val expected = for {
+      qid <- 0L until 5L
+      probes = rankedCents(byId(qid)).take(2).map(_._2).toSet
+      ranked = q.filter { case (cid, _) => probes.contains(assign(cid)) }
+        .map { case (cid, cv) => (cid, d2(cv, byId(qid))) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(4)
+      ((nid, dd), r) <- ranked.zipWithIndex
+    } yield (qid, nid, dd, r + 1)
+    assert(got == expected)
+    // a query vector that is in the corpus always finds itself at rank 1
+    assert(got.filter(_._4 == 1).forall { case (qid, nid, dd, _) => nid == qid && dd == 0L })
+  }
+
+  test("ivfTopKInt recall@4 vs exact L2 top-4 on the planted corpus") {
+    val queries = corpus.filter(col("vec_id") < 10)
+    val got = Similarity.ivfTopKInt(corpus, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 4, nCentroids = 6, nProbe = 2, scale = 100)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val q = vecs.map { case (i, v) => (i, quant(v, 100)) }
+    val byId = q.toMap
+    val hits = (0L until 10L).map { qid =>
+      val exact = q.map { case (cid, cv) => (cid, d2(cv, byId(qid))) }
+        .sortBy { case (cid, dd) => (dd, cid) }.take(4).map(_._1).toSet
+      exact.intersect(got.getOrElse(qid, Set.empty)).size
+    }.sum
+    val recall = hits.toDouble / (10 * 4)
+    // deterministic corpus -> deterministic recall; measured 0.85 at this
+    // config (2 of 6 lists probed) — pin a floor under it
+    assert(recall >= 0.75, s"IVF recall@4 = $recall")
+  }
+
+  test("lloydStep computes floor-div means per assigned cluster and keeps empty centroids") {
+    // 4 points on a line, 2 centroids at 0 and 10, plus an unreachable
+    // centroid at 1000: points 0,1 -> c0; 9,10 -> c10; c1000 stays empty
+    val pts = Seq((0L, Seq(0f)), (1L, Seq(0.01f)), (2L, Seq(0.09f)), (3L, Seq(0.10f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0L)), (1L, Array(10L)), (2L, Array(1000L)))
+    val next = KMeansInt.lloydStep(df, "vec_id", "embedding", cents, scale = 100)
+    // quantized points: 0, 1, 9, 10 -> means floor(1/2)=0 and floor(19/2)=9
+    assert(next.map { case (c, a) => (c, a.toSeq) } ==
+      Seq((0L, Seq(0L)), (1L, Seq(9L)), (2L, Seq(1000L))))
+  }
+
+  test("lloydStep iterated converges on the planted corpus (assignment stabilizes)") {
+    var cents = Similarity.seedCentroidsInt(corpus, "vec_id", "embedding", n = 4, scale = 100)
+    var prev: Seq[(Long, Seq[Long])] = Nil
+    var iters = 0
+    while (iters < 10 && cents.map { case (c, a) => (c, a.toSeq) } != prev) {
+      prev = cents.map { case (c, a) => (c, a.toSeq) }
+      cents = KMeansInt.lloydStep(corpus, "vec_id", "embedding", cents, scale = 100)
+      iters += 1
+    }
+    assert(iters < 10, "k-means did not stabilize within 10 integer Lloyd iterations")
+  }
+
   test("rademacherPlanes are deterministic ±1 and seed-distinct") {
     val a = Similarity.rademacherPlanes(16, 4, 42L)
     val b = Similarity.rademacherPlanes(16, 4, 42L)
@@ -152,6 +228,11 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoBits(1000000L, 256L) == 12)
     assert(Similarity.autoBits(100L, 256L) == 1)   // clamp floor
     assert(Similarity.autoBits(Long.MaxValue, 1L) == 62) // clamp ceiling
+    // IVF list sizing: occupancy rule until sqrt(n) caps it, then maxNlist
+    assert(Similarity.autoNlist(100000L, 4096L) == 25)      // n/target
+    assert(Similarity.autoNlist(1000000L, 64L) == 1000)     // sqrt cap binds
+    assert(Similarity.autoNlist(100000000L, 64L) == 4096)   // maxNlist clamp
+    assert(Similarity.autoNlist(0L) == 1)                   // floor
     Similarity.requireSaneBits(bits = 12, corpusRows = 1000000L) // fine
     val e = intercept[IllegalArgumentException] {
       // 6 bits over 10M rows -> ~156k rows/bucket: the 100 TB mega-bucket
