@@ -47,6 +47,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repsExplicit = sys.env.contains("SPARK_GRAFT_BENCH_REPS")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "7").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,7 +60,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val queries = SparkEntry.benchQueries
+    // Optional comma-separated query-name filter for attribution runs
+    // (re-timing one query in isolation, away from sweep neighbors).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.benchQueries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.benchQueries
+    }
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
@@ -87,8 +95,12 @@ object Bench {
       val first = timeOnce()
       // sub-second queries jitter most (GC/JIT granularity ~the query
       // itself) and cost least to repeat: bump their rep count so the
-      // median converges; the first timing picks the bucket
-      val n = if (first >= 0 && first < 1.0) math.max(reps, 15) else reps
+      // median converges; the first timing picks the bucket. An EXPLICIT
+      // SPARK_GRAFT_BENCH_REPS is honored exactly (no bump) — the scaling
+      // sweep runs 3 SFs back-to-back and opts into fewer reps per point.
+      val n = if (repsExplicit) reps
+              else if (first >= 0 && first < 1.0) math.max(reps, 15)
+              else reps
       val times = first +: (2 to n).map(_ => timeOnce())
       val good = times.filter(_ >= 0).sorted
       name -> (if (good.isEmpty) (-1.0, -1.0)

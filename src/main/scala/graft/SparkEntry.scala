@@ -1090,18 +1090,27 @@ object SparkEntry {
         Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
             maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))),
-      // q44 twin: PRODUCTION bucket sizing. The oracled q44 pins bits=6
-      // (the SQL oracle inlines those plane constants), which holds bucket
-      // COUNT fixed while the corpus grows — the within-bucket self-join
-      // then scales quadratically (measured slope 1.55 on the r6 sweep).
-      // The production path sizes bits off the corpus count so expected
-      // bucket occupancy stays ~constant and candidates scale linearly —
-      // exactly what autoBits/requireSaneBits exist for (Similarity.scala).
+      // q44 twin: PRODUCTION sizing, BOTH knobs derived. The oracled q44
+      // pins bits=6 (the SQL oracle inlines those plane constants), which
+      // holds bucket COUNT fixed while the corpus grows — the within-bucket
+      // self-join then scales quadratically (measured slope 1.55 on the r6
+      // sweep). Production derives bits from the corpus count (autoBits) —
+      // and at a 64-ROW occupancy target, not srpTopK's 256: pair
+      // generation does occupancy^2/2 work per bucket and drags BOTH
+      // vectors through the candidate shuffle, so coarse buckets are paid
+      // for quadratically (the first 256-row twin spent 14 s at sf0.1 on 8
+      // hot buckets; 64-row occupancy is ~5x less candidate volume).
+      // Bands then come from autoBands so the recall lost to higher bits
+      // is bought back explicitly (0.9 recall at cosine 0.9, the LSH
+      // OR-of-ANDs identity) — SimilaritySpec measures the planted-pair
+      // recall of exactly this auto config.
       "q44_embed_neardup" -> ((s, dir) => {
         val e = T(s, dir, "embeddings")
-        val bits = Similarity.autoBits(e.count(), targetBucketRows = 256L)
+        val bits = Similarity.autoBits(e.count(), targetBucketRows = 64L)
+        val bands = Similarity.autoBands(bits)
         Similarity.embeddingNearDupsInt(e, "vec_id", "embedding", dim = 64,
-            thresholdNum = 3, thresholdDen = 10, bits = bits)
+            thresholdNum = 3, thresholdDen = 10, bits = bits,
+            seeds = (0 until bands).map(i => 42L + i))
           .orderBy(col("id_a"), col("id_b"))
       }),
       // q34/q38 twins: same statistics through the compiled FNV shingle

@@ -51,6 +51,36 @@ object Similarity {
     math.min(62, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
   }
 
+  /** Bands (seed tables) sizing for multi-band SRP blocking: the standard
+    * LSH OR-of-ANDs recall identity. A pair at angle θ collides in one
+    * `bits`-plane band with p = (1 − θ/π)^bits, so recall over `b`
+    * independent bands is 1 − (1 − p)^b; solving for the smallest b that
+    * reaches `targetRecall` at `nearDupCosine`:
+    * b = ceil(ln(1 − R) / ln(1 − p)).
+    *
+    * This is the missing half of [[autoBits]]: bits must GROW with the
+    * corpus to hold bucket occupancy (cost) constant, which shrinks
+    * per-band recall geometrically — bands are how recall is bought back.
+    * Both knobs derived together give a config whose cost AND recall are
+    * stated, instead of a fixed `bands=3` whose recall silently decays as
+    * the corpus grows. Clamped to [1, maxBands]: past ~16 bands the
+    * explode/shuffle volume usually costs more than a smaller-bits rerun. */
+  def autoBands(bits: Int, nearDupCosine: Double = 0.9,
+                targetRecall: Double = 0.9, maxBands: Int = 16): Int = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1,62], got $bits")
+    require(nearDupCosine > -1.0 && nearDupCosine < 1.0,
+      s"nearDupCosine must be in (-1,1), got $nearDupCosine")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val theta = math.acos(nearDupCosine)
+    val pBand = math.pow(1.0 - theta / math.Pi, bits)
+    if (pBand >= targetRecall) 1
+    else {
+      val b = math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBand))
+      math.max(1, math.min(maxBands, b.toInt))
+    }
+  }
+
   /** Guard: fail fast (with the fix in the message) when a fixed `bits`
     * leaves expected bucket sizes above `maxExpectedBucketRows`. */
   def requireSaneBits(bits: Int, corpusRows: Long,
@@ -146,23 +176,23 @@ object Similarity {
     // per-seed union formulation scans and shuffles the corpus |seeds|
     // times for identical pairs (this is the same multi-band shape as
     // Dedup.lshCandidatePairs)
-    val qdf = df.select(col(idCol), VectorFns.quantize(col(vecCol), scale).as("__qv"))
+    val qdf = df.select(col(idCol),
+      VectorFns.quantize(col(vecCol), scale).as("__qv"))
+      // per-row norm ONCE before the explode/join — not per candidate pair
+      .withColumn("__n2", aggregate(col("__qv"), lit(0L), (acc, v) => acc + v * v))
     val seedBuckets = seeds.zipWithIndex.map { case (s, i) =>
       struct(lit(i).as("seed"),
         VectorFns.srpBucketInt(col("__qv"), rademacherPlanes(dim, bits, s)).as("bucket"))
     }
     val blocked = qdf
-      .select(col(idCol), col("__qv"), explode(array(seedBuckets: _*)).as("sb"))
-      .select(col(idCol), col("__qv"), col("sb.seed"), col("sb.bucket"))
+      .select(col(idCol), col("__qv"), col("__n2"), explode(array(seedBuckets: _*)).as("sb"))
+      .select(col(idCol), col("__qv"), col("__n2"), col("sb.seed"), col("sb.bucket"))
       // shared exchange: both self-join sides reuse one bucket computation
       .repartition(col("seed"), col("bucket"))
-    val a = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_a"), col("__qv").as("__qa"))
-    val c = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_b"), col("__qv").as("__qb"))
-    val pairs = a.join(c, Seq("seed", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__qa"), col("__qb"))
-      .dropDuplicates("id_a", "id_b")
-    val na2 = aggregate(col("__qa"), lit(0L), (acc, v) => acc + v * v)
-    val nb2 = aggregate(col("__qb"), lit(0L), (acc, v) => acc + v * v)
+    val a = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_a"),
+      col("__qv").as("__qa"), col("__n2").as("__na2"))
+    val c = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_b"),
+      col("__qv").as("__qb"), col("__n2").as("__nb2"))
     // the threshold products (qdot^2*tden^2 vs tnum^2*na2*nb2) can exceed
     // Long for large dim/scale and Spark would wrap silently; arbitrary-
     // precision arithmetic in a compiled kernel keeps the test exact at
@@ -174,11 +204,19 @@ object Similarity {
       qdot > 0 &&
         BigInt(qdot) * qdot * (tden * tden) >= BigInt(tnum) * tnum * a2 * b2
     }
-    pairs
+    // dot + threshold evaluate INSIDE the bucket-join stage (pipelined on
+    // the join output, per duplicate candidate) and the vectors drop out
+    // of the projection immediately — so the only thing the dedup
+    // exchange ever carries is surviving (id_a, id_b, qdot) scalars. The
+    // earlier dropDuplicates-first formulation shuffled BOTH dim-length
+    // vectors per CANDIDATE (~1 KB x every bucket collision — the
+    // operator's single largest data movement at scale); re-testing the
+    // ~bands-x duplicated survivors is integer noise by comparison.
+    a.join(c, Seq("seed", "bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
-      .withColumn("__na2", na2).withColumn("__nb2", nb2)
       .filter(passes(col("qdot"), col("__na2"), col("__nb2")))
       .select(col("id_a"), col("id_b"), col("qdot"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Squared L2 distance between two quantized (`array<long>`) vectors —
@@ -281,12 +319,12 @@ object Similarity {
       .repartition(col("seed"), col("bucket"))
     val a = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("__va"))
     val c = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
-    val pairs = a.join(c, Seq("seed", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
-      .dropDuplicates("id_a", "id_b")
-    pairs
+    // cosine + threshold inside the bucket-join stage; vectors never reach
+    // the dedup exchange (see embeddingNearDupsInt for the full rationale)
+    a.join(c, Seq("seed", "bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", VectorFns.cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -157,6 +157,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("centroid_id"), s"centroid_id equi-join missing:\n$plan")
   }
 
+  test("q44 near-dup: no vector column ever reaches a post-join exchange") {
+    val df = SparkEntry.benchQueries("q44_embed_neardup")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // the threshold test runs inside the bucket-join stage, so the only
+    // exchange downstream of the join (the pair dedup) must carry scalar
+    // (id_a, id_b, qdot) — an ArrayType output on that exchange means the
+    // candidate shuffle is dragging dim-length vectors again (the 5x
+    // regression this pin exists to prevent). Plain collect() does not
+    // descend into finalized AQE stages, so expand QueryStageExec.plan
+    // explicitly.
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Nil
+      })
+    val exchanges = allNodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, s"no exchanges found:\n$plan")
+    val dedupEx = exchanges.filter(_.output.exists(_.name == "qdot"))
+    assert(dedupEx.nonEmpty, s"pair-dedup exchange not found:\n$plan")
+    dedupEx.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"vector column in the pair-dedup exchange: ${e.output}")
+    }
+  }
+
   test("q63 k-means sums aggregate with map-side partials (one bounded shuffle)") {
     val plan = executed(SparkEntry.queries("q63_kmeans_step")(spark, dir))
     assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")

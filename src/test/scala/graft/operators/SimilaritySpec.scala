@@ -223,6 +223,90 @@ class SimilaritySpec extends SparkSpec {
     assert(a.map(_.toSeq) != c.map(_.toSeq))
   }
 
+  test("autoBands solves the LSH OR-of-ANDs recall identity") {
+    // p_band = (1 - acos(0.9)/pi)^bits = 0.8564^bits; bands =
+    // ceil(ln(0.1)/ln(1-p)) — hand-computed points on the curve
+    assert(Similarity.autoBands(1) == 2)   // p=.856: one band misses 14%
+    assert(Similarity.autoBands(5) == 4)   // p=.461
+    assert(Similarity.autoBands(9) == 9)   // p=.248
+    assert(Similarity.autoBands(62) == 16) // p~7e-5: maxBands clamp
+    // near-identical target + single band already over recall -> 1 band
+    assert(Similarity.autoBands(1, nearDupCosine = 0.999) == 1)
+    // the solved band count actually reaches the target recall
+    for (bits <- 1 to 20) {
+      val p = math.pow(1.0 - math.acos(0.9) / math.Pi, bits)
+      val b = Similarity.autoBands(bits)
+      if (b < 16) // below the clamp the identity must hold
+        assert(1.0 - math.pow(1.0 - p, b) >= 0.9, s"bits=$bits bands=$b")
+    }
+  }
+
+  test("MEASURED recall of the q44 production auto-config (autoBits@64 + " +
+       "autoBands) on planted exact-angle pairs") {
+    // 2000 vectors in 16 dims; 40 planted pairs at EXACTLY the cosine-0.9
+    // design point of autoBands (copy = u*cos(phi) + w_perp*sin(phi) with
+    // phi = acos(0.92) — just above the 9/10 integer threshold so float
+    // quantization can't drop a planted pair out of the truth set).
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val target = 0.92
+    val planted = (0 until 40).map { i =>
+      val u = unit()
+      val g = unit()
+      val d = u.zip(g).map { case (x, y) => x * y }.sum
+      val wRaw = g.zip(u).map { case (y, x) => y - d * x }
+      val wn = math.sqrt(wRaw.map(x => x * x).sum)
+      val w = wRaw.map(_ / wn)
+      val copy = u.zip(w).map { case (x, y) =>
+        x * target + y * math.sqrt(1 - target * target) }
+      (i.toLong, u.map(_.toFloat).toSeq,
+        (2000L + i), copy.map(_.toFloat).toSeq)
+    }
+    val fill = (100L until 2000L).map(i => (i, unit().map(_.toFloat).toSeq))
+    val big = (planted.map { case (a, av, _, _) => (a, av) } ++
+      planted.map { case (_, _, b, bv) => (b, bv) } ++ fill)
+      .toDF("vec_id", "embedding")
+    // EXACTLY the bench-twin sizing path (SparkEntry q44 twin)
+    val bits = Similarity.autoBits(2040L, targetBucketRows = 64L)
+    val bands = Similarity.autoBands(bits)
+    assert(bits == 5 && bands == 4, s"sizing drifted: bits=$bits bands=$bands")
+    val got = Similarity.embeddingNearDupsInt(big, "vec_id", "embedding",
+        dim = 16, thresholdNum = 9, thresholdDen = 10, bits = bits,
+        seeds = (0 until bands).map(i => 42L + i), scale = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // truth: which planted pairs pass the integer 9/10 threshold (all, by
+    // construction at cosine .92) — recall is then pure blocking recall
+    val byId = (planted.flatMap { case (a, av, b, bv) =>
+      Seq(a -> av, b -> bv) } ++ fill).toMap
+      .map { case (k, v) => k -> quant(v, 1000) }
+    val truth = planted.map { case (a, _, b, _) => (a, b) }.filter { case (a, b) =>
+      val qa = byId(a); val qb = byId(b)
+      val d = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val na2 = qa.map(x => x * x).sum
+      val nb2 = qb.map(x => x * x).sum
+      d > 0 && BigInt(d) * d * 100 >= BigInt(81) * na2 * nb2
+    }
+    assert(truth.size >= 35, s"construction broke: only ${truth.size} truth pairs")
+    val recalled = truth.count(got.contains).toDouble / truth.size
+    info(f"q44 production auto-config measured recall: $recalled%.3f " +
+      f"(${truth.size} planted pairs at cosine 0.92, bits=$bits bands=$bands; " +
+      "autoBands design point is 0.9 recall at cosine 0.9)")
+    // formula predicts ~0.94 at cosine .92 (p_band=.478^... deterministic
+    // corpus -> deterministic figure; floor it at the design target
+    assert(recalled >= 0.9, s"recall $recalled below the 0.9 design target")
+    // and NO false positives can exist: the operator applies the exact
+    // integer threshold to every candidate — verify on the reported set
+    got.foreach { case (a, b) =>
+      val qa = byId(a); val qb = byId(b)
+      val d = qa.zip(qb).map { case (x, y) => x * y }.sum
+      assert(BigInt(d) * d * 100 >= BigInt(81) * qa.map(x => x * x).sum * qb.map(x => x * x).sum)
+    }
+  }
+
   test("autoBits bounds expected bucket population; requireSaneBits guards") {
     // 1M rows at 256/bucket -> 4096 buckets -> 12 bits
     assert(Similarity.autoBits(1000000L, 256L) == 12)
