@@ -862,6 +862,27 @@ object OracleSql {
          SELECT centroid_id, pos,
            CAST(SUM(v) AS BIGINT) AS sum_q, COUNT(*) AS n
          FROM e GROUP BY centroid_id, pos
-         ORDER BY centroid_id, pos"""
+         ORDER BY centroid_id, pos""",
+
+    // q64: domain-mixture sampling — per-source integer keep_threshold =
+    // (B * w * granularity) // (W * tokens), keep iff md5-bucket(doc_id)
+    // < threshold. Weights fall linearly with the source index; // is
+    // floor division on positive operands in both engines.
+    "q64_domain_mix" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+           FROM documents),
+         tot AS (
+           SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS source_tokens,
+             (20000 * (20 - CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)) * 10000)
+               // (210 * CAST(SUM(n_tokens) AS BIGINT)) AS keep_threshold
+           FROM t GROUP BY source)
+         SELECT doc_id, t.source, n_tokens, source_tokens, keep_threshold,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 10000 AS sample_bucket
+         FROM t JOIN tot USING (source)
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+             % 10000 < keep_threshold
+         ORDER BY doc_id"""
   )
 }

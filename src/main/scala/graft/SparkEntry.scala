@@ -889,6 +889,23 @@ object SparkEntry {
       .orderBy(col("centroid_id"), col("pos"))
   }
 
+  /** Domain-mixture sampling: downsample each source domain toward a
+    * target token mix under a 20k-token budget. Weights fall linearly
+    * with the source index (src0 weight 20 ... src19 weight 1, total
+    * 210), so the corpus exercises 20 distinct keep rates including the
+    * keep-whole branch (high-weight sources where B*w/(W*T) >= 1). All
+    * arithmetic integer; sampling is the q55 md5-bucket primitive. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = lit(20L) - regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    Mixture.tokenBudgetSample(docs, "doc_id", "source", "n_tokens",
+        weightCol = w, weightTotal = 210L, budgetTokens = 20000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("source_tokens"), col("keep_threshold"), col("sample_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding cosine near-duplicate pairs (integer-SRP blocking + exact
     * integer cosine-threshold test at 3/10). Threshold 0.3 ~= p99 of the
     * synthetic corpus's pairwise cosine (max is ~0.51), so the blocking
@@ -1060,7 +1077,8 @@ object SparkEntry {
     "q60_boilerplate" -> q60 _,
     "q61_sequence_pack" -> q61 _,
     "q62_ann_ivf" -> q62 _,
-    "q63_kmeans_step" -> q63 _
+    "q63_kmeans_step" -> q63 _,
+    "q64_domain_mix" -> q64 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  // driver-side replay of Mixture.sampleBucket: first 15 hex digits of
+  // md5(id) as base-16, mod granularity
+  private def bucket(id: String, granularity: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % granularity
+  }
+
+  // two sources: "hot" (weight 9) with 900 tokens total, "cold" (weight 1)
+  // with 100 tokens — budget 500 of weight-total 10 gives
+  //   hot : threshold = 500*9*10000 div (10*900) = 5000  (keep ~50%)
+  //   cold: threshold = 500*1*10000 div (10*100) = 5000  (keep ~50%)
+  private lazy val docs = (0 until 90).map(i => (s"h$i", "hot", 10L)) ++
+    (0 until 10).map(i => (s"c$i", "cold", 10L))
+
+  test("tokenBudgetSample keeps exactly the rows whose md5 bucket clears the integer threshold") {
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    val w = when(col("source") === "hot", 9L).otherwise(1L)
+    val got = Mixture.tokenBudgetSample(df, "doc_id", "source", "n_tokens",
+        weightCol = w, weightTotal = 10L, budgetTokens = 500L)
+      .select("doc_id", "keep_threshold", "sample_bucket")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val expected = docs.map(_._1).filter(id => bucket(id, 10000L) < 5000L).sorted
+    assert(got.map(_._1) == expected)
+    got.foreach { case (id, thr, b) =>
+      assert(thr == 5000L)
+      assert(b == bucket(id, 10000L) && b < thr)
+    }
+    // the kept fraction is near the 50% target (exact set pinned above)
+    assert(math.abs(got.size / 100.0 - 0.5) < 0.15)
+  }
+
+  test("keep-whole branch: budget*w >= W*tokens keeps every row of the source") {
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    val w = when(col("source") === "hot", 9L).otherwise(1L)
+    // budget 10000: cold threshold = 10000*1*10000 div (10*100) = 100000
+    // > granularity -> keep all; hot = 10000*9*10000 div (10*900) = 10^5 too
+    val got = Mixture.tokenBudgetSample(df, "doc_id", "source", "n_tokens",
+        weightCol = w, weightTotal = 10L, budgetTokens = 10000L)
+    assert(got.count() == 100)
+  }
+
+  test("zero budget keeps nothing; invalid args fail fast") {
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    val w = lit(1L)
+    assert(Mixture.tokenBudgetSample(df, "doc_id", "source", "n_tokens",
+      w, 10L, 0L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Mixture.tokenBudgetSample(df, "doc_id", "source", "n_tokens", w, 0L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.tokenBudgetSample(df, "doc_id", "source", "n_tokens", w, 1L, -1L)
+    }
+  }
+
+  test("sampling is retry-stable: same ids -> same kept set on a reshuffled frame") {
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    val w = when(col("source") === "hot", 9L).otherwise(1L)
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      Mixture.tokenBudgetSample(d, "doc_id", "source", "n_tokens", w, 10L, 500L)
+        .select("doc_id").as[String].collect().toSet
+    assert(kept(df) == kept(df.repartition(7, col("n_tokens"))))
+  }
+}
