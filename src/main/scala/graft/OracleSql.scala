@@ -883,6 +883,27 @@ object OracleSql {
          FROM t JOIN tot USING (source)
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
              % 10000 < keep_threshold
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q65: incremental dedup — banding recall is exactly 1 at the q40
+    // config (cap disabled), so the incremental result equals the FULL
+    // exact-Jaccard pair set restricted to pairs touching the new batch
+    // (doc_id % 5 = 0). Same replay as q40 plus that restriction.
+    "q65_incremental_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id AS id, unnest(list_distinct($shingles3)) AS sh FROM t),
+         sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS cnt
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id)
+         SELECT id_a, id_b,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE), 6) AS jaccard
+         FROM pairs
+         JOIN sizes sa ON sa.id = id_a
+         JOIN sizes sb ON sb.id = id_b
+         WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.5
+           AND (id_a % 5 = 0 OR id_b % 5 = 0)
+         ORDER BY id_a, id_b"""
   )
 }

@@ -906,6 +906,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental near-dup: docs with doc_id % 5 == 0 arrive as the NEW
+    * batch and are deduped against a nearDupIndex built over the other
+    * 80% — never re-reading the existing corpus text and never comparing
+    * index-vs-index. Same portable config as q40 (banding recall exactly
+    * 1 on this corpus, cap disabled), so the result provably equals the
+    * full-corpus q40 pair set restricted to pairs touching the batch —
+    * which is precisely what the SQL oracle computes. */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val index = Dedup.nearDupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", numHashes = 64, shingleN = 3)
+    Dedup.incrementalNearDups(docs.filter(col("doc_id") % 5 === 0), index,
+        "doc_id", "text", numHashes = 64, bands = 32, shingleN = 3,
+        threshold = 0.5, maxBucketSize = Int.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Embedding cosine near-duplicate pairs (integer-SRP blocking + exact
     * integer cosine-threshold test at 3/10). Threshold 0.3 ~= p99 of the
     * synthetic corpus's pairwise cosine (max is ~0.51), so the blocking
@@ -1078,7 +1095,8 @@ object SparkEntry {
     "q61_sequence_pack" -> q61 _,
     "q62_ann_ivf" -> q62 _,
     "q63_kmeans_step" -> q63 _,
-    "q64_domain_mix" -> q64 _
+    "q64_domain_mix" -> q64 _,
+    "q65_incremental_dedup" -> q65 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -1108,6 +1126,17 @@ object SparkEntry {
         Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
             maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))),
+      // q65 twin: production hot-bucket cap enabled (the oracled config
+      // disables it for recall-1 parity, like q40)
+      "q65_incremental_dedup" -> ((s, dir) => {
+        val docs = T(s, dir, "documents")
+        val index = Dedup.nearDupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", numHashes = 64, shingleN = 3)
+        Dedup.incrementalNearDups(docs.filter(col("doc_id") % 5 === 0), index,
+            "doc_id", "text", numHashes = 64, bands = 32, shingleN = 3,
+            threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      }),
       // q44 twin: PRODUCTION sizing, BOTH knobs derived. The oracled q44
       // pins bits=6 (the SQL oracle inlines those plane constants), which
       // holds bucket COUNT fixed while the corpus grows — the within-bucket

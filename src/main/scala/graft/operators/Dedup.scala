@@ -111,12 +111,14 @@ object Dedup {
           org.apache.spark.sql.graft.ExprBridge.expression(col("shset")),
           numHashes)).as("signature"))
 
-  /** LSH banding: signature split into `bands` bands of k/bands rows; docs
-    * sharing any band bucket become candidate pairs. Returns distinct
-    * (id_a, id_b) with id_a < id_b. */
-  def lshCandidatePairs(signatures: DataFrame, idCol: String,
-                        bands: Int, numHashes: Int,
-                        maxBucketSize: Int = 1000): DataFrame = {
+  /** Exploded (id, band, bucket) frame of a signature table: bucket =
+    * xxhash64 of the band's signature slice. Factored out so the
+    * incremental path can bucket the batch and the persisted index with
+    * the SAME expression — a deployment materializes this frame for its
+    * index (partitioned by band / bucket-mod) and band-bucket probes
+    * become partition pruning. */
+  def bandBuckets(signatures: DataFrame, idCol: String,
+                  bands: Int, numHashes: Int): DataFrame = {
     // numHashes is a caller-supplied parameter: deriving it from the data
     // (head() on the signature frame) would run an extra driver-side Spark
     // job recomputing the signature kernel, and throw on an empty corpus
@@ -124,9 +126,18 @@ object Dedup {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("signature"), b * rows + 1, rows)).as("bucket"))
     }
-    val buckets = signatures
+    signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** LSH banding: signature split into `bands` bands of k/bands rows; docs
+    * sharing any band bucket become candidate pairs. Returns distinct
+    * (id_a, id_b) with id_a < id_b. */
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+                        bands: Int, numHashes: Int,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val buckets = bandBuckets(signatures, idCol, bands, numHashes)
     val capped =
       if (maxBucketSize == Int.MaxValue) buckets // cap disabled -> skip the window shuffle
       else buckets
@@ -208,6 +219,79 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true)
     sets.unpersist()
+    out
+  }
+
+  /** Write-once near-dup index for incremental ingestion: one row per doc
+    * with its hashed shingle set AND MinHash signature, both from a single
+    * compiled-kernel scan. Persist this when the corpus is first deduped;
+    * [[incrementalNearDups]] then dedups each new batch against it without
+    * ever re-reading yesterday's TEXT — at 100 TB the index is ~1-2% of
+    * corpus bytes. Deployments should also materialize
+    * [[bandBuckets]] over it, partitioned by (band, bucket mod N): the
+    * batch probe then prunes partitions instead of scanning the index. */
+  def nearDupIndex(df: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 64, shingleN: Int = 3): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    sets.select(col(idCol), col("shset"),
+      org.apache.spark.sql.graft.ExprBridge.column(
+        graft.functions.MinHashSigExpr(
+          org.apache.spark.sql.graft.ExprBridge.expression(col("shset")),
+          numHashes)).as("signature"))
+  }
+
+  /** Incremental near-dup detection: MinHash+LSH pairs between a NEW batch
+    * and an existing [[nearDupIndex]], plus pairs within the batch — never
+    * index-vs-index. This is the daily-ingestion shape at 100 TB: work is
+    * O(batch x bucket occupancy), not O(corpus²), and the existing corpus
+    * contributes only (a) its bucket frame SEMI-JOIN-PRUNED to the batch's
+    * band buckets (with the bucket frame persisted partitioned, that is
+    * partition pruning; here the batch bucket set broadcasts, so the index
+    * scan never shuffles) and (b) the shingle sets of candidate ids for the
+    * exact-Jaccard verify.
+    *
+    * Id spaces of batch and index must be disjoint (same doc re-ingested =
+    * new id or upstream MergeSink upsert). Pair candidates collide on any
+    * shared band bucket exactly as [[minhashDedup]] over the union corpus
+    * would — so the result equals the full run's pair set restricted to
+    * pairs touching the batch (DedupSpec pins this equality; the q65
+    * oracle replays it in SQL).
+    *
+    * `maxBucketSize` caps the COMBINED (batch + index) bucket population,
+    * matching the full run's cap semantics. */
+  def incrementalNearDups(batch: DataFrame, index: DataFrame, idCol: String,
+                          textCol: String, numHashes: Int = 64,
+                          bands: Int = 16, shingleN: Int = 3,
+                          threshold: Double = 0.8,
+                          maxBucketSize: Int = 1000): DataFrame = {
+    val batchIdx = nearDupIndex(batch, idCol, textCol, numHashes, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBuckets = bandBuckets(batchIdx, idCol, bands, numHashes)
+    val iBuckets = bandBuckets(index, idCol, bands, numHashes)
+      .join(broadcast(bBuckets.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"), "leftsemi")
+    val union = bBuckets.withColumn("__new", lit(true))
+      .unionByName(iBuckets.withColumn("__new", lit(false)))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) union
+      else union
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n")
+    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("__new").as("__na"))
+    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("__new").as("__nb"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("__na") || col("__nb")) // drop index-vs-index collisions
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val allSets = batchIdx.select(col(idCol), col("shset"))
+      .unionByName(index.select(col(idCol), col("shset")))
+    // same lineage-severing release discipline as minhashDedup
+    val out = jaccardForPairsSets(allSets, pairs, idCol)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    batchIdx.unpersist()
     out
   }
 

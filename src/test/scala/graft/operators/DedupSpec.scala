@@ -62,6 +62,52 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j01 - bruteJaccard(texts(0L), texts(1L))) < 1e-6)
   }
 
+  test("incrementalNearDups == full-corpus run restricted to pairs touching the batch") {
+    // richer corpus: planted near-dup pairs that straddle the batch/index
+    // split (odd/even ids), live only in the batch, and live only in the
+    // index — plus noise docs
+    val rnd = new scala.util.Random(3)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    def sentence(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = (0L until 30L).map(i => (i, sentence(20)))
+    // near-dup of doc i at id 100+i (100+i is in the batch iff (100+i)%3==0)
+    val dups = (0L until 30L by 5L).map { i =>
+      (100L + i, base(i.toInt)._2.replaceFirst("\\w+$", "changed"))
+    }
+    // 99 and 0 are both ≡0 mod 3: a planted BATCH-BATCH pair (the 100+i
+    // dups can only straddle or live in the index at this modulus)
+    val batchPair = Seq((99L, base(0)._2.replaceFirst("^\\w+", "changed")))
+    val all = (base ++ dups ++ batchPair).toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 3 === 0
+    val batch = all.filter(isBatch)
+    val existing = all.filter(!isBatch)
+    val index = Dedup.nearDupIndex(existing, "doc_id", "text",
+      numHashes = 64, shingleN = 3)
+    val inc = Dedup.incrementalNearDups(batch, index, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashDedup(all, "doc_id", "text",
+        numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+    assert(inc == expected, s"incremental=$inc expected=$expected")
+    // the split actually exercises all three pair origins
+    assert(inc.exists { case (a, b, _) => a % 3 == 0 && b % 3 == 0 },
+      "no batch-batch pair in the corpus")
+    assert(inc.exists { case (a, b, _) => (a % 3 == 0) != (b % 3 == 0) },
+      "no batch-index pair in the corpus")
+    assert(full.exists { case (a, b, _) => a % 3 != 0 && b % 3 != 0 },
+      "no index-index pair existed, so the exclusion is untested")
+    // and index-vs-index pairs are excluded
+    inc.foreach { case (a, b, _) => assert(a % 3 == 0 || b % 3 == 0) }
+  }
+
   test("minhashDedup finds the true near-dup pairs (LSH recall on strong pairs)") {
     // threshold 0.3; identical pair (2,3) MUST collide in every band;
     // (0,1) at jaccard ~0.45 collides with overwhelming probability at 64/16
