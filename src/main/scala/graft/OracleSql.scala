@@ -904,6 +904,47 @@ object OracleSql {
          JOIN sizes sb ON sb.id = id_b
          WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.5
            AND (id_a % 5 = 0 OR id_b % 5 = 0)
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+
+    // q66: mixture RESAMPLING — rate_myriad uncapped; full copies =
+    // rate div granularity, plus one iff md5-bucket < rate mod
+    // granularity; epoch = unnest(range(n_copies)).
+    "q66_mixture_resample" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+           FROM documents),
+         tot AS (
+           SELECT source,
+             (60000 * (20 - CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)) * 10000)
+               // (210 * CAST(SUM(n_tokens) AS BIGINT)) AS rate_myriad
+           FROM t GROUP BY source),
+         j AS (
+           SELECT doc_id, t.source, n_tokens, rate_myriad,
+             rate_myriad // 10000
+               + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 10000 < rate_myriad % 10000 THEN 1 ELSE 0 END AS n_copies
+           FROM t JOIN tot USING (source))
+         SELECT doc_id, source, n_tokens, rate_myriad, n_copies,
+           unnest(range(n_copies)) AS epoch
+         FROM j WHERE n_copies > 0
+         ORDER BY doc_id, epoch""",
+
+    // q67: budget-constrained greedy selection — per-source token budget
+    // B*w/210, docs taken in (n_tokens DESC, doc_id) order while the
+    // integer running sum stays within budget.
+    "q67_budget_select" ->
+      s"""WITH t AS (
+           SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
+             (20000 * (20 - CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT))) // 210
+               AS source_budget
+           FROM documents),
+         c AS (
+           SELECT *, CAST(SUM(n_tokens) OVER (
+             PARTITION BY source ORDER BY n_tokens DESC, doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           FROM t)
+         SELECT doc_id, source, n_tokens, source_budget, cum_tokens
+         FROM c WHERE cum_tokens <= source_budget
+         ORDER BY doc_id"""
   )
 }

@@ -906,6 +906,46 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixture resampling with UPSAMPLING: budget 60000 (~2.2x the corpus)
+    * under the q64 weights makes high-weight sources repeat (3-4 epochs
+    * for src0) while low-weight sources still downsample — both branches
+    * of Mixture.tokenBudgetResample in one query. epoch is the 0-based
+    * copy index. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = lit(20L) - regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    Mixture.tokenBudgetResample(docs, "doc_id", "source", "n_tokens",
+        weightCol = w, weightTotal = 210L, budgetTokens = 60000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("rate_myriad"), col("n_copies"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** Budget-constrained quality selection — the OTHER standard mixing
+    * move (greedy fill instead of random sampling): per source, take docs
+    * in (n_tokens DESC, doc_id) order until the source's token budget
+    * (B*w/W) is full. Integer cumulative sum over a deterministic total
+    * order, so the cut is exact and engine-portable. 100 TB note: one
+    * hash exchange on source + per-source sort — the windowed-cumsum
+    * contract shape (like q49); a deployment that only needs the cut
+    * POINT can replace the full sort with approx_percentile pre-filtering
+    * and window only the boundary stratum. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("source_budget", expr("(20000 * (20 - CAST(regexp_extract(source, '(\\\\d+)', 1) AS BIGINT))) div 210"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .filter(col("cum_tokens") <= col("source_budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("source_budget"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental near-dup: docs with doc_id % 5 == 0 arrive as the NEW
     * batch and are deduped against a nearDupIndex built over the other
     * 80% — never re-reading the existing corpus text and never comparing
@@ -1096,7 +1136,9 @@ object SparkEntry {
     "q62_ann_ivf" -> q62 _,
     "q63_kmeans_step" -> q63 _,
     "q64_domain_mix" -> q64 _,
-    "q65_incremental_dedup" -> q65 _
+    "q65_incremental_dedup" -> q65 _,
+    "q66_mixture_resample" -> q66 _,
+    "q67_budget_select" -> q67 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

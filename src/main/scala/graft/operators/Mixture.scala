@@ -69,4 +69,45 @@ object Mixture {
       .withColumn("sample_bucket", sampleBucket(col(idCol), granularity))
       .filter(col("sample_bucket") < col("keep_threshold"))
   }
+
+  /** Up/down-RESAMPLING variant of [[tokenBudgetSample]]: a source whose
+    * target share exceeds its data is UPSAMPLED (rows repeated — epochs
+    * over the domain, the standard move when the high-quality domain is
+    * small), and one below is downsampled as before. Per source,
+    * `rate_myriad = (B * w_s * granularity) div (W * T_s)` (NOT capped at
+    * granularity); every row emits `rate_myriad div granularity` full
+    * copies plus one more iff its md5 bucket < `rate_myriad mod
+    * granularity` — so expected kept tokens = B*w_s/W exactly, and a
+    * row's copy count is a pure function of its id. Output rows carry
+    * `epoch` (0-based copy index): downstream packing shuffles copies
+    * apart naturally; dedup-sensitive consumers can filter epoch = 0.
+    *
+    * Same 100 TB shape as [[tokenBudgetSample]] — tiny-totals math,
+    * broadcast join, codegen hot path; `explode(sequence(...))` emits
+    * copies without re-reading the row. */
+  def tokenBudgetResample(df: DataFrame, idCol: String, sourceCol: String,
+                          tokensCol: String, weightCol: Column,
+                          weightTotal: Long, budgetTokens: Long,
+                          granularity: Long = 10000L): DataFrame = {
+    require(weightTotal > 0, s"weightTotal must be > 0, got $weightTotal")
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(granularity > 0 && granularity <= 1000000L,
+      s"granularity must be in (0, 10^6], got $granularity")
+    val totals = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).cast("long").as("source_tokens"))
+      .withColumn("__w", weightCol.cast("long"))
+      .withColumn("rate_myriad",
+        expr(s"($budgetTokens * __w * $granularity) div " +
+             s"($weightTotal * source_tokens)"))
+      .drop("__w")
+    // integral div/mod (not double division) — exact at any magnitude
+    val copies = expr(s"rate_myriad div $granularity") +
+      when(col("sample_bucket") < pmod(col("rate_myriad"), lit(granularity)), 1L)
+        .otherwise(0L)
+    df.join(broadcast(totals), sourceCol)
+      .withColumn("sample_bucket", sampleBucket(col(idCol), granularity))
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+  }
 }

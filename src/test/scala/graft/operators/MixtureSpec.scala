@@ -62,6 +62,40 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetResample upsamples above-data targets and downsamples below-data ones") {
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    val w = when(col("source") === "hot", 9L).otherwise(1L)
+    // budget 2500, W=10: hot rate = 2500*9*10000 div (10*900) = 25000
+    //   -> 2 full copies + bucket < 5000 chance of a 3rd
+    // cold rate = 2500*1*10000 div (10*100) = 25000 -> same by construction
+    val got = Mixture.tokenBudgetResample(df, "doc_id", "source", "n_tokens",
+        weightCol = w, weightTotal = 10L, budgetTokens = 2500L)
+      .select("doc_id", "n_copies", "epoch")
+      .as[(String, Long, Long)].collect().toSeq
+    // every row gets >= 2 epochs; a 3rd iff its bucket < 5000 (replay)
+    val byId = got.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    docs.map(_._1).foreach { id =>
+      val expectCopies = 2L + (if (bucket(id, 10000L) < 5000L) 1L else 0L)
+      assert(byId(id) == (0L until expectCopies),
+        s"$id: epochs ${byId.get(id)} != 0 until $expectCopies")
+    }
+    // expected kept tokens ~= budget per source (quantization < 1 token)
+    val kept = got.map(_._1).groupBy(s => s.head).view.mapValues(_.size).toMap
+    assert(math.abs(kept('h') * 10 - 2250) < 250, s"hot tokens ${kept('h') * 10}")
+  }
+
+  test("tokenBudgetResample epoch-0 slice equals tokenBudgetSample when rates are subunit") {
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    val w = when(col("source") === "hot", 9L).otherwise(1L)
+    // budget 500 -> rate 5000 myriad (< 10000): resample emits 0 or 1 copy,
+    // exactly the sample operator's kept set
+    val resampled = Mixture.tokenBudgetResample(df, "doc_id", "source", "n_tokens",
+        w, 10L, 500L).select("doc_id").as[String].collect().toSeq
+    val sampled = Mixture.tokenBudgetSample(df, "doc_id", "source", "n_tokens",
+        w, 10L, 500L).select("doc_id").as[String].collect().toSeq
+    assert(resampled.sorted == sampled.sorted)
+  }
+
   test("sampling is retry-stable: same ids -> same kept set on a reshuffled frame") {
     val df = docs.toDF("doc_id", "source", "n_tokens")
     val w = when(col("source") === "hot", 9L).otherwise(1L)
