@@ -50,6 +50,73 @@ object StreamingIngest {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Streaming incremental near-dup: the q65 daily-ingestion loop as a
+    * continuously-running stream. Each micro-batch is deduped against the
+    * PERSISTED [[graft.operators.Dedup.nearDupIndex]] parquet at
+    * `indexPath` (near-dup pairs land under `pairsPath`), then the
+    * batch's own index rows are appended — so batch N+1 sees every doc
+    * from batches 1..N without ever re-reading their text.
+    *
+    * Exactly-once on replay WITHOUT transactions: both sinks partition by
+    * batch_id and use DYNAMIC partition overwrite, so a crashed batch
+    * rewrites only its own partition. A replay whose index append already
+    * landed is still correct: the batch's ids are anti-joined OUT of the
+    * index read (enforcing incrementalNearDups' disjoint-id precondition
+    * mechanically), so the replayed batch sees exactly the index state
+    * the original run saw and rewrites identical partitions.
+    *
+    * 100 TB: the index grows by one parquet partition per batch; compact
+    * periodically and materialize its [[graft.operators.Dedup.bandBuckets]]
+    * partitioned for probe-side partition pruning (see incrementalNearDups). */
+  def incrementalDedupStream(spark: SparkSession, stream: DataFrame,
+                             idCol: String, textCol: String,
+                             indexPath: String, pairsPath: String,
+                             checkpoint: String, numHashes: Int = 64,
+                             bands: Int = 32, shingleN: Int = 3,
+                             threshold: Double = 0.5,
+                             maxBucketSize: Int = 1000,
+                             availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        incrementalDedupBatch(spark, batch, batchId, idCol, textCol,
+          indexPath, pairsPath, numHashes, bands, shingleN, threshold,
+          maxBucketSize)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** One micro-batch of [[incrementalDedupStream]], callable directly so
+    * replay semantics are testable: running it twice with the SAME
+    * batchId (what a post-crash Structured Streaming replay does) must
+    * leave identical pairs/index partitions. */
+  def incrementalDedupBatch(spark: SparkSession, batch: DataFrame,
+                            batchId: Long, idCol: String, textCol: String,
+                            indexPath: String, pairsPath: String,
+                            numHashes: Int, bands: Int, shingleN: Int,
+                            threshold: Double, maxBucketSize: Int): Unit = {
+    import graft.operators.Dedup
+    val index =
+      if (new java.io.File(indexPath).isDirectory)
+        // anti-join out any ids of THIS batch (present iff this is a
+        // replay whose index write already landed) — the batch id set
+        // is micro-batch-sized, broadcast probe
+        spark.read.parquet(indexPath).drop("batch_id")
+          .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_anti")
+      else Dedup.nearDupIndex(batch.limit(0), idCol, textCol, numHashes, shingleN)
+    Dedup.incrementalNearDups(batch, index, idCol, textCol,
+        numHashes, bands, shingleN, threshold, maxBucketSize)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(pairsPath)
+    Dedup.nearDupIndex(batch, idCol, textCol, numHashes, shingleN)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(indexPath)
+  }
+
   /** Tumbling-window event aggregation with a watermark — the streaming
     * twin of SparkEntry q31; late events beyond the watermark are dropped,
     * on-time aggregates emit incrementally (append mode). */

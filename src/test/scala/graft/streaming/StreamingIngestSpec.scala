@@ -50,6 +50,69 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() == 3)
   }
 
+  test("incrementalDedupStream: batches dedup against the growing index; replay is idempotent") {
+    val root = Files.createTempDirectory("incdedup")
+    val landing = root.resolve("landing")
+    val indexPath = s"$root/index"
+    val pairsPath = s"$root/pairs"
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(docSchema)
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(landing.toString)
+      val q = StreamingIngest.incrementalDedupStream(spark, stream,
+        "doc_id", "text", indexPath, pairsPath, s"$root/ckpt",
+        numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      q.awaitTermination()
+    }
+
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // batch 1: two unrelated docs -> no pairs, index seeded
+    write(landing, "b1.csv", s"doc_id,text\n1,$a\n2,$b\n")
+    drain()
+    assert(spark.read.parquet(indexPath).count() == 2)
+    // zero pairs in batch 1 -> dynamic overwrite writes no partition files
+    // at all; a parquet read of the bare directory can't infer a schema
+    assert(scala.util.Try(spark.read.parquet(pairsPath).count()).getOrElse(0L) == 0L)
+
+    // batch 2: near-dup of doc 1 (straddling pair) + near-dup pair INSIDE
+    // the batch (5, 6) + noise
+    val a2 = a.replace("dog", "cat")
+    write(landing, "b2.csv",
+      s"doc_id,text\n5,$b\n6,${b.replace("mu", "nu")}\n7,$a2\n")
+    drain()
+    val pairs = spark.read.parquet(pairsPath)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // straddling: batch-2 docs vs batch-1 index (1,7) and (2,5), (2,6);
+    // within-batch: (5,6); never (1,2) (both in the index by then)
+    assert(pairs == Set((1L, 7L), (2L, 5L), (2L, 6L), (5L, 6L)), s"got $pairs")
+    assert(spark.read.parquet(indexPath).count() == 5)
+
+    // replay idempotence: a post-crash Structured Streaming replay re-runs
+    // the SAME batch content with the SAME batchId against an index whose
+    // append already landed — invoke the batch body directly to simulate
+    // exactly that. The anti-join guard + dynamic partition overwrite must
+    // leave the pair set, index ids, and batch_id partitions unchanged.
+    val batch2 = Seq((5L, b), (6L, b.replace("mu", "nu")), (7L, a2))
+      .toDF("doc_id", "text")
+    StreamingIngest.incrementalDedupBatch(spark, batch2, batchId = 1L,
+      "doc_id", "text", indexPath, pairsPath,
+      numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
+      maxBucketSize = Int.MaxValue)
+    val idx = spark.read.parquet(indexPath).select("doc_id").as[Long].collect()
+    assert(idx.length == 5 && idx.length == idx.distinct.length,
+      s"replay corrupted the index: ${idx.sorted.toSeq}")
+    val pairs2 = spark.read.parquet(pairsPath)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs2 == pairs, s"replay changed the pair set: $pairs2")
+    assert(spark.read.parquet(pairsPath).count() == pairs.size,
+      "replay duplicated pair rows")
+  }
+
   test("dedupWithinWatermark drops redelivered keys via bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
