@@ -19,12 +19,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    vary ±25% in one JVM (BenchRepeat measured), and at reps=3 the judge
   *    saw nine phantom cross-round "regressions" (r5); the min is the
   *    low-noise floor to attribute real deltas against;
-  *  - MEASURED noise floor (double run, separate JVMs, generated sf0.1,
-  *    scaledata/bench_double_{1,2}.json): TOTAL stable to 0.5%; queries
-  *    >=1 s stable to ~10%; sub-second queries still vary 20-35% BETWEEN
-  *    JVM instances even at 15 reps (JIT/CPU-state variance that more
-  *    in-JVM reps cannot remove). Cross-round comparisons should be made
-  *    on the total and the multi-second queries, not on sub-second medians;
+  *  - MEASURED noise floor (TRIPLE full run, separate JVMs, testdata
+  *    sf0.1, 67 queries, scaledata/bench_triple_{1,2,3}.json): totals
+  *    54.8 / 61.3 / 51.0 s. The two runs in quiet host windows agree to
+  *    7.4% on the total and 2.4% on the sum of per-query minima; the
+  *    middle run hit external host load and inflated ~15-20% across the
+  *    board (its >=1 s minima sit a median +25% above the 3-run floor vs
+  *    +3-9% for the quiet runs). So: per-query MINIMA under quiet
+  *    conditions are the attributable signal (~2-3% on the sum);
+  *    cross-round total deltas under ~10% are not attributable, and any
+  *    delta should be checked against a rerun before being read as a
+  *    regression — the host is time-shared and a whole RUN can be loaded;
   *  - cached blocks are dropped and a GC is forced between timings so one
   *    query's persist/localCheckpoint traffic can't inflate its neighbors
   *    (the q30 10x artifact in BENCH_r03);
