@@ -57,7 +57,15 @@ object Mixture {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     require(granularity > 0 && granularity <= 1000000L,
       s"granularity must be in (0, 10^6], got $granularity")
-    val totals = df.groupBy(col(sourceCol))
+    // the input feeds BOTH the totals aggregation and the fact-side join;
+    // without a persist each consumer re-runs df's lineage — when
+    // tokensCol is derived inline from text (q64) that is a second full
+    // corpus scan + tokenize. Persist the (usually narrow) input instead
+    // (same discipline as q60's sentence frame; PlanShapeSpec pins the
+    // single-scan plan). Release: unpersist after consumption or
+    // spark.catalog.clearCache() — Bench does the latter between queries.
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = in.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).cast("long").as("source_tokens"))
       .withColumn("__w", weightCol.cast("long"))
       // integer floor-division on both engines (all operands positive)
@@ -65,7 +73,7 @@ object Mixture {
         expr(s"($budgetTokens * __w * $granularity) div " +
              s"($weightTotal * source_tokens)"))
       .drop("__w")
-    df.join(broadcast(totals), sourceCol)
+    in.join(broadcast(totals), sourceCol)
       .withColumn("sample_bucket", sampleBucket(col(idCol), granularity))
       .filter(col("sample_bucket") < col("keep_threshold"))
   }
@@ -93,7 +101,9 @@ object Mixture {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     require(granularity > 0 && granularity <= 1000000L,
       s"granularity must be in (0, 10^6], got $granularity")
-    val totals = df.groupBy(col(sourceCol))
+    // shared one-scan persist — see tokenBudgetSample
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = in.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).cast("long").as("source_tokens"))
       .withColumn("__w", weightCol.cast("long"))
       .withColumn("rate_myriad",
@@ -104,7 +114,7 @@ object Mixture {
     val copies = expr(s"rate_myriad div $granularity") +
       when(col("sample_bucket") < pmod(col("rate_myriad"), lit(granularity)), 1L)
         .otherwise(0L)
-    df.join(broadcast(totals), sourceCol)
+    in.join(broadcast(totals), sourceCol)
       .withColumn("sample_bucket", sampleBucket(col(idCol), granularity))
       .withColumn("n_copies", copies)
       .filter(col("n_copies") > 0)

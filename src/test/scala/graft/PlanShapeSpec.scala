@@ -157,6 +157,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("centroid_id"), s"centroid_id equi-join missing:\n$plan")
   }
 
+  test("q64 mixture: totals pass and fact pass share ONE persisted corpus scan") {
+    val df = SparkEntry.queries("q64_domain_mix")(spark, dir)
+    // both consumers (per-source totals agg, fact-side broadcast join)
+    // must read the persisted narrow frame — a LogicalRelation outside the
+    // InMemoryRelation means the text is scanned + tokenized twice
+    val opt = df.queryExecution.optimizedPlan
+    val direct = opt.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    val cached = opt.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+    }
+    assert(cached.nonEmpty, s"input frame not persisted:\n$opt")
+    assert(direct.isEmpty,
+      s"corpus scanned ${direct.size} times outside the persisted frame:\n$opt")
+    spark.catalog.clearCache()
+  }
+
   test("q44 near-dup: no vector column ever reaches a post-join exchange") {
     val df = SparkEntry.benchQueries("q44_embed_neardup")(spark, dir)
     df.collect()
