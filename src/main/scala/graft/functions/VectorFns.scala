@@ -41,8 +41,19 @@ object VectorFns {
     * engine given the same constants (the DuckDB oracle replays it
     * bit-for-bit) — no float summation-order hazard at the sign boundary.
     * Rademacher projections preserve the SRP cosine-collision property
-    * (random ±1 rows are an isotropic-enough projection family). */
-  def srpBucketInt(vec: Column, planes: Seq[Array[Int]]): Column = {
+    * (random ±1 rows are an isotropic-enough projection family).
+    * Backed by the NATIVE [[SrpBucketIntExpr]] since round 6 — the bucket
+    * assignment runs per row × per seed on every similarity corpus scan,
+    * and the previous UDF kernel paid the encoder boundary each time. */
+  def srpBucketInt(vec: Column, planes: Seq[Array[Int]]): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      SrpBucketIntExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(vec),
+        planes.toArray))
+
+  /** UDF form of [[srpBucketInt]] — kept ONLY as the independent
+    * implementation VectorExprSpec checks the native expression against. */
+  private[graft] def srpBucketIntUdf(vec: Column, planes: Seq[Array[Int]]): Column = {
     val ps = planes.toArray
     val kernel = udf { (v: Array[Long]) =>
       if (v == null) 0L
@@ -66,11 +77,20 @@ object VectorFns {
 
   /** Sign-random-projection (SimHash-for-vectors) bucket id: for each
     * deterministic Gaussian hyperplane, emit the sign bit of the
-    * projection; pack bits into a long. Compiled kernel — the equivalent
-    * zip_with/aggregate expression chain is CodegenFallback (interpreted)
-    * and profiles ~10x slower per row. `planes` are supplied by the caller
-    * (see operators.Similarity.hyperplanes). */
-  def srpBucket(vec: Column, planes: Seq[Array[Double]]): Column = {
+    * projection; pack bits into a long. `planes` are supplied by the
+    * caller (see operators.Similarity.hyperplanes). Backed by the NATIVE
+    * [[SrpBucketExpr]] (the zip_with/aggregate expression-chain
+    * formulation is CodegenFallback — interpreted, ~10x slower per row —
+    * and a ScalaUDF pays the encoder boundary; the native kernel does
+    * neither). */
+  def srpBucket(vec: Column, planes: Seq[Array[Double]]): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      SrpBucketExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(vec),
+        planes.toArray))
+
+  /** UDF form of [[srpBucket]] — kept ONLY for VectorExprSpec parity. */
+  private[graft] def srpBucketUdf(vec: Column, planes: Seq[Array[Double]]): Column = {
     val ps = planes.toArray
     val kernel = udf { (v: Array[Float]) =>
       if (v == null) 0L
