@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import graft.functions.VectorFns
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -305,6 +306,39 @@ class SimilaritySpec extends SparkSpec {
       val d = qa.zip(qb).map { case (x, y) => x * y }.sum
       assert(BigInt(d) * d * 100 >= BigInt(81) * qa.map(x => x * x).sum * qb.map(x => x * x).sum)
     }
+  }
+
+  test("IVF corpus written partitionBy(centroid_id): probing is PARTITION PRUNING, " +
+       "and pruned-read results match the in-memory operator") {
+    // the q62 scaladoc's scale claim, pinned: a deployment that
+    // materializes the assigned corpus partitioned by centroid_id turns a
+    // query's nProbe-list probe into a physical partition filter — only
+    // nProbe/nCentroids of the data is read
+    val scale = 100
+    val cents = Similarity.seedCentroidsInt(corpus, "vec_id", "embedding", n = 6, scale = scale)
+    val assigned = corpus
+      .withColumn("__qv", VectorFns.quantize(col("embedding"), scale))
+      .withColumn("centroid_id",
+        element_at(Similarity.centroidRanking(cents)(col("__qv")), 1).getField("cid"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_part").toString
+    assigned.write.partitionBy("centroid_id").parquet(s"$dir/corpus")
+    val onDisk = spark.read.parquet(s"$dir/corpus")
+    // a 2-probe query list
+    val probes = Seq(0L, 3L)
+    val pruned = onDisk.filter(col("centroid_id").isin(probes: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("centroid_id"), s"probe not a partition filter:\n$plan")
+    // the pruned scan actually skips non-probed lists
+    val scanned = pruned.select("centroid_id").distinct()
+      .as[Long].collect().toSet
+    assert(scanned.subsetOf(probes.toSet))
+    // and the partition-pruned rows are exactly the operator's list
+    // contents for those centroids
+    val expected = assigned.filter(col("centroid_id").isin(probes: _*))
+      .select("vec_id").as[Long].collect().toSet
+    val got = pruned.select("vec_id").as[Long].collect().toSet
+    assert(got == expected)
   }
 
   test("autoBits bounds expected bucket population; requireSaneBits guards") {
