@@ -945,6 +945,24 @@ object OracleSql {
            FROM t)
          SELECT doc_id, source, n_tokens, source_budget, cum_tokens
          FROM c WHERE cum_tokens <= source_budget
+         ORDER BY doc_id""",
+
+    // q68: fixed-K deterministic stratified sample — rank within stratum
+    // by (md5 bucket, id), keep the first 7. row_number CAST to INTEGER
+    // (DuckDB widens to BIGINT; Spark's is int).
+    "q68_stratified_k" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 1000000 AS sample_bucket
+           FROM documents),
+         r AS (
+           SELECT *, CAST(row_number() OVER (
+             PARTITION BY source ORDER BY sample_bucket, doc_id) AS INTEGER)
+             AS sample_rank
+           FROM t)
+         SELECT doc_id, source, sample_bucket, sample_rank
+         FROM r WHERE sample_rank <= 7
          ORDER BY doc_id"""
   )
 }

@@ -946,6 +946,18 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-K per-stratum deterministic sample: exactly 7 docs per source
+    * (every source has 25), membership a pure function of the ids — the
+    * eval/holdout-set primitive next to q55's rate sampling and q64's
+    * budget sampling. */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    Mixture.stratifiedK(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", k = 7)
+      .select(col("doc_id"), col("source"), col("sample_bucket"),
+        col("sample_rank"))
+      .orderBy(col("doc_id"))
+
   /** Incremental near-dup: docs with doc_id % 5 == 0 arrive as the NEW
     * batch and are deduped against a nearDupIndex built over the other
     * 80% — never re-reading the existing corpus text and never comparing
@@ -1138,7 +1150,8 @@ object SparkEntry {
     "q64_domain_mix" -> q64 _,
     "q65_incremental_dedup" -> q65 _,
     "q66_mixture_resample" -> q66 _,
-    "q67_budget_select" -> q67 _
+    "q67_budget_select" -> q67 _,
+    "q68_stratified_k" -> q68 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

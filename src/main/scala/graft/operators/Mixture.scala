@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Domain-mixture sampling — the data-mixing stage of a large-scale
@@ -119,5 +120,28 @@ object Mixture {
       .withColumn("n_copies", copies)
       .filter(col("n_copies") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+  }
+
+  /** Exactly min(k, |stratum|) rows per stratum, chosen DETERMINISTICALLY:
+    * rank rows within each stratum by (md5 bucket, id) and keep the first
+    * k — a fixed-size per-stratum uniform sample whose membership is a
+    * pure function of the ids present (eval/holdout-set construction:
+    * reruns, engine ports, and audits pick the identical rows). Appends
+    * `sample_bucket` and `sample_rank`.
+    *
+    * 100 TB shape: one hash exchange on the stratum key + per-stratum
+    * sort (the q67 window contract shape). When k << |stratum| a
+    * deployment can pre-filter with [[tokenBudgetSample]]-style bucket
+    * thresholding (keep ~2k/|stratum| by bucket, then rank only the
+    * survivors) so the sort touches a sliver — membership is unchanged
+    * because bucket-rank is what both steps order by. */
+  def stratifiedK(df: DataFrame, idCol: String, stratumCol: String, k: Int,
+                  granularity: Long = 1000000L): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("sample_bucket").asc, col(idCol).asc)
+    df.withColumn("sample_bucket", sampleBucket(col(idCol), granularity))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
   }
 }

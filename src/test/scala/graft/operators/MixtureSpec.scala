@@ -96,6 +96,23 @@ class MixtureSpec extends SparkSpec {
     assert(resampled.sorted == sampled.sorted)
   }
 
+  test("stratifiedK keeps exactly min(k, stratum size) rows, ranked by md5 bucket") {
+    val df = docs.toDF("doc_id", "source", "n_tokens")
+    val got = Mixture.stratifiedK(df, "doc_id", "source", k = 4)
+      .select("doc_id", "source", "sample_rank")
+      .as[(String, String, Int)].collect().toSeq
+    assert(got.count(_._2 == "hot") == 4)
+    assert(got.count(_._2 == "cold") == 4)
+    // driver-side replay: the 4 lowest (bucket, id) per stratum
+    val expected = docs.groupBy(_._2).flatMap { case (_, rows) =>
+      rows.map(_._1).sortBy(id => (bucket(id, 1000000L), id)).take(4)
+    }.toSet
+    assert(got.map(_._1).toSet == expected)
+    // k larger than the stratum keeps the whole stratum
+    assert(Mixture.stratifiedK(df.filter(col("source") === "cold"),
+      "doc_id", "source", k = 100).count() == 10)
+  }
+
   test("sampling is retry-stable: same ids -> same kept set on a reshuffled frame") {
     val df = docs.toDF("doc_id", "source", "n_tokens")
     val w = when(col("source") === "hot", 9L).otherwise(1L)

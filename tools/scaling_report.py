@@ -128,7 +128,7 @@ def main(bench_dir, out_path):
         "provenance": "q01-q63 timed in one back-to-back sweep per SF "
                       "(tools/run_scaling_sweep.sh); q44 re-measured per-SF "
                       "in isolation after its candidate-shuffle fix, and "
-                      "q64-q67 (added after the sweep) measured the same "
+                      "q64-q68 (added after the sweep) measured the same "
                       "isolated way (SPARK_GRAFT_BENCH_ONLY, reps=5), both "
                       "merged into the per-SF bench files",
         "superlinear": superlinear,
