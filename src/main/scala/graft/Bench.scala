@@ -69,6 +69,14 @@ object Bench {
     // (re-timing one query in isolation, away from sweep neighbors).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name must not silently shrink the query list — a partial
+    // bench total merged into scaling evidence unnoticed is worse than a
+    // crash (the r6 sweeps merged SPARK_GRAFT_BENCH_ONLY output directly).
+    only.foreach { names =>
+      val missing = names -- SparkEntry.benchQueries.map(_._1).toSet
+      require(missing.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in SparkEntry.benchQueries: ${missing.toSeq.sorted.mkString(", ")}")
+    }
     val queries = only match {
       case Some(names) => SparkEntry.benchQueries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.benchQueries
@@ -113,15 +121,21 @@ object Bench {
     }
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
+    // 0.1 ms per-query precision (an order below the measured noise floor)
+    // keeps the line SHORT: the driver's tail capture truncated r6's
+    // full-precision map at 60/68 queries — headline fields now come
+    // first and the maps are compact so truncation can't eat them.
+    def fmt(d: Double): String =
+      if (d < 0) "-1" else "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
-    val qmins = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+    val qmins = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v._2) }
       .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qmins,"sf":"$sfDir","reps":$reps$errJson}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps$errJson,"queries":$qs,"queries_min":$qmins}"""
     // The driver parses the bench JSON; sbt decorates stdout with [info]
     // prefixes, so ALSO persist the line to a file it can read directly.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

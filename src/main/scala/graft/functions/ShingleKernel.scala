@@ -101,6 +101,57 @@ object ShingleKernel {
     sig
   }
 
+  // one digest per thread, reset per token — codegen calls this once per
+  // row from many task threads; MessageDigest is not thread-safe and
+  // per-row getInstance() allocation is measurable at 100 TB row counts
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit ENGINE-PORTABLE SimHash: token hash = first 15 hex chars of
+    * md5(utf8(token)) parsed base-16 (< 2^60 — every shift/mask stays in
+    * signed-64 range on any SQL engine), frequency-weighted ±1 bit votes,
+    * bit = sign. Token-less docs get sentinel -1 (outside the signature
+    * space): a vote-less signature would be all-ones and pair every blank
+    * doc with every other at hamming 0 — and the SQL oracle, where empty
+    * token lists unnest to zero rows, would disagree. Callers filter the
+    * sentinel out of near-dup consideration. */
+  def simhash60Md5(text: String): Long = {
+    val counts = new Array[Int](60)
+    var nTokens = 0
+    if (text != null) {
+      val md = md5Local.get()
+      val toks = text.toLowerCase.trim.split("\\s+")
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).nonEmpty) {
+          nTokens += 1
+          md.reset()
+          val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          // first 15 hex chars == high 60 bits of the first 8 digest bytes
+          var h = 0L
+          var b = 0
+          while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+          h = h >>> 4 // drop the 16th hex char -> 60 bits
+          var k = 0
+          while (k < 60) {
+            if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
+            k += 1
+          }
+        }
+        i += 1
+      }
+    }
+    if (nTokens == 0) -1L
+    else {
+      var sig = 0L
+      var k = 0
+      while (k < 60) { if (counts(k) >= 0) sig |= (1L << k); k += 1 }
+      sig
+    }
+  }
+
   /** MinHash signature over a hashed shingle set: k hash functions
     * simulated as splitmix64(shingle ^ seed_i); signature_i = min over the
     * set. Null input (never produced by [[shingleSetData]], defensive) ->

@@ -136,8 +136,7 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
 
 /** Native 64-bit SimHash expression (string -> long) — the FNV fast-path
   * kernel of the SimHash family as a codegen expression; the md5-based
-  * 60-bit portable variant stays a UDF (it exists only for external-
-  * engine parity, never on the hot path). */
+  * 60-bit portable variant is [[SimHash60Md5Expr]]. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -168,5 +167,44 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** Native 60-bit engine-portable md5 SimHash expression (string -> long) —
+  * same codegen strategy as [[SimHash64Expr]] (static call into
+  * [[ShingleKernel.simhash60Md5]] inside the whole-stage span). Exists for
+  * external-engine parity (the DuckDB oracle reproduces signatures
+  * bit-exactly); promoted from a ScalaUDF so even the oracle-portable q41
+  * plan carries no UDF encoder boundary. */
+case class SimHash60Md5Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash60_md5 expects a STRING child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "simhash60_md5"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleKernel.simhash60Md5(
+      if (v == null) null else v.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = graft.functions.ShingleKernel.simhash60Md5(
+          ${c.isNull} ? null : ${c.value}.toString());
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Md5Expr =
     copy(child = newChild)
 }

@@ -27,6 +27,44 @@ object VectorKernel {
     bucket
   }
 
+  /** Exact comparison of the two triple products `a*b*c` vs `d*e*f` for
+    * NON-NEGATIVE long factors — the q44 cosine-threshold test
+    * (`qdot² · tden² >= tnum² · |a|² · |b|²`) without BigInt allocation:
+    * each side is expanded to 192-bit limbs with `Math.multiplyHigh`
+    * (factors < 2^63 ⇒ product < 2^189, three limbs suffice) and compared
+    * lexicographically. Exact at ANY dim/scale configuration, allocation-
+    * free, callable from whole-stage codegen.
+    * @return negative / zero / positive as `a*b*c` <=> `d*e*f` */
+  def cmpProd3(a: Long, b: Long, c: Long, d: Long, e: Long, f: Long): Int = {
+    // 192-bit limbs (r2:r1:r0) of x*y*z, all factors in [0, 2^63)
+    @inline def limbs(x: Long, y: Long, z: Long): (Long, Long, Long) = {
+      val ph = Math.multiplyHigh(x, y) // signed==unsigned: both < 2^63
+      val pl = x * y                   // wrapping low 64
+      // (ph:pl) * z = (ph*z << 64) + pl*z
+      val lo = pl * z
+      // unsigned high of pl*z: pl is a full unsigned 64-bit limb
+      val loHi = Math.multiplyHigh(pl, z) + (if (pl < 0L) z else 0L)
+      val midLo = ph * z
+      val midHi = Math.multiplyHigh(ph, z)
+      val r1 = midLo + loHi
+      val carry = if (java.lang.Long.compareUnsigned(r1, loHi) < 0) 1L else 0L
+      (midHi + carry, r1, lo)
+    }
+    val (l2, l1, l0) = limbs(a, b, c)
+    val (m2, m1, m0) = limbs(d, e, f)
+    if (l2 != m2) java.lang.Long.compareUnsigned(l2, m2)
+    else if (l1 != m1) java.lang.Long.compareUnsigned(l1, m1)
+    else java.lang.Long.compareUnsigned(l0, m0)
+  }
+
+  /** The q44 post-blocking threshold test as a static kernel:
+    * `qdot > 0 && qdot²·tden2 >= tnum2·a2·b2` (i.e. cosine >= tnum/tden on
+    * the quantized vectors, with tnum2 = tnum², tden2 = tden²
+    * precomputed). a2/b2 are squared norms, hence non-negative. */
+  def cosinePasses(qdot: Long, a2: Long, b2: Long,
+                   tnum2: Long, tden2: Long): Boolean =
+    qdot > 0L && cmpProd3(qdot, qdot, tden2, tnum2, a2, b2) >= 0
+
   /** Gaussian-plane SRP bucket over a raw (`array<float>`) embedding. */
   def srpBucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
     if (v == null) return 0L

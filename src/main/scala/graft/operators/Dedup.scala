@@ -154,28 +154,53 @@ object Dedup {
 
   /** Exhaustive-on-candidates n-gram Jaccard dedup: candidate pairs are docs
     * sharing at least one shingle (inverted-index join — shuffle keyed by
-    * shingle, hot shingles capped), then exact Jaccard >= threshold. */
+    * shingle, hot shingles capped), then exact Jaccard >= threshold.
+    *
+    * Spill discipline (the r6 sf2 thrash fix): the candidate stage is
+    * quadratic in posting density, so per-task state — the join task's
+    * pair-counting hash map, and the window sort of the cap — must be
+    * bounded by PARTITION COUNT, not left to the session default. The
+    * posting exchange (which feeds the join AND the partial pair-count
+    * aggregate running on its output) therefore runs at `pairPartitions`
+    * (default 16 × `spark.sql.shuffle.partitions`), an
+    * EXPLICIT repartition count: AQE sizes partitions by the shuffle's own
+    * bytes and cannot see the join's quadratic output, so it would
+    * coalesce the postings into a few giant partitions exactly when the
+    * candidate volume explodes — explicit counts are exempt from
+    * coalescing. At 100 TB, size `pairPartitions` so a partition's
+    * candidate set (~Σ DF² over its shingles / P) fits an executor's
+    * aggregation memory; the contract then degrades as "more, smaller
+    * tasks", never as same-task sort-spill thrash. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
-                   maxPostings: Int = 1000): DataFrame = {
+                   maxPostings: Int = 1000, pairPartitions: Int = 0): DataFrame = {
+    val p =
+      if (pairPartitions > 0) pairPartitions
+      else 16 * df.sparkSession.sessionState.conf.numShufflePartitions
     // each posting row carries its doc's set size, so the Jaccard needs NO
     // side join back to a sizes table (which would recompute the shingling
     // once per join side) — one explode, one shuffle, one groupBy
     val sets = shingleSets(df, idCol, textCol, shingleN)
     val sh = sets.select(col(idCol).as("__id"), size(col("shset")).as("sz"),
       explode(col("shset")).as("sh"))
+      // ONE fine explicit exchange on the posting key, shared by the cap
+      // window (partitionBy sh — already satisfied, no extra exchange) and
+      // REUSED by both self-join sides (identical subtree -> ReusedExchange)
+      .repartition(p, col("sh"))
     val capped =
-      if (maxPostings == Int.MaxValue) sh // cap disabled -> skip the window shuffle
+      if (maxPostings == Int.MaxValue) sh // cap disabled -> skip the window sort
       else sh
         .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("sh"))))
         .filter(col("__n") <= maxPostings).drop("__n")
-    // one explicit exchange on the posting key, REUSED by both self-join
-    // sides (identical subtree -> ReusedExchange): the exploded posting
-    // list is computed and shuffled once, not once per side
-    val posts = capped.repartition(col("sh"))
+    val posts = capped
     posts.select(col("sh"), col("__id").as("id_a"), col("sz").as("sz_a"))
       .join(posts.select(col("sh"), col("__id").as("id_b"), col("sz").as("sz_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
+      // NO explicit repartition before the groupBy: that would plan the
+      // pair exchange BELOW the partial aggregate and ship every pair
+      // occurrence unaggregated (shuffle bytes × avg intersection size).
+      // The partial agg's hash map is the state `p` bounds; the final
+      // exchange carries once-per-task-combined counts.
       .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
@@ -459,51 +484,18 @@ object Dedup {
   /** 60-bit ENGINE-PORTABLE SimHash: token hash = first 15 hex chars of
     * md5(utf8(token)) parsed base-16 (< 2^60, so every shift/mask stays in
     * signed-64 range for any SQL engine), frequency-weighted ±1 bit votes,
-    * bit = sign. Slower than [[simhash]]'s FNV kernel (one MD5 per token) —
-    * use it when an external system (the DuckDB oracle, a Python sidecar)
-    * must reproduce signatures exactly; use [[simhash]] for the 100 TB path. */
-  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val kernel = udf { (text: String) =>
-      val counts = new Array[Int](60)
-      var nTokens = 0
-      if (text != null) {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val toks = text.toLowerCase.trim.split("\\s+")
-        var i = 0
-        while (i < toks.length) {
-          if (toks(i).nonEmpty) {
-            nTokens += 1
-            md.reset()
-            val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            // first 15 hex chars == high 60 bits of the first 8 digest bytes
-            var h = 0L
-            var b = 0
-            while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-            h = h >>> 4 // drop the 16th hex char -> 60 bits
-            var k = 0
-            while (k < 60) {
-              if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1
-              k += 1
-            }
-          }
-          i += 1
-        }
-      }
-      // token-less docs get sentinel -1 (outside the 60-bit signature
-      // space): a vote-less signature would be all-ones and pair every
-      // blank doc with every other at hamming 0 — and the SQL oracle,
-      // where empty token lists unnest to zero rows, would disagree.
-      // Callers filter the sentinel out of near-dup consideration.
-      if (nTokens == 0) -1L
-      else {
-        var sig = 0L
-        var k = 0
-        while (k < 60) { if (counts(k) >= 0) sig |= (1L << k); k += 1 }
-        sig
-      }
-    }
-    df.select(col(idCol), kernel(col(textCol)).as("simhash"))
-  }
+    * bit = sign; token-less docs get sentinel -1 (see
+    * [[graft.functions.ShingleKernel.simhash60Md5]] for the rationale).
+    * Native codegen expression ([[graft.functions.SimHash60Md5Expr]]) —
+    * slower than [[simhash]]'s FNV kernel (one MD5 per token); use it when
+    * an external system (the DuckDB oracle, a Python sidecar) must
+    * reproduce signatures exactly; use [[simhash]] for the 100 TB path. */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      org.apache.spark.sql.graft.ExprBridge.column(
+        graft.functions.SimHash60Md5Expr(
+          org.apache.spark.sql.graft.ExprBridge.expression(col(textCol))))
+        .as("simhash"))
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using the
     * standard pigeonhole blocking: split 64 bits into (maxHamming+1) chunks;

@@ -43,29 +43,61 @@ object Mixture {
   /** Downsample `df` so each source's kept token mass approaches
     * `budgetTokens * w_s / weightTotal`.
     *
+    * The input feeds BOTH the totals aggregation and the fact-side join;
+    * without a persist each consumer re-runs df's lineage — when tokensCol
+    * is derived inline from text (q64) that is a second full corpus scan +
+    * tokenize. This overload therefore persists the (usually narrow) input
+    * (same discipline as q60's sentence frame; PlanShapeSpec pins the
+    * single-scan plan).
+    *
     * @param weightCol relative weight per source — an expression over
     *                  `sourceCol` ONLY (it is evaluated on the aggregated
     *                  per-source frame)
     * @return kept rows of `df`, with `source_tokens` (the source's total),
     *         `keep_threshold` (kept fraction, per granularity-myriad) and
-    *         `sample_bucket` appended for auditability
+    *         `sample_bucket` appended for auditability.
+    *         CACHING CONTRACT: `df` is persisted MEMORY_AND_DISK by this
+    *         call and NOT released — in a long-running application use
+    *         [[withTokenBudgetSample]] (scoped release) or
+    *         [[tokenBudgetSampleOn]] (caller-managed persistence) instead;
+    *         otherwise release via `df.unpersist()` after the first action
+    *         (Bench runs `spark.catalog.clearCache()` between queries).
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, sourceCol: String,
                         tokensCol: String, weightCol: Column,
                         weightTotal: Long, budgetTokens: Long,
-                        granularity: Long = 10000L): DataFrame = {
+                        granularity: Long = 10000L): DataFrame =
+    tokenBudgetSampleOn(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idCol, sourceCol, tokensCol, weightCol, weightTotal, budgetTokens,
+      granularity)
+
+  /** Loan-pattern twin of [[tokenBudgetSample]]: persists `df`, hands the
+    * sampled frame to `use` (which must run its actions inside), then
+    * unpersists — the release handle the bare overload cannot give. */
+  def withTokenBudgetSample[T](df: DataFrame, idCol: String,
+                               sourceCol: String, tokensCol: String,
+                               weightCol: Column, weightTotal: Long,
+                               budgetTokens: Long,
+                               granularity: Long = 10000L)
+                              (use: DataFrame => T): T = {
+    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(tokenBudgetSampleOn(in, idCol, sourceCol, tokensCol, weightCol,
+      weightTotal, budgetTokens, granularity))
+    finally in.unpersist()
+  }
+
+  /** [[tokenBudgetSample]] over an input whose persistence the CALLER
+    * manages (pre-persisted, or already materialized) — adds no caching of
+    * its own. Prefer this in long-running services. */
+  def tokenBudgetSampleOn(in: DataFrame, idCol: String, sourceCol: String,
+                          tokensCol: String, weightCol: Column,
+                          weightTotal: Long, budgetTokens: Long,
+                          granularity: Long = 10000L): DataFrame = {
     require(weightTotal > 0, s"weightTotal must be > 0, got $weightTotal")
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     require(granularity > 0 && granularity <= 1000000L,
       s"granularity must be in (0, 10^6], got $granularity")
-    // the input feeds BOTH the totals aggregation and the fact-side join;
-    // without a persist each consumer re-runs df's lineage — when
-    // tokensCol is derived inline from text (q64) that is a second full
-    // corpus scan + tokenize. Persist the (usually narrow) input instead
-    // (same discipline as q60's sentence frame; PlanShapeSpec pins the
-    // single-scan plan). Release: unpersist after consumption or
-    // spark.catalog.clearCache() — Bench does the latter between queries.
-    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = in.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).cast("long").as("source_tokens"))
       .withColumn("__w", weightCol.cast("long"))
@@ -93,17 +125,30 @@ object Mixture {
     *
     * Same 100 TB shape as [[tokenBudgetSample]] — tiny-totals math,
     * broadcast join, codegen hot path; `explode(sequence(...))` emits
-    * copies without re-reading the row. */
+    * copies without re-reading the row.
+    *
+    * @return resampled rows; SAME CACHING CONTRACT as [[tokenBudgetSample]]
+    *         — `df` stays persisted; use [[tokenBudgetResampleOn]] to
+    *         manage persistence yourself. */
   def tokenBudgetResample(df: DataFrame, idCol: String, sourceCol: String,
                           tokensCol: String, weightCol: Column,
                           weightTotal: Long, budgetTokens: Long,
-                          granularity: Long = 10000L): DataFrame = {
+                          granularity: Long = 10000L): DataFrame =
+    tokenBudgetResampleOn(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      idCol, sourceCol, tokensCol, weightCol, weightTotal, budgetTokens,
+      granularity)
+
+  /** [[tokenBudgetResample]] over a caller-managed input — no caching of
+    * its own (see [[tokenBudgetSampleOn]]). */
+  def tokenBudgetResampleOn(in: DataFrame, idCol: String, sourceCol: String,
+                            tokensCol: String, weightCol: Column,
+                            weightTotal: Long, budgetTokens: Long,
+                            granularity: Long = 10000L): DataFrame = {
     require(weightTotal > 0, s"weightTotal must be > 0, got $weightTotal")
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
     require(granularity > 0 && granularity <= 1000000L,
       s"granularity must be in (0, 10^6], got $granularity")
-    // shared one-scan persist — see tokenBudgetSample
-    val in = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = in.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).cast("long").as("source_tokens"))
       .withColumn("__w", weightCol.cast("long"))

@@ -194,16 +194,16 @@ object Similarity {
     val c = blocked.select(col("seed"), col("bucket"), col(idCol).as("id_b"),
       col("__qv").as("__qb"), col("__n2").as("__nb2"))
     // the threshold products (qdot^2*tden^2 vs tnum^2*na2*nb2) can exceed
-    // Long for large dim/scale and Spark would wrap silently; arbitrary-
-    // precision arithmetic in a compiled kernel keeps the test exact at
-    // ANY configuration. Runs only on candidate pairs (post-blocking), so
-    // the non-codegen kernel costs nothing measurable.
-    val tnum = thresholdNum.toLong
-    val tden = thresholdDen.toLong
-    val passes = udf { (qdot: Long, a2: Long, b2: Long) =>
-      qdot > 0 &&
-        BigInt(qdot) * qdot * (tden * tden) >= BigInt(tnum) * tnum * a2 * b2
-    }
+    // Long for large dim/scale and Spark would wrap silently; the native
+    // CosineThresholdExpr compares 192-bit limbs (Math.multiplyHigh) so
+    // the test stays exact at ANY configuration — inside whole-stage
+    // codegen, zero allocation (the former BigInt UDF was the last UDF in
+    // the 68 oracle plans).
+    import org.apache.spark.sql.graft.ExprBridge
+    val passes = (qdot: Column, a2: Column, b2: Column) =>
+      ExprBridge.column(graft.functions.CosineThresholdExpr(
+        ExprBridge.expression(qdot), ExprBridge.expression(a2),
+        ExprBridge.expression(b2), thresholdNum.toLong, thresholdDen.toLong))
     // dot + threshold evaluate INSIDE the bucket-join stage (pipelined on
     // the join output, per duplicate candidate) and the vectors drop out
     // of the projection immediately — so the only thing the dedup
@@ -279,10 +279,21 @@ object Similarity {
   def ivfTopKInt(corpus: DataFrame, corpusId: String, corpusVec: String,
                  queries: DataFrame, queryId: String, queryVec: String,
                  k: Int, nCentroids: Int = 8, nProbe: Int = 2,
-                 scale: Int = 1000): DataFrame = {
+                 scale: Int = 1000,
+                 centroids: Option[Seq[(Long, Array[Long])]] = None): DataFrame = {
+    // MEASURED recall (SimilaritySpec "MEASURED IVF recall at the
+    // production config" — 2000×16 corpus of 64 OVERLAPPING clusters,
+    // autoNlist=32, nProbe=4, k=10, vs exact brute-force ground truth):
+    // recall@10 = 0.994 with converged kmeansPlusPlusInit +
+    // KMeansInt.converge centroids; 0.966 with the lowest-id seed
+    // fallback. The centroid CHOICE moves recall, not plan shape — both
+    // run the identical zero-shuffle argmin + equi-join.
     require(nProbe >= 1 && nProbe <= nCentroids,
       s"nProbe must be in [1, nCentroids=$nCentroids], got $nProbe")
-    val cents = seedCentroidsInt(corpus, corpusId, corpusVec, nCentroids, scale)
+    val cents = centroids.getOrElse(
+      seedCentroidsInt(corpus, corpusId, corpusVec, nCentroids, scale))
+    require(cents.nonEmpty && nProbe <= cents.length,
+      s"need >= nProbe=$nProbe centroids, got ${cents.length}")
     def ranked(qv: Column): Column = centroidRanking(cents)(qv)
     val c = corpus.select(col(corpusId).as("neighbor_id"),
         VectorFns.quantize(col(corpusVec), scale).as("__cv"))

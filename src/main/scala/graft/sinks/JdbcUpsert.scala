@@ -41,12 +41,23 @@ object JdbcUpsert {
     *                          reference excludes `id` and `created_at`-like
     *                          columns from `set_`)
     * @param batchSize         rows per JDBC batch (reference chunksize=1000)
+    * @param constraintName    optional named UNIQUE constraint to address in
+    *                          the conflict target — the reference's exact
+    *                          spelling (`ON CONFLICT ON CONSTRAINT
+    *                          uq_stg_master_key`, db_connector.py:400-406
+    *                          via its constraint_map). Semantically identical
+    *                          to the column-list form whenever the named
+    *                          constraint covers `keys` (PostgreSQL infers the
+    *                          same arbiter index either way); Postgres-only —
+    *                          other dialects ignore it. `keys` stays required:
+    *                          it still drives AnsiMerge and updateCols.
     */
   case class UpsertSpec(table: String,
                         keys: Seq[String],
                         hashCol: Option[String] = Some("row_hash"),
                         excludeFromUpdate: Seq[String] = Seq("id", "created_at"),
-                        batchSize: Int = 1000) {
+                        batchSize: Int = 1000,
+                        constraintName: Option[String] = None) {
     require(keys.nonEmpty, "upsert requires at least one key column")
     /** Columns updated on conflict: everything except keys and exclusions. */
     def updateCols(cols: Seq[String]): Seq[String] =
@@ -79,7 +90,16 @@ object JdbcUpsert {
         .map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(",\n  ")
       val guard = spec.hashCol.fold("")(h =>
         s"\nWHERE ${spec.table}.${q(h)} IS DISTINCT FROM EXCLUDED.${q(h)}")
-      s"ON CONFLICT (${spec.keys.map(q).mkString(", ")})\nDO UPDATE SET\n  $sets$guard"
+      // conflict target: the column-list form by default; the reference's
+      // named-constraint form (`ON CONFLICT ON CONSTRAINT uq_…`) when the
+      // spec carries one. Equivalent arbiter whenever the constraint
+      // covers `keys` — JdbcUpsertSpec pins both texts and executes the
+      // column form on DuckDB (which cannot parse the named form).
+      val target = spec.constraintName match {
+        case Some(n) => s"ON CONSTRAINT ${q(n)}"
+        case None    => s"(${spec.keys.map(q).mkString(", ")})"
+      }
+      s"ON CONFLICT $target\nDO UPDATE SET\n  $sets$guard"
     }
 
     def stagedMergeSql(spec: UpsertSpec, temp: String, cols: Seq[String]): String =

@@ -96,8 +96,14 @@ object StreamingIngest {
                             numHashes: Int, bands: Int, shingleN: Int,
                             threshold: Double, maxBucketSize: Int): Unit = {
     import graft.operators.Dedup
+    // Path-resolved Hadoop FS, not java.io.File: the index lives wherever
+    // the deployment's warehouse does (HDFS/S3 at 100 TB) — a local-only
+    // check would silently dedup every batch against an empty index there.
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val indexExists =
+      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
     val index =
-      if (new java.io.File(indexPath).isDirectory)
+      if (indexExists)
         // anti-join out any ids of THIS batch (present iff this is a
         // replay whose index write already landed) — the batch id set
         // is micro-batch-sized, broadcast probe

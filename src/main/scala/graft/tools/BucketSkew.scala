@@ -34,7 +34,7 @@ object BucketSkew {
       expr("percentile_approx(count, 0.5)").as("p50"),
       expr("percentile_approx(count, 0.99)").as("p99"),
       sum(col("count") * col("count")).as("sum_occ_sq")).collect()(0)
-    println(s"n=$n bits=$bits bands=$bands buckets=2^$bits=${1 << bits}")
+    println(s"n=$n bits=$bits bands=$bands buckets=2^$bits=${1L << bits}")
     println(s"nonempty=${stats.getLong(0)} max=${stats.getLong(1)} " +
       s"p50=${stats.getLong(2)} p99=${stats.getLong(3)}")
     val pairs = stats.getLong(4) / 2

@@ -208,6 +208,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("EVERY oracle query plans with zero UDF( — all kernels are native expressions") {
+    // r6 verdict nit: the md5-SimHash (q41) and BigInt-threshold (q44)
+    // UDFs were the last two; both are doGenCode expressions now. Sweep
+    // all queries so a future kernel can't quietly regress to a ScalaUDF.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("UDF(")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"UDF( in oracle plans of: ${offenders.mkString(", ")}")
+  }
+
   test("q63 k-means sums aggregate with map-side partials (one bounded shuffle)") {
     val plan = executed(SparkEntry.queries("q63_kmeans_step")(spark, dir))
     assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")

@@ -116,6 +116,38 @@ class ShingleExprSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("native simhash60_md5 matches a BigInt/hex driver replay (incl. blank-doc sentinel)") {
+    // independent replay: parse md5 hex with BigInt — no shared shift code
+    def replay(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val toks = Option(text).getOrElse("").toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) -1L
+      else {
+        val counts = new Array[Int](60)
+        toks.foreach { tok =>
+          val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val h = BigInt(hex.take(15), 16).toLong
+          (0 until 60).foreach(k =>
+            if (((h >>> k) & 1L) != 0L) counts(k) += 1 else counts(k) -= 1)
+        }
+        (0 until 60).foldLeft(0L)((s, k) => if (counts(k) >= 0) s | (1L << k) else s)
+      }
+    }
+    Seq("the quick brown fox", "", "   ", "a b a b a", null).foreach(t =>
+      assert(ShingleKernel.simhash60Md5(t) == replay(t), s"'$t'"))
+    // through the operator (native expression path), and UDF-free
+    // (repartition blocks ConvertToLocalRelation from evaluating the
+    // projection at plan time, which would hide the kernel in the plan)
+    val port = Dedup.simhashPortable(docs.repartition(2), "doc_id", "text")
+    val got = port.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val expected = docs.orderBy("doc_id").as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, replay(t)) }
+    assert(got == expected)
+    val plan = port.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF("), s"UDF in simhashPortable plan:\n$plan")
+    assert(plan.contains("simhash60_md5"), s"native kernel absent:\n$plan")
+  }
+
   test("downstream dedup family is unchanged through the native kernel (q40 shape)") {
     val pairs = Dedup.minhashDedup(
         Seq((0L, "alpha beta gamma delta epsilon"),

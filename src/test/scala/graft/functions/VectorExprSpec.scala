@@ -50,11 +50,61 @@ class VectorExprSpec extends SparkSpec {
     assert(gotI(1)._2 == 0L)
   }
 
+  test("cmpProd3 matches BigInt arithmetic on random and extreme operands") {
+    def ref(a: Long, b: Long, c: Long, d: Long, e: Long, f: Long): Int =
+      (BigInt(a) * b * c).compare(BigInt(d) * e * f)
+    val rnd = new scala.util.Random(7)
+    // magnitudes spanning the full non-negative range, incl. 0 and MaxValue
+    def draw(): Long = rnd.nextInt(5) match {
+      case 0 => rnd.nextInt(4).toLong                  // tiny (0..3)
+      case 1 => rnd.nextInt(1 << 20).toLong            // small
+      case 2 => (rnd.nextLong() >>> 1) % (1L << 40)    // mid
+      case 3 => rnd.nextLong() >>> 1                   // huge (63-bit)
+      case _ => Long.MaxValue
+    }
+    (1 to 20000).foreach { i =>
+      val (a, b, c, d, e, f) = (draw(), draw(), draw(), draw(), draw(), draw())
+      val got = Integer.signum(VectorKernel.cmpProd3(a, b, c, d, e, f))
+      assert(got == ref(a, b, c, d, e, f),
+        s"iter $i: cmpProd3($a,$b,$c, $d,$e,$f) = $got != BigInt ${ref(a, b, c, d, e, f)}")
+    }
+    // exact-equality paths (the >= boundary q44 depends on)
+    assert(VectorKernel.cmpProd3(6, 10, 14, 14, 10, 6) == 0)
+    assert(VectorKernel.cmpProd3(Long.MaxValue, Long.MaxValue, Long.MaxValue,
+      Long.MaxValue, Long.MaxValue, Long.MaxValue) == 0)
+  }
+
+  test("native cosine_ge matches the BigInt UDF on candidate scalars and is UDF-free") {
+    val rnd = new scala.util.Random(99)
+    val rows = (1 to 2000).map { i =>
+      // qdot may be negative (rejected); norms non-negative, span wide magnitudes
+      val qdot = rnd.nextLong() % (1L << (4 + rnd.nextInt(58)))
+      val a2 = (rnd.nextLong() >>> 1) % (1L << (4 + rnd.nextInt(59)))
+      val b2 = (rnd.nextLong() >>> 1) % (1L << (4 + rnd.nextInt(59)))
+      (i.toLong, qdot, a2, b2)
+    }
+    val df = rows.toDF("id", "qdot", "a2", "b2").repartition(2)
+    val (tn, td) = (3L, 10L)
+    val bigintRef = udf { (qdot: Long, a2: Long, b2: Long) =>
+      qdot > 0 && BigInt(qdot) * qdot * (td * td) >= BigInt(tn) * tn * a2 * b2
+    }
+    import org.apache.spark.sql.graft.ExprBridge
+    val nativeCol = ExprBridge.column(CosineThresholdExpr(
+      ExprBridge.expression(col("qdot")), ExprBridge.expression(col("a2")),
+      ExprBridge.expression(col("b2")), tn, td))
+    val out = df.select(col("id"), nativeCol.as("native"),
+      bigintRef(col("qdot"), col("a2"), col("b2")).as("ref"))
+    out.as[(Long, Boolean, Boolean)].collect().foreach { case (id, n, r) =>
+      assert(n == r, s"row $id: native $n != BigInt $r")
+    }
+    val plan = df.select(nativeCol).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF("), s"UDF in cosine_ge projection:\n$plan")
+    assert(plan.contains("cosine_ge"), s"native kernel absent:\n$plan")
+  }
+
   test("q43/q44 bucket paths execute with NO UDF (whole-stage codegen kernels)") {
-    // the candidate-generation scan must not cross a UDF boundary; the
-    // only allowed UDF in the near-dup family is the BigInt threshold
-    // test, which runs post-blocking on candidates (q44) — assert the
-    // bucket projection alone is UDF-free
+    // the candidate-generation scan must not cross a UDF boundary —
+    // incl. the threshold test, native since round 7 (CosineThresholdExpr)
     val planes = Similarity.rademacherPlanes(16, 7, 42L)
     // repartition blocks ConvertToLocalRelation from evaluating the whole
     // projection at plan time (a LocalTableScan would hide the kernel)

@@ -276,4 +276,52 @@ class JdbcUpsertSpec extends SparkSpec {
     assert(rc == 0 && out.contains("ONCONFLICT_OK"),
       s"ON CONFLICT execution diverged (rc=$rc):\n$out")
   }
+
+  test("ON CONFLICT ON CONSTRAINT golden (reference db_connector.py:400-406) " +
+       "and column-list equivalence") {
+    // The reference addresses the arbiter BY NAME (constraint_map ->
+    // `uq_stg_price_key`). PostgreSQL treats the named form and the
+    // column-list form as the same arbiter whenever the constraint covers
+    // the key columns, so graft defaults to the portable column list and
+    // emits the named spelling only when UpsertSpec carries it.
+    val named = spec.copy(constraintName = Some("uq_stg_price_key"))
+    val sql = Postgres.stagedMergeSql(named, "temp_stg_price_history_1", cols)
+    // exact-text golden of the full conflict clause, reference spelling
+    assert(sql.contains("ON CONFLICT ON CONSTRAINT \"uq_stg_price_key\"\nDO UPDATE SET"),
+      s"named-constraint clause wrong:\n$sql")
+    assert(!sql.contains("""ON CONFLICT ("ticker""""))
+    // equivalence: the two forms differ ONLY in the conflict target — SET
+    // list, hash guard and INSERT text are byte-identical
+    val columnForm = Postgres.stagedMergeSql(spec, "temp_stg_price_history_1", cols)
+    assert(sql.replace("ON CONSTRAINT \"uq_stg_price_key\"",
+        """("ticker", "asset_type", "source", "date")""") == columnForm)
+    val namedRow = Postgres.rowUpsertSql(named, cols).get
+    assert(namedRow.contains("ON CONFLICT ON CONSTRAINT \"uq_stg_price_key\""))
+
+    // Executable documentation of why the EXECUTION gate runs the column
+    // form: DuckDB's PG-compatible ON CONFLICT does not implement the
+    // named-constraint spelling — it must fail to parse, while the column
+    // form of the SAME spec executes green (the test above). A real
+    // PostgreSQL would accept both against the same unique index.
+    val have = try {
+      new ProcessBuilder("python3", "-c", "import duckdb").start().waitFor() == 0
+    } catch { case _: Exception => false }
+    assume(have, "python3+duckdb not available in this environment")
+    val probe =
+      """import duckdb, sys
+        |con = duckdb.connect()
+        |con.execute("CREATE TABLE t (k VARCHAR, v VARCHAR)")
+        |con.execute("CREATE UNIQUE INDEX uq_k ON t (k)")
+        |try:
+        |    con.execute("INSERT INTO t VALUES (?, ?) ON CONFLICT ON CONSTRAINT uq_k DO UPDATE SET v = EXCLUDED.v", ["a", "b"])
+        |    print("UNEXPECTEDLY_PARSED"); sys.exit(1)
+        |except duckdb.Error as e:
+        |    print("NAMED_FORM_UNSUPPORTED_AS_DOCUMENTED")
+        |""".stripMargin
+    val p = new ProcessBuilder("python3", "-c", probe)
+      .redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream, "UTF-8").mkString
+    assert(p.waitFor() == 0 && out.contains("NAMED_FORM_UNSUPPORTED_AS_DOCUMENTED"),
+      s"DuckDB named-form probe: $out")
+  }
 }
