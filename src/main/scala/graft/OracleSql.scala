@@ -963,6 +963,73 @@ object OracleSql {
            FROM t)
          SELECT doc_id, source, sample_bucket, sample_rank
          FROM r WHERE sample_rank <= 7
+         ORDER BY doc_id""",
+
+    // q69: exact duplicated 8-token spans (Lee et al. 2022 substring
+    // dedup granularity) — a window is duplicated when its exact text
+    // occurs > 1 time corpus-wide; per-doc coverage quantized to myriads.
+    // Replays Dedup.duplicatedSpans(hashWindows = false) bit-for-bit.
+    "q69_span_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         w AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+               i -> array_to_string(toks[i:i+7], ' '))) AS win
+           FROM t),
+         d AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) > 1),
+         pd AS (SELECT doc_id, COUNT(*) AS n_dup
+                FROM w JOIN d USING (win) GROUP BY doc_id)
+         SELECT t.doc_id,
+           CAST(greatest(len(toks) - 7, 0) AS INTEGER) AS n_windows,
+           CAST(COALESCE(n_dup, 0) AS INTEGER) AS n_dup_windows,
+           CAST(floor(10000.0 * COALESCE(n_dup, 0)
+             / greatest(len(toks) - 7, 1) + 0.5) AS INTEGER) AS dup_frac_myriad
+         FROM t LEFT JOIN pd USING (doc_id)
+         ORDER BY doc_id""",
+
+    // q70: SemDeDup — q62's centroid assignment (8 lowest-id seeds,
+    // squared-L2 argmin, ties to lowest cid) + q44's all-integer cosine
+    // test at 3/10 restricted to same-cluster pairs; a vector is dropped
+    // iff an EARLIER cluster-mate is within the threshold, and dup_of is
+    // the lowest such witness.
+    "q70_semdedup" ->
+      s"""WITH v AS (SELECT vec_id, ${quantized(1000)} AS qv FROM embeddings),
+         cent AS (SELECT vec_id AS cid, qv AS cv FROM v ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT v.vec_id, v.qv, cent.cid,
+             CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+               i -> (v.qv[i] - cent.cv[i]) * (v.qv[i] - cent.cv[i]))) AS BIGINT) AS d2
+           FROM v, cent),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+         assign AS (
+           SELECT vec_id, qv, cid AS centroid_id,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+           FROM r WHERE rn = 1),
+         s AS (
+           SELECT a.vec_id, b.vec_id AS b_id, a.n2 AS na2, b.n2 AS nb2,
+             CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+               i -> a.qv[i] * b.qv[i])) AS BIGINT) AS qdot
+           FROM assign a JOIN assign b
+             ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id),
+         dropped AS (
+           SELECT vec_id, MIN(b_id) AS dup_of FROM s
+           WHERE qdot > 0 AND qdot * qdot * 100 >= 9 * na2 * nb2
+           GROUP BY vec_id)
+         SELECT a.vec_id, a.centroid_id, (dup_of IS NULL) AS kept, dup_of
+         FROM assign a LEFT JOIN dropped USING (vec_id)
+         ORDER BY a.vec_id""",
+
+    // q71: compaction bin packing — files (modeled by the documents
+    // listing) cut into target-size bins at exact byte boundaries within
+    // each partition: bin = floor(cum_bytes_before / 2000), never across
+    // sources. Replays Compaction.binPack.
+    "q71_compaction_plan" ->
+      """SELECT doc_id, source, n_chars AS bytes,
+           CAST(SUM(n_chars) OVER w - n_chars AS BIGINT) AS cum_before,
+           CAST((SUM(n_chars) OVER w - n_chars) // 2000 AS BIGINT) AS bin
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY doc_id"""
   )
 }

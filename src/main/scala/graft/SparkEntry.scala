@@ -958,6 +958,42 @@ object SparkEntry {
         col("sample_rank"))
       .orderBy(col("doc_id"))
 
+  /** Exact duplicated-span detection (Lee et al. 2022 substring-dedup
+    * granularity): every 8-token window occurring more than once
+    * corpus-wide, reported as per-doc coverage. The oracle replays the
+    * portable string-keyed path; bench times the production twin whose
+    * frequency exchange carries 8-byte xxhash64 keys instead of window
+    * text. */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 8, hashWindows = false)
+      .orderBy(col("doc_id"))
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): q62's coarse k-means
+    * clusters bound the pairwise search; within a cluster, the lowest-id
+    * member of each cosine>=3/10 group survives. Cluster restriction is
+    * the contract (cross-cluster near-dups out of scope by design) — it is
+    * what makes the quadratic test tractable at corpus scale. */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
+        nCentroids = 8, thresholdNum = 3, thresholdDen = 10, scale = 1000)
+      .orderBy(col("vec_id"))
+
+  /** Compaction bin packing over the documents listing as the file model
+    * (path=doc_id, bytes=n_chars, partition=source): the lake-maintenance
+    * PLAN query behind maintenance/Compaction.compactParquetDir. Byte
+    * stream cut at exact 2000-byte boundaries per source — Spark's own
+    * FilePartition packing rule, stable under re-listing. */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    graft.maintenance.Compaction.binPack(
+        T(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars").as("bytes")),
+        "bytes", targetBytes = 2000L,
+        partitionCols = Seq("source"), ordered = Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("bytes"),
+        col("cum_before"), col("bin"))
+      .orderBy(col("doc_id"))
+
   /** Incremental near-dup: docs with doc_id % 5 == 0 arrive as the NEW
     * batch and are deduped against a nearDupIndex built over the other
     * 80% — never re-reading the existing corpus text and never comparing
@@ -1151,7 +1187,10 @@ object SparkEntry {
     "q65_incremental_dedup" -> q65 _,
     "q66_mixture_resample" -> q66 _,
     "q67_budget_select" -> q67 _,
-    "q68_stratified_k" -> q68 _
+    "q68_stratified_k" -> q68 _,
+    "q69_span_dedup" -> q69 _,
+    "q70_semdedup" -> q70 _,
+    "q71_compaction_plan" -> q71 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -1181,6 +1220,12 @@ object SparkEntry {
         Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
             maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))),
+      // q69 twin: hashed window keys (8-byte frequency exchange; the
+      // oracled config carries window STRINGS so DuckDB can replay it)
+      "q69_span_dedup" -> ((s, dir) =>
+        Dedup.duplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
+            spanTokens = 8, hashWindows = true)
+          .orderBy(col("doc_id"))),
       // q65 twin: production hot-bucket cap enabled (the oracled config
       // disables it for recall-1 parity, like q40)
       "q65_incremental_dedup" -> ((s, dir) => {

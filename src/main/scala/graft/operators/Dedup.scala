@@ -543,4 +543,61 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------------- substring spans
+
+  /** Exact duplicated-SPAN detection (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better": exact substring dedup) —
+    * the missing granularity between [[exact]] (whole-document) and the
+    * MinHash family (whole-document, approximate): find every
+    * `spanTokens`-token window whose exact text occurs more than once in
+    * the corpus (across documents OR repeated within one), and report
+    * per-document how much of the text is covered by such spans. The
+    * canonical paper config is 50-token spans over BPE tokens; the default
+    * here is proportionate to the short synthetic fixture docs.
+    *
+    * Output: one row per input document —
+    * (idCol, n_windows, n_dup_windows, dup_frac_myriad) where
+    * `dup_frac_myriad = floor(10000 * n_dup_windows / max(n_windows,1) + 0.5)`
+    * (integer quantization — engine-portable, no double rounding).
+    *
+    * 100 TB shape: two key-partitioned shuffles, no joins wider than the
+    * window-key equi-join. With `hashWindows=true` (production) the window
+    * key on the frequency exchange is an 8-byte `xxhash64` — the window
+    * STRINGS never leave the map side (at 8 tokens/window the string form
+    * would multiply the corpus bytes ~8x on the wire; the hashed form is
+    * ~1 long per token). A 64-bit collision marks two distinct spans as
+    * shared duplicates at p ~ n^2/2^65 — the documented approximation; the
+    * portable string path (`hashWindows=false`) is what the SQL oracle
+    * replays bit-for-bit. Both shuffles carry map-side partial counts. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      spanTokens: Int = 8,
+                      hashWindows: Boolean = true): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val k = spanTokens
+    val toks = TextFns.tokens(col(textCol))
+    // sequence(a, b) DESCENDS when b < a (it would emit [1, 0] for an
+    // empty window range) — the when-guard is load-bearing, not style
+    val windows = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k))))).otherwise(array())
+    val base = df.select(col(idCol),
+      greatest(size(toks) - (k - 1), lit(0)).cast("int").as("n_windows"))
+    val winKey = if (hashWindows) xxhash64(col("win")) else col("win")
+    val wins = df.select(col(idCol), explode(windows).as("win"))
+      .select(col(idCol), winKey.as("wk"))
+    // corpus frequency per window key (shuffle 1: map-side partials on wk)
+    val dupKeys = wins.groupBy(col("wk")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+    // per-doc duplicated-window count (shuffle 2: partials on idCol);
+    // left_semi keeps only the key on the probe side
+    val perDoc = wins.join(dupKeys, Seq("wk"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    base.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup_windows"),
+        floor(lit(10000.0) * coalesce(col("n_dup"), lit(0L)) /
+          greatest(col("n_windows"), lit(1)) + 0.5).cast("int")
+          .as("dup_frac_myriad"))
+  }
 }

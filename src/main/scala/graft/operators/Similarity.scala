@@ -338,4 +338,64 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    * quantizer, then WITHIN each cluster drop every vector that has an
+    * earlier (lower-id) cluster-mate with cosine >= tnum/tden; the
+    * lowest-id member of each semantic group survives. Unlike the
+    * LSH-blocked [[embeddingNearDupsInt]] (random hyperplane buckets,
+    * probabilistic recall), the cluster restriction IS the operator's
+    * contract: cross-cluster near-dups are out of scope by design — that
+    * bound is what makes the pairwise test tractable at corpus scale.
+    *
+    * Output: one row per input vector —
+    * (idCol, centroid_id, kept, dup_of) with `dup_of` = the lowest
+    * earlier qualifying cluster-mate (NULL iff kept).
+    *
+    * 100 TB shape: centroid assignment is the zero-shuffle inlined-literal
+    * argmin shared with [[ivfTopKInt]]; the pairwise test is a
+    * centroid_id-keyed self-join on a SHARED exchange (both sides reuse
+    * one assignment pass), so pair work is sum over clusters of |c|^2,
+    * bounded by balanced k-means sizing ([[autoNlist]] holds expected
+    * occupancy flat as the corpus grows — nlist scales with n, per-cluster
+    * pair cost stays constant). The threshold test runs INSIDE the join
+    * stage via the native 192-bit [[graft.functions.CosineThresholdExpr]]
+    * (exact at any dim/scale, whole-stage codegen); only (vec_id, dup_of)
+    * scalars reach the min-aggregation exchange. All-integer, so a SQL
+    * oracle replays it bit-for-bit. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int = 8, thresholdNum: Int = 3,
+               thresholdDen: Int = 10, scale: Int = 1000,
+               centroids: Option[Seq[(Long, Array[Long])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      seedCentroidsInt(df, idCol, vecCol, nCentroids, scale))
+    val v = df.select(col(idCol),
+        VectorFns.quantize(col(vecCol), scale).as("__qv"))
+      // norm once per row, before the self-join fans out candidates
+      .withColumn("__n2", aggregate(col("__qv"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("centroid_id",
+        element_at(centroidRanking(cents)(col("__qv")), 1).getField("cid"))
+      // shared exchange: both self-join sides reuse one assignment pass
+      .repartition(col("centroid_id"))
+    val a = v.select(col("centroid_id"), col(idCol).as("__ida"),
+      col("__qv").as("__qa"), col("__n2").as("__na2"))
+    val b = v.select(col("centroid_id"), col(idCol).as("__idb"),
+      col("__qv").as("__qb"), col("__n2").as("__nb2"))
+    import org.apache.spark.sql.graft.ExprBridge
+    val passes = (qdot: Column, a2: Column, b2: Column) =>
+      ExprBridge.column(graft.functions.CosineThresholdExpr(
+        ExprBridge.expression(qdot), ExprBridge.expression(a2),
+        ExprBridge.expression(b2), thresholdNum.toLong, thresholdDen.toLong))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("__idb") < col("__ida"))
+      .withColumn("__qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
+      .filter(passes(col("__qdot"), col("__na2"), col("__nb2")))
+      // scalars only past this point; min picks the deterministic witness
+      .groupBy(col("__ida")).agg(min(col("__idb")).as("dup_of"))
+    v.select(col(idCol), col("centroid_id"))
+      .join(dropped.withColumnRenamed("__ida", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+  }
 }

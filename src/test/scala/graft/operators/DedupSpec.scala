@@ -309,6 +309,34 @@ class DedupSpec extends SparkSpec {
       s"uncapped recall not 1.0: ${uncapped.size} of ${truthHot + truthScattered.size}")
   }
 
+  test("duplicatedSpans: corpus-wide window counting, short docs, within-doc repeats") {
+    val corpus = Seq(
+      (0L, "a b c d e"),     // windows(3): "a b c" "b c d" "c d e"
+      (1L, "x y a b c"),     // shares "a b c" with doc 0
+      (2L, "p q"),           // < spanTokens -> zero windows
+      (3L, "m m m m")        // "m m m" twice WITHIN one doc -> both dup
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(corpus, "doc_id", "text",
+        spanTokens = 3, hashWindows = false)
+      .orderBy("doc_id").as[(Long, Int, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      (0L, 3, 1, 3333),  // floor(10000/3 + .5)
+      (1L, 3, 1, 3333),
+      (2L, 0, 0, 0),
+      (3L, 2, 2, 10000)))
+  }
+
+  test("duplicatedSpans: hashed production path equals the portable string path") {
+    val s = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      spanTokens = 4, hashWindows = false).orderBy("doc_id").collect().toSeq
+    val h = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      spanTokens = 4, hashWindows = true).orderBy("doc_id").collect().toSeq
+    assert(s == h)
+    // the identical pair 2/3 must show full-coverage duplication
+    val d2 = s.find(_.getLong(0) == 2L).get
+    assert(d2.getInt(2) == d2.getInt(1) && d2.getInt(3) == 10000)
+  }
+
   test("dedupClusters: identical docs cluster under the min id with correct size") {
     val got = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.9,
         maxBucketSize = Int.MaxValue)

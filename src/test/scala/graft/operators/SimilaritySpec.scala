@@ -426,4 +426,39 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("raise bits"))
   }
+
+  test("semDedup matches a full driver-side integer replay; lowest id survives each group") {
+    val scale = 1000
+    val got = Similarity.semDedup(corpus, "vec_id", "embedding",
+        nCentroids = 4, thresholdNum = 9, thresholdDen = 10, scale = scale)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean, Option[Long])].collect().toSeq
+
+    // replay: seed centroids = 4 lowest ids, argmin by (d2, cid), then the
+    // exact integer cosine test against every earlier cluster-mate
+    val q = vecs.map { case (id, v) => (id, quant(v, scale)) }
+    val cents = q.sortBy(_._1).take(4)
+    val assign = q.map { case (id, qv) =>
+      (id, cents.map { case (cid, cv) => (d2(qv, cv), cid) }.min._2, qv)
+    }
+    def n2(a: Array[Long]): BigInt = a.map(x => BigInt(x) * x).sum
+    val expected = assign.map { case (id, cid, qv) =>
+      val dupOf = assign
+        .filter(o => o._2 == cid && o._1 < id)
+        .filter { o =>
+          val qdot = qv.zip(o._3).map { case (x, y) => BigInt(x) * y }.sum
+          qdot > 0 && qdot * qdot * 100 >= 81 * n2(qv) * n2(o._3)
+        }
+        .map(_._1).sorted.headOption
+      (id, cid, dupOf.isEmpty, dupOf)
+    }
+    assert(got == expected)
+    // the planted cluster (50..59 ~ 0) must collapse onto vector 0
+    val planted = got.filter(r => r._1 >= 50L && r._1 < 60L)
+    assert(planted.forall(r => !r._3 && r._4.contains(0L)),
+      s"planted near-dups not dropped onto 0: $planted")
+    // and within every cluster the lowest id is kept
+    val lowest = got.groupBy(_._2).values.map(_.minBy(_._1))
+    assert(lowest.forall(_._3))
+  }
 }
