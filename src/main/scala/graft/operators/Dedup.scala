@@ -561,37 +561,44 @@ object Dedup {
     * `dup_frac_myriad = floor(10000 * n_dup_windows / max(n_windows,1) + 0.5)`
     * (integer quantization — engine-portable, no double rounding).
     *
-    * 100 TB shape: two key-partitioned shuffles, no joins wider than the
-    * window-key equi-join. With `hashWindows=true` (production) the window
-    * key on the frequency exchange is an 8-byte `xxhash64` — the window
-    * STRINGS never leave the map side (at 8 tokens/window the string form
-    * would multiply the corpus bytes ~8x on the wire; the hashed form is
-    * ~1 long per token). A 64-bit collision marks two distinct spans as
-    * shared duplicates at p ~ n^2/2^65 — the documented approximation; the
-    * portable string path (`hashWindows=false`) is what the SQL oracle
-    * replays bit-for-bit. Both shuffles carry map-side partial counts. */
+    * 100 TB shape: the windows explode ONCE, and corpus-frequency is a
+    * window-function count over the key partition — ONE wk-keyed exchange
+    * total (the groupBy-then-join-back formulation exchanges the exploded
+    * frame twice AND scans the corpus twice; first cut of this operator
+    * measured 5.7 s at bench scale vs 1 s for this shape). With
+    * `hashWindows=true` (production) windows come from the compiled
+    * [[graft.functions.ShingleListExpr]] kernel — one LINEAR pass per doc
+    * inside whole-stage codegen, and the exchange carries 8-byte keys
+    * (window STRINGS never exist at all; the interpreted
+    * transform/slice window builder re-tokenizes the document per window —
+    * the O(tokens^2)/doc trap documented at [[shingleLists]]). A 64-bit
+    * collision marks two distinct spans as shared duplicates at
+    * p ~ n^2/2^65 — the documented approximation; the portable string
+    * path (`hashWindows=false`) is what the SQL oracle replays
+    * bit-for-bit, kept for Verify-scale corpora. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       spanTokens: Int = 8,
                       hashWindows: Boolean = true): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     val k = spanTokens
     val toks = TextFns.tokens(col(textCol))
-    // sequence(a, b) DESCENDS when b < a (it would emit [1, 0] for an
-    // empty window range) — the when-guard is load-bearing, not style
-    val windows = when(size(toks) >= k,
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k))))).otherwise(array())
     val base = df.select(col(idCol),
       greatest(size(toks) - (k - 1), lit(0)).cast("int").as("n_windows"))
-    val winKey = if (hashWindows) xxhash64(col("win")) else col("win")
-    val wins = df.select(col(idCol), explode(windows).as("win"))
-      .select(col(idCol), winKey.as("wk"))
-    // corpus frequency per window key (shuffle 1: map-side partials on wk)
-    val dupKeys = wins.groupBy(col("wk")).agg(count(lit(1)).as("occ"))
+    // zero windows for docs shorter than k tokens — the guard matters in
+    // BOTH branches: the kernel emits a whole-doc shingle for short docs,
+    // and sequence(a, b) DESCENDS when b < a
+    val windows =
+      if (hashWindows)
+        when(size(toks) >= k, shingleListCol(col(textCol), k))
+          .otherwise(lit(Array.empty[Long]))
+      else
+        when(size(toks) >= k, TextFns.shingles(col(textCol), k))
+          .otherwise(lit(Array.empty[String]))
+    val wins = df.select(col(idCol), explode(windows).as("wk"))
+    val occ = Window.partitionBy(col("wk"))
+    val perDoc = wins
+      .withColumn("occ", count(lit(1)).over(occ))
       .filter(col("occ") > 1)
-    // per-doc duplicated-window count (shuffle 2: partials on idCol);
-    // left_semi keeps only the key on the probe side
-    val perDoc = wins.join(dupKeys, Seq("wk"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
     base.join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_windows"),
