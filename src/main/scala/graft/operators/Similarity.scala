@@ -387,6 +387,17 @@ object Similarity {
       ExprBridge.column(graft.functions.CosineThresholdExpr(
         ExprBridge.expression(qdot), ExprBridge.expression(a2),
         ExprBridge.expression(b2), thresholdNum.toLong, thresholdDen.toLong))
+    // Formulation note (measured, same-window A/B at sf0.1, reps=7): an
+    // aggregated LEFT OUTER pair join — every vector straight to the
+    // output with its min witness, no join-back, base consumed once —
+    // looks strictly cleaner but benched 3.58 s vs 2.20 s for this
+    // inner-join + broadcast join-back shape. The pairwise condition
+    // evaluation is the hot loop either way, and the outer-join path
+    // evaluates it outside the codegen'd probe; the extra narrow base
+    // scan this formulation pays is metadata-cheap by comparison. The
+    // inner self-join's symmetric IsNotNull constraints also keep both
+    // pair sides identical, so the assignment pass runs once under a
+    // ReusedExchange.
     val dropped = a.join(b, Seq("centroid_id"))
       .filter(col("__idb") < col("__ida"))
       .withColumn("__qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
