@@ -1308,6 +1308,20 @@ object SparkEntry {
             k = 5, nCentroids = nlist, nProbe = math.min(2, nlist), scale = 1000)
           .orderBy(col("query_id"), col("rank"))
       }),
+      // q70 twin: PRODUCTION cluster sizing, same hazard as the q62 twin —
+      // the oracled q70 pins nCentroids=8, so per-cluster population (and
+      // the within-cluster pairwise test, SemDeDup's dominant cost) grows
+      // linearly with the corpus and pair work quadratically. autoNlist
+      // holds expected occupancy ~flat: pair work per vector stays
+      // bounded as the corpus grows.
+      "q70_semdedup" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val nlist = Similarity.autoNlist(e.count(), targetListRows = 4096L)
+        Similarity.semDedup(e, "vec_id", "embedding",
+            nCentroids = nlist, thresholdNum = 3, thresholdDen = 10,
+            scale = 1000)
+          .orderBy(col("vec_id"))
+      }),
       "q53_dedup_clusters" -> ((s, dir) =>
         Dedup.dedupClusters(T(s, dir, "documents"), "doc_id", "text",
             numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5)

@@ -348,6 +348,12 @@ object Similarity {
     * probabilistic recall), the cluster restriction IS the operator's
     * contract: cross-cluster near-dups are out of scope by design — that
     * bound is what makes the pairwise test tractable at corpus scale.
+    * MEASURED cluster recall (SimilaritySpec "MEASURED SemDeDup cluster
+    * recall" — 2000×16 corpus of 64 overlapping clusters, tau=8/10,
+    * 31k true pairs, autoNlist=32): 0.985 with converged
+    * [[KMeansInt.kmeansPlusPlusInit]]+[[KMeansInt.converge]] centroids,
+    * 0.767 with the lowest-id seed fallback — for THIS operator the
+    * centroid choice is not cosmetic; run the k-means build.
     *
     * Output: one row per input vector —
     * (idCol, centroid_id, kept, dup_of) with `dup_of` = the lowest
@@ -376,8 +382,18 @@ object Similarity {
       .withColumn("__n2", aggregate(col("__qv"), lit(0L), (acc, x) => acc + x * x))
       .withColumn("centroid_id",
         element_at(centroidRanking(cents)(col("__qv")), 1).getField("cid"))
-      // shared exchange: both self-join sides reuse one assignment pass
-      .repartition(col("centroid_id"))
+      // shared exchange: both self-join sides reuse one assignment pass.
+      // Keyed by (centroid_id, id) at an EXPLICIT partition count, NOT
+      // `repartition(centroid_id)`: the pair join broadcasts its build
+      // side, so cluster co-location buys nothing — but a centroid-only
+      // key caps probe parallelism at nlist tasks (measured: autoNlist=1
+      // on a 2k corpus ran the whole 2M-pair test in ONE task, 9.1 s),
+      // and a column-only repartition is AQE-coalescable — the exchange
+      // input is ~1 MB of vectors, so AQE folds it back to one partition,
+      // blind to the quadratic join OUTPUT behind it (the q39 posting-
+      // exchange lesson; an explicit count is exempt from coalescing).
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("centroid_id"), col(idCol))
     val a = v.select(col("centroid_id"), col(idCol).as("__ida"),
       col("__qv").as("__qa"), col("__n2").as("__na2"))
     val b = v.select(col("centroid_id"), col(idCol).as("__idb"),

@@ -427,6 +427,53 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("raise bits"))
   }
 
+  test("MEASURED SemDeDup cluster recall at the production config (autoNlist + converged k-means++)") {
+    // SemDeDup's contract bounds the pairwise test to within-cluster
+    // pairs, so its recall IS the probability that a true cosine>=tau
+    // pair lands in one cluster — measure it on the clustered-corpus
+    // shape the operator exists for (64 true centers, tight noise so
+    // genuine near-dup pairs exist, clusters overlap).
+    val rnd = new scala.util.Random(13)
+    val centers = Seq.fill(64)(Array.fill(16)(rnd.nextGaussian().toFloat * 2f))
+    val cvecs = (0L until 2000L).map { i =>
+      val c = centers(rnd.nextInt(64))
+      (i, c.map(x => x + 0.5f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val big = cvecs.toDF("vec_id", "embedding")
+    val scale = 100
+    val (tnum, tden) = (8, 10)
+    val nlist = Similarity.autoNlist(2000L, targetListRows = 64L) // = 32
+    val init = KMeansInt.kmeansPlusPlusInit(big, "vec_id", "embedding",
+      n = nlist, scale = scale, sampleSize = 512, seed = 42L)
+    val (cents, _) = KMeansInt.converge(big, "vec_id", "embedding",
+      init, scale = scale, maxIters = 10)
+    // exact tau-pair ground truth, plain Long (safe at scale=100, dim=16:
+    // qdot^2*tden^2 <= ~3e16 — checked against Long.MaxValue)
+    val q = cvecs.map { case (i, v) => (i, quant(v, scale)) }
+    def n2(a: Array[Long]): Long = a.map(x => x * x).sum
+    val truth = for {
+      (ia, va) <- q
+      (ib, vb) <- q if ib < ia
+      qdot = va.zip(vb).map { case (x, y) => x * y }.sum
+      if qdot > 0 && qdot * qdot * tden * tden >= tnum.toLong * tnum * n2(va) * n2(vb)
+    } yield (ia, ib)
+    def recallOf(centroids: Option[Seq[(Long, Array[Long])]]): Double = {
+      val cid = Similarity.semDedup(big, "vec_id", "embedding",
+          nCentroids = nlist, thresholdNum = tnum, thresholdDen = tden,
+          scale = scale, centroids = centroids)
+        .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+      truth.count { case (a, b) => cid(a) == cid(b) }.toDouble / truth.size
+    }
+    val recallKmeans = recallOf(Some(cents))
+    val recallSeeds = recallOf(None)
+    info(f"SemDeDup measured cluster recall (tau=$tnum/$tden, ${truth.size} true pairs, " +
+      f"nlist=$nlist): converged k-means++ = $recallKmeans%.3f, lowest-id seeds = $recallSeeds%.3f")
+    assert(truth.size >= 100, s"corpus produced only ${truth.size} true pairs — not a measurement")
+    assert(recallKmeans >= 0.8, s"production SemDeDup cluster recall $recallKmeans below 0.8")
+    assert(recallKmeans >= recallSeeds - 0.05,
+      s"k-means centroids ($recallKmeans) should not lose to naive seeds ($recallSeeds)")
+  }
+
   test("semDedup matches a full driver-side integer replay; lowest id survives each group") {
     val scale = 1000
     val got = Similarity.semDedup(corpus, "vec_id", "embedding",
