@@ -1019,6 +1019,45 @@ object OracleSql {
          FROM assign a LEFT JOIN dropped USING (vec_id)
          ORDER BY a.vec_id""",
 
+    // q72: substring-dedup rewrite — remove every occurrence of a
+    // duplicated 8-token window except the canonical lowest (doc, pos)
+    // one, rebuild text from surviving tokens in index order. Parallel
+    // unnests in one SELECT zip positionally (pos paired with its
+    // window); canonical = row_number over (win ORDER BY doc, pos) = 1.
+    "q72_span_rewrite" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         w AS (
+           SELECT doc_id,
+             unnest(generate_series(1, greatest(len(toks) - 7, 0))) - 1 AS pos,
+             unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 0)),
+               i -> array_to_string(toks[i:i+7], ' '))) AS win
+           FROM t),
+         m AS (
+           SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY win) AS occ,
+             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+           FROM w),
+         cov AS (
+           SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS idx
+           FROM m WHERE occ > 1 AND rn > 1),
+         tok AS (
+           SELECT doc_id, unnest(generate_series(1, len(toks))) - 1 AS idx,
+             unnest(toks) AS tok
+           FROM t),
+         kept AS (
+           SELECT tok.doc_id, tok.idx, tok.tok
+           FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx
+           WHERE cov.doc_id IS NULL),
+         reb AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY idx) AS kept_text
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(toks) - COALESCE(n_kept, 0) AS INTEGER) AS n_removed,
+           COALESCE(kept_text, '') AS kept_text
+         FROM t LEFT JOIN reb USING (doc_id)
+         ORDER BY t.doc_id""",
+
     // q71: compaction bin packing — files (modeled by the documents
     // listing) cut into target-size bins at exact byte boundaries within
     // each partition: bin = floor(cum_bytes_before / 2000), never across

@@ -969,6 +969,15 @@ object SparkEntry {
         spanTokens = 8, hashWindows = false)
       .orderBy(col("doc_id"))
 
+  /** Exact substring-dedup REWRITE (the q69 diagnostic's treatment): every
+    * non-canonical occurrence of a duplicated 8-token window is removed
+    * and the text rebuilt from surviving tokens — keep-the-first at
+    * (doc, pos) granularity, Lee et al. 2022's corpus rewrite. */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(T(s, dir, "documents"), "doc_id", "text",
+        spanTokens = 8, hashWindows = false)
+      .orderBy(col("doc_id"))
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): q62's coarse k-means
     * clusters bound the pairwise search; within a cluster, the lowest-id
     * member of each cosine>=3/10 group survives. Cluster restriction is
@@ -1190,7 +1199,8 @@ object SparkEntry {
     "q68_stratified_k" -> q68 _,
     "q69_span_dedup" -> q69 _,
     "q70_semdedup" -> q70 _,
-    "q71_compaction_plan" -> q71 _
+    "q71_compaction_plan" -> q71 _,
+    "q72_span_rewrite" -> q72 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -1220,10 +1230,14 @@ object SparkEntry {
         Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
             maxHamming = 3)
           .orderBy(col("id_a"), col("id_b"))),
-      // q69 twin: hashed window keys (8-byte frequency exchange; the
-      // oracled config carries window STRINGS so DuckDB can replay it)
+      // q69/q72 twins: hashed window keys (8-byte frequency exchange; the
+      // oracled configs carry window STRINGS so DuckDB can replay them)
       "q69_span_dedup" -> ((s, dir) =>
         Dedup.duplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
+            spanTokens = 8, hashWindows = true)
+          .orderBy(col("doc_id"))),
+      "q72_span_rewrite" -> ((s, dir) =>
+        Dedup.removeDuplicateSpans(T(s, dir, "documents"), "doc_id", "text",
             spanTokens = 8, hashWindows = true)
           .orderBy(col("doc_id"))),
       // q65 twin: production hot-bucket cap enabled (the oracled config

@@ -607,4 +607,63 @@ object Dedup {
           greatest(col("n_windows"), lit(1)) + 0.5).cast("int")
           .as("dup_frac_myriad"))
   }
+
+  /** The REWRITE half of exact substring dedup (Lee et al. 2022 remove
+    * duplicated spans from the corpus, they don't just count them —
+    * [[duplicatedSpans]] is the diagnostic, this is the treatment): every
+    * occurrence of a duplicated `spanTokens`-token window EXCEPT the
+    * canonical one (lowest `(doc, pos)` corpus-wide — "keep the first")
+    * has its tokens removed, and each document's text is rebuilt from the
+    * surviving tokens (in the engine's normalized token form, like every
+    * text operator here).
+    *
+    * Output: one row per document —
+    * (idCol, n_tokens, n_removed, kept_text).
+    *
+    * 100 TB shape: the same single wk-keyed exchange as
+    * [[duplicatedSpans]] (occurrence count AND canonical witness are two
+    * window functions over one partition spec), then interval explode of
+    * the REMOVAL windows only (duplicated text is the small minority in a
+    * real corpus), an (id, idx)-keyed anti-join against the token frame,
+    * and one per-doc rebuild aggregation whose sort key is the token
+    * index. `hashWindows` as in [[duplicatedSpans]]: 8-byte kernel keys
+    * on the exchange (production) vs oracle-replayable window strings. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           spanTokens: Int = 8,
+                           hashWindows: Boolean = true): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val k = spanTokens
+    val toks = TextFns.tokens(col(textCol))
+    val windows =
+      if (hashWindows)
+        when(size(toks) >= k, shingleListCol(col(textCol), k))
+          .otherwise(lit(Array.empty[Long]))
+      else
+        when(size(toks) >= k, TextFns.shingles(col(textCol), k))
+          .otherwise(lit(Array.empty[String]))
+    val wins = df.select(col(idCol), posexplode(windows).as(Seq("pos", "wk")))
+    val byKey = Window.partitionBy(col("wk"))
+    val removals = wins
+      .withColumn("occ", count(lit(1)).over(byKey))
+      .withColumn("canon", min(struct(col(idCol), col("pos"))).over(byKey))
+      .filter(col("occ") > 1 &&
+        col("canon") =!= struct(col(idCol), col("pos")))
+    val covered = removals
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
+      .distinct()
+    val tokens = df.select(col(idCol), posexplode(toks).as(Seq("idx", "tok")))
+    val rebuilt = tokens.join(covered, Seq(idCol, "idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok"))).as("kept_text"))
+    df.select(col(idCol), size(toks).cast("int").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

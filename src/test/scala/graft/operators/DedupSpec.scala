@@ -337,6 +337,37 @@ class DedupSpec extends SparkSpec {
     assert(d2.getInt(2) == d2.getInt(1) && d2.getInt(3) == 10000)
   }
 
+  test("removeDuplicateSpans: keeps the canonical occurrence, rewrites the rest") {
+    val corpus = Seq(
+      (0L, "a b c d e"),   // canonical "a b c" (doc 0, pos 0) survives
+      (1L, "x y a b c"),   // its "a b c" at pos 2 is removed
+      (2L, "p q"),         // < spanTokens: untouched
+      (3L, "m m m m")      // "m m m" at pos 0 canonical; pos 1 removed,
+                           //  but its tokens 1..3 overlap the canonical —
+                           //  removal covers indices 1,2,3
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(corpus, "doc_id", "text",
+        spanTokens = 3, hashWindows = false)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 5, 0, "a b c d e"),
+      (1L, 5, 3, "x y"),
+      (2L, 2, 0, "p q"),
+      (3L, 4, 3, "m")))
+    // hashed production path agrees
+    val h = Dedup.removeDuplicateSpans(corpus, "doc_id", "text",
+        spanTokens = 3, hashWindows = true)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(h == got)
+    // the rewrite is idempotent: a second pass removes nothing
+    val again = Dedup.removeDuplicateSpans(
+        got.toDF("doc_id", "n_tokens", "n_removed", "text")
+          .select($"doc_id", $"text"),
+        "doc_id", "text", spanTokens = 3, hashWindows = false)
+      .orderBy("doc_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(again.forall(_._3 == 0), s"second pass removed tokens: $again")
+  }
+
   test("dedupClusters: identical docs cluster under the min id with correct size") {
     val got = Dedup.dedupClusters(docs, "doc_id", "text", threshold = 0.9,
         maxBucketSize = Int.MaxValue)
