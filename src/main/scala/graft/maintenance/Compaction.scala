@@ -78,11 +78,18 @@ object Compaction {
     * Per-bin rewrite instead of a global `repartition(n)`: reading a
     * bin's own files and writing them back with `coalesce(1)` moves no
     * rows between tasks — the whole rewrite is shuffle-free, and the bins
-    * are independent jobs a deployment runs in parallel (Delta OPTIMIZE
-    * semantics). The swap reuses the staging-then-rename discipline of
+    * are independent single-task jobs submitted CONCURRENTLY (up to
+    * `maxParallelBins` driver threads; Spark's scheduler interleaves
+    * them — Delta OPTIMIZE semantics). Each bin writes its own staging
+    * subdirectory: concurrent jobs must not share one output committer's
+    * `_temporary`, so isolation is per-job directories and the files are
+    * lifted into the staging root afterwards (driver renames, metadata
+    * cost only). The swap reuses the staging-then-rename discipline of
     * [[graft.operators.MergeSink]]; readers see old or new, never a mix. */
   def compactParquetDir(spark: SparkSession, dir: String,
-                        targetBytes: Long): (Int, Int) = {
+                        targetBytes: Long,
+                        maxParallelBins: Int = 4): (Int, Int) = {
+    require(maxParallelBins >= 1, s"maxParallelBins must be >= 1, got $maxParallelBins")
     val listing = listPartFiles(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val plan = {
@@ -97,10 +104,35 @@ object Compaction {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(dir + ".compact-staging")
     fs.delete(staging, true)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxParallelBins, bins.length))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val jobs = bins.toSeq.map { b =>
+        scala.concurrent.Future {
+          val paths = plan.filter(_._2 == b).map(_._1)
+          spark.read.parquet(paths: _*).coalesce(1)
+            .write.mode(SaveMode.ErrorIfExists)
+            .parquet(new Path(staging, s"bin=$b").toString)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+    // lift each bin's file into the staging root (bin prefix keeps names
+    // collision-free), then drop the per-job dirs
     bins.foreach { b =>
-      val paths = plan.filter(_._2 == b).map(_._1)
-      spark.read.parquet(paths: _*).coalesce(1)
-        .write.mode(SaveMode.Append).parquet(staging.toString)
+      val binDir = new Path(staging, s"bin=$b")
+      fs.listStatus(binDir).filter(st => st.isFile &&
+          st.getPath.getName.startsWith("part-"))
+        .foreach { st =>
+          require(fs.rename(st.getPath,
+            new Path(staging, s"part-b$b-${st.getPath.getName.stripPrefix("part-")}")),
+            s"compaction: could not lift ${st.getPath}")
+        }
+      fs.delete(binDir, true)
     }
     val old = new Path(dir + ".compact-old")
     fs.delete(old, true)

@@ -51,6 +51,12 @@ NOTES = {
     "q71_compaction_plan":
         "windowed cumsum over the per-source listing: one hash exchange + "
         "per-partition sort of metadata-width rows.",
+    "q72_span_rewrite":
+        "production twin: same single wk exchange as q69 (occurrence "
+        "count + canonical witness as two window fns over one partition "
+        "spec) plus the token anti-join and per-doc rebuild — work linear "
+        "in corpus tokens, removal interval explode proportional to the "
+        "duplicated minority.",
 }
 
 out = {

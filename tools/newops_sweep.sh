@@ -9,7 +9,7 @@
 cd /root/repo
 for sf in 0.1 0.5 1 2; do
   SPARK_GRAFT_SF_DIR=/root/repo/scaledata/sf$sf \
-  SPARK_GRAFT_BENCH_ONLY=q69_span_dedup,q70_semdedup,q71_compaction_plan \
+  SPARK_GRAFT_BENCH_ONLY=q69_span_dedup,q70_semdedup,q71_compaction_plan,q72_span_rewrite \
   SPARK_GRAFT_BENCH_REPS=5 \
   SPARK_GRAFT_BENCH_OUT=/root/repo/scaledata/r07/newops_sf$sf.json \
   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
