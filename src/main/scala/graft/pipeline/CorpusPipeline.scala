@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import graft.functions.TextFns
+import graft.operators.{Dedup, Mixture, PrefixSum}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-corpus counterpart of [[DailyPipeline]]: one driver program
+  * chaining the engine's LLM-data operators into the standard curation
+  * sequence — quality gate → exact dedup → near-dup clustering → substring
+  * rewrite → benchmark decontamination → mixture sampling → sequence
+  * packing — with the same per-stage [[DailyPipeline.StageResult]] summary
+  * contract (rows out + wall-clock, failures recorded, fail-fast
+  * propagation).
+  *
+  * Stages communicate through parquet under `outDir` (`s1_quality` …
+  * `s7_packed`, rejects kept beside them with a `drop_reason`), mirroring
+  * the reference's staged file lake and the shape real curation runs take:
+  * each stage is independently restartable, auditable, and its output is
+  * the next run's input. At 100 TB that materialization is the point, not
+  * overhead — every stage boundary is a resume point and a place to
+  * inspect what was dropped and why.
+  *
+  * Scale notes are owned by the operators themselves (each stage is a thin
+  * composition of an already-measured primitive — see SCALING_r07_newops
+  * / SCALING_r06 for slopes); the pipeline adds no shuffle of its own
+  * beyond the per-stage writes. */
+object CorpusPipeline {
+
+  import DailyPipeline.{PipelineFailedException, StageResult}
+
+  /** Curation knobs. Defaults match the oracled per-operator configs. */
+  final case class Config(
+      minTokens: Long = 10L,
+      minQuality: Double = 0.3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1000,
+      spanTokens: Int = 8,
+      // decontamination n-gram length: deliberately LONGER than the
+      // dedup shingles — contamination means verbatim leakage of eval
+      // text, and the literature matches on 8-13-grams (short n-grams
+      // over a small vocabulary flag everything; measured here: 3-grams
+      // marked 99% of the generated corpus contaminated, 8-grams the
+      // realistic verbatim minority)
+      decontamTokens: Int = 8,
+      budgetTokens: Long = 1000000L,
+      seqLen: Int = 2048)
+
+  /** Runs the full curation sequence over `docs` (doc_id, text, source).
+    * `benchmark` is the decontamination reference (any frame with a text
+    * column). Returns the per-stage summary; artifacts land under
+    * `outDir`. */
+  def run(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
+          outDir: String, cfg: Config = Config(),
+          failFast: Boolean = true): Seq[StageResult] = {
+    val results = Seq.newBuilder[StageResult]
+
+    def stage(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      def elapsedMs = (System.nanoTime() - t0) / 1000000L
+      try {
+        val rows = body
+        results += StageResult(name, rows, ok = true, durationMs = elapsedMs)
+      } catch { case e: Exception =>
+        results += StageResult(name, 0, ok = false, error = Some(e.toString),
+          durationMs = elapsedMs)
+        if (failFast) throw new PipelineFailedException(results.result(), e)
+      }
+    }
+
+    def write(df: DataFrame, name: String): Long = {
+      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
+      spark.read.parquet(s"$outDir/$name").count()
+    }
+    def read(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
+
+    stage("quality") {
+      val scored = docs.select(col("doc_id"), col("text"), col("source"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFns.qualityScore(col("text")).as("quality"))
+      val gated = scored.withColumn("drop_reason",
+        when(col("n_tokens") < cfg.minTokens, lit("too_short"))
+          .when(col("quality") < cfg.minQuality, lit("low_quality")))
+      write(gated.filter(col("drop_reason").isNotNull), "rejects_quality")
+      write(gated.filter(col("drop_reason").isNull)
+        .drop("drop_reason"), "s1_quality")
+    }
+
+    stage("exact_dedup") {
+      val in = read("s1_quality")
+      val keep = Dedup.exact(in, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      write(in.join(keep, Seq("doc_id"), "left_semi"), "s2_exact")
+    }
+
+    stage("near_dedup") {
+      val in = read("s2_exact")
+      val comps = Dedup.dedupClusters(in, "doc_id", "text",
+        cfg.numHashes, cfg.bands, cfg.shingleN, cfg.threshold,
+        cfg.maxBucketSize)
+      write(in.join(comps.filter(col("doc_id") === col("canonical_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi"), "s3_neardup")
+    }
+
+    stage("span_rewrite") {
+      val in = read("s3_neardup")
+      val rewritten = Dedup.removeDuplicateSpans(in, "doc_id", "text",
+          cfg.spanTokens, hashWindows = true)
+        .select(col("doc_id"), col("kept_text").as("text"),
+          (col("n_tokens") - col("n_removed")).cast("long").as("n_tokens"))
+      write(in.select(col("doc_id"), col("source"))
+        .join(rewritten, Seq("doc_id"))
+        .filter(col("n_tokens") >= cfg.minTokens), "s4_rewritten")
+    }
+
+    stage("decontaminate") {
+      val in = read("s4_rewritten")
+      val benchShingles = Dedup.shingleSets(benchmark
+          .withColumn("__bid", monotonically_increasing_id()),
+          "__bid", "text", cfg.decontamTokens)
+        .select(explode(col("shset")).as("sh")).distinct()
+      val docShingles = Dedup.shingleSets(in, "doc_id", "text", cfg.decontamTokens)
+        .select(col("doc_id"), explode(col("shset")).as("sh"))
+      val contaminated = docShingles
+        .join(broadcast(benchShingles), Seq("sh"))
+        .select(col("doc_id")).distinct()
+      write(in.join(contaminated, Seq("doc_id"), "left_anti"), "s5_clean")
+    }
+
+    stage("mixture") {
+      val in = read("s5_clean")
+      // equal per-source weights: budget splits evenly across the sources
+      // present (the q64 machinery with weight=1 for each)
+      val nSources = in.select(col("source")).distinct().count()
+      val sampled = Mixture.tokenBudgetSampleOn(in, "doc_id", "source",
+        "n_tokens", weightCol = lit(1L), weightTotal = math.max(1L, nSources),
+        budgetTokens = cfg.budgetTokens)
+      write(sampled.select(col("doc_id"), col("text"), col("source"),
+        col("n_tokens")), "s6_mixture")
+    }
+
+    stage("pack") {
+      val in = read("s6_mixture")
+      val packed = PrefixSum.withRunningTotal(spark,
+          in.select(col("doc_id"), col("source"), col("n_tokens")),
+          "doc_id", "n_tokens", "cum_tokens")
+        .filter(col("n_tokens") > 0)
+        .selectExpr("doc_id", "source", "n_tokens", "cum_tokens",
+          s"(cum_tokens - n_tokens) div ${cfg.seqLen} as seq_first",
+          s"(cum_tokens - 1) div ${cfg.seqLen} as seq_last",
+          s"(cum_tokens - n_tokens) % ${cfg.seqLen} as tok_offset")
+      write(packed, "s7_packed")
+    }
+
+    results.result()
+  }
+}
