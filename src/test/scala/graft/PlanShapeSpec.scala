@@ -225,4 +225,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("ScalaUDF"),
       s"assignment not an inlined map:\n$plan")
   }
+
+  test("q69 span dedup (production twin): ONE window-key exchange, no string windows") {
+    val plan = executed(SparkEntry.benchQueries("q69_span_dedup")(spark, dir))
+    // corpus frequency = window function over the wk partition, not a
+    // groupBy + join-back (which would explode and exchange twice —
+    // measured 5.7 s vs 0.7 s at bench scale)
+    val wkExchanges = "hashpartitioning\\(wk".r.findAllIn(plan).length
+    assert(wkExchanges == 1, s"expected 1 wk exchange, got $wkExchanges:\n$plan")
+    assert(plan.contains("shingle_list"),
+      s"hashed twin not using the compiled window kernel:\n$plan")
+  }
+
+  test("q70 SemDeDup: pair sides share ONE assignment exchange; join-back pays only a narrow scan") {
+    val plan = executed(SparkEntry.queries("q70_semdedup")(spark, dir))
+    assert(plan.contains("ReusedExchange"),
+      s"self-join sides not sharing the assignment exchange:\n$plan")
+    // exactly 2 scans BY DESIGN: one full scan feeding the shared pair-join
+    // exchange, one column-pruned (id, embedding→centroid only) scan for the
+    // broadcast join-back base — the measured A/B in Similarity.scala chose
+    // this over the single-scan outer-join formulation (2.20 s vs 3.58 s)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected 2 corpus scans (pair + narrow base), got $scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"pair join degenerated:\n$plan")
+    assert(plan.contains("cosine_ge"), s"native threshold expr missing:\n$plan")
+  }
+
+  test("q71 compaction plan: one hash exchange + per-partition sort, nothing else moves") {
+    val plan = executed(SparkEntry.queries("q71_compaction_plan")(spark, dir))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global single-partition stage in a per-partition plan:\n$plan")
+  }
+
+  test("q72 span rewrite (production twin): occurrence count and canonical witness share one wk exchange") {
+    val plan = executed(SparkEntry.benchQueries("q72_span_rewrite")(spark, dir))
+    val wkExchanges = "hashpartitioning\\(wk".r.findAllIn(plan).length
+    assert(wkExchanges == 1,
+      s"occ/canonical window fns not sharing the wk partition spec ($wkExchanges exchanges):\n$plan")
+    assert(plan.contains("shingle_list"),
+      s"hashed twin not using the compiled window kernel:\n$plan")
+  }
 }
