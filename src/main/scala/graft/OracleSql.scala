@@ -1069,6 +1069,74 @@ object OracleSql {
          FROM documents
          WINDOW w AS (PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q73: overlapping token-window chunking, size 32 / stride 24; chunk
+    // count = 1 if n<=32 else ceil((n-32)/24)+1; chunk k covers tokens
+    // [k*24, k*24+32). Empty docs keep one empty chunk.
+    "q73_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         c AS (SELECT doc_id, toks,
+           CASE WHEN len(toks) <= 32 THEN 1
+                ELSE ((len(toks) - 32 + 23) // 24) + 1 END AS n_chunks
+           FROM t)
+         SELECT doc_id,
+           CAST(k AS INTEGER) AS chunk_id,
+           array_to_string(toks[k*24 + 1 : k*24 + 32], ' ') AS chunk_text,
+           CAST(len(toks[k*24 + 1 : k*24 + 32]) AS INTEGER) AS n_chunk_tokens
+         FROM (SELECT doc_id, toks,
+                 unnest(generate_series(0, n_chunks - 1)) AS k
+               FROM c)
+         ORDER BY doc_id, chunk_id""",
+
+    // q74: deterministic global shuffle + 64-doc shard layout; position =
+    // md5(doc_id) rank (tie-free: ids unique). Replays Sharding.shardPlan.
+    "q74_shard_plan" ->
+      """WITH r AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+             row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS pos
+           FROM documents)
+         SELECT doc_id, shuffle_key, CAST(pos AS BIGINT) AS pos,
+           CAST(pos // 64 AS BIGINT) AS shard_id,
+           CAST(pos % 64 AS BIGINT) AS pos_in_shard
+         FROM r ORDER BY doc_id""",
+
+    // q75: hashed linear classifier, 2^12 buckets; per-token integer
+    // weight w(b) = (h32('w:'||b) % 2001) - 1000 with b = h32(seed:tok) %
+    // 4096; exact integer sum, sigmoid(mean*4) rounded to 6. Replays
+    // QualityModel.hashedLinearScore.
+    "q75_classifier_score" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         s AS (SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(toks, x ->
+             (CAST('0x' || substr(md5('w:' || CAST(
+                CAST('0x' || substr(md5('graft-q75:' || x), 1, 8) AS BIGINT) % 4096
+              AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000)), 0) AS BIGINT) AS w_sum
+           FROM t)
+         SELECT doc_id, n_tokens, w_sum,
+           CASE WHEN n_tokens > 0 THEN
+             ROUND(1.0 / (1.0 + exp(-(CAST(w_sum AS DOUBLE) / (n_tokens * 1000.0)) * 4.0)), 6)
+           ELSE NULL END AS score
+         FROM s ORDER BY doc_id""",
+
+    // q76: per-doc cross-entropy under the corpus add-one unigram LM:
+    // P(t) = (cnt+1)/(N+V); per-token -ln P quantized to 1e-6 bigint
+    // before the per-doc sum (order-independent), empty docs omitted.
+    // Replays QualityModel.unigramCrossEntropy.
+    "q76_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         g AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM c),
+         lp AS (SELECT doc_id,
+             CAST(ROUND((ln(CAST(n_total + vocab AS DOUBLE))
+               - ln(CAST(cnt + 1 AS DOUBLE))) * 1e6) AS BIGINT) AS lp_i
+           FROM t JOIN c USING (tok) CROSS JOIN g),
+         d AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+             SUM(lp_i) AS lp_sum FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           ROUND(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6), 6) AS xent,
+           ROUND(exp(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6)), 4) AS ppl
+         FROM d ORDER BY doc_id"""
   )
 }

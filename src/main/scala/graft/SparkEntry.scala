@@ -978,6 +978,47 @@ object SparkEntry {
         spanTokens = 8, hashWindows = false)
       .orderBy(col("doc_id"))
 
+  /** Overlapping token-window chunking (size 32, stride 24): the
+    * context-window shaping step for training/eval/retrieval corpora.
+    * Pure narrow plan — tokenize, explode a sequence, slice — zero
+    * exchanges; the chunk inventory with per-chunk text and token count. */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    Chunker.chunkByTokens(T(s, dir, "documents"), "doc_id", "text",
+        size = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** Deterministic global shuffle + fixed-size training-shard layout:
+    * md5(doc_id) permutation ranked with the two-phase PrefixSum (no
+    * SinglePartition exchange), cut into 64-doc shards. The trainer-facing
+    * corpus layout; a re-run over the same corpus is byte-identical. */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    Sharding.shardPlan(s, T(s, dir, "documents").select(col("doc_id")),
+        "doc_id", shardSize = 64)
+      .orderBy(col("doc_id"))
+
+  /** fastText-style hashed linear quality classifier (2^12 feature
+    * buckets, md5-derived integer weights): per-doc mean bucket weight
+    * through a sigmoid. Zero exchanges — the whole model evaluates inside
+    * the scan's codegen span; the learned-filter shape of CCNet/LLaMA
+    * quality filtering with an oracle-replayable weight table. */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        QualityModel.hashedLinearScore(col("text"), bits = 12,
+          seed = "graft-q75").as("m"))
+      .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+        col("m.w_sum").as("w_sum"), col("m.score").as("score"))
+      .orderBy(col("doc_id"))
+
+  /** Perplexity filtering under a corpus-trained add-one unigram LM
+    * (the CCNet/KenLM quality step at the model size the engine can train
+    * in one pass): per-doc cross-entropy and perplexity, integer
+    * fixed-point inner sums for cross-engine determinism. */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    QualityModel.unigramCrossEntropy(T(s, dir, "documents"), "doc_id",
+        "text")
+      .orderBy(col("doc_id"))
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): q62's coarse k-means
     * clusters bound the pairwise search; within a cluster, the lowest-id
     * member of each cosine>=3/10 group survives. Cluster restriction is
@@ -1200,7 +1241,11 @@ object SparkEntry {
     "q69_span_dedup" -> q69 _,
     "q70_semdedup" -> q70 _,
     "q71_compaction_plan" -> q71 _,
-    "q72_span_rewrite" -> q72 _
+    "q72_span_rewrite" -> q72 _,
+    "q73_chunking" -> q73 _,
+    "q74_shard_plan" -> q74 _,
+    "q75_classifier_score" -> q75 _,
+    "q76_lm_perplexity" -> q76 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

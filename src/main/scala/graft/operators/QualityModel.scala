@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Model-based quality scoring — the two standard "learned filter" shapes
+  * of LLM data curation, next to q35's hand-crafted heuristics:
+  *
+  *  1. [[hashedLinearScore]] — a fastText-style linear classifier over
+  *     hashed bag-of-token features (the CCNet / LLaMA-pipeline quality
+  *     classifier shape): each token hashes into one of 2^bits buckets,
+  *     the bucket's weight is looked up, and the document's score is the
+  *     mean weight pushed through a sigmoid. Embarrassingly parallel —
+  *     zero exchanges, pure per-row expression over the scan.
+  *
+  *  2. [[unigramCrossEntropy]] — perplexity-based filtering (the CCNet /
+  *     KenLM step, reduced to the model the engine can train in one pass):
+  *     a corpus-wide add-one-smoothed unigram LM, then each document's
+  *     per-token cross-entropy under it. Low-perplexity ≈ fluent text;
+  *     extreme tails are boilerplate or noise.
+  *
+  * Determinism contract (both): per-token terms are quantized to integer
+  * fixed-point BEFORE aggregation, so every sum is an exact integer sum —
+  * associative, order-independent, identical across Spark partitionings
+  * and the DuckDB oracle. Floating-point enters only once, in the final
+  * per-document division, with an explicit ROUND. (A double sum over a
+  * shuffled groupBy would be order-nondeterministic — the same discipline
+  * as q61's long token counts.)
+  *
+  * 100 TB design notes in each method's doc.
+  */
+object QualityModel {
+
+  /** Hash of `s` into [0, 2^32): first 8 hex chars of md5, engine-portable
+    * (DuckDB spells it `CAST('0x'||substr(md5(s),1,8) AS BIGINT)`). */
+  private def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Integer weight of feature bucket `b` in [-1000, 1000]: derived from
+    * md5 of the bucket id so the oracle can replay it. A TRAINED model
+    * replaces this with a literal weight array — see
+    * [[hashedLinearScoreWeights]], which is plan-identical (the array is
+    * inlined into codegen, no broadcast join, no UDF). */
+  private def bucketWeightInt(b: Column): Column =
+    h32(concat(lit("w:"), b.cast("string"))) % 2001 - 1000
+
+  /** fastText-style hashed linear score of `text` with 2^bits feature
+    * buckets: sigmoid( mean over tokens of w[bucket(token)] / 1000 ).
+    * Returns a struct `(n_tokens, w_sum, score)`; `w_sum` is the exact
+    * integer weight sum (the auditable raw margin), `score` is rounded to
+    * 6 places. Empty docs score NULL (no tokens, no evidence).
+    *
+    * 100 TB: a pure Column expression — tokenize, two md5s per token, an
+    * integer `aggregate` — all Catalyst builtins inside the scan's
+    * codegen span; no shuffle, no UDF, no state. Scoring cost is linear
+    * in corpus tokens and trivially partition-parallel. */
+  def hashedLinearScore(text: Column, bits: Int, seed: String): Column = {
+    require(bits > 0 && bits <= 30, s"bits must be in [1,30], got $bits")
+    val toks = TextFns.tokens(text)
+    val bucket = (t: Column) =>
+      h32(concat(lit(seed), lit(":"), t)) % (1 << bits)
+    val wSum = aggregate(
+      transform(toks, t => bucketWeightInt(bucket(t))),
+      lit(0L), (acc, x) => acc + x)
+    val n = org.apache.spark.sql.functions.size(toks)
+    val mean = wSum.cast("double") / (n.cast("double") * 1000.0)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-mean * 4.0)), 6)
+    struct(
+      n.cast("int").as("n_tokens"),
+      wSum.as("w_sum"),
+      when(n > 0, score).as("score"))
+  }
+
+  /** The trained-model variant: same features, weights from an explicit
+    * array (index = bucket id) instead of the md5 derivation. The array
+    * is inlined as a literal into the plan — at 2^bits ≤ 2^21 buckets of
+    * integer weights this rides the closure/plan broadcast exactly like
+    * fastText ships its quantized matrix; still zero exchanges.
+    * QualityModelSpec proves it plan- and result-equal to
+    * [[hashedLinearScore]] when fed that function's own weight table. */
+  def hashedLinearScoreWeights(text: Column, bits: Int, seed: String,
+                               weights: Array[Int]): Column = {
+    require(weights.length == (1 << bits),
+      s"need ${1 << bits} weights, got ${weights.length}")
+    val toks = TextFns.tokens(text)
+    val wLit = typedlit(weights)
+    val bucket = (t: Column) =>
+      h32(concat(lit(seed), lit(":"), t)) % (1 << bits)
+    val wSum = aggregate(
+      transform(toks, t => element_at(wLit, (bucket(t) + 1).cast("int"))
+        .cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val n = org.apache.spark.sql.functions.size(toks)
+    val mean = wSum.cast("double") / (n.cast("double") * 1000.0)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-mean * 4.0)), 6)
+    struct(
+      n.cast("int").as("n_tokens"),
+      wSum.as("w_sum"),
+      when(n > 0, score).as("score"))
+  }
+
+  /** The md5-derived weight table [[hashedLinearScore]] implies, for
+    * feeding [[hashedLinearScoreWeights]] in parity tests / as the init
+    * of a trained model. */
+  def derivedWeightTable(bits: Int): Array[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(1 << bits) { b =>
+      val hex = md.digest(s"w:$b".getBytes("UTF-8"))
+        .take(4).map(x => f"${x & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toInt
+    }
+  }
+
+  /** Per-document cross-entropy under a corpus-trained add-one-smoothed
+    * unigram LM: xent(d) = mean over tokens t of −ln P(t), with
+    * P(t) = (count(t) + 1) / (N + V) over the whole corpus (N = total
+    * tokens, V = vocabulary size). Output: (idCol, n_tokens, xent, ppl),
+    * empty documents omitted (no tokens → no distribution). Per-token
+    * −ln P is quantized to 1e-6 fixed point (bigint) before the per-doc
+    * sum — see the object doc's determinism contract.
+    *
+    * 100 TB: three exchanges, all key-partitioned — (1) token counts with
+    * map-side partial aggregation (the classic word-count shuffle, bytes
+    * bounded by vocab × partitions); (2) the exploded-tokens ⋈ counts
+    * equi-join on `tok`; (3) the per-doc sum, map-side combined. The
+    * totals frame is ONE row (crossJoin-broadcast, not a window). Zipf
+    * reality: vocab ≪ corpus, so when the count frame fits the broadcast
+    * threshold Spark's CBO/AQE turns join (2) into a broadcast-hash probe
+    * with NO corpus shuffle — `hintSmallVocab` forces that when the
+    * caller knows it holds (a trained top-K vocab with OOV smoothing is
+    * the production variant; the exact join is the contract here). */
+  def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                          hintSmallVocab: Boolean = true): DataFrame = {
+    val toksDf = df.select(col(idCol),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+    val counts = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum(col("cnt")).as("n_total"), count(lit(1)).as("vocab"))
+    val cHinted = if (hintSmallVocab) broadcast(counts) else counts
+    // lp_i = round((ln(N + V) - ln(cnt + 1)) * 1e6): integer fixed-point
+    // of -ln P(tok); ln over integer-valued doubles is bit-deterministic.
+    val lp = toksDf.join(cHinted, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        round((log(col("n_total").cast("double") + col("vocab"))
+          - log(col("cnt").cast("double") + 1.0)) * 1e6)
+          .cast("long").as("lp_i"))
+    lp.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(col("lp_i")).as("lp_sum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("lp_sum").cast("double") / (col("n_tokens") * 1e6), 6)
+          .as("xent"),
+        round(exp(col("lp_sum").cast("double") / (col("n_tokens") * 1e6)), 4)
+          .as("ppl"))
+  }
+}

@@ -219,6 +219,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"UDF( in oracle plans of: ${offenders.mkString(", ")}")
   }
 
+  test("q73 chunker is a pure narrow plan: zero exchanges, payload-pruned scan") {
+    val df = graft.operators.Chunker.chunkByTokens(
+      T2(dir, "documents"), "doc_id", "text", size = 32, stride = 24)
+    df.collect()
+    val plan = executed(df)
+    assert(!plan.contains("Exchange"), s"chunker shuffled:\n$plan")
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      s"column pruning failed (reads more than doc_id+text):\n$plan")
+  }
+
+  test("q74 shard plan: corpus rank through the two-phase scan, offsets broadcast") {
+    val plan = executed(graft.operators.Sharding.shardPlan(spark,
+      T2(dir, "documents").select("doc_id"), "doc_id", shardSize = 64))
+    // same contract as q61: the only SinglePartition exchange is the
+    // config-bounded per-partition totals frame
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single == 1, s"expected 1 bounded SinglePartition exchange, got $single:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+  }
+
+  test("q75 classifier scoring runs entirely inside the scan's codegen span") {
+    val df = T2(dir, "documents").select(org.apache.spark.sql.functions.col("doc_id"),
+      graft.operators.QualityModel.hashedLinearScore(
+        org.apache.spark.sql.functions.col("text"), 12, "graft-q75").as("m"))
+    df.collect()
+    val plan = executed(df)
+    assert(!plan.contains("Exchange"), s"model scoring shuffled:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF in the scoring path:\n$plan")
+  }
+
+  test("q76 unigram LM: token counts partial-aggregate; corpus probe is a broadcast join") {
+    val plan = executed(SparkEntry.queries("q76_lm_perplexity")(spark, dir))
+    assert(plan.contains("partial_count"), s"no map-side partial counts:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab join not broadcast (corpus would re-shuffle on tok):\n$plan")
+  }
+
   test("q63 k-means sums aggregate with map-side partials (one bounded shuffle)") {
     val plan = executed(SparkEntry.queries("q63_kmeans_step")(spark, dir))
     assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")

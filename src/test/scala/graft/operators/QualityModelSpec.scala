@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("hashedLinearScore: derived-weight path == explicit-weight-array path " +
+      "(the trained-model API is plan-compatible with the oracled one)") {
+    val df = docs((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
+      (3L, ""), (4L, "the the the"))
+    val a = df.select(col("doc_id"),
+        QualityModel.hashedLinearScore(col("text"), bits = 10,
+          seed = "s").as("m"))
+      .select("doc_id", "m.n_tokens", "m.w_sum", "m.score")
+      .orderBy("doc_id").collect().toSeq
+    val w = QualityModel.derivedWeightTable(10)
+    val b = df.select(col("doc_id"),
+        QualityModel.hashedLinearScoreWeights(col("text"), bits = 10,
+          seed = "s", weights = w).as("m"))
+      .select("doc_id", "m.n_tokens", "m.w_sum", "m.score")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("hashedLinearScore: empty doc scores NULL, weights bounded, " +
+      "score in (0,1)") {
+    val got = docs((1L, ""), (2L, "alpha beta gamma delta"))
+      .select(col("doc_id"),
+        QualityModel.hashedLinearScore(col("text"), 12, "graft-q75").as("m"))
+      .select("doc_id", "m.n_tokens", "m.w_sum", "m.score")
+      .as[(Long, Int, Long, Option[Double])].orderBy("doc_id").collect().toSeq
+    assert(got(0) == ((1L, 0, 0L, None)))
+    val (_, n, wSum, Some(score)) = got(1)
+    assert(math.abs(wSum) <= 1000L * n)
+    assert(score > 0.0 && score < 1.0)
+  }
+
+  test("unigramCrossEntropy: hand-checked tiny corpus") {
+    // corpus: "a a b" + "b c"  =>  counts a=2 b=2 c=1, N=5, V=3
+    // P(a)=P(b)=3/8, P(c)=2/8; doc1 xent = ln(8/3); doc2 = (ln(8/3)+ln(4))/2
+    val got = QualityModel.unigramCrossEntropy(
+        docs((1L, "a a b"), (2L, "b c"), (3L, "")), "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "xent", "ppl")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), "empty doc must be omitted")
+    val x1 = math.log(8.0 / 3.0)
+    val x2 = (math.log(8.0 / 3.0) + math.log(4.0)) / 2.0
+    assert(math.abs(got(0)._3 - x1) < 2e-6, s"doc1 xent ${got(0)._3} != $x1")
+    assert(math.abs(got(1)._3 - x2) < 2e-6, s"doc2 xent ${got(1)._3} != $x2")
+    assert(math.abs(got(0)._4 - math.exp(got(0)._3)) < 1e-3)
+  }
+
+  test("unigramCrossEntropy: repeated boilerplate scores lower xent than " +
+      "unique text (the filtering property)") {
+    val boiler = (1L to 20L).map(i => (i, "click here to subscribe now"))
+    val unique = (21L to 25L).map(i =>
+      (i, s"zephyr$i quixotic$i bramble$i ossify$i lament$i"))
+    val got = QualityModel.unigramCrossEntropy(
+        docs((boiler ++ unique): _*), "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    val boilerMean = boiler.map(b => got(b._1)).sum / boiler.size
+    val uniqueMean = unique.map(u => got(u._1)).sum / unique.size
+    assert(boilerMean < uniqueMean,
+      s"boilerplate $boilerMean !< unique $uniqueMean")
+  }
+
+  test("unigramCrossEntropy: partitioning-independent (integer fixed-point " +
+      "inner sums make the result exact, not an FP race)") {
+    val base = (1L to 200L).map(i => (i, s"tok${i % 17} tok${i % 5} common word"))
+    val a = QualityModel.unigramCrossEntropy(docs(base: _*), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = QualityModel.unigramCrossEntropy(
+        docs(base: _*).repartition(11), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
