@@ -1,20 +1,20 @@
 package graft.pipeline
 
 import graft.functions.TextFns
-import graft.operators.{Dedup, Mixture, PrefixSum}
+import graft.operators.{Dedup, Mixture, PrefixSum, QualityModel, Sharding}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The training-corpus counterpart of [[DailyPipeline]]: one driver program
   * chaining the engine's LLM-data operators into the standard curation
-  * sequence — quality gate → exact dedup → near-dup clustering → substring
-  * rewrite → benchmark decontamination → mixture sampling → sequence
-  * packing — with the same per-stage [[DailyPipeline.StageResult]] summary
-  * contract (rows out + wall-clock, failures recorded, fail-fast
-  * propagation).
+  * sequence — quality gate → perplexity gate → exact dedup → near-dup
+  * clustering → substring rewrite → benchmark decontamination → mixture
+  * sampling → sequence packing → shard layout — with the same per-stage
+  * [[DailyPipeline.StageResult]] summary contract (rows out + wall-clock,
+  * failures recorded, fail-fast propagation).
   *
   * Stages communicate through parquet under `outDir` (`s1_quality` …
-  * `s7_packed`, rejects kept beside them with a `drop_reason`), mirroring
+  * `s9_shards`, rejects kept beside them with a `drop_reason`), mirroring
   * the reference's staged file lake and the shape real curation runs take:
   * each stage is independently restartable, auditable, and its output is
   * the next run's input. At 100 TB that materialization is the point, not
@@ -46,8 +46,17 @@ object CorpusPipeline {
       // marked 99% of the generated corpus contaminated, 8-grams the
       // realistic verbatim minority)
       decontamTokens: Int = 8,
+      // perplexity gate band under the corpus-trained unigram LM (q76):
+      // docs above maxXent nats/token are hapax noise (random strings,
+      // OCR junk); below minXent are degenerate repetition. The CCNet
+      // recipe calibrates these against the corpus distribution — the
+      // defaults are permissive production starting points, and the tiny
+      // spec corpora pass explicit bands (see CorpusPipelineSpec).
+      minXent: Double = 0.0,
+      maxXent: Double = 12.0,
       budgetTokens: Long = 1000000L,
-      seqLen: Int = 2048)
+      seqLen: Int = 2048,
+      shardSize: Long = 100000L)
 
   /** Runs the full curation sequence over `docs` (doc_id, text, source).
     * `benchmark` is the decontamination reference (any frame with a text
@@ -89,35 +98,51 @@ object CorpusPipeline {
         .drop("drop_reason"), "s1_quality")
     }
 
-    stage("exact_dedup") {
+    stage("ppl_gate") {
       val in = read("s1_quality")
+      // LM trained on the post-quality corpus itself (one word-count
+      // shuffle + a Zipf-small broadcast probe — q76's plan); xent rides
+      // along as an audit column until span_rewrite re-projects.
+      val xent = QualityModel.unigramCrossEntropy(in, "doc_id", "text")
+        .select(col("doc_id"), col("xent"))
+      val gated = in.join(xent, Seq("doc_id"), "left")
+        .withColumn("drop_reason",
+          when(col("xent") > cfg.maxXent, lit("high_perplexity"))
+            .when(col("xent") < cfg.minXent, lit("low_perplexity")))
+      write(gated.filter(col("drop_reason").isNotNull), "rejects_ppl")
+      write(gated.filter(col("drop_reason").isNull)
+        .drop("drop_reason"), "s2_ppl")
+    }
+
+    stage("exact_dedup") {
+      val in = read("s2_ppl")
       val keep = Dedup.exact(in, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
-      write(in.join(keep, Seq("doc_id"), "left_semi"), "s2_exact")
+      write(in.join(keep, Seq("doc_id"), "left_semi"), "s3_exact")
     }
 
     stage("near_dedup") {
-      val in = read("s2_exact")
+      val in = read("s3_exact")
       val comps = Dedup.dedupClusters(in, "doc_id", "text",
         cfg.numHashes, cfg.bands, cfg.shingleN, cfg.threshold,
         cfg.maxBucketSize)
       write(in.join(comps.filter(col("doc_id") === col("canonical_id"))
-        .select(col("doc_id")), Seq("doc_id"), "left_semi"), "s3_neardup")
+        .select(col("doc_id")), Seq("doc_id"), "left_semi"), "s4_neardup")
     }
 
     stage("span_rewrite") {
-      val in = read("s3_neardup")
+      val in = read("s4_neardup")
       val rewritten = Dedup.removeDuplicateSpans(in, "doc_id", "text",
           cfg.spanTokens, hashWindows = true)
         .select(col("doc_id"), col("kept_text").as("text"),
           (col("n_tokens") - col("n_removed")).cast("long").as("n_tokens"))
       write(in.select(col("doc_id"), col("source"))
         .join(rewritten, Seq("doc_id"))
-        .filter(col("n_tokens") >= cfg.minTokens), "s4_rewritten")
+        .filter(col("n_tokens") >= cfg.minTokens), "s5_rewritten")
     }
 
     stage("decontaminate") {
-      val in = read("s4_rewritten")
+      val in = read("s5_rewritten")
       val benchShingles = Dedup.shingleSets(benchmark
           .withColumn("__bid", monotonically_increasing_id()),
           "__bid", "text", cfg.decontamTokens)
@@ -127,11 +152,11 @@ object CorpusPipeline {
       val contaminated = docShingles
         .join(broadcast(benchShingles), Seq("sh"))
         .select(col("doc_id")).distinct()
-      write(in.join(contaminated, Seq("doc_id"), "left_anti"), "s5_clean")
+      write(in.join(contaminated, Seq("doc_id"), "left_anti"), "s6_clean")
     }
 
     stage("mixture") {
-      val in = read("s5_clean")
+      val in = read("s6_clean")
       // equal per-source weights: budget splits evenly across the sources
       // present (the q64 machinery with weight=1 for each)
       val nSources = in.select(col("source")).distinct().count()
@@ -139,11 +164,11 @@ object CorpusPipeline {
         "n_tokens", weightCol = lit(1L), weightTotal = math.max(1L, nSources),
         budgetTokens = cfg.budgetTokens)
       write(sampled.select(col("doc_id"), col("text"), col("source"),
-        col("n_tokens")), "s6_mixture")
+        col("n_tokens")), "s7_mixture")
     }
 
     stage("pack") {
-      val in = read("s6_mixture")
+      val in = read("s7_mixture")
       val packed = PrefixSum.withRunningTotal(spark,
           in.select(col("doc_id"), col("source"), col("n_tokens")),
           "doc_id", "n_tokens", "cum_tokens")
@@ -152,7 +177,19 @@ object CorpusPipeline {
           s"(cum_tokens - n_tokens) div ${cfg.seqLen} as seq_first",
           s"(cum_tokens - 1) div ${cfg.seqLen} as seq_last",
           s"(cum_tokens - n_tokens) % ${cfg.seqLen} as tok_offset")
-      write(packed, "s7_packed")
+      write(packed, "s8_packed")
+    }
+
+    stage("shard") {
+      // the trainer-facing layout (q74): deterministic md5 permutation of
+      // the mixture output, cut into fixed-size shards, one directory per
+      // shard with rows in permutation order. Reads s7_mixture (documents),
+      // not s8_packed (token bookkeeping) — the two are parallel views of
+      // the same curated set.
+      val in = read("s7_mixture")
+      Sharding.writeShards(spark, in, "doc_id", cfg.shardSize,
+        s"$outDir/s9_shards")
+      spark.read.parquet(s"$outDir/s9_shards").count()
     }
 
     results.result()

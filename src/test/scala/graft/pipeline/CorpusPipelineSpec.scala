@@ -32,19 +32,22 @@ class CorpusPipelineSpec extends SparkSpec {
   test("full curation run: every stage drops exactly its victims, packing is seam-correct") {
     val out = Files.createTempDirectory("corpus").toString
     val summary = CorpusPipeline.run(spark, docs, benchmark, out,
-      CorpusPipeline.Config(minTokens = 8L, seqLen = 16))
-    assert(summary.map(_.stage) == Seq("quality", "exact_dedup", "near_dedup",
-      "span_rewrite", "decontaminate", "mixture", "pack"))
+      CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L))
+    assert(summary.map(_.stage) == Seq("quality", "ppl_gate", "exact_dedup",
+      "near_dedup", "span_rewrite", "decontaminate", "mixture", "pack",
+      "shard"))
     assert(summary.forall(_.ok))
     assert(summary.forall(_.durationMs >= 0))
     val rows = summary.map(r => r.stage -> r.rows).toMap
     assert(rows("quality") == 7, s"quality kept ${rows("quality")}")      // -6, -7
+    assert(rows("ppl_gate") == 7)             // default band keeps all (see focused test)
     assert(rows("exact_dedup") == 6)                                      // -2
     assert(rows("near_dedup") == 5)                                       // -3
     assert(rows("span_rewrite") == 5)                                     // 5 rewritten, none emptied
     assert(rows("decontaminate") == 4)                                    // -8
     assert(rows("mixture") == 4)                                          // budget >> corpus
     assert(rows("pack") == 4)
+    assert(rows("shard") == 4)
 
     // quality rejects carry their reasons
     val rejects = spark.read.parquet(s"$out/rejects_quality")
@@ -52,7 +55,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rejects == Map(6L -> "too_short", 7L -> "low_quality"))
 
     // doc 5 lost exactly the copied span; doc 4 (canonical) kept it
-    val rewritten = spark.read.parquet(s"$out/s4_rewritten")
+    val rewritten = spark.read.parquet(s"$out/s5_rewritten")
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     assert(rewritten(4L).contains("one two three"))
     assert(!rewritten(5L).contains("one two three"))
@@ -60,12 +63,57 @@ class CorpusPipelineSpec extends SparkSpec {
 
     // survivors are 1, 4, 5, 9; packing covers the token stream without
     // gaps: cum_tokens is the running sum in doc_id order
-    val packed = spark.read.parquet(s"$out/s7_packed")
+    val packed = spark.read.parquet(s"$out/s8_packed")
       .orderBy("doc_id")
       .select("doc_id", "n_tokens", "cum_tokens")
       .as[(Long, Long, Long)].collect().toSeq
     assert(packed.map(_._1) == Seq(1L, 4L, 5L, 9L))
     assert(packed.scanLeft(0L)(_ + _._2).tail == packed.map(_._3))
+
+    // shards: 4 survivors at shardSize=2 -> shards {0,1}, each full; the
+    // permutation is the md5 rank of the ids (pure function of the id set)
+    val shards = spark.read.parquet(s"$out/s9_shards")
+      .select("shard_id", "pos_in_shard", "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(shards.map(s => (s._1, s._2)) ==
+      Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)))
+    val expectedOrder = Seq(1L, 4L, 5L, 9L)
+      .sortBy(id => java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString)
+    assert(shards.map(_._3) == expectedOrder)
+  }
+
+  test("ppl_gate: hapax-noise docs exceed the xent band and are rejected with a reason") {
+    import graft.operators.QualityModel
+    // a corpus whose vocabulary repeats heavily, plus one doc of pure
+    // hapax gibberish — under the corpus unigram LM the gibberish doc's
+    // per-token surprisal is strictly the worst (every token has count 1)
+    val common = "the model reads the data and the model writes the data again"
+    val gibberish = "qzv1 xkw2 bnm3 plo4 wer5 tyu6 asd7 fgh8 jkl9 zxc0 vbn1 mqa2"
+    val pplDocs = Seq(
+      (1L, common, "srcA"),
+      (2L, common + " with a small twist at the end of the data", "srcA"),
+      (3L, "the data and the model and the data and the model once more", "srcB"),
+      (4L, gibberish, "srcB")
+    ).toDF("doc_id", "text", "source")
+
+    // pick the band from the operator's own measurements: midpoint between
+    // the worst normal doc and the gibberish doc
+    val xents = QualityModel.unigramCrossEntropy(pplDocs, "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(xents(4L) > Seq(1L, 2L, 3L).map(xents).max)
+    val cut = (xents(4L) + Seq(1L, 2L, 3L).map(xents).max) / 2
+
+    val out = Files.createTempDirectory("corpus_ppl").toString
+    val summary = CorpusPipeline.run(spark, pplDocs, benchmark, out,
+      CorpusPipeline.Config(minTokens = 5L, seqLen = 16, shardSize = 2L,
+        maxXent = cut))
+    val rows = summary.map(r => r.stage -> r.rows).toMap
+    assert(rows("quality") == 4 && rows("ppl_gate") == 3)
+    val rejected = spark.read.parquet(s"$out/rejects_ppl")
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+    assert(rejected == Map(4L -> "high_perplexity"))
   }
 
   test("fail-fast: a broken stage aborts with the partial summary intact") {
