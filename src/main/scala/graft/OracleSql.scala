@@ -1137,6 +1137,132 @@ object OracleSql {
          SELECT doc_id, n_tokens,
            ROUND(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6), 6) AS xent,
            ROUND(exp(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6)), 4) AS ppl
-         FROM d ORDER BY doc_id"""
+         FROM d ORDER BY doc_id""",
+
+    // q77/q78: DSIR importance weights against the doc_id%7==0 target
+    // slice — hashed unigram+bigram buckets (2^10), add-one-smoothed
+    // log-likelihood ratio quantized to 1e-6 per bucket, exact integer
+    // per-doc sums, md5-derived Gumbel noise. Replays
+    // Dsir.importanceWeights / Dsir.resample.
+    "q77_dsir_weights" ->
+      s"""$dsirWeightsCte
+         SELECT doc_id, n_feats, w_sum, w, gumbel, score
+         FROM scored ORDER BY doc_id""",
+
+    "q78_dsir_resample" ->
+      s"""$dsirWeightsCte
+         SELECT * FROM (
+           SELECT doc_id, n_feats, w_sum, w, gumbel, score
+           FROM scored ORDER BY score DESC, doc_id LIMIT 40)
+         ORDER BY doc_id""",
+
+    // q79: CCNet perplexity thirds — ntile(3) over (xent, doc_id); the
+    // engine computes the identical assignment with the two-phase
+    // PrefixSum rank (floor((rank-1)*3/N)+1 == ntile). Replays
+    // QualityModel.perplexityBuckets.
+    "q79_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         g AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM c),
+         lp AS (SELECT doc_id,
+             CAST(ROUND((ln(CAST(n_total + vocab AS DOUBLE))
+               - ln(CAST(cnt + 1 AS DOUBLE))) * 1e6) AS BIGINT) AS lp_i
+           FROM t JOIN c USING (tok) CROSS JOIN g),
+         d AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+             SUM(lp_i) AS lp_sum FROM lp GROUP BY doc_id),
+         x AS (SELECT doc_id, n_tokens,
+             ROUND(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6), 6) AS xent,
+             ROUND(exp(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6)), 4) AS ppl
+           FROM d)
+         SELECT doc_id, n_tokens, xent, ppl,
+           CAST(ntile(3) OVER (ORDER BY xent, doc_id) AS INTEGER) AS bucket
+         FROM x ORDER BY doc_id""",
+
+    // q80: corpus totals + Zipf slope over the top-100 frequency head on
+    // 1e-4 fixed-point logs (exact integer regression, one rounded
+    // division). Replays CorpusStats.zipfStats.
+    "q80_zipf_stats" ->
+      s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(MAX(cnt) AS BIGINT) AS top1_cnt FROM c),
+         h AS (SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+           FROM c ORDER BY cnt DESC, tok LIMIT 100),
+         q AS (SELECT
+             CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1e4) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(cnt AS DOUBLE)) * 1e4) AS BIGINT) AS y
+           FROM h),
+         f AS (SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx FROM q)
+         SELECT n_tokens, vocab, top1_cnt,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS zipf_slope
+         FROM tot CROSS JOIN f""",
+
+    // q81: per-doc top-3 tf-idf keywords, idf = ln((N+1)/(df+1))
+    // quantized to 1e-6 so score_i = tf * idf_i is an exact integer.
+    // Replays CorpusStats.tfidfTopK.
+    "q81_tfidf_topk" ->
+      s"""WITH tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest($toks) AS tok FROM documents)
+           GROUP BY doc_id, tok),
+         dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+           FROM tf GROUP BY tok),
+         nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+         s AS (SELECT doc_id, tok, tf, df,
+             tf * CAST(ROUND((ln(CAST(n AS DOUBLE) + 1.0)
+               - ln(CAST(df AS DOUBLE) + 1.0)) * 1e6) AS BIGINT) AS score_i
+           FROM tf JOIN dfq USING (tok) CROSS JOIN nd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score_i DESC, tok) AS rn FROM s)
+         SELECT doc_id, tok, tf, df, score_i
+         FROM r WHERE rn <= 3 ORDER BY doc_id, tok"""
   )
+
+  /** Shared q77/q78 CTE chain: hashed unigram+bigram features (2^10
+    * buckets, seed graft-q77), per-bucket add-one LLR vs the doc_id%7==0
+    * target slice, exact integer per-doc sums, md5 Gumbel noise.
+    * (A `def`, not a `val`: `all` above initializes first — a forward
+    * val reference would interpolate null into the SQL.) */
+  private def dsirWeightsCte =
+    s"""WITH f AS (
+         SELECT doc_id, unnest(list_transform(
+             list_concat(toks, CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])
+               ELSE [] END),
+             t -> CAST('0x' || substr(md5('graft-q77:' || t), 1, 8) AS BIGINT)
+               % 1024)) AS bucket
+         FROM (SELECT doc_id, $toks AS toks FROM documents)),
+       raw AS (SELECT * FROM f WHERE doc_id % 7 <> 0),
+       tgt AS (SELECT * FROM f WHERE doc_id % 7 = 0),
+       rc AS (SELECT bucket, COUNT(*) AS r_cnt FROM raw GROUP BY bucket),
+       tc AS (SELECT bucket, COUNT(*) AS t_cnt FROM tgt GROUP BY bucket),
+       rt AS (SELECT CAST(SUM(r_cnt) AS BIGINT) AS n_raw FROM rc),
+       tt AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS n_target FROM tc),
+       lam AS (SELECT bucket,
+           CAST(ROUND((ln(CAST(COALESCE(t_cnt, 0) AS DOUBLE) + 1.0)
+             - ln(CAST(n_target AS DOUBLE) + 1024.0)
+             - ln(CAST(COALESCE(r_cnt, 0) AS DOUBLE) + 1.0)
+             + ln(CAST(n_raw AS DOUBLE) + 1024.0)) * 1e6) AS BIGINT)
+             AS lambda_i
+         FROM rc FULL OUTER JOIN tc USING (bucket)
+         CROSS JOIN rt CROSS JOIN tt),
+       w AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_feats,
+           CAST(SUM(lambda_i) AS BIGINT) AS w_sum
+         FROM raw JOIN lam USING (bucket) GROUP BY doc_id),
+       scored AS (SELECT doc_id, n_feats, w_sum,
+           ROUND(CAST(w_sum AS DOUBLE) / 1e6, 6) AS w,
+           ROUND(-ln(-ln((CAST('0x' || substr(md5('graft-q77:g:'
+             || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 0.5)
+             / 1152921504606846976.0)), 6) AS gumbel,
+           ROUND(CAST(w_sum AS DOUBLE) / 1e6
+             + ROUND(-ln(-ln((CAST('0x' || substr(md5('graft-q77:g:'
+               || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 0.5)
+               / 1152921504606846976.0)), 6), 6) AS score
+         FROM w)"""
 }

@@ -1019,6 +1019,51 @@ object SparkEntry {
         "text")
       .orderBy(col("doc_id"))
 
+  /** DSIR importance weights (Xie et al. 2023): every doc scored by a
+    * hashed unigram+bigram log-likelihood ratio against a target slice
+    * (doc_id % 7 == 0 — the curated-by-hand stand-in), plus md5-derived
+    * Gumbel noise. 2^10 buckets so the sf0.001 corpus still collides. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dsir.importanceWeights(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        bits = 10, seed = "graft-q77")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR Gumbel top-k resample: the deterministic without-replacement
+    * sample proportional to exp(w) — top 40 of score = w + gumbel.
+    * Plans as TakeOrdered, never a global sort. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    Dsir.resample(docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+        k = 40, bits = 10, seed = "graft-q77")
+      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet perplexity bucketing: head/middle/tail thirds of the corpus by
+    * unigram-LM cross-entropy rank — ntile(3) semantics computed with the
+    * two-phase PrefixSum rank (no SinglePartition window). */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    QualityModel.perplexityBuckets(s, T(s, dir, "documents"), "doc_id",
+        "text", nBuckets = 3)
+      .orderBy(col("doc_id"))
+
+  /** Corpus health stats: token total, vocabulary, modal count, and the
+    * Zipf-law slope fitted over the top-100 frequency head on fixed-point
+    * logs (exact integer regression, one rounded division). */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.zipfStats(T(s, dir, "documents"), "text", topN = 100)
+
+  /** Per-document tf-idf keywords: top-3 tokens by tf * ln((N+1)/(df+1)),
+    * idf quantized to 1e-6 so the score is an exact integer; per-doc rank
+    * window is hash-partitioned by document. */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.tfidfTopK(s, T(s, dir, "documents"), "doc_id", "text",
+        k = 3)
+      .orderBy(col("doc_id"), col("tok"))
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): q62's coarse k-means
     * clusters bound the pairwise search; within a cluster, the lowest-id
     * member of each cosine>=3/10 group survives. Cluster restriction is
@@ -1245,7 +1290,12 @@ object SparkEntry {
     "q73_chunking" -> q73 _,
     "q74_shard_plan" -> q74 _,
     "q75_classifier_score" -> q75 _,
-    "q76_lm_perplexity" -> q76 _
+    "q76_lm_perplexity" -> q76 _,
+    "q77_dsir_weights" -> q77 _,
+    "q78_dsir_resample" -> q78 _,
+    "q79_ppl_buckets" -> q79 _,
+    "q80_zipf_stats" -> q80 _,
+    "q81_tfidf_topk" -> q81 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus-level statistics for training-data health checks: the token
+  * frequency table, a Zipf-law fit over its head, and per-document
+  * tf-idf keywords. These are the "know your corpus" queries every
+  * curation run reports next to its drop counts.
+  *
+  * Determinism: all aggregation happens on integer counts; logarithms
+  * are quantized to fixed point BEFORE any cross-row arithmetic (the q76
+  * discipline), so the Zipf regression is an exact integer computation
+  * with one rounded division at the end.
+  *
+  * 100 TB design: everything here lives in word-count shape — one
+  * hash-keyed token shuffle with map-side partial aggregation, bytes
+  * bounded by vocab × partitions, and Zipf reality (vocab ≪ corpus)
+  * keeps every downstream frame small. The only global window runs over
+  * the top-`topN` HEAD of the frequency table (≤ a few hundred rows by
+  * construction — explicitly not over the corpus).
+  */
+object CorpusStats {
+
+  /** The token frequency table with dense global rank: (tok, cnt, rank),
+    * rank 1 = most frequent, ties broken by token text so the rank is a
+    * total order. Limited to the top `topN` tokens — the window that
+    * assigns ranks therefore sees topN candidate rows per partition at
+    * most (a per-partition LIMIT runs before the final ordered window),
+    * never the corpus. */
+  def tokenFrequencies(df: DataFrame, textCol: String,
+                       topN: Int = 100): DataFrame = {
+    val counts = df.select(explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // TakeOrdered materializes the head; the rank window then runs over
+    // topN rows only (vocab-sized sort avoided twice).
+    val head = counts.orderBy(col("cnt").desc, col("tok")).limit(topN)
+    head.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+  }
+
+  /** Zipf-law fit over the top-`topN` frequency head: least-squares
+    * slope of ln(cnt) against ln(rank) (a healthy natural-language
+    * corpus sits near −1; flat slopes mean boilerplate/dedup failure,
+    * steep ones template domination). One row:
+    * (n_tokens, vocab, top1_cnt, zipf_slope).
+    *
+    * The regression runs on 1e-4 fixed-point logs so every sum is an
+    * exact integer sum: with topN ≤ 1000 and ln ≤ 25 the extreme
+    * magnitude is n·Σxy ≤ 1000 · 1000 · (25e4)^2 ≈ 6e16 — signed-64
+    * safe. Slope is the one rounded division, to 4 places. */
+  def zipfStats(df: DataFrame, textCol: String,
+                topN: Int = 100): DataFrame = {
+    require(topN > 1 && topN <= 1000, s"topN must be in [2,1000], got $topN")
+    val counts = df.select(explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("n_tokens"),
+      count(lit(1)).as("vocab"), max(col("cnt")).as("top1_cnt"))
+    val head = counts.orderBy(col("cnt").desc, col("tok")).limit(topN)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(
+        round(log(col("rank").cast("double")) * 1e4).cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 1e4).cast("long").as("y"))
+    val fit = head.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+        4).as("zipf_slope"))
+    totals.crossJoin(fit)
+      .select(col("n_tokens"), col("vocab").cast("long").as("vocab"),
+        col("top1_cnt"), col("zipf_slope"))
+  }
+
+  /** Per-document tf-idf keywords: the `k` tokens of each document with
+    * the highest tf·idf, idf = ln((N+1)/(df+1)) over distinct-doc
+    * frequency, quantized to 1e-6 so the score `tf * idf_i` is an exact
+    * integer. Output (idCol, tok, tf, df, score_i), the per-doc rank
+    * window is hash-partitioned by document — no global window.
+    *
+    * 100 TB: two word-count-shaped shuffles (per-doc tf, per-token df)
+    * + one equi-join on `tok`; Zipf-small df frame broadcasts. */
+  def tfidfTopK(spark: SparkSession, df: DataFrame, idCol: String,
+                textCol: String, k: Int = 3): DataFrame = {
+    val tf = df.select(col(idCol),
+        explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val idfI = round((log(lit(nDocs.toDouble) + 1.0)
+      - log(col("df").cast("double") + 1.0)) * 1e6).cast("long")
+    val scored = tf.join(broadcast(dfreq), Seq("tok"))
+      .select(col(idCol), col("tok"), col("tf"), col("df"),
+        (col("tf") * idfI).as("score_i"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_i").desc, col("tok"))
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k).drop("__r")
+  }
+}

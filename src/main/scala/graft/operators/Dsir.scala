@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169): select raw-corpus documents that look like a small
+  * TARGET corpus by importance weighting under two hashed bag-of-n-gram
+  * unigram models.
+  *
+  *  - Features: unigrams + token bigrams, hashed into 2^bits buckets
+  *    (the paper's hashed n-gram feature space).
+  *  - Per-bucket log-likelihood ratio lambda(b) = ln p_target(b) −
+  *    ln p_raw(b), add-one smoothed over the 2^bits buckets.
+  *  - Per-doc importance log-weight w(d) = sum over feature OCCURRENCES
+  *    of lambda(bucket(f)).
+  *  - Resampling: Gumbel top-k — top k of w(d) + g(d) with g(d) standard
+  *    Gumbel noise — is an exact sample WITHOUT replacement proportional
+  *    to exp(w(d)) (the Gumbel-max trick). The noise here is md5-derived
+  *    from the doc id, so the "sample" is a pure function of the id set:
+  *    retry-stable, partition-independent, oracle-replayable (the same
+  *    determinism contract as q55/q64/q68's md5 sampling).
+  *
+  * Determinism: lambda is quantized to 1e-6 fixed point (bigint) before
+  * the per-doc sum — integer sums are associative under any partitioning
+  * (the q76 discipline). `ln` only ever sees integer-valued doubles
+  * (counts), so its value is bit-identical across engines. Doubles enter
+  * once per doc, in the final rounded division and the rounded Gumbel.
+  *
+  * 100 TB design: the lambda table is 2^bits rows (bits ≤ 20 → at most
+  * ~1M small rows) — built from one word-count-shaped shuffle over each
+  * corpus (map-side partial aggregation, bytes bounded by buckets ×
+  * partitions), then BROADCAST to the per-doc scoring join: the raw
+  * corpus is scored with zero data shuffles beyond its own per-doc sum
+  * (map-side combined, keyed by doc id). Selection is `TakeOrdered`
+  * (per-partition top-k + driver merge of k rows), never a global sort
+  * or SinglePartition window. Target corpus is small by definition
+  * (it's the thing you can curate by hand).
+  */
+object Dsir {
+
+  /** Hash of `s` into [0, 2^32): first 8 hex chars of md5 — engine-
+    * portable (DuckDB: `CAST('0x'||substr(md5(s),1,8) AS BIGINT)`). */
+  private def h32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Unigram + bigram hashed feature buckets of `text` as an array
+    * column. Bigrams join tokens with a single space; both gram orders
+    * ride one tokenize. (Spark's `sequence(1, 0)` DESCENDS — the bigram
+    * range is guarded for docs with < 2 tokens.) */
+  private[graft] def featureBuckets(text: Column, bits: Int,
+                                    seed: String): Column = {
+    val toks = TextFns.tokens(text)
+    val n = size(toks)
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    transform(concat(toks, bigrams), t =>
+      h32(concat(lit(seed), lit(":"), t)) % (1L << bits))
+  }
+
+  /** The per-bucket fixed-point log-likelihood-ratio table
+    * (bucket, lambda_i) with lambda_i = round((ln(t_cnt+1) − ln(Nt+B)
+    * − ln(r_cnt+1) + ln(Nr+B)) * 1e6); B = 2^bits. Buckets absent from
+    * both corpora are omitted (their smoothed lambda is the constant
+    * ln((Nr+B)/(Nt+B)) only for buckets no document ever hits). */
+  private[graft] def lambdaTable(raw: DataFrame, target: DataFrame,
+                                 textCol: String, bits: Int,
+                                 seed: String): DataFrame = {
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(featureBuckets(col(textCol), bits, seed))
+          .as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val r = bucketCounts(raw)
+    val t = bucketCounts(target)
+    // corpus totals: one row each, broadcast via crossJoin
+    val rTot = r.agg(sum(col("cnt")).as("n_raw"))
+    val tTot = t.agg(sum(col("cnt")).as("n_target"))
+    val b = lit((1L << bits).toDouble)
+    r.withColumnRenamed("cnt", "r_cnt")
+      .join(t.withColumnRenamed("cnt", "t_cnt"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("r_cnt", "t_cnt"))
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("bucket"),
+        round((log(col("t_cnt").cast("double") + 1.0)
+          - log(col("n_target").cast("double") + b)
+          - log(col("r_cnt").cast("double") + 1.0)
+          + log(col("n_raw").cast("double") + b)) * 1e6)
+          .cast("long").as("lambda_i"))
+  }
+
+  /** Per-document importance log-weights of `raw` against `target`:
+    * (idCol, n_feats, w_sum lambda-fixed-point bigint, w rounded 6,
+    * gumbel rounded 6, score rounded 6). Empty documents (no features)
+    * are omitted — no evidence, no weight. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, bits: Int = 16,
+                        seed: String = "dsir"): DataFrame = {
+    require(bits > 0 && bits <= 20, s"bits must be in [1,20], got $bits")
+    val lt = lambdaTable(raw, target, textCol, bits, seed)
+    val feats = raw.select(col(idCol),
+      explode(featureBuckets(col(textCol), bits, seed)).as("bucket"))
+    // u in (0,1) from the top 60 bits of md5(id) (never 0 or 1 exactly);
+    // g = -ln(-ln u) is standard Gumbel. 2^60 stays in signed-64.
+    val u = (conv(substring(md5(concat(lit(seed), lit(":g:"),
+        col(idCol).cast("string"))), 1, 15), 16, 10).cast("double") + 0.5) /
+      lit(1152921504606846976.0) // 2^60
+    val g = -log(-log(u))
+    feats.join(broadcast(lt), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_feats"),
+        sum(col("lambda_i")).as("w_sum"))
+      .select(col(idCol), col("n_feats"), col("w_sum"),
+        round(col("w_sum").cast("double") / 1e6, 6).as("w"),
+        round(g, 6).as("gumbel"),
+        round(col("w_sum").cast("double") / 1e6 + round(g, 6), 6)
+          .as("score"))
+  }
+
+  /** Gumbel top-k importance resample: the k rows of
+    * [[importanceWeights]] with the highest (score, id) — an exact
+    * without-replacement sample proportional to exp(w), deterministic in
+    * the id set. Plans as TakeOrdered (distributed per-partition top-k),
+    * not a global sort. */
+  def resample(raw: DataFrame, target: DataFrame, idCol: String,
+               textCol: String, k: Int, bits: Int = 16,
+               seed: String = "dsir"): DataFrame =
+    importanceWeights(raw, target, idCol, textCol, bits, seed)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+}

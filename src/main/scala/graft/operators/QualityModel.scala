@@ -156,4 +156,45 @@ object QualityModel {
         round(exp(col("lp_sum").cast("double") / (col("n_tokens") * 1e6)), 4)
           .as("ppl"))
   }
+
+  /** CCNet-style perplexity bucketing: every document assigned to one of
+    * `nBuckets` equal-population bands (bucket 1 = most fluent /
+    * lowest cross-entropy) by its rank under the corpus unigram LM —
+    * CCNet's head/middle/tail split at nBuckets=3, generalized. Output:
+    * (idCol, n_tokens, xent, ppl, bucket).
+    *
+    * Rank semantics are exactly SQL `ntile(n) OVER (ORDER BY xent, id)`
+    * — leading buckets take the remainder — but the rank is computed
+    * with [[PrefixSum]]'s two-phase parallel scan over a sortable
+    * composite key (zero-padded fixed-point xent ‖ id), NOT a
+    * SinglePartition window: floor((rank−1)·n / N) reproduces ntile's
+    * assignment while both shuffles stay range-partitioned. xent ≥ 0
+    * always (−ln P of a probability), so the zero-padded key order is
+    * the numeric order. */
+  def perplexityBuckets(spark: org.apache.spark.sql.SparkSession,
+                        df: DataFrame, idCol: String, textCol: String,
+                        nBuckets: Int = 3): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val xent = unigramCrossEntropy(df, idCol, textCol)
+    // round BEFORE the long cast: xent is a 6-decimal value whose binary
+    // double can sit just under the integer (3.456789e6 = 3456788.999…);
+    // a bare cast truncates and would collide adjacent keys that the
+    // oracle's ORDER BY xent keeps distinct.
+    val keyed = xent.withColumn("__k",
+        concat(lpad(round(col("xent") * 1e6).cast("long").cast("string"), 14, "0"),
+          lit(":"), lpad(col(idCol).cast("string"), 20, "0")))
+      .withColumn("__one", lit(1L))
+    val ranked = PrefixSum.withRunningTotal(spark, keyed,
+      orderCol = "__k", valueCol = "__one", outCol = "__rank")
+    // N rides a second pass over PrefixSum's checkpointed range frame
+    // (narrow ops + a scalar max — the xent computation itself is NOT
+    // re-run; the checkpoint pins it)
+    val total = ranked.agg(max(col("__rank")).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .select(col(idCol), col("n_tokens"), col("xent"), col("ppl"),
+        // integer `div`, not Column `/` (double division — the Sharding
+        // lesson): floor((rank-1)*n/N) + 1 is ntile's bucket
+        (expr(s"((__rank - 1) * $nBuckets) div __n") + 1)
+          .cast("int").as("bucket"))
+  }
 }

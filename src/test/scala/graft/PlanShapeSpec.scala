@@ -304,4 +304,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("shingle_list"),
       s"hashed twin not using the compiled window kernel:\n$plan")
   }
+
+  test("q77 DSIR: lambda table broadcasts to the scoring join (raw corpus never re-shuffles on bucket)") {
+    val plan = executed(SparkEntry.queries("q77_dsir_weights")(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"lambda probe not broadcast:\n$plan")
+    // per-doc weight sums partial-aggregate map-side; bucket-keyed
+    // exchanges exist only inside the lambda-table WORD-COUNT builds
+    // (bytes bounded by buckets x partitions after partial agg), never
+    // under the scoring join's streamed side
+    assert(plan.contains("partial_sum(lambda_i"),
+      s"doc weight sum not map-side combined:\n$plan")
+    // exactly one merge join in the whole plan: the 2^bits-row full-outer
+    // lambda merge. A second one would mean the corpus-side probe
+    // degraded from broadcast to shuffle.
+    val smj = "SortMergeJoin".r.findAllIn(plan).length
+    assert(smj <= 1, s"scoring join shuffled the corpus on bucket:\n$plan")
+  }
+
+  test("q78 DSIR resample plans as TakeOrdered, not a global sort") {
+    val plan = executed(SparkEntry.queries("q78_dsir_resample")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k selection not TakeOrdered:\n$plan")
+  }
+
+  test("q79 ppl buckets: rank window is __pid-partitioned (no global ntile funnel)") {
+    val plan = executed(SparkEntry.queries("q79_ppl_buckets")(spark, dir))
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"rank not the two-phase PrefixSum shape:\n$plan")
+    assert(!plan.contains("ntile"), s"global ntile window planned:\n$plan")
+  }
+
+  test("q80/q81 corpus stats: global windows only over the bounded head; df probe broadcasts") {
+    val zipf = executed(SparkEntry.queries("q80_zipf_stats")(spark, dir))
+    // the rank window runs AFTER TakeOrdered bounds the frame to topN
+    assert(zipf.contains("TakeOrderedAndProject"),
+      s"frequency head not TakeOrdered:\n$zipf")
+    val tfidf = executed(SparkEntry.queries("q81_tfidf_topk")(spark, dir))
+    assert(tfidf.contains("BroadcastHashJoin"),
+      s"df frame not broadcast to the tf join:\n$tfidf")
+    assert(tfidf.contains("windowspecdefinition(doc_id"),
+      s"per-doc rank window not doc-partitioned:\n$tfidf")
+  }
 }

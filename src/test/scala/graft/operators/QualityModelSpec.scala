@@ -79,4 +79,34 @@ class QualityModelSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("perplexityBuckets: assignment == ntile over (xent, id), computed " +
+      "without a SinglePartition window") {
+    val base = (1L to 50L).map(i =>
+      (i, if (i % 10 == 0) s"uniq${i}a uniq${i}b uniq${i}c uniq${i}d"
+          else "the common words repeat across most documents here"))
+    val got = QualityModel.perplexityBuckets(spark, docs(base: _*),
+        "doc_id", "text", nBuckets = 3)
+      .select("doc_id", "xent", "bucket")
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(got.size == 50)
+    // expected ntile: sort by (xent, doc_id); leading buckets take the
+    // remainder (50 = 17 + 17 + 16)
+    val sorted = got.sortBy(r => (r._2, r._1))
+    val expect = sorted.zipWithIndex.map { case (r, i) =>
+      r._1 -> (i * 3 / 50 + 1) }.toMap
+    assert(got.map(r => r._1 -> r._3).toMap == expect)
+    // the hapax docs are the tail bucket
+    assert(got.filter(_._1 % 10 == 0).forall(_._3 == 3))
+    // the data-carrying rank window must be partitioned by __pid (the
+    // PrefixSum two-phase shape); a naive ntile would plan an UNpartitioned
+    // window over the documents. SinglePartition exchanges remain in the
+    // plan but only above the per-partition-totals / scalar-max frames
+    // (rows = #partitions), the documented bounded funnels.
+    val plan = QualityModel.perplexityBuckets(spark, docs(base: _*),
+      "doc_id", "text", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(__pid"),
+      "rank window must be __pid-partitioned")
+    assert(!plan.contains("ntile"), "no global ntile window")
+  }
 }
