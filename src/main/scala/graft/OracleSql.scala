@@ -1220,8 +1220,77 @@ object OracleSql {
          r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
              ORDER BY score_i DESC, tok) AS rn FROM s)
          SELECT doc_id, tok, tf, df, score_i
-         FROM r WHERE rn <= 3 ORDER BY doc_id, tok"""
+         FROM r WHERE rn <= 3 ORDER BY doc_id, tok""",
+
+    // q82: exact brute-force kNN label audit (the engine's nCentroids=1
+    // config) — neighbor order by quantized dot desc / id asc (the q42
+    // convention), majority vote tie-broken toward the smallest label.
+    // Replays Similarity.labelNoiseKnn.
+    "q82_label_noise" ->
+      s"""WITH v AS (SELECT vec_id, label, ${quantized(1000)} AS qv
+           FROM embeddings),
+         p AS (SELECT a.vec_id AS ida, a.label AS la,
+             b.vec_id AS idb, b.label AS lb,
+             CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+               i -> a.qv[i] * b.qv[i])) AS BIGINT) AS qdot
+           FROM v a, v b WHERE a.vec_id <> b.vec_id),
+         r AS (SELECT ida, la, lb, row_number() OVER (PARTITION BY ida
+             ORDER BY qdot DESC, idb) AS rn FROM p),
+         votes AS (SELECT ida, la, lb, CAST(COUNT(*) AS INTEGER) AS votes
+           FROM r WHERE rn <= 5 GROUP BY ida, la, lb),
+         agg AS (SELECT ida, la, lb, votes,
+             CAST(SUM(votes) OVER (PARTITION BY ida) AS INTEGER) AS k_eff,
+             row_number() OVER (PARTITION BY ida
+               ORDER BY votes DESC, lb) AS vr
+           FROM votes)
+         SELECT ida AS vec_id, la AS label, lb AS knn_label, votes, k_eff,
+           (la <> lb) AS mislabeled
+         FROM agg WHERE vr = 1 ORDER BY vec_id""",
+
+    // q83: scraped-text cleanup — the mojibake chr()-replace chain is
+    // GENERATED from TextFns.MojibakeFixes (same table the engine
+    // compiles to a Column replace chain), then C0 strip + whitespace
+    // canonicalization with chr(10) replacements (a '\n' replacement
+    // literal is escape-ambiguous across engines).
+    "q83_text_cleanup" ->
+      s"""SELECT doc_id, ${cleanTextSql("text")} AS text_clean,
+           CAST(length(text) AS BIGINT) AS n_before,
+           CAST(length(${cleanTextSql("text")}) AS BIGINT) AS n_after
+         FROM documents ORDER BY doc_id""",
+
+    // q84: deterministic 90/5/5 split — md5 bucket in [0,100), band by
+    // cumulative weight. Replays Mixture.deterministicSplit.
+    "q84_split_assign" ->
+      """SELECT doc_id, CASE
+           WHEN b < 90 THEN 'train'
+           WHEN b < 95 THEN 'val'
+           ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+           CAST('0x' || substr(md5('graft-q84:' || CAST(doc_id AS VARCHAR)),
+             1, 15) AS BIGINT) % 100 AS b FROM documents)
+         ORDER BY doc_id"""
   )
+
+  /** Every char as chr(codepoint), '||'-joined — unambiguous for the
+    * unprintable mojibake sequences. */
+  private def chrConcat(s: String): String =
+    s.map(c => s"chr(${c.toInt})").mkString(" || ")
+
+  /** DuckDB replay of TextFns.cleanText over column `c`: mojibake
+    * replace chain (from the shared MojibakeFixes table) -> C0-control
+    * strip -> whitespace canonicalization. */
+  private def cleanTextSql(c: String): String = {
+    val fixed = graft.functions.TextFns.MojibakeFixes.foldLeft(c) {
+      case (acc, (bad, good)) =>
+        s"replace($acc, ${chrConcat(bad)}, ${chrConcat(good)})"
+    }
+    // normal (escape-processed) strings: "\\x00" emits \x00 into the SQL
+    val stripped =
+      s"regexp_replace($fixed, '[\\x00-\\x08\\x0B-\\x1F\\x7F]', '', 'g')"
+    s"trim(regexp_replace(regexp_replace(regexp_replace($stripped," +
+      s" '[ \\t]+', ' ', 'g'), ' ?\\n ?', chr(10), 'g')," +
+      s" '\\n{3,}', chr(10) || chr(10), 'g'))"
+  }
 
   /** Shared q77/q78 CTE chain: hashed unigram+bigram features (2^10
     * buckets, seed graft-q77), per-bucket add-one LLR vs the doc_id%7==0

@@ -1064,6 +1064,37 @@ object SparkEntry {
         k = 3)
       .orderBy(col("doc_id"), col("tok"))
 
+  /** kNN label-noise audit (confident-learning shape): each labeled
+    * embedding vs the majority label of its 5 nearest neighbors by
+    * quantized dot (the q42 ranking convention). Oracle config
+    * nCentroids=1 = exact brute-force kNN; the bench twin bounds
+    * candidates with autoNlist IVF clusters. */
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelNoiseKnn(T(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", k = 5, nCentroids = 1, scale = 1000)
+      .orderBy(col("vec_id"))
+
+  /** Scraped-text cleanup: mojibake repair (cp1252 + latin-1 variants) ->
+    * C0-control strip -> paragraph-preserving whitespace canonicalization.
+    * Pure codegen scan; emits before/after char counts for audit. */
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFns.cleanText(col("text")).as("text_clean"),
+        length(col("text")).cast("long").as("n_before"),
+        length(TextFns.cleanText(col("text"))).cast("long").as("n_after"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic train/val/test split: md5-bucket assignment at 90/5/5,
+    * a pure function of the doc id (retry-stable, layout-independent —
+    * the q55 sampling contract extended to mutually-exclusive splits). */
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    Mixture.deterministicSplit(T(s, dir, "documents"),
+        "doc_id", Seq("train" -> 90, "val" -> 5, "test" -> 5),
+        seed = "graft-q84")
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Semantic dedup (SemDeDup, Abbas et al. 2023): q62's coarse k-means
     * clusters bound the pairwise search; within a cluster, the lowest-id
     * member of each cosine>=3/10 group survives. Cluster restriction is
@@ -1295,7 +1326,10 @@ object SparkEntry {
     "q78_dsir_resample" -> q78 _,
     "q79_ppl_buckets" -> q79 _,
     "q80_zipf_stats" -> q80 _,
-    "q81_tfidf_topk" -> q81 _
+    "q81_tfidf_topk" -> q81 _,
+    "q82_label_noise" -> q82 _,
+    "q83_text_cleanup" -> q83 _,
+    "q84_split_assign" -> q84 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -1436,7 +1470,16 @@ object SparkEntry {
             numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5)
           .orderBy(col("doc_id"))),
       "q54_corpus_filter" -> ((s, dir) =>
-        q54Impl(s, dir, maxBucketSize = 1000)))
+        q54Impl(s, dir, maxBucketSize = 1000)),
+      // q82 twin: production cluster-bounded kNN (the oracled config runs
+      // nCentroids=1 = exact brute force so DuckDB can replay it)
+      "q82_label_noise" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val nlist = Similarity.autoNlist(e.count(), targetListRows = 4096L)
+        Similarity.labelNoiseKnn(e, "vec_id", "embedding", "label",
+            k = 5, nCentroids = nlist, scale = 1000)
+          .orderBy(col("vec_id"))
+      }))
 
   def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -77,6 +77,89 @@ object TextFns {
   def normalizedText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Strips C0/C1 control characters except newline and tab (the scraped-
+    * corpus artifacts: NUL bytes, vertical tabs, stray escapes). RE2-safe
+    * character-class form — replays identically in DuckDB. */
+  def stripControlChars(text: Column): Column =
+    regexp_replace(text, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+
+  /** Whitespace canonicalization that PRESERVES paragraph structure
+    * (unlike [[normalizedText]], which flattens for fingerprinting):
+    * space/tab runs collapse to one space, 3+ newlines collapse to a
+    * paragraph break, trailing space before a newline is dropped, and the
+    * result is trimmed. */
+  def normalizeWhitespace(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      "[ \\t]+", " "), " ?\\n ?", "\n"), "\\n{3,}", "\n\n"))
+
+  /** cp1252 mapping for bytes 0x80-0x9F (the 27 defined positions);
+    * every other byte reads as itself (latin-1). Used to CONSTRUCT the
+    * garbled forms programmatically -- mojibake literals in source code
+    * do not survive editors. */
+  private val Cp1252: Map[Int, Char] = Map(
+    0x80 -> '\u20AC', 0x82 -> '\u201A', 0x83 -> '\u0192', 0x84 -> '\u201E',
+    0x85 -> '\u2026', 0x86 -> '\u2020', 0x87 -> '\u2021', 0x88 -> '\u02C6',
+    0x89 -> '\u2030', 0x8A -> '\u0160', 0x8B -> '\u2039', 0x8C -> '\u0152',
+    0x8E -> '\u017D', 0x91 -> '\u2018', 0x92 -> '\u2019', 0x93 -> '\u201C',
+    0x94 -> '\u201D', 0x95 -> '\u2022', 0x96 -> '\u2013', 0x97 -> '\u2014',
+    0x98 -> '\u02DC', 0x99 -> '\u2122', 0x9A -> '\u0161', 0x9B -> '\u203A',
+    0x9C -> '\u0153', 0x9E -> '\u017E', 0x9F -> '\u0178')
+
+  /** The characters whose mojibake forms a web corpus actually contains
+    * at frequency (the ftfy top offenders): curly quotes, dashes,
+    * ellipsis, bullet, accented vowels, no-break space (mapped to plain
+    * space). */
+  private val MojibakeTargets: Seq[(Char, String)] = Seq(
+    '\u2019' -> "\u2019", '\u2018' -> "\u2018", '\u201C' -> "\u201C",
+    '\u201D' -> "\u201D", '\u2013' -> "\u2013", '\u2014' -> "\u2014",
+    '\u2026' -> "\u2026", '\u2022' -> "\u2022", '\u00E9' -> "\u00E9",
+    '\u00E8' -> "\u00E8", '\u00E1' -> "\u00E1", '\u00F3' -> "\u00F3",
+    '\u00FC' -> "\u00FC", '\u00A0' -> " ")
+
+  /** The five bytes cp1252 leaves undefined: WHATWG decoders pass them
+    * through as C1 controls, strict decoders (java.nio among them) emit
+    * U+FFFD. Both appear in real corpora. */
+  private val Cp1252Undefined = Set(0x81, 0x8D, 0x8F, 0x90, 0x9D)
+
+  /** Garbled forms of `c`: its UTF-8 bytes decoded as latin-1 (C1
+    * controls), cp1252 per WHATWG (undefined bytes pass through), and
+    * cp1252 strict (undefined bytes become U+FFFD). All three occur in
+    * the wild. */
+  private def garbled(c: Char): Seq[String] = {
+    val bytes = c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(_ & 0xff)
+    Seq(
+      bytes.map(_.toChar).mkString,
+      bytes.map(u => Cp1252.getOrElse(u, u.toChar)).mkString,
+      bytes.map(u => if (Cp1252Undefined(u)) '\uFFFD'
+        else Cp1252.getOrElse(u, u.toChar)).mkString
+    ).distinct
+  }
+
+  /** (garbled, repaired) pairs — every decode variant of each target,
+    * deduplicated. Shared with OracleSql, which compiles the same table
+    * to a DuckDB chr()-replace chain. No garbled form is a prefix of
+    * another (3-byte sequences differ in the 3rd char; 2-byte ones start
+    * with a different first char), so the chain order is immaterial. */
+  val MojibakeFixes: Seq[(String, String)] =
+    MojibakeTargets.flatMap { case (c, fixed) =>
+      garbled(c).map(_ -> fixed)
+    }
+
+  /** Repairs [[MojibakeFixes]] with a literal `replace` chain -- no
+    * regex, engine-portable, whole-stage codegen. A full ftfy pass needs
+    * byte-level transcoding; this covers the high-frequency artifacts. */
+  def fixMojibake(text: Column): Column =
+    MojibakeFixes.foldLeft(text) { case (c, (bad, good)) =>
+      org.apache.spark.sql.functions.replace(c, lit(bad), lit(good)) }
+
+  /** The full text-cleanup pass a scraped corpus gets before scoring:
+    * mojibake repair -> control-char strip -> whitespace canonicalization.
+    * Pure codegen'd Column expression — zero exchanges, runs inside the
+    * scan. */
+  def cleanText(text: Column): Column =
+    normalizeWhitespace(stripControlChars(fixMojibake(text)))
+
   /** Document fingerprint: md5 of the normalized text (content identity for
     * exact dedup; SURVEY.md north-star ops). */
   def fingerprint(text: Column): Column = md5(normalizedText(text))

@@ -189,4 +189,35 @@ object Mixture {
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Deterministic mutually-exclusive split assignment (train/val/test):
+    * each row's md5 bucket (seeded, so different splits of the same
+    * corpus are independent) lands in one of the `splits` bands, sized by
+    * integer weight out of the weight total. Appends a `split` column.
+    * Membership is a pure function of (seed, id) — retry-stable,
+    * partition-layout-independent, and adding rows later never moves an
+    * existing row across splits. Zero exchanges: one md5 + a when-chain
+    * inside the scan's codegen span.
+    *
+    * Exact integer semantics (the q55/q64 discipline): bucket in
+    * [0, weightTotal) via pmod of the 60-bit md5 prefix; band k covers
+    * [sum(w_0..k-1), sum(w_0..k)). Expected sizes are proportional to the
+    * weights with the usual multinomial variance — for EXACT-k splits use
+    * [[stratifiedK]]. */
+  def deterministicSplit(df: DataFrame, idCol: String,
+                         splits: Seq[(String, Int)],
+                         seed: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"split weights must be positive: $splits")
+    val total = splits.map(_._2.toLong).sum
+    val bucket = pmod(conv(substring(md5(
+        concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long"), lit(total))
+    val bands = splits.scanLeft(0L) { case (acc, (_, w)) => acc + w }
+    val expr = splits.zip(bands.sliding(2).toSeq).foldLeft(
+        lit(null).cast("string")) { case (acc, ((name, _), Seq(lo, hi))) =>
+      when(bucket >= lo && bucket < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
 }

@@ -425,4 +425,67 @@ object Similarity {
       .select(col(idCol), col("centroid_id"),
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
+
+  /** kNN label-noise detection (the confident-learning / Deep-kNN audit
+    * shape, Northcutt et al. 2021 lineage): every labeled vector gets the
+    * majority label of its k nearest neighbors; a disagreement with its
+    * own label flags a candidate annotation error — the label-audit step
+    * of classifier-filtered data curation (labels here are quality/domain
+    * classes, and noisy ones poison the filter).
+    *
+    * Neighbor order is the repo's established integer convention
+    * (q42/q43): quantized-dot descending, id ascending — exact integer
+    * comparisons, so rank and vote replay bit-for-bit in SQL. Votes tie-
+    * break toward the SMALLEST label. Output: (idCol, label, knn_label,
+    * votes, k_eff, mislabeled); `k_eff` < k when the cluster runs out of
+    * neighbors.
+    *
+    * Scale contract = [[semDedup]]'s: candidates are bounded by the IVF
+    * coarse clusters (`nCentroids = 1` degrades to exact brute-force kNN
+    * — the oracle config; production uses [[autoNlist]] so per-cluster
+    * occupancy — and with it the quadratic term — stays constant as the
+    * corpus grows). One shared assignment exchange feeds both self-join
+    * sides; only (id, label, qdot) scalars reach the rank window, which
+    * is hash-partitioned by query id. */
+  def labelNoiseKnn(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, nCentroids: Int = 8,
+                    scale: Int = 1000,
+                    centroids: Option[Seq[(Long, Array[Long])]] = None)
+      : DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cents = centroids.getOrElse(
+      seedCentroidsInt(df, idCol, vecCol, nCentroids, scale))
+    val v = df.select(col(idCol), col(labelCol).cast("int").as("__lbl"),
+        VectorFns.quantize(col(vecCol), scale).as("__qv"))
+      .withColumn("centroid_id",
+        element_at(centroidRanking(cents)(col("__qv")), 1).getField("cid"))
+      // the semDedup exchange discipline: explicit partition count on
+      // (centroid, id) so probe parallelism survives AQE coalescing
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("centroid_id"), col(idCol))
+    val a = v.select(col("centroid_id"), col(idCol).as("__ida"),
+      col("__lbl").as("__la"), col("__qv").as("__qa"))
+    val b = v.select(col("centroid_id"), col(idCol).as("__idb"),
+      col("__lbl").as("__lb"), col("__qv").as("__qb"))
+    val ranked = a.join(b, Seq("centroid_id"))
+      .filter(col("__idb") =!= col("__ida"))
+      .withColumn("__qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
+      // scalars only past the join stage
+      .select(col("__ida"), col("__la"), col("__lb"), col("__idb"),
+        col("__qdot"))
+      .withColumn("__r", row_number().over(Window.partitionBy(col("__ida"))
+        .orderBy(col("__qdot").desc, col("__idb"))))
+      .filter(col("__r") <= k)
+    val votes = ranked.groupBy(col("__ida"), col("__la"), col("__lb"))
+      .agg(count(lit(1)).cast("int").as("votes"))
+    val w = Window.partitionBy(col("__ida"))
+    votes
+      .withColumn("k_eff", sum(col("votes")).over(w).cast("int"))
+      .withColumn("__vr", row_number().over(
+        w.orderBy(col("votes").desc, col("__lb"))))
+      .filter(col("__vr") === 1)
+      .select(col("__ida").as(idCol), col("__la").as("label"),
+        col("__lb").as("knn_label"), col("votes"), col("k_eff"),
+        (col("__la") =!= col("__lb")).as("mislabeled"))
+  }
 }

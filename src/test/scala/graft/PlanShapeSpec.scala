@@ -335,6 +335,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ntile"), s"global ntile window planned:\n$plan")
   }
 
+  test("q82 label audit (production twin): pair sides share one assignment exchange, no cartesian") {
+    val plan = executed(SparkEntry.benchQueries("q82_label_noise")(spark, dir))
+    assert(plan.contains("ReusedExchange"),
+      s"self-join sides not sharing the assignment pass:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"kNN candidates must be cluster-bounded:\n$plan")
+  }
+
+  test("q83 text cleanup and q84 split assignment are zero-exchange codegen scans") {
+    import org.apache.spark.sql.functions.col
+    val docs = T2(dir, "documents")
+    val clean = docs.select(col("doc_id"),
+      graft.functions.TextFns.cleanText(col("text")).as("t"))
+    val split = graft.operators.Mixture.deterministicSplit(
+      docs.select(col("doc_id")), "doc_id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5), seed = "graft-q84")
+    for ((name, df) <- Seq("cleanText" -> clean, "split" -> split)) {
+      val plan = executed(df)
+      assert(!plan.contains("Exchange"), s"$name shuffled:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"$name uses a UDF:\n$plan")
+    }
+  }
+
   test("q80/q81 corpus stats: global windows only over the bounded head; df probe broadcasts") {
     val zipf = executed(SparkEntry.queries("q80_zipf_stats")(spark, dir))
     // the rank window runs AFTER TakeOrdered bounds the frame to topN

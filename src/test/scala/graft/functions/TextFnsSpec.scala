@@ -65,4 +65,37 @@ class TextFnsSpec extends SparkSpec {
       .select(TextFns.tokenCountBpeIsh(col("text")).as("n")).as[Int].head()
     assert(n == 8) // don ' t stop , 123 go !
   }
+
+  /** UTF-8 bytes of `s` decoded as latin-1/cp1252 — constructs real
+    * mojibake without unprintable literals in the test source. */
+  private def garbleL1(s: String): String =
+    new String(s.getBytes("UTF-8"), java.nio.charset.StandardCharsets.ISO_8859_1)
+  private def garbleCp1252(s: String): String =
+    new String(s.getBytes("UTF-8"), java.nio.charset.Charset.forName("windows-1252"))
+
+  test("fixMojibake repairs both cp1252 and latin-1 double-decodes") {
+    val clean = "don’t “quote” café — ok…"
+    for (garbled <- Seq(garbleL1(clean), garbleCp1252(clean))) {
+      assert(garbled != clean, "test must start from actual mojibake")
+      val got = Seq(garbled).toDF("text")
+        .select(TextFns.fixMojibake(col("text")).as("t")).as[String].head()
+      assert(got == clean, s"$garbled -> $got != $clean")
+    }
+  }
+
+  test("cleanText: controls stripped, whitespace canonical, paragraphs kept") {
+    val dirty = "  a\u0000b\tc  d \n e\n\n\n\nf  "
+    val got = Seq(dirty).toDF("text")
+      .select(TextFns.cleanText(col("text")).as("t")).as[String].head()
+    assert(got == "ab c d\ne\n\nf", s"got ${got.replace("\n", "\\n")}")
+  }
+
+  test("cleanText is idempotent (a second pass changes nothing)") {
+    val dirty = garbleL1("café — ok") + "  x\n\n\n\ny  "
+    val once = Seq(dirty).toDF("text")
+      .select(TextFns.cleanText(col("text")).as("t")).as[String].head()
+    val twice = Seq(once).toDF("text")
+      .select(TextFns.cleanText(col("text")).as("t")).as[String].head()
+    assert(once == twice)
+  }
 }

@@ -121,4 +121,37 @@ class MixtureSpec extends SparkSpec {
         .select("doc_id").as[String].collect().toSet
     assert(kept(df) == kept(df.repartition(7, col("n_tokens"))))
   }
+
+  test("deterministicSplit: exhaustive, mutually exclusive, ~proportional, " +
+      "stable under partitioning and corpus growth") {
+    val ids = (1L to 2000L).map(i => (i, s"row$i")).toDF("doc_id", "payload")
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val got = Mixture.deterministicSplit(ids, "doc_id", splits, seed = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 2000, "every row assigned exactly once")
+    val sizes = got.values.groupBy(identity).map { case (k, v) => (k, v.size) }
+    assert(sizes.keySet == Set("train", "val", "test"))
+    // multinomial bounds: 3.5 sigma around the expected sizes
+    assert(math.abs(sizes("train") - 1800) < 3.5 * math.sqrt(2000 * .9 * .1),
+      s"train ${sizes("train")}")
+    assert(math.abs(sizes("val") - 100) < 3.5 * math.sqrt(2000 * .05 * .95))
+    assert(math.abs(sizes("test") - 100) < 3.5 * math.sqrt(2000 * .05 * .95))
+
+    // partition-layout independence
+    val re = Mixture.deterministicSplit(ids.repartition(13), "doc_id",
+        splits, seed = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(re == got)
+
+    // growth stability: adding rows never moves an existing row's split
+    val grown = (1L to 3000L).map(i => (i, s"row$i")).toDF("doc_id", "payload")
+    val after = Mixture.deterministicSplit(grown, "doc_id", splits, seed = "s")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.forall { case (id, s) => after(id) == s })
+
+    // a different seed draws a genuinely different assignment
+    val other = Mixture.deterministicSplit(ids, "doc_id", splits, seed = "t")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(other != got)
+  }
 }

@@ -508,4 +508,51 @@ class SimilaritySpec extends SparkSpec {
     val lowest = got.groupBy(_._2).values.map(_.minBy(_._1))
     assert(lowest.forall(_._3))
   }
+
+  test("labelNoiseKnn (nCentroids=1) == driver-side exact kNN majority vote; " +
+      "the planted mislabel is flagged") {
+    // label = cluster membership: the planted 50..59 cluster + vec 0 get
+    // label 1, everything else label 0 — except vec 55, deliberately
+    // mislabeled 0 (its neighbors are the cluster, so kNN says 1)
+    val labeled = vecs.map { case (i, v) =>
+      val inCluster = i == 0L || (i >= 50L && i < 60L)
+      (i, v, if (i == 55L) 0 else if (inCluster) 1 else 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseKnn(labeled, "vec_id", "embedding",
+        "label", k = 5, nCentroids = 1, scale = 1000)
+      .select("vec_id", "label", "knn_label", "votes", "k_eff", "mislabeled")
+      .as[(Long, Int, Int, Int, Int, Boolean)].collect().toSeq
+    assert(got.size == 100)
+    assert(got.forall(_._5 == 5), "every vector has 5 neighbors at n=100")
+
+    // driver-side replay on the same quantized integers
+    val q = vecs.map { case (i, v) =>
+      (i, v.map(x => math.round(x.toDouble * 1000)).toArray) }.toMap
+    val lbl = labeled.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val expect = vecs.map(_._1).map { i =>
+      val knn = vecs.map(_._1).filter(_ != i)
+        .map(j => (j, q(i).zip(q(j)).map { case (a, b) => a * b }.sum))
+        .sortBy { case (j, d) => (-d, j) }.take(5)
+      val top = knn.map(j => lbl(j._1)).groupBy(identity)
+        .map { case (l, v) => (l, v.size) }.toSeq
+        .sortBy { case (l, n) => (-n, l) }.head
+      (i, lbl(i), top._1, top._2)
+    }
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).sortBy(_._1) == expect)
+
+    val flagged = got.filter(_._6).map(_._1)
+    assert(flagged.contains(55L), s"planted mislabel not flagged: $flagged")
+  }
+
+  test("labelNoiseKnn production config (IVF-bounded) still flags the planted " +
+      "mislabel — its neighbors share its cluster") {
+    val labeled = vecs.map { case (i, v) =>
+      val inCluster = i == 0L || (i >= 50L && i < 60L)
+      (i, v, if (i == 55L) 0 else if (inCluster) 1 else 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelNoiseKnn(labeled, "vec_id", "embedding",
+        "label", k = 5, nCentroids = 4, scale = 1000)
+      .select("vec_id", "mislabeled").as[(Long, Boolean)].collect().toMap
+    assert(got(55L), "cluster-bounded audit must keep the planted flag")
+  }
 }
