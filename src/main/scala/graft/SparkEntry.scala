@@ -1472,10 +1472,16 @@ object SparkEntry {
       "q54_corpus_filter" -> ((s, dir) =>
         q54Impl(s, dir, maxBucketSize = 1000)),
       // q82 twin: production cluster-bounded kNN (the oracled config runs
-      // nCentroids=1 = exact brute force so DuckDB can replay it)
+      // nCentroids=1 = exact brute force so DuckDB can replay it).
+      // Occupancy target 1024, NOT semDedup's 4096: the audit pays
+      // occupancy^2 dot products per cluster AND sorts them for the rank
+      // window, so quadratic-term sizing dominates — this sizing plus the
+      // in-place rank window benched 114 s -> 30.8 s at the sf2 sweep
+      // point, with no recall contract change (cluster restriction is
+      // the approximation either way).
       "q82_label_noise" -> ((s, dir) => {
         val e = T(s, dir, "embeddings")
-        val nlist = Similarity.autoNlist(e.count(), targetListRows = 4096L)
+        val nlist = Similarity.autoNlist(e.count(), targetListRows = 1024L)
         Similarity.labelNoiseKnn(e, "vec_id", "embedding", "label",
             k = 5, nCentroids = nlist, scale = 1000)
           .orderBy(col("vec_id"))

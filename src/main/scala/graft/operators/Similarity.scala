@@ -471,10 +471,18 @@ object Similarity {
       .filter(col("__idb") =!= col("__ida"))
       .withColumn("__qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
       // scalars only past the join stage
-      .select(col("__ida"), col("__la"), col("__lb"), col("__idb"),
-        col("__qdot"))
-      .withColumn("__r", row_number().over(Window.partitionBy(col("__ida"))
-        .orderBy(col("__qdot").desc, col("__idb"))))
+      .select(col("centroid_id"), col("__ida"), col("__la"), col("__lb"),
+        col("__idb"), col("__qdot"))
+      // rank window keyed by (centroid, id), NOT id alone: each id lives
+      // in exactly one centroid, so the spec is semantically identical —
+      // but (centroid, id) is satisfied by the assignment exchange the
+      // pairs already carry, so the O(occupancy^2) candidate stream is
+      // ranked IN PLACE and only k rows per query ever reach another
+      // exchange. Windowing by bare __ida re-shuffled every candidate
+      // pair: measured 114 s -> this shape at the sf2 sweep point.
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("centroid_id"), col("__ida"))
+          .orderBy(col("__qdot").desc, col("__idb"))))
       .filter(col("__r") <= k)
     val votes = ranked.groupBy(col("__ida"), col("__la"), col("__lb"))
       .agg(count(lit(1)).cast("int").as("votes"))

@@ -335,12 +335,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ntile"), s"global ntile window planned:\n$plan")
   }
 
-  test("q82 label audit (production twin): pair sides share one assignment exchange, no cartesian") {
+  test("q82 label audit (production twin): pair sides share one assignment exchange, no cartesian, rank rides the assignment partitioning") {
     val plan = executed(SparkEntry.benchQueries("q82_label_noise")(spark, dir))
     assert(plan.contains("ReusedExchange"),
       s"self-join sides not sharing the assignment pass:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"kNN candidates must be cluster-bounded:\n$plan")
+    // the O(occupancy^2) candidate stream must be ranked in place: the
+    // rank window keys on (centroid_id, __ida), which the assignment
+    // exchange already satisfies — a window on bare __ida re-shuffles
+    // every pair (measured 114 s vs this shape at the sf2 sweep point)
+    assert(plan.contains("windowspecdefinition(centroid_id"),
+      s"rank window not keyed to the assignment partitioning:\n$plan")
+    // exactly 3 hash-exchange OPERATORS ("+-"-prefixed; the ReusedExchange
+    // line repeats the text): the assignment repartition (reused by both
+    // pair sides) + the two k-bounded votes exchanges. A 4th would be the
+    // candidate stream re-shuffling before the rank window.
+    val hashEx = "\\+- Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx <= 3,
+      s"candidate pairs re-shuffled before the rank window ($hashEx exchanges):\n$plan")
   }
 
   test("q83 text cleanup and q84 split assignment are zero-exchange codegen scans") {

@@ -57,6 +57,48 @@ NOTES = {
         "spec) plus the token anti-join and per-doc rebuild — work linear "
         "in corpus tokens, removal interval explode proportional to the "
         "duplicated minority.",
+    "q73_chunking":
+        "pure narrow plan (tokenize, explode a sequence, slice): zero "
+        "exchanges, linear in corpus tokens.",
+    "q74_shard_plan":
+        "two-phase PrefixSum rank over 24-byte (key,id) rows; both "
+        "shuffles metadata-width, payload never moves.",
+    "q75_classifier_score":
+        "whole model inside the scan's codegen span: zero exchanges, "
+        "linear in corpus tokens.",
+    "q76_lm_perplexity":
+        "word-count shuffle (map-side partials, vocab-bounded) + Zipf-"
+        "small broadcast probe; per-doc sum map-side combined.",
+    "q77_dsir_weights":
+        "two word-count-shaped bucket-count shuffles (2^10-bounded after "
+        "partial agg) + broadcast lambda probe + per-doc sum — linear in "
+        "corpus features (uni+bigrams ~ 2x tokens).",
+    "q78_dsir_resample":
+        "q77 plus a TakeOrdered top-40 — per-partition top-k, driver "
+        "merges k rows; no global sort.",
+    "q79_ppl_buckets":
+        "q76's LM pass + the two-phase PrefixSum rank on a 35-byte key "
+        "frame; ntile assignment from broadcast totals.",
+    "q80_zipf_stats":
+        "one word-count shuffle; the rank window sees only the "
+        "TakeOrdered top-100 head. Vocab plateaus with corpus growth "
+        "(Heaps' law), so the count shuffle is the whole cost.",
+    "q81_tfidf_topk":
+        "per-doc tf shuffle + broadcast df probe + doc-partitioned rank "
+        "window — linear in distinct (doc,tok) pairs.",
+    "q82_label_noise":
+        "production twin: autoNlist cluster-bounded kNN (occupancy ~1024; "
+        "the audit pays occupancy^2 per cluster so quadratic-term sizing, "
+        "not semDedup's 4096), shared assignment exchange, and the rank "
+        "window keyed (centroid,id) so the candidate stream is ranked IN "
+        "PLACE — a bare-id window re-shuffled every pair (measured 114 s "
+        "vs 30.8 s at sf2). Segment slopes wobble with the autoNlist "
+        "staircase (nlist is discrete); the q70 caveat applies.",
+    "q83_text_cleanup":
+        "zero-exchange codegen scan: replace chain + three regexes, "
+        "linear in corpus chars.",
+    "q84_split_assign":
+        "zero-exchange codegen scan: one md5 + a when-chain per row.",
 }
 
 out = {
@@ -76,4 +118,8 @@ for q in queries:
         "slope_median": round(fit(sfs, [points[sf]["queries"][q] for sf in sfs]), 3),
         "note": NOTES.get(q, ""),
     }
+    prov = {sfname(sf): points[sf].get("provenance", {}).get(q) for sf in sfs
+            if points[sf].get("provenance", {}).get(q)}
+    if prov:
+        out["queries"][q]["provenance"] = sorted(set(prov.values()))
 print(json.dumps(out, indent=1))

@@ -11,7 +11,7 @@
 cd /root/repo
 for sf in 0.1 0.5 1 2; do
   SPARK_GRAFT_SF_DIR=/root/repo/scaledata/sf$sf \
-  SPARK_GRAFT_BENCH_ONLY=q69_span_dedup,q70_semdedup,q71_compaction_plan,q72_span_rewrite,q73_chunking,q74_shard_plan,q75_classifier_score,q76_lm_perplexity,q77_dsir_weights,q78_dsir_resample,q79_ppl_buckets,q80_zipf_stats,q81_tfidf_topk \
+  SPARK_GRAFT_BENCH_ONLY=q69_span_dedup,q70_semdedup,q71_compaction_plan,q72_span_rewrite,q73_chunking,q74_shard_plan,q75_classifier_score,q76_lm_perplexity,q77_dsir_weights,q78_dsir_resample,q79_ppl_buckets,q80_zipf_stats,q81_tfidf_topk,q82_label_noise,q83_text_cleanup,q84_split_assign \
   SPARK_GRAFT_BENCH_REPS=5 \
   SPARK_GRAFT_BENCH_OUT=/root/repo/scaledata/r07/newops_sf$sf.json \
   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
