@@ -47,17 +47,25 @@ object Dsir {
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
   /** Unigram + bigram hashed feature buckets of `text` as an array
-    * column. Bigrams join tokens with a single space; both gram orders
-    * ride one tokenize. (Spark's `sequence(1, 0)` DESCENDS — the bigram
-    * range is guarded for docs with < 2 tokens.) */
+    * column. Bigrams join tokens with a single space.
+    *
+    * Bigram construction is a `zip_with` against the 1-shifted token
+    * array, NOT `element_at(toks, i)` inside a `transform` lambda: a
+    * free subexpression in an HOF lambda body re-evaluates per ELEMENT,
+    * so the inlined tokenize made the original formulation O(tokens²)
+    * per document — measured 13.6 s vs 2.0 s on the sf0.1 bench corpus.
+    * `zip_with`'s array arguments evaluate once per row. The shifted
+    * zip pads its last slot with null (concat_ws drops nulls → a stray
+    * unigram), which the trailing slice removes; n<2 degrades to an
+    * empty bigram list, same as before. */
   private[graft] def featureBuckets(text: Column, bits: Int,
                                     seed: String): Column = {
     val toks = TextFns.tokens(text)
-    val n = size(toks)
-    val bigrams = when(n >= 2,
-      transform(sequence(lit(1), n - 1), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val nBigrams = greatest(size(toks) - 1, lit(0))
+    val shifted = slice(toks, lit(2), nBigrams)
+    val bigrams = slice(
+      zip_with(toks, shifted, (a, b) => concat_ws(" ", a, b)),
+      lit(1), nBigrams)
     transform(concat(toks, bigrams), t =>
       h32(concat(lit(seed), lit(":"), t)) % (1L << bits))
   }
