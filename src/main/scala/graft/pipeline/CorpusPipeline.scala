@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** The training-corpus counterpart of [[DailyPipeline]]: one driver program
   * chaining the engine's LLM-data operators into the standard curation
-  * sequence — quality gate → perplexity gate → exact dedup → near-dup
-  * clustering → substring rewrite → benchmark decontamination → mixture
-  * sampling → sequence packing → shard layout — with the same per-stage
-  * [[DailyPipeline.StageResult]] summary contract (rows out + wall-clock,
-  * failures recorded, fail-fast propagation).
+  * sequence — text cleanup → quality gate → perplexity gate → exact dedup
+  * → near-dup clustering → substring rewrite → benchmark decontamination
+  * → mixture sampling → sequence packing → shard layout — with the same
+  * per-stage [[DailyPipeline.StageResult]] summary contract (rows out +
+  * wall-clock, failures recorded, fail-fast propagation).
   *
-  * Stages communicate through parquet under `outDir` (`s1_quality` …
+  * Stages communicate through parquet under `outDir` (`s0_clean` …
   * `s9_shards`, rejects kept beside them with a `drop_reason`), mirroring
   * the reference's staged file lake and the shape real curation runs take:
   * each stage is independently restartable, auditable, and its output is
@@ -86,8 +86,22 @@ object CorpusPipeline {
     }
     def read(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
 
+    stage("clean") {
+      // mojibake repair + control strip + whitespace canonicalization
+      // (q83): a zero-exchange rewrite of the text column, BEFORE any
+      // scoring — a doc whose quality signals were computed on garbled
+      // text gates wrong. Rows whose text empties out entirely are the
+      // only drops.
+      val cleaned = docs.select(col("doc_id"),
+        TextFns.cleanText(col("text")).as("text"), col("source"))
+      write(cleaned.filter(length(col("text")) === 0)
+        .withColumn("drop_reason", lit("empty_after_clean")), "rejects_clean")
+      write(cleaned.filter(length(col("text")) > 0), "s0_clean")
+    }
+
     stage("quality") {
-      val scored = docs.select(col("doc_id"), col("text"), col("source"),
+      val in = read("s0_clean")
+      val scored = in.select(col("doc_id"), col("text"), col("source"),
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextFns.qualityScore(col("text")).as("quality"))
       val gated = scored.withColumn("drop_reason",

@@ -7,6 +7,7 @@ class CorpusPipelineSpec extends SparkSpec {
   import spark.implicits._
 
   // Every curation stage has a designated victim:
+  //   10 -> clean (whitespace-only text empties out),
   //   6 -> quality (too short), 7 -> quality (punctuation junk),
   //   2 -> exact dedup (identical to 1), 3 -> near-dup (1 word off 1),
   //   5 -> loses its copied 8-token span to 4's canonical occurrence,
@@ -23,7 +24,8 @@ class CorpusPipelineSpec extends SparkSpec {
     (6L, "tiny doc", "srcA"),
     (7L, "a$b! c#d? e%f& g(h) i*j+ k,l- m.n/ o:p; q<r= s>t@", "srcB"),
     (8L, s"this document quotes $leak verbatim in the middle of it", "srcA"),
-    (9L, "an entirely ordinary document about the weather and the sea with plenty of words", "srcB")
+    (9L, "an entirely ordinary document about the weather and the sea with plenty of words", "srcB"),
+    (10L, "\u0000\u0001\u0002", "srcA") // control chars only -> empties at clean
   ).toDF("doc_id", "text", "source")
   private val benchmark =
     Seq(s"the eval set passage reads $leak and must stay unseen")
@@ -33,12 +35,16 @@ class CorpusPipelineSpec extends SparkSpec {
     val out = Files.createTempDirectory("corpus").toString
     val summary = CorpusPipeline.run(spark, docs, benchmark, out,
       CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L))
-    assert(summary.map(_.stage) == Seq("quality", "ppl_gate", "exact_dedup",
-      "near_dedup", "span_rewrite", "decontaminate", "mixture", "pack",
-      "shard"))
+    assert(summary.map(_.stage) == Seq("clean", "quality", "ppl_gate",
+      "exact_dedup", "near_dedup", "span_rewrite", "decontaminate",
+      "mixture", "pack", "shard"))
     assert(summary.forall(_.ok))
     assert(summary.forall(_.durationMs >= 0))
     val rows = summary.map(r => r.stage -> r.rows).toMap
+    assert(rows("clean") == 9)                                            // -10
+    assert(spark.read.parquet(s"$out/rejects_clean")
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+      == Map(10L -> "empty_after_clean"))
     assert(rows("quality") == 7, s"quality kept ${rows("quality")}")      // -6, -7
     assert(rows("ppl_gate") == 7)             // default band keeps all (see focused test)
     assert(rows("exact_dedup") == 6)                                      // -2
@@ -122,7 +128,7 @@ class CorpusPipelineSpec extends SparkSpec {
     val e = intercept[DailyPipeline.PipelineFailedException] {
       CorpusPipeline.run(spark, bad, benchmark, out)
     }
-    assert(e.summary.map(_.stage) == Seq("quality"))
+    assert(e.summary.map(_.stage) == Seq("clean")) // first text consumer
     assert(!e.summary.head.ok && e.summary.head.error.nonEmpty)
   }
 }

@@ -34,9 +34,9 @@ def fit(xs, ys):
 
 stages = list(points[sfs[0]]["stages"].keys())
 out = {
-    "what": "CorpusPipeline (quality -> ppl gate -> exact dedup -> near-dup "
-            "-> span rewrite -> decontaminate -> mixture -> pack -> shard) "
-            "end-to-end over "
+    "what": "CorpusPipeline (clean -> quality -> ppl gate -> exact dedup "
+            "-> near-dup -> span rewrite -> decontaminate -> mixture -> "
+            "pack -> shard) end-to-end over "
             "generated documents at 4 sizes, one JVM per point, fresh "
             "output per point; stages checkpoint through parquet (each "
             "stage time includes its write+readback, the restartable-"
