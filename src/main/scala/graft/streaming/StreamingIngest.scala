@@ -90,26 +90,37 @@ object StreamingIngest {
     * replay semantics are testable: running it twice with the SAME
     * batchId (what a post-crash Structured Streaming replay does) must
     * leave identical pairs/index partitions. */
+  /** Replay-safe index read shared by [[incrementalDedupBatch]] and
+    * [[curateBatch]]: the persisted signature index with any ids of THIS
+    * batch anti-joined out (present iff this is a post-crash replay whose
+    * index write already landed), so a replay sees exactly the index
+    * state the original run saw. Path-resolved Hadoop FS, not
+    * java.io.File — the index lives wherever the deployment's warehouse
+    * does (HDFS/S3 at 100 TB); a local-only check would silently dedup
+    * every batch against an empty index there. */
+  private def replaySafeIndex(spark: SparkSession, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              indexPath: String, numHashes: Int,
+                              shingleN: Int): DataFrame = {
+    import graft.operators.Dedup
+    val hPath = new org.apache.hadoop.fs.Path(indexPath)
+    val indexExists =
+      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
+    if (indexExists)
+      // the batch id set is micro-batch-sized, broadcast probe
+      spark.read.parquet(indexPath).drop("batch_id")
+        .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_anti")
+    else Dedup.nearDupIndex(batch.limit(0), idCol, textCol, numHashes, shingleN)
+  }
+
   def incrementalDedupBatch(spark: SparkSession, batch: DataFrame,
                             batchId: Long, idCol: String, textCol: String,
                             indexPath: String, pairsPath: String,
                             numHashes: Int, bands: Int, shingleN: Int,
                             threshold: Double, maxBucketSize: Int): Unit = {
     import graft.operators.Dedup
-    // Path-resolved Hadoop FS, not java.io.File: the index lives wherever
-    // the deployment's warehouse does (HDFS/S3 at 100 TB) — a local-only
-    // check would silently dedup every batch against an empty index there.
-    val hPath = new org.apache.hadoop.fs.Path(indexPath)
-    val indexExists =
-      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
-    val index =
-      if (indexExists)
-        // anti-join out any ids of THIS batch (present iff this is a
-        // replay whose index write already landed) — the batch id set
-        // is micro-batch-sized, broadcast probe
-        spark.read.parquet(indexPath).drop("batch_id")
-          .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_anti")
-      else Dedup.nearDupIndex(batch.limit(0), idCol, textCol, numHashes, shingleN)
+    val index = replaySafeIndex(spark, batch, idCol, textCol, indexPath,
+      numHashes, shingleN)
     Dedup.incrementalNearDups(batch, index, idCol, textCol,
         numHashes, bands, shingleN, threshold, maxBucketSize)
       .withColumn("batch_id", lit(batchId))
@@ -121,6 +132,97 @@ object StreamingIngest {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(indexPath)
+  }
+
+  /** Streaming corpus curation — the "corpus grows daily" twin of
+    * [[graft.pipeline.CorpusPipeline]]'s front half: each micro-batch is
+    * cleaned (q83), quality-gated (q34/q35), near-dup'd against the
+    * PERSISTED signature index (q65's O(batch) discipline — history text
+    * is never re-read, never index-vs-index), and appended to the
+    * curated lake; every drop lands beside it with a `drop_reason`.
+    *
+    * Near-dup keep rules: a batch doc yields to ANY history match (the
+    * canonical already shipped — it cannot be unshipped) and to a
+    * smaller-id match within its own batch (the q53 keep-lowest
+    * convention). Only KEPT docs join the index, so future batches dedup
+    * against canonicals, exactly like the batch pipeline's near-dedup
+    * stage.
+    *
+    * Exactly-once on replay without transactions, the
+    * [[incrementalDedupBatch]] contract: all three sinks partition by
+    * batch_id with dynamic partition overwrite, and the index read
+    * anti-joins this batch's ids out, so a replayed batch recomputes
+    * identical partitions. */
+  def curateBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+                  idCol: String, textCol: String, indexPath: String,
+                  curatedPath: String, rejectsPath: String,
+                  minTokens: Long = 10L, minQuality: Double = 0.3,
+                  numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3,
+                  threshold: Double = 0.5, maxBucketSize: Int = 1000): Unit = {
+    import graft.functions.TextFns
+    import graft.operators.Dedup
+    val scored = batch
+      .withColumn(textCol, TextFns.cleanText(col(textCol)))
+      .withColumn("n_tokens", TextFns.tokenCount(col(textCol)).cast("long"))
+      .withColumn("quality", TextFns.qualityScore(col(textCol)))
+      .withColumn("drop_reason",
+        when(length(col(textCol)) === 0, lit("empty_after_clean"))
+          .when(col("n_tokens") < minTokens, lit("too_short"))
+          .when(col("quality") < minQuality, lit("low_quality")))
+    // the gated batch is consumed four times (signature build, pair gen,
+    // kept anti-join, index write) — one persist, released before return
+    val passed = scored.filter(col("drop_reason").isNull).drop("drop_reason")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val index = replaySafeIndex(spark, passed, idCol, textCol, indexPath,
+        numHashes, shingleN)
+      val pairs = Dedup.incrementalNearDups(passed, index, idCol, textCol,
+        numHashes, bands, shingleN, threshold, maxBucketSize)
+      // orient every pair both ways; batch ids and index ids are
+      // disjoint, so "other side in the index" = history match and
+      // everything else is within-batch
+      val oriented = pairs.select(col("id_a").as("__d"), col("id_b").as("__o"))
+        .unionByName(pairs.select(col("id_b").as("__d"), col("id_a").as("__o")))
+      val indexIds = index.select(col(idCol).as("__o"))
+      val dropHist = oriented.join(indexIds, Seq("__o"), "left_semi")
+      val dropBatch = oriented.filter(col("__o") < col("__d"))
+        .join(indexIds, Seq("__o"), "left_anti")
+      val drops = dropHist.unionByName(dropBatch)
+        .select(col("__d").as(idCol)).distinct()
+      val kept = passed.join(drops, Seq(idCol), "left_anti")
+
+      def sink(df: DataFrame, path: String): Unit =
+        df.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(path)
+
+      sink(kept, curatedPath)
+      sink(scored.filter(col("drop_reason").isNotNull)
+        .unionByName(passed.join(drops, Seq(idCol), "left_semi")
+          .withColumn("drop_reason", lit("near_duplicate"))), rejectsPath)
+      sink(Dedup.nearDupIndex(kept, idCol, textCol, numHashes, shingleN),
+        indexPath)
+    } finally passed.unpersist()
+  }
+
+  /** [[curateBatch]] as a Structured Streaming sink: foreachBatch loop
+    * with a checkpoint, AvailableNow by default (the daily-drain shape). */
+  def curateStream(spark: SparkSession, stream: DataFrame, idCol: String,
+                   textCol: String, indexPath: String, curatedPath: String,
+                   rejectsPath: String, checkpoint: String,
+                   minTokens: Long = 10L, minQuality: Double = 0.3,
+                   numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3,
+                   threshold: Double = 0.5, maxBucketSize: Int = 1000,
+                   availableNow: Boolean = true): StreamingQuery = {
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(spark, batch, batchId, idCol, textCol, indexPath,
+          curatedPath, rejectsPath, minTokens, minQuality, numHashes,
+          bands, shingleN, threshold, maxBucketSize)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
   /** Tumbling-window event aggregation with a watermark — the streaming

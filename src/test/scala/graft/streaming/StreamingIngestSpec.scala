@@ -113,6 +113,74 @@ class StreamingIngestSpec extends SparkSpec {
       "replay duplicated pair rows")
   }
 
+  test("curateStream: clean -> gate -> incremental near-dup -> curated lake; replay idempotent") {
+    val root = Files.createTempDirectory("curate")
+    val landing = root.resolve("landing")
+    val (indexPath, curatedPath, rejectsPath) =
+      (s"$root/index", s"$root/curated", s"$root/rejects")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(docSchema)
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(landing.toString)
+      StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+        indexPath, curatedPath, rejectsPath, s"$root/ckpt",
+        minTokens = 8L, maxBucketSize = Int.MaxValue)
+        .awaitTermination()
+    }
+
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // batch 1: doc 1 survives; doc 2 survives; doc 3 too short
+    write(landing, "b1.csv", s"doc_id,text\n1,$a\n2,$b\n3,tiny doc\n")
+    drain()
+    assert(spark.read.parquet(curatedPath).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.read.parquet(rejectsPath)
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+      == Map(3L -> "too_short"))
+
+    // batch 2: doc 7 = near-dup of HISTORY doc 1 (yields to the shipped
+    // canonical); docs 5 < 6 near-dups of each other within the batch
+    // (keep-lowest); doc 8 new and clean
+    val a2 = a.replace("dog", "cat")
+    val c = "completely original sentences about sailing boats across the wide open sea"
+    val d = "some fresh unique paragraph about mountain hiking trails in early autumn weather"
+    write(landing, "b2.csv",
+      s"doc_id,text\n7,$a2\n5,$d\n6,${d.replace("weather", "sunshine")}\n8,$c\n")
+    drain()
+    val curated2 = spark.read.parquet(curatedPath).select("doc_id")
+      .as[Long].collect().toSet
+    assert(curated2 == Set(1L, 2L, 5L, 8L), s"got $curated2")
+    val rejects2 = spark.read.parquet(rejectsPath)
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+    assert(rejects2 == Map(3L -> "too_short",
+      6L -> "near_duplicate", 7L -> "near_duplicate"), s"got $rejects2")
+    // only kept docs joined the index (canonical-only, like the batch
+    // pipeline's near-dedup stage)
+    assert(spark.read.parquet(indexPath).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 5L, 8L))
+
+    // replay: same content, same batchId, index append already landed
+    val batch2 = Seq((7L, a2), (5L, d), (6L, d.replace("weather", "sunshine")), (8L, c))
+      .toDF("doc_id", "text")
+    StreamingIngest.curateBatch(spark, batch2, batchId = 1L,
+      "doc_id", "text", indexPath, curatedPath, rejectsPath,
+      minTokens = 8L, maxBucketSize = Int.MaxValue)
+    assert(spark.read.parquet(curatedPath).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 5L, 8L))
+    assert(spark.read.parquet(curatedPath).count() == 4,
+      "replay duplicated curated rows")
+    assert(spark.read.parquet(rejectsPath)
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+      == rejects2, "replay changed the rejects")
+    val idx = spark.read.parquet(indexPath).select("doc_id").as[Long].collect()
+    assert(idx.sorted.toSeq == Seq(1L, 2L, 5L, 8L),
+      s"replay corrupted the index: ${idx.sorted.toSeq}")
+  }
+
   test("dedupWithinWatermark drops redelivered keys via bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
