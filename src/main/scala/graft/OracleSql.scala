@@ -1258,6 +1258,30 @@ object OracleSql {
            CAST(length(${cleanTextSql("text")}) AS BIGINT) AS n_after
          FROM documents ORDER BY doc_id""",
 
+    // q85: incremental embedding near-dups — the q44 pair computation
+    // restricted to pairs touching the vec_id%5==0 batch (banding recall
+    // exactly 1 at the uncapped portable config, so incremental-vs-index
+    // provably equals the full run's touching subset — the q65 argument
+    // for vectors). Replays Similarity.incrementalEmbedNearDups.
+    "q85_incr_embed_dedup" -> {
+      val buckets = Seq(42L, 43L, 44L).map(s =>
+        intBucketExpr("qv", Similarity.rademacherPlanes(64, 6, s)))
+      s"""WITH v AS (SELECT vec_id, ${quantized(1000)} AS qv FROM embeddings),
+         b AS (SELECT vec_id, qv, ${buckets(0)} AS b0, ${buckets(1)} AS b1, ${buckets(2)} AS b2 FROM v),
+         cand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.qv AS qa, c.qv AS qb
+                  FROM b a JOIN b c ON a.vec_id < c.vec_id
+                    AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2)
+                    AND (a.vec_id % 5 = 0 OR c.vec_id % 5 = 0)),
+         s AS (SELECT id_a, id_b,
+                 CAST(list_sum(list_transform(range(1, len(qa) + 1), i -> qa[i] * qb[i])) AS BIGINT) AS qdot,
+                 CAST(list_sum(list_transform(qa, x -> x * x)) AS BIGINT) AS na2,
+                 CAST(list_sum(list_transform(qb, x -> x * x)) AS BIGINT) AS nb2
+               FROM cand)
+         SELECT id_a, id_b, qdot FROM s
+         WHERE qdot > 0 AND qdot * qdot * 100 >= 9 * na2 * nb2
+         ORDER BY id_a, id_b"""
+    },
+
     // q84: deterministic 90/5/5 split — md5 bucket in [0,100), band by
     // cumulative weight. Replays Mixture.deterministicSplit.
     "q84_split_assign" ->

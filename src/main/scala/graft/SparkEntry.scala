@@ -1085,6 +1085,24 @@ object SparkEntry {
         length(TextFns.cleanText(col("text"))).cast("long").as("n_after"))
       .orderBy(col("doc_id"))
 
+  /** Incremental embedding near-dups: vec_id % 5 == 0 arrives as the NEW
+    * batch and is deduped against an embedIndex over the other 80% —
+    * never re-hashing the existing corpus and never comparing
+    * index-vs-index (q65's O(batch) discipline for vectors). Same
+    * portable config as q44, cap disabled, so the result provably equals
+    * the full q44 pair set restricted to pairs touching the batch —
+    * which is precisely what the SQL oracle computes. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val index = Similarity.embedIndex(e.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", dim = 64, bits = 6, scale = 1000)
+    Similarity.incrementalEmbedNearDups(e.filter(col("vec_id") % 5 === 0),
+        index, "vec_id", "embedding", dim = 64, thresholdNum = 3,
+        thresholdDen = 10, bits = 6, scale = 1000,
+        maxBucketSize = Int.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Deterministic train/val/test split: md5-bucket assignment at 90/5/5,
     * a pure function of the doc id (retry-stable, layout-independent —
     * the q55 sampling contract extended to mutually-exclusive splits). */
@@ -1329,7 +1347,8 @@ object SparkEntry {
     "q81_tfidf_topk" -> q81 _,
     "q82_label_noise" -> q82 _,
     "q83_text_cleanup" -> q83 _,
-    "q84_split_assign" -> q84 _
+    "q84_split_assign" -> q84 _,
+    "q85_incr_embed_dedup" -> q85 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -1485,6 +1504,22 @@ object SparkEntry {
         Similarity.labelNoiseKnn(e, "vec_id", "embedding", "label",
             k = 5, nCentroids = nlist, scale = 1000)
           .orderBy(col("vec_id"))
+      }),
+      // q85 twin: production sizing (autoBits/autoBands like q44) + the
+      // hot-bucket cap at its default (the oracled config disables it
+      // for recall-1 parity, like q65)
+      "q85_incr_embed_dedup" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val bits = Similarity.autoBits(e.count(), targetBucketRows = 64L)
+        val bands = Similarity.autoBands(bits)
+        val index = Similarity.embedIndex(e.filter(col("vec_id") % 5 =!= 0),
+          "vec_id", "embedding", dim = 64, bits = bits,
+          seeds = (0 until bands).map(i => 42L + i))
+        Similarity.incrementalEmbedNearDups(e.filter(col("vec_id") % 5 === 0),
+            index, "vec_id", "embedding", dim = 64, thresholdNum = 3,
+            thresholdDen = 10, bits = bits,
+            seeds = (0 until bands).map(i => 42L + i))
+          .orderBy(col("id_a"), col("id_b"))
       }))
 
   def oracleSql: Map[String, String] = OracleSql.all

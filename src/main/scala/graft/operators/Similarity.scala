@@ -426,6 +426,83 @@ object Similarity {
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
 
+  /** Persisted signature index for INCREMENTAL embedding dedup — the
+    * embedding analog of [[graft.operators.Dedup.nearDupIndex]]: one row
+    * per (seed, bucket) membership carrying the quantized vector and its
+    * norm, so future batches probe buckets without ever re-reading or
+    * re-hashing the history corpus. Persist partitioned by
+    * (seed, bucket) for probe-side partition pruning. */
+  def embedIndex(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 bits: Int = 10, seeds: Seq[Long] = Seq(42L, 43L, 44L),
+                 scale: Int = 1000): DataFrame = {
+    val qdf = df.select(col(idCol),
+        VectorFns.quantize(col(vecCol), scale).as("qv"))
+      .withColumn("n2", aggregate(col("qv"), lit(0L), (acc, v) => acc + v * v))
+    val seedBuckets = seeds.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("seed"),
+        VectorFns.srpBucketInt(col("qv"), rademacherPlanes(dim, bits, s)).as("bucket"))
+    }
+    qdf.select(col(idCol), col("qv"), col("n2"),
+        explode(array(seedBuckets: _*)).as("sb"))
+      .select(col(idCol), col("sb.seed").as("seed"),
+        col("sb.bucket").as("bucket"), col("qv"), col("n2"))
+  }
+
+  /** Incremental embedding near-dup pairs: a NEW batch against a
+    * persisted [[embedIndex]] — O(batch) daily embedding ingestion, the
+    * q65 discipline for vectors. History is touched only through the
+    * index rows whose (seed, bucket) the batch actually occupies (a
+    * broadcast semi-join probe — with a (seed, bucket)-partitioned index
+    * that is partition pruning), and index-vs-index collisions are
+    * filtered out before the threshold test, so work scales with the
+    * batch, never the corpus. Same exact integer cosine contract as
+    * [[embeddingNearDupsInt]] (native 192-bit threshold expr inside the
+    * join stage; only scalar survivors reach the dedup exchange).
+    * Precondition: batch ids are disjoint from index ids (enforce by
+    * anti-joining a replayed batch out of the index read — see
+    * StreamingIngest.replaySafeIndex for the pattern). */
+  def incrementalEmbedNearDups(batch: DataFrame, index: DataFrame,
+                               idCol: String, vecCol: String, dim: Int,
+                               thresholdNum: Int = 3, thresholdDen: Int = 10,
+                               bits: Int = 10,
+                               seeds: Seq[Long] = Seq(42L, 43L, 44L),
+                               scale: Int = 1000,
+                               maxBucketSize: Int = 1000): DataFrame = {
+    val bIdx = embedIndex(batch, idCol, vecCol, dim, bits, seeds, scale)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = bIdx.select(col("seed"), col("bucket")).distinct()
+    val iIdx = index.join(broadcast(touched), Seq("seed", "bucket"), "leftsemi")
+    val union = bIdx.withColumn("__new", lit(true))
+      .unionByName(iIdx.withColumn("__new", lit(false)))
+      .repartition(col("seed"), col("bucket"))
+    val capped =
+      if (maxBucketSize == Int.MaxValue) union
+      else union
+        .withColumn("__n", count(lit(1)).over(
+          Window.partitionBy(col("seed"), col("bucket"))))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n")
+    val a = capped.select(col("seed"), col("bucket"), col(idCol).as("id_a"),
+      col("qv").as("__qa"), col("n2").as("__na2"), col("__new").as("__na"))
+    val c = capped.select(col("seed"), col("bucket"), col(idCol).as("id_b"),
+      col("qv").as("__qb"), col("n2").as("__nb2"), col("__new").as("__nb"))
+    import org.apache.spark.sql.graft.ExprBridge
+    val passes = (qdot: Column, a2: Column, b2: Column) =>
+      ExprBridge.column(graft.functions.CosineThresholdExpr(
+        ExprBridge.expression(qdot), ExprBridge.expression(a2),
+        ExprBridge.expression(b2), thresholdNum.toLong, thresholdDen.toLong))
+    val out = a.join(c, Seq("seed", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("__na") || col("__nb")) // drop index-vs-index collisions
+      .withColumn("qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
+      .filter(passes(col("qdot"), col("__na2"), col("__nb2")))
+      .select(col("id_a"), col("id_b"), col("qdot"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true)
+    bIdx.unpersist()
+    out
+  }
+
   /** kNN label-noise detection (the confident-learning / Deep-kNN audit
     * shape, Northcutt et al. 2021 lineage): every labeled vector gets the
     * majority label of its k nearest neighbors; a disagreement with its

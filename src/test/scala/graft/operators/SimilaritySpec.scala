@@ -544,6 +544,30 @@ class SimilaritySpec extends SparkSpec {
     assert(flagged.contains(55L), s"planted mislabel not flagged: $flagged")
   }
 
+  test("incrementalEmbedNearDups == full embeddingNearDupsInt restricted to " +
+      "pairs touching the batch; index-vs-index pairs never emitted") {
+    val df = corpus
+    val batch = df.filter(col("vec_id") % 5 === 0)
+    val hist = df.filter(col("vec_id") % 5 =!= 0)
+    val index = Similarity.embedIndex(hist, "vec_id", "embedding",
+      dim = 8, bits = 4, scale = 1000)
+    val inc = Similarity.incrementalEmbedNearDups(batch, index,
+        "vec_id", "embedding", dim = 8, thresholdNum = 3, thresholdDen = 10,
+        bits = 4, scale = 1000, maxBucketSize = Int.MaxValue)
+      .select("id_a", "id_b", "qdot").as[(Long, Long, Long)]
+      .collect().toSet
+    val full = Similarity.embeddingNearDupsInt(df, "vec_id", "embedding",
+        dim = 8, thresholdNum = 3, thresholdDen = 10, bits = 4,
+        scale = 1000)
+      .select("id_a", "id_b", "qdot").as[(Long, Long, Long)]
+      .collect().toSet
+    val touching = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(inc == touching, s"inc ${inc.size} vs touching ${touching.size}")
+    assert(inc.nonEmpty, "planted cluster must straddle the batch split")
+    assert(inc.forall(p => p._1 % 5 == 0 || p._2 % 5 == 0),
+      "emitted an index-vs-index pair")
+  }
+
   test("labelNoiseKnn production config (IVF-bounded) still flags the planted " +
       "mislabel — its neighbors share its cluster") {
     val labeled = vecs.map { case (i, v) =>
