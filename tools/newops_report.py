@@ -102,6 +102,11 @@ NOTES = {
         "linear in corpus chars.",
     "q84_split_assign":
         "zero-exchange codegen scan: one md5 + a when-chain per row.",
+    "q85_incr_embed_dedup":
+        "O(batch) by construction: the index is probed only through the "
+        "buckets the batch occupies (broadcast semi-join), index-vs-index "
+        "collisions dropped before the threshold test; twin runs "
+        "autoBits/autoBands + the hot-bucket cap.",
 }
 
 out = {
