@@ -371,6 +371,11 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  // q85 has no executed-plan pin: incrementalEmbedNearDups materializes
+  // through localCheckpoint (the lineage-severing release discipline), so
+  // the final plan shows only the contract sort — the q65 situation.
+  // SimilaritySpec pins its semantics against the full-run subset instead.
+
   test("q80/q81 corpus stats: global windows only over the bounded head; df probe broadcasts") {
     val zipf = executed(SparkEntry.queries("q80_zipf_stats")(spark, dir))
     // the rank window runs AFTER TakeOrdered bounds the frame to topN
