@@ -135,13 +135,21 @@ object Bench {
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum else 0.0
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps$errJson,"queries":$qs,"queries_min":$qmins}"""
+    val totalMin = if (results.nonEmpty) results.values.map(_._2).filter(_ >= 0).sum else 0.0
+    // TWO self-contained lines — medians, then minima — each repeating
+    // both totals. The driver's capture window has clipped one line's
+    // head (r7) or tail (r6) two rounds running; with the maps split, a
+    // clip on either end still leaves one COMPLETE per-query map on the
+    // other line.
+    val medLine = s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps$errJson,"queries":$qs}"""
+    val minLine = s"""{"metric":"total_min","value":${fmt(totalMin)},"total":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"queries_min":$qmins}"""
     // The driver parses the bench JSON; sbt decorates stdout with [info]
-    // prefixes, so ALSO persist the line to a file it can read directly.
+    // prefixes, so ALSO persist the lines to a file it can read directly.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), medLine + "\n" + minLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
-    println(line)
+    println(medLine)
+    println(minLine)
     spark.stop()
   }
 }

@@ -161,22 +161,41 @@ object Dedup {
     * pair-counting hash map, and the window sort of the cap — must be
     * bounded by PARTITION COUNT, not left to the session default. The
     * posting exchange (which feeds the join AND the partial pair-count
-    * aggregate running on its output) therefore runs at `pairPartitions`
-    * (default 16 × `spark.sql.shuffle.partitions`), an
-    * EXPLICIT repartition count: AQE sizes partitions by the shuffle's own
-    * bytes and cannot see the join's quadratic output, so it would
+    * aggregate running on its output) therefore runs at `pairPartitions`,
+    * an EXPLICIT repartition count: AQE sizes partitions by the shuffle's
+    * own bytes and cannot see the join's quadratic output, so it would
     * coalesce the postings into a few giant partitions exactly when the
     * candidate volume explodes — explicit counts are exempt from
-    * coalescing. At 100 TB, size `pairPartitions` so a partition's
-    * candidate set (~Σ DF² over its shingles / P) fits an executor's
-    * aggregation memory; the contract then degrades as "more, smaller
-    * tasks", never as same-task sort-spill thrash. */
+    * coalescing.
+    *
+    * When `pairPartitions` is 0 the width is SIZED from the input's
+    * Catalyst size estimate (`optimizedPlan.stats.sizeInBytes` — file
+    * bytes for a scan, no extra job): one partition per ~24 KiB of
+    * compressed input, floored at `spark.sql.shuffle.partitions`. With
+    * `maxPostings` capped, per-partition candidate work is
+    * ≤ cap × postings / P, and postings grow linearly with input bytes —
+    * so a bytes-proportional width keeps per-task state constant as the
+    * corpus grows ("more, smaller tasks", never same-task sort-spill
+    * thrash), while a small corpus keeps the session-default width
+    * instead of paying hundreds of near-empty tasks (the r7 regression:
+    * a flat 512-task pin cost 2.3× at sf0.1). Calibration: the measured
+    * stable sf2 regime (SCALING_r07_q39.json, 12.4 MiB input) ran at
+    * 512 partitions. The heuristic clamps at 1024 × the session width
+    * (Catalyst size estimates inflate multiplicatively through joins);
+    * past that — or at 100 TB — pass `pairPartitions` explicitly, sized
+    * so a partition's candidate set (~Σ min(DF,cap)² / P) fits an
+    * executor's aggregation memory. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8,
                    maxPostings: Int = 1000, pairPartitions: Int = 0): DataFrame = {
     val p =
       if (pairPartitions > 0) pairPartitions
-      else 16 * df.sparkSession.sessionState.conf.numShufflePartitions
+      else {
+        val base = df.sparkSession.sessionState.conf.numShufflePartitions
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val sized = (bytes / (24 * 1024)).min(BigInt(1024L * base)).toLong
+        math.max(base.toLong, sized).toInt
+      }
     // each posting row carries its doc's set size, so the Jaccard needs NO
     // side join back to a sizes table (which would recompute the shingling
     // once per join side) — one explode, one shuffle, one groupBy

@@ -127,12 +127,17 @@ object QualityModel {
     * equi-join on `tok`; (3) the per-doc sum, map-side combined. The
     * totals frame is ONE row (crossJoin-broadcast, not a window). Zipf
     * reality: vocab ≪ corpus, so when the count frame fits the broadcast
-    * threshold Spark's CBO/AQE turns join (2) into a broadcast-hash probe
-    * with NO corpus shuffle — `hintSmallVocab` forces that when the
-    * caller knows it holds (a trained top-K vocab with OOV smoothing is
-    * the production variant; the exact join is the contract here). */
+    * threshold Spark's AQE promotes join (2) to a broadcast-hash probe
+    * at runtime with NO corpus shuffle — from the aggregate's MEASURED
+    * output size, which is exactly the right signal. `hintSmallVocab`
+    * FORCES the broadcast for callers who know their vocab is bounded
+    * (a trained top-K vocab with OOV smoothing, the production variant);
+    * it defaults to false because a forced broadcast of an UNBOUNDED
+    * web-corpus vocabulary (URLs, typos, hex blobs can push V past the
+    * driver/broadcast limit) fails the job outright, whereas the AQE
+    * path degrades to a shuffle join and completes. */
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
-                          hintSmallVocab: Boolean = true): DataFrame = {
+                          hintSmallVocab: Boolean = false): DataFrame = {
     val toksDf = df.select(col(idCol),
         explode(TextFns.tokens(col(textCol))).as("tok"))
     val counts = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -170,11 +175,32 @@ object QualityModel {
     * SinglePartition window: floor((rank−1)·n / N) reproduces ntile's
     * assignment while both shuffles stay range-partitioned. xent ≥ 0
     * always (−ln P of a probability), so the zero-padded key order is
-    * the numeric order. */
+    * the numeric order.
+    *
+    * Id tie-break encoding: an integral `idCol` is keyed as the 16-hex
+    * encoding of `id XOR Long.MinValue` — the sign-bit flip maps signed
+    * order onto unsigned/lexicographic order, so the FULL Long range
+    * (negatives included) ranks numerically with no padding assumption.
+    * A string id is appended raw: the xent prefix is fixed-width, so
+    * whole-key comparison is exactly (xent, id) lexicographic. (The
+    * previous `lpad(id, 20)` silently TRUNCATED >20-char ids and
+    * mis-ordered negatives — Spark's lpad cuts, it never errors.) */
   def perplexityBuckets(spark: org.apache.spark.sql.SparkSession,
                         df: DataFrame, idCol: String, textCol: String,
                         nBuckets: Int = 3): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val isIntegral = df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case StringType => false
+      case other => throw new IllegalArgumentException(
+        s"perplexityBuckets: idCol '$idCol' must be integral or string " +
+          s"for a well-defined ntile tie-break, got $other")
+    }
+    val idKey =
+      if (isIntegral)
+        lpad(hex(col(idCol).cast("long").bitwiseXOR(lit(Long.MinValue))), 16, "0")
+      else col(idCol)
     val xent = unigramCrossEntropy(df, idCol, textCol)
     // round BEFORE the long cast: xent is a 6-decimal value whose binary
     // double can sit just under the integer (3.456789e6 = 3456788.999…);
@@ -182,7 +208,7 @@ object QualityModel {
     // oracle's ORDER BY xent keeps distinct.
     val keyed = xent.withColumn("__k",
         concat(lpad(round(col("xent") * 1e6).cast("long").cast("string"), 14, "0"),
-          lit(":"), lpad(col(idCol).cast("string"), 20, "0")))
+          lit(":"), idKey))
       .withColumn("__one", lit(1L))
     val ranked = PrefixSum.withRunningTotal(spark, keyed,
       orderCol = "__k", valueCol = "__one", outCol = "__rank")

@@ -187,8 +187,20 @@ object StreamingIngest {
       val dropHist = oriented.join(indexIds, Seq("__o"), "left_semi")
       val dropBatch = oriented.filter(col("__o") < col("__d"))
         .join(indexIds, Seq("__o"), "left_anti")
+      // Sever the index-read lineage HERE: `drops` is the only frame
+      // downstream of the indexPath scan, and the index sink below
+      // overwrites indexPath — a sink whose plan reads the path it
+      // writes is committer/filesystem sensitive (S3A object-store
+      // committers can observe partial state even under dynamic
+      // partition overwrite). The eager localCheckpoint materializes
+      // the small id set (block store, not lineage), so every sink's
+      // plan below reads only `passed` (persisted batch data) +
+      // checkpointed ids — never indexPath. Executor loss after
+      // truncation fails the batch, and the replay contract above
+      // already makes a re-run idempotent.
       val drops = dropHist.unionByName(dropBatch)
         .select(col("__d").as(idCol)).distinct()
+        .localCheckpoint(true)
       val kept = passed.join(drops, Seq(idCol), "left_anti")
 
       def sink(df: DataFrame, path: String): Unit =
