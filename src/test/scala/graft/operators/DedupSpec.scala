@@ -42,6 +42,20 @@ class DedupSpec extends SparkSpec {
     assert(dup == 2L)
   }
 
+  test("sizedPairPartitions: floor / proportional / clamp regimes") {
+    val base = spark.sessionState.conf.numShufflePartitions
+    // tiny input: the floor regime — keep the session default width
+    assert(Dedup.sizedPairPartitions(docs) == base)
+    // ~8 MiB estimate (range rows are 8 bytes in Catalyst stats): the
+    // bytes-proportional regime — one task per 24 KiB, well above floor
+    val mid = Dedup.sizedPairPartitions(spark.range(1L << 20).toDF("id"))
+    val expectMid = ((1L << 23) / (24 * 1024)).toInt
+    assert(mid == math.max(base, expectMid), s"mid=$mid")
+    // ~1.6 GiB estimate: the clamp regime — capped at 1024x session width
+    val big = Dedup.sizedPairPartitions(spark.range(200L << 20).toDF("id"))
+    assert(big == 1024 * base, s"big=$big")
+  }
+
   test("jaccardPairs matches brute-force ground truth") {
     val texts = docs.as[(Long, String)].collect().toMap
     val expected = (for {

@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Assemble SCALING_r08.json from the round-8 sweep (tools/r08_sweep.sh):
+
+  A. new-op families one more decade — q70/q75/q76/q79/q82 at sf1/2/4/8
+     (log-log slope on minima, medians alongside; r7 evidence stopped at
+     sf2 and the brief's question is the next decade)
+  B. q39 sf2 same-config stability x2 under the SIZED pairPartitions
+  C. CorpusPipeline end-to-end at sf2/4/8 (total + per-stage slopes)
+  D. multimodal decode->aHash->near-dup at 8k/32k/128k real PNGs, with
+     measured payload-pruning bytes and planted-pair recall
+  E. streaming curation steady state: per-batch wall vs index size,
+     least-squares drift over the post-warmup tail
+
+Usage: r08_report.py <r08Dir> [> SCALING_r08.json]
+"""
+import json
+import math
+import sys
+
+work = sys.argv[1]
+
+
+def fit(xs, ys):
+    lx = [math.log(x) for x in xs]
+    ly = [math.log(max(y, 1e-3)) for y in ys]
+    n = len(xs)
+    mx, my = sum(lx) / n, sum(ly) / n
+    den = sum((x - mx) ** 2 for x in lx)
+    return sum((x - mx) * (y - my) for x, y in zip(lx, ly)) / den if den else 0.0
+
+
+def bench_lines(path):
+    """Bench writes two self-contained lines: medians then minima."""
+    with open(path) as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    med = next(l for l in lines if l["metric"] == "total")
+    mn = next(l for l in lines if l["metric"] == "total_min")
+    return med, mn
+
+
+# --- A: new-op families, sf1..8 ---
+SFS = [1, 2, 4, 8]
+points = {}
+for sf in SFS:
+    med, mn = bench_lines(f"{work}/newops_sf{sf}.json")
+    points[sf] = {"med": med["queries"], "min": mn["queries_min"]}
+
+newops = {}
+for q in sorted(points[SFS[0]]["med"].keys()):
+    mins = {sf: points[sf]["min"][q] for sf in SFS}
+    meds = {sf: points[sf]["med"][q] for sf in SFS}
+    slope = fit(SFS, [mins[sf] for sf in SFS])
+    # the extrapolation question: does the top doubling bend upward?
+    tail = fit(SFS[-2:], [mins[sf] for sf in SFS[-2:]])
+    newops[q] = {
+        "sec_min": {str(sf): mins[sf] for sf in SFS},
+        "sec_median": {str(sf): meds[sf] for sf in SFS},
+        "slope_minima_sf1_8": round(slope, 3),
+        "slope_last_doubling_sf4_8": round(tail, 3),
+    }
+
+# --- B: q39 sf2 stability ---
+q39 = {}
+for run in (1, 2):
+    med, _ = bench_lines(f"{work}/q39_sf2_run{run}.json")
+    q39[f"run{run}_sec"] = med["queries"]["q39_dedup_jaccard"]
+q39["spread"] = round(max(q39["run1_sec"], q39["run2_sec"]) /
+                      min(q39["run1_sec"], q39["run2_sec"]), 3)
+
+# --- C: corpus pipeline sf2/4/8 ---
+CSFS = [2, 4, 8]
+cpoints = {}
+for sf in CSFS:
+    with open(f"{work}/corpus_{sf}.json") as f:
+        cpoints[sf] = json.load(f)
+ctotals = [cpoints[sf]["total_sec"] for sf in CSFS]
+stage_names = list(cpoints[CSFS[0]]["stages"].keys())
+cstages = {
+    s: {
+        "sec": {str(sf): cpoints[sf]["stages"][s]["sec"] for sf in CSFS},
+        "rows": {str(sf): cpoints[sf]["stages"][s]["rows"] for sf in CSFS},
+        "slope": round(fit(CSFS, [cpoints[sf]["stages"][s]["sec"] for sf in CSFS]), 3),
+    }
+    for s in stage_names
+}
+corpus = {
+    "total_sec": {str(sf): ctotals[i] for i, sf in enumerate(CSFS)},
+    "total_slope_sf2_8": round(fit(CSFS, ctotals), 3),
+    "stages": cstages,
+}
+
+# --- D: multimodal ---
+MMN = [8000, 32000, 128000]
+mpoints = {}
+for n in MMN:
+    with open(f"{work}/mm_{n}.json") as f:
+        mpoints[n] = json.load(f)
+multimodal = {
+    "points": {str(n): mpoints[n] for n in MMN},
+    "decode_slope": round(fit(MMN, [mpoints[n]["decode_sec"] for n in MMN]), 3),
+    "neardup_slope": round(fit(MMN, [mpoints[n]["neardup_sec"] for n in MMN]), 3),
+    "pruning_ratio_at_max": round(
+        mpoints[MMN[-1]]["payload_scan_bytes"] /
+        max(1, mpoints[MMN[-1]]["meta_scan_bytes"]), 1),
+    "planted_recall": min(mpoints[n]["planted_recall"] for n in MMN),
+}
+
+# --- E: streaming curation steady state ---
+with open(f"{work}/curate.json") as f:
+    curate = json.load(f)
+walls = [b["wall_ms"] for b in curate["batches"]]
+steady = walls[3:]
+curation = {
+    "n_batches": curate["n_batches"],
+    "batch_rows": curate["batch_rows"],
+    "drift_ms_per_batch": curate["drift_ms_per_batch"],
+    "steady_mean_ms": round(sum(steady) / max(1, len(steady)), 1),
+    "steady_max_over_min": round(max(steady) / max(1, min(steady)), 3)
+    if steady else None,
+    "final_index_rows": curate["batches"][-1]["index_rows_after"],
+    "batches": curate["batches"],
+}
+
+out = {
+    "what": ("round-8 extrapolation evidence: the near-linear families one "
+             "more decade (sf1-8, isolated JVMs, minima-of-3), q39 sf2 "
+             "stability under the SIZED posting exchange, CorpusPipeline "
+             "end-to-end sf2-8, multimodal decode/near-dup at 8k-128k real "
+             "PNGs with measured payload pruning, and the streaming "
+             "curation loop's per-batch steady state"),
+    "newops_sf1_8": newops,
+    "q39_sf2_stability_sized": q39,
+    "corpus_pipeline_sf2_8": corpus,
+    "multimodal": multimodal,
+    "curate_steady_state": curation,
+}
+print(json.dumps(out, indent=1))
