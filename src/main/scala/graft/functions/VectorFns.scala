@@ -31,8 +31,23 @@ object VectorFns {
   def quantize(a: Column, scale: Int = 10000): Column =
     transform(a, v => round(v.cast("double") * scale).cast("long"))
 
-  /** Exact integer dot product over quantized vectors. */
+  /** Exact integer dot product over quantized vectors. Backed by the
+    * NATIVE [[QuantizedDotExpr]] since round 9: this is the per-PAIR
+    * kernel of every embedding join, and the previous
+    * `aggregate(zip_with(...))` form was interpreted (higher-order
+    * functions never codegen) and allocated the zipped array per
+    * evaluation — measured 530 ns/pair across the sf4 SemDeDup 160M-pair
+    * join. Identical null/value semantics (VectorExprSpec pins native ==
+    * HOF on random, null, and length-mismatched inputs). */
   def quantizedDot(qa: Column, qb: Column): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      QuantizedDotExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(qa),
+        org.apache.spark.sql.graft.ExprBridge.expression(qb)))
+
+  /** HOF form of [[quantizedDot]] — kept ONLY as the independent
+    * implementation VectorExprSpec checks the native expression against. */
+  private[graft] def quantizedDotHof(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   /** Integer SRP bucket over a QUANTIZED (`array<long>`) embedding with

@@ -65,6 +65,51 @@ object VectorKernel {
                    tnum2: Long, tden2: Long): Boolean =
     qdot > 0L && cmpProd3(qdot, qdot, tden2, tnum2, a2, b2) >= 0
 
+  /** Exact integer dot product of two equal-length quantized vectors —
+    * the per-PAIR kernel of every embedding join (callers guarantee equal
+    * lengths; [[QuantizedDotExpr]] null-guards the mismatch case). A tight
+    * primitive loop over `ArrayData`: the `aggregate(zip_with(...))`
+    * formulation it replaces allocated an intermediate array and
+    * interpreted two lambdas per evaluation — measured 530 ns/pair across
+    * the 160M-pair sf4 SemDeDup join, the dominant cost once the tiled
+    * join bounded the plan. */
+  def quantizedDot(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  /** Squared-L2 argmin over an inlined centroid matrix — the IVF/k-means
+    * assignment kernel ([[CentroidArgminExpr]]): returns the cid of the
+    * nearest centroid, ties to the LOWEST cid (cids arrive sorted
+    * ascending; strict `<` keeps the first minimum — exactly the
+    * `array_sort` (dist², cid) tie-break of the HOF ranking form this
+    * replaces, pinned by VectorExprSpec). Runs per corpus row per scan
+    * (and per Lloyd iteration in k-means), where the interpreted
+    * `array_sort(transform(...))` chain allocated nlist structs per row. */
+  def centroidArgmin(v: ArrayData, cents: Array[Array[Long]],
+                     cids: Array[Long]): Long = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      var d = 0L
+      var j = 0
+      val m = math.min(c.length, v.numElements())
+      while (j < m) {
+        val t = v.getLong(j) - c(j)
+        d += t * t
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    cids(best)
+  }
+
   /** Gaussian-plane SRP bucket over a raw (`array<float>`) embedding. */
   def srpBucket(v: ArrayData, planes: Array[Array[Double]]): Long = {
     if (v == null) return 0L

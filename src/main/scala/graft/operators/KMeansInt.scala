@@ -37,10 +37,10 @@ object KMeansInt {
   def assignmentSums(corpus: DataFrame, idCol: String, vecCol: String,
                      cents: Seq[(Long, Array[Long])], scale: Int): DataFrame = {
     require(cents.nonEmpty, "cents must be non-empty")
-    val ranked = Similarity.centroidRanking(cents) _
     corpus
       .select(VectorFns.quantize(col(vecCol), scale).as("__qv"))
-      .withColumn("centroid_id", element_at(ranked(col("__qv")), 1).getField("cid"))
+      // native argmin kernel: this runs once per row per Lloyd iteration
+      .withColumn("centroid_id", Similarity.centroidArgmin(cents)(col("__qv")))
       .select(col("centroid_id"), posexplode(col("__qv")).as(Seq("pos", "v")))
       .groupBy(col("centroid_id"), col("pos"))
       .agg(sum(col("v")).as("sum_q"), count(lit(1)).as("n"))

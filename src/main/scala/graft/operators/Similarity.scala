@@ -254,12 +254,29 @@ object Similarity {
     * then cid ascending (the documented tie-break — lowest cid wins);
     * element 1 is the argmin assignment. Zero-shuffle, whole-stage-codegen
     * map — shared by [[ivfTopKInt]] and [[KMeansInt.assignmentSums]]. */
-  private[operators] def centroidRanking(cents: Seq[(Long, Array[Long])])(qv: Column): Column = {
+  private[graft] def centroidRanking(cents: Seq[(Long, Array[Long])])(qv: Column): Column = {
     val centArr = array(cents.map { case (cid, cv) =>
       struct(lit(cid).as("cid"), array(cv.map(lit(_)).toIndexedSeq: _*).as("cv"))
     }: _*)
     array_sort(transform(centArr, c =>
       struct(qdist2(qv, c.getField("cv")).as("d"), c.getField("cid").as("cid"))))
+  }
+
+  /** Native squared-L2 argmin assignment over inlined centroids — the
+    * `element 1` fast path of [[centroidRanking]], backed by
+    * [[graft.functions.CentroidArgminExpr]] (whole-stage codegen, zero
+    * per-row allocation; the HOF ranking chain is interpreted and
+    * dominated the k-means converge at the sf4 profile). Identical
+    * semantics incl. the lowest-cid tie-break (VectorExprSpec pins it);
+    * non-null input -> non-null assignment. Used wherever only the argmin
+    * is needed (corpus assignment, Lloyd steps, SemDeDup, label audit);
+    * [[centroidRanking]] remains the nProbe>1 query-side form. */
+  private[graft] def centroidArgmin(cents: Seq[(Long, Array[Long])])(qv: Column): Column = {
+    val sorted = cents.sortBy(_._1)
+    import org.apache.spark.sql.graft.ExprBridge
+    ExprBridge.column(graft.functions.CentroidArgminExpr(
+      ExprBridge.expression(qv),
+      sorted.map(_._2).toArray, sorted.map(_._1).toArray))
   }
 
   /** IVF-Flat ANN top-k (the list-partitioned scale path next to the
@@ -297,7 +314,7 @@ object Similarity {
     def ranked(qv: Column): Column = centroidRanking(cents)(qv)
     val c = corpus.select(col(corpusId).as("neighbor_id"),
         VectorFns.quantize(col(corpusVec), scale).as("__cv"))
-      .withColumn("centroid_id", element_at(ranked(col("__cv")), 1).getField("cid"))
+      .withColumn("centroid_id", centroidArgmin(cents)(col("__cv")))
     val q = queries.select(col(queryId).as("query_id"),
         VectorFns.quantize(col(queryVec), scale).as("__qv"))
       .withColumn("centroid_id",
@@ -339,6 +356,60 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Tile sizing for the bounded within-cluster pair join shared by
+    * [[semDedup]] and [[labelNoiseKnn]]: every cluster `c` is split into
+    * `B_c = ceil(|c| / tileRows)` tiles (a row's tile is
+    * `xxhash64(id) mod B_c` — deterministic, balanced for any id
+    * distribution), and the pair test joins on (centroid_id, tile_a,
+    * tile_b), so ONE task's candidate set is at most `tileRows`^2 pairs no
+    * matter what join strategy Catalyst picks, how AQE coalesces, or how
+    * skewed the clusters are (a hot cluster fans into B_c^2 keys instead
+    * of one). Each side replicates its rows B_c-fold across the opposite
+    * tile axis — at the [[autoNlist]] design occupancy B_c is 1..2, so the
+    * replication is metadata-noise next to the |c|^2 pair work it bounds.
+    *
+    * Returns the per-row tile-count COLUMN (an inlined nlist-entry literal
+    * map over centroid_id, same discipline as the centroid literals) and
+    * the EXPLICIT pair-exchange width: the exact tile-pair key count
+    * `sum B_c^2`, floored at the session shuffle width and clamped at
+    * 1024x it (the [[graft.operators.Dedup.sizedPairPartitions]] clamp
+    * rationale) — parallelism proportional to actual pair work, zero
+    * guessed constants.
+    *
+    * Cost: one EAGER counts job over `assigned` (scan + assignment +
+    * map-side partial count; the collected result is nlist rows — a
+    * bounded driver transfer like the centroid literals, never data). At
+    * 100 TB that extra assignment pass is the price of sizing the tiles
+    * from exact counts instead of an occupancy guess that cluster skew
+    * (measured: seed centroids reach only 0.767 cluster recall vs 0.985
+    * converged) would invalidate exactly when it matters. */
+  private[operators] def clusterTiles(assigned: DataFrame, idCol: String,
+                                      tileRows: Int): (Column, Int) = {
+    require(tileRows >= 1, s"tileRows must be >= 1, got $tileRows")
+    val counts = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__cn"))
+      .collect().map { r =>
+        r.getLong(0) -> math.max(1L,
+          math.ceil(r.getLong(1).toDouble / tileRows).toLong)
+      }
+    require(counts.nonEmpty, "corpus is empty — no clusters to tile")
+    val base = assigned.sparkSession.sessionState.conf.numShufflePartitions
+    val keys = counts.map { case (_, b) => b * b }.sum
+    val p = math.max(base.toLong, math.min(keys, 1024L * base)).toInt
+    // coalesce makes the column NON-NULLABLE (a key can't miss — the map
+    // is built from the same assignment — but element_at is nullable by
+    // type): nullable pair-join keys make constraint propagation push
+    // isnotnull filters that RE-EVALUATE the full nlist x dim assignment
+    // argmin per row in the scan stage (observed: 3x the assignment work
+    // at the q70 plan audit); non-nullable keys generate no constraint.
+    val tileCol = coalesce(element_at(
+      map(counts.sortBy(_._1).flatMap { case (cid, b) =>
+        Seq(lit(cid), lit(b.toInt))
+      }.toIndexedSeq: _*),
+      col("centroid_id")), lit(1))
+    (tileCol, p)
+  }
+
   /** Semantic deduplication (SemDeDup — Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the IVF coarse
     * quantizer, then WITHIN each cluster drop every vector that has an
@@ -360,44 +431,68 @@ object Similarity {
     * earlier qualifying cluster-mate (NULL iff kept).
     *
     * 100 TB shape: centroid assignment is the zero-shuffle inlined-literal
-    * argmin shared with [[ivfTopKInt]]; the pairwise test is a
-    * centroid_id-keyed self-join on a SHARED exchange (both sides reuse
-    * one assignment pass), so pair work is sum over clusters of |c|^2,
-    * bounded by balanced k-means sizing ([[autoNlist]] holds expected
-    * occupancy flat as the corpus grows — nlist scales with n, per-cluster
-    * pair cost stays constant). The threshold test runs INSIDE the join
+    * argmin shared with [[ivfTopKInt]]; the pairwise test is a TILED
+    * within-cluster self-join (see [[clusterTiles]]) on composite keys
+    * (centroid_id, tile_a, tile_b), so per-task candidate work is bounded
+    * at `tileRows`^2 BY CONSTRUCTION — independent of the join strategy
+    * Catalyst picks, of AQE coalescing, and of cluster skew. (The r8
+    * sweep measured why this matters: the previous centroid_id-keyed join
+    * assumed its build side broadcasts; past the 10 MB broadcast
+    * threshold the plan flipped to a sort-merge join on the ~nlist-valued
+    * centroid key whose exchange AQE coalesced — blind to the quadratic
+    * join OUTPUT — into a handful of giant tasks: 25.6 s -> 324.9 s
+    * across the sf2->sf4 doubling. Tiling removes the broadcastability
+    * assumption instead of re-tuning it.) Pair work is sum over clusters
+    * of |c|^2, bounded by balanced k-means sizing ([[autoNlist]] holds
+    * expected occupancy flat as the corpus grows); the tile exchanges run
+    * at an explicit width proportional to the exact tile-pair count, so
+    * parallelism tracks work. The threshold test runs INSIDE the join
     * stage via the native 192-bit [[graft.functions.CosineThresholdExpr]]
     * (exact at any dim/scale, whole-stage codegen); only (vec_id, dup_of)
     * scalars reach the min-aggregation exchange. All-integer, so a SQL
-    * oracle replays it bit-for-bit. */
+    * oracle replays it bit-for-bit — tiling repartitions the pair test,
+    * never changes its result set. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                nCentroids: Int = 8, thresholdNum: Int = 3,
                thresholdDen: Int = 10, scale: Int = 1000,
-               centroids: Option[Seq[(Long, Array[Long])]] = None): DataFrame = {
+               centroids: Option[Seq[(Long, Array[Long])]] = None,
+               tileRows: Int = 2048): DataFrame = {
     val cents = centroids.getOrElse(
       seedCentroidsInt(df, idCol, vecCol, nCentroids, scale))
-    val v = df.select(col(idCol),
+    val assigned = df.select(col(idCol),
         VectorFns.quantize(col(vecCol), scale).as("__qv"))
       // norm once per row, before the self-join fans out candidates
       .withColumn("__n2", aggregate(col("__qv"), lit(0L), (acc, x) => acc + x * x))
-      .withColumn("centroid_id",
-        element_at(centroidRanking(cents)(col("__qv")), 1).getField("cid"))
-      // shared exchange: both self-join sides reuse one assignment pass.
-      // Keyed by (centroid_id, id) at an EXPLICIT partition count, NOT
-      // `repartition(centroid_id)`: the pair join broadcasts its build
-      // side, so cluster co-location buys nothing — but a centroid-only
-      // key caps probe parallelism at nlist tasks (measured: autoNlist=1
-      // on a 2k corpus ran the whole 2M-pair test in ONE task, 9.1 s),
-      // and a column-only repartition is AQE-coalescable — the exchange
-      // input is ~1 MB of vectors, so AQE folds it back to one partition,
-      // blind to the quadratic join OUTPUT behind it (the q39 posting-
-      // exchange lesson; an explicit count is exempt from coalescing).
+      // coalesce: non-nullable join key, so constraint propagation adds
+      // no isnotnull filter re-evaluating the assignment argmin (the
+      // ranking array is never empty — cents is non-empty by require)
+      .withColumn("centroid_id", coalesce(
+        centroidArgmin(cents)(col("__qv")), lit(-1L)))
+    val (tiles, p) = clusterTiles(assigned, idCol, tileRows)
+    // shared exchange: both self-join sides (and nothing else) reuse one
+    // assignment pass through this explicit-count repartition — explicit
+    // so AQE cannot coalesce it (the exchange input is ~1 MB of vectors
+    // at bench scale; AQE is blind to the quadratic join OUTPUT behind
+    // it — the q39 posting-exchange lesson).
+    val v = assigned
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("centroid_id"), col(idCol))
-    val a = v.select(col("centroid_id"), col(idCol).as("__ida"),
-      col("__qv").as("__qa"), col("__n2").as("__na2"))
-    val b = v.select(col("centroid_id"), col(idCol).as("__idb"),
-      col("__qv").as("__qb"), col("__n2").as("__nb2"))
+      .withColumn("__nt", tiles)
+      // coalesce: pmod is nullable by type (divisor-0 -> null; __nt >= 1
+      // by construction) — same non-nullable-join-key rule as centroid_id
+      .withColumn("__tile", coalesce(
+        pmod(xxhash64(col(idCol)), col("__nt").cast("long")).cast("int"),
+        lit(0)))
+    val a = v
+      .withColumn("__pb", explode(sequence(lit(0), col("__nt") - 1)))
+      .select(col("centroid_id"), col("__tile").as("__pa"), col("__pb"),
+        col(idCol).as("__ida"), col("__qv").as("__qa"), col("__n2").as("__na2"))
+      .repartition(p, col("centroid_id"), col("__pa"), col("__pb"))
+    val b = v
+      .withColumn("__pa", explode(sequence(lit(0), col("__nt") - 1)))
+      .select(col("centroid_id"), col("__pa"), col("__tile").as("__pb"),
+        col(idCol).as("__idb"), col("__qv").as("__qb"), col("__n2").as("__nb2"))
+      .repartition(p, col("centroid_id"), col("__pa"), col("__pb"))
     import org.apache.spark.sql.graft.ExprBridge
     val passes = (qdot: Column, a2: Column, b2: Column) =>
       ExprBridge.column(graft.functions.CosineThresholdExpr(
@@ -414,13 +509,15 @@ object Similarity {
     // inner self-join's symmetric IsNotNull constraints also keep both
     // pair sides identical, so the assignment pass runs once under a
     // ReusedExchange.
-    val dropped = a.join(b, Seq("centroid_id"))
+    val dropped = a.join(b, Seq("centroid_id", "__pa", "__pb"))
       .filter(col("__idb") < col("__ida"))
       .withColumn("__qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
       .filter(passes(col("__qdot"), col("__na2"), col("__nb2")))
       // scalars only past this point; min picks the deterministic witness
+      // (partial agg combines per tile, so the final exchange carries at
+      // most one (ida, min idb) row per tile per survivor)
       .groupBy(col("__ida")).agg(min(col("__idb")).as("dup_of"))
-    v.select(col(idCol), col("centroid_id"))
+    assigned.select(col(idCol), col("centroid_id"))
       .join(dropped.withColumnRenamed("__ida", idCol), Seq(idCol), "left")
       .select(col(idCol), col("centroid_id"),
         col("dup_of").isNull.as("kept"), col("dup_of"))
@@ -521,44 +618,75 @@ object Similarity {
     * coarse clusters (`nCentroids = 1` degrades to exact brute-force kNN
     * — the oracle config; production uses [[autoNlist]] so per-cluster
     * occupancy — and with it the quadratic term — stays constant as the
-    * corpus grows). One shared assignment exchange feeds both self-join
-    * sides; only (id, label, qdot) scalars reach the rank window, which
-    * is hash-partitioned by query id. */
+    * corpus grows), and the pair test is the same TILED self-join
+    * ([[clusterTiles]]): per-task candidate work is capped at
+    * `tileRows`^2 by construction, whatever join strategy or AQE decides
+    * (the r8 sweep measured the untiled centroid-keyed join flipping off
+    * broadcast past 10 MB and cliffing 31.2 s -> 262.1 s over the
+    * sf2->sf4 doubling). Ranking is two-phase top-k, the standard tiled
+    * refinement: each tile ranks its own candidates IN PLACE (the tile
+    * window keys subsume the pair exchange — no extra shuffle) and keeps
+    * `k`, then a per-query window over the <= k * B_c scalar survivors
+    * picks the global top-k — identical result, since a global top-k
+    * neighbor is top-k within its tile. Only (id, label, qdot) scalars
+    * leave the join stage. */
   def labelNoiseKnn(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, k: Int, nCentroids: Int = 8,
                     scale: Int = 1000,
-                    centroids: Option[Seq[(Long, Array[Long])]] = None)
-      : DataFrame = {
+                    centroids: Option[Seq[(Long, Array[Long])]] = None,
+                    tileRows: Int = 1024): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val cents = centroids.getOrElse(
       seedCentroidsInt(df, idCol, vecCol, nCentroids, scale))
-    val v = df.select(col(idCol), col(labelCol).cast("int").as("__lbl"),
+    val assigned = df.select(col(idCol), col(labelCol).cast("int").as("__lbl"),
         VectorFns.quantize(col(vecCol), scale).as("__qv"))
-      .withColumn("centroid_id",
-        element_at(centroidRanking(cents)(col("__qv")), 1).getField("cid"))
-      // the semDedup exchange discipline: explicit partition count on
-      // (centroid, id) so probe parallelism survives AQE coalescing
+      // coalesce: non-nullable join key, so constraint propagation adds
+      // no isnotnull filter re-evaluating the assignment argmin (the
+      // ranking array is never empty — cents is non-empty by require)
+      .withColumn("centroid_id", coalesce(
+        centroidArgmin(cents)(col("__qv")), lit(-1L)))
+    val (tiles, p) = clusterTiles(assigned, idCol, tileRows)
+    // the semDedup exchange discipline: explicit partition count so the
+    // shared assignment pass survives AQE coalescing and is reused by
+    // both pair sides
+    val v = assigned
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("centroid_id"), col(idCol))
-    val a = v.select(col("centroid_id"), col(idCol).as("__ida"),
-      col("__lbl").as("__la"), col("__qv").as("__qa"))
-    val b = v.select(col("centroid_id"), col(idCol).as("__idb"),
-      col("__lbl").as("__lb"), col("__qv").as("__qb"))
-    val ranked = a.join(b, Seq("centroid_id"))
+      .withColumn("__nt", tiles)
+      // coalesce: pmod is nullable by type (divisor-0 -> null; __nt >= 1
+      // by construction) — same non-nullable-join-key rule as centroid_id
+      .withColumn("__tile", coalesce(
+        pmod(xxhash64(col(idCol)), col("__nt").cast("long")).cast("int"),
+        lit(0)))
+    val a = v
+      .withColumn("__pb", explode(sequence(lit(0), col("__nt") - 1)))
+      .select(col("centroid_id"), col("__tile").as("__pa"), col("__pb"),
+        col(idCol).as("__ida"), col("__lbl").as("__la"), col("__qv").as("__qa"))
+      .repartition(p, col("centroid_id"), col("__pa"), col("__pb"))
+    val b = v
+      .withColumn("__pa", explode(sequence(lit(0), col("__nt") - 1)))
+      .select(col("centroid_id"), col("__pa"), col("__tile").as("__pb"),
+        col(idCol).as("__idb"), col("__lbl").as("__lb"), col("__qv").as("__qb"))
+      .repartition(p, col("centroid_id"), col("__pa"), col("__pb"))
+    val ranked = a.join(b, Seq("centroid_id", "__pa", "__pb"))
       .filter(col("__idb") =!= col("__ida"))
       .withColumn("__qdot", VectorFns.quantizedDot(col("__qa"), col("__qb")))
       // scalars only past the join stage
-      .select(col("centroid_id"), col("__ida"), col("__la"), col("__lb"),
-        col("__idb"), col("__qdot"))
-      // rank window keyed by (centroid, id), NOT id alone: each id lives
-      // in exactly one centroid, so the spec is semantically identical —
-      // but (centroid, id) is satisfied by the assignment exchange the
-      // pairs already carry, so the O(occupancy^2) candidate stream is
-      // ranked IN PLACE and only k rows per query ever reach another
-      // exchange. Windowing by bare __ida re-shuffled every candidate
-      // pair: measured 114 s -> this shape at the sf2 sweep point.
+      .select(col("centroid_id"), col("__pa"), col("__pb"), col("__ida"),
+        col("__la"), col("__lb"), col("__idb"), col("__qdot"))
+      // phase 1: per-tile top-k, ranked IN PLACE — the window keys
+      // (centroid, pa, pb, ida) are a superset of the pair exchange's
+      // (centroid, pa, pb), so the O(tile^2) candidate stream sorts
+      // locally and never re-shuffles (the r7 lesson: windowing the raw
+      // candidates by bare __ida measured 114 s at the sf2 sweep point)
+      .withColumn("__tr", row_number().over(
+        Window.partitionBy(col("centroid_id"), col("__pa"), col("__pb"),
+            col("__ida"))
+          .orderBy(col("__qdot").desc, col("__idb"))))
+      .filter(col("__tr") <= k)
+      // phase 2: global top-k per query over <= k * B_c scalar rows
       .withColumn("__r", row_number().over(
-        Window.partitionBy(col("centroid_id"), col("__ida"))
+        Window.partitionBy(col("__ida"))
           .orderBy(col("__qdot").desc, col("__idb"))))
       .filter(col("__r") <= k)
     val votes = ranked.groupBy(col("__ida"), col("__la"), col("__lb"))

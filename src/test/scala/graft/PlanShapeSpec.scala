@@ -288,6 +288,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("cosine_ge"), s"native threshold expr missing:\n$plan")
   }
 
+  test("SemDeDup pair join ABOVE the broadcast threshold: tiled shape survives the " +
+      "strategy flip (the measured r8 sf4 cliff regime)") {
+    // The r8 sweep measured semDedup cliffing 25.6 s -> 324.9 s across the
+    // sf2->sf4 doubling: the pre-tiling pair join ASSUMED its build side
+    // broadcasts, and past spark.sql.autoBroadcastJoinThreshold the plan
+    // flipped to a join keyed by the ~nlist-valued centroid column whose
+    // AQE-coalescable exchange funneled all pair work into a few tasks.
+    // This pin reproduces the regime (broadcast disabled = build side
+    // arbitrarily large) and asserts per-task work stays bounded BY
+    // CONSTRUCTION: the join keys on (centroid, tile, tile), the tile
+    // exchanges are explicit-count, and a cluster larger than tileRows
+    // actually splits. Results must be identical in both regimes — tiling
+    // repartitions the pair test, never changes it.
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val emb = (0L until 600L).map(i =>
+        (i, Array.tabulate(8)(d => ((i % 3) * 10 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val expected = graft.operators.Similarity.semDedup(
+      emb, "vec_id", "embedding", nCentroids = 3, tileRows = 100).collect().toSet
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Similarity.semDedup(
+        emb, "vec_id", "embedding", nCentroids = 3, tileRows = 100)
+      val got = df.collect().toSet
+      assert(got == expected, "tiled pair join changed results across join strategies")
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!plan.contains("CartesianProduct"), s"pair join degenerated:\n$plan")
+      // the pair join must key on ALL THREE tile columns — a join on bare
+      // centroid_id is the unbounded per-key cross product that cliffed
+      assert("(SortMergeJoin|ShuffledHashJoin) \\[centroid_id#\\d+L?, __pa#\\d+, __pb#\\d+\\]".r
+          .findFirstIn(plan).isDefined,
+        s"pair join not keyed on (centroid, tile, tile):\n$plan")
+      assert("REPARTITION_BY_NUM".r.findAllIn(plan).length >= 3,
+        s"tile exchanges not explicit-count (AQE-coalescable):\n$plan")
+      // 600 rows over 3 planted clusters at tileRows=100 -> every cluster
+      // splits into >= 2 tiles; the sequence explode must be present
+      assert(plan.contains("explode(sequence(0"),
+        s"clusters above tileRows did not tile:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+  }
+
   test("q71 compaction plan: one hash exchange + per-partition sort, nothing else moves") {
     val plan = executed(SparkEntry.queries("q71_compaction_plan")(spark, dir))
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
@@ -335,25 +382,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ntile"), s"global ntile window planned:\n$plan")
   }
 
-  test("q82 label audit (production twin): pair sides share one assignment exchange, no cartesian, rank rides the assignment partitioning") {
+  test("q82 label audit (production twin): tiled pair join, in-place tile rank, k-bounded re-rank") {
     val plan = executed(SparkEntry.benchQueries("q82_label_noise")(spark, dir))
     assert(plan.contains("ReusedExchange"),
       s"self-join sides not sharing the assignment pass:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"kNN candidates must be cluster-bounded:\n$plan")
-    // the O(occupancy^2) candidate stream must be ranked in place: the
-    // rank window keys on (centroid_id, __ida), which the assignment
-    // exchange already satisfies — a window on bare __ida re-shuffles
-    // every pair (measured 114 s vs this shape at the sf2 sweep point)
+    // the O(tile^2) candidate stream must be ranked IN PLACE: the phase-1
+    // window keys on (centroid, __pa, __pb, __ida) — a superset of the
+    // tile exchange's keys, so no shuffle sits between the pair join and
+    // the first k-filter (the r7 lesson: windowing raw candidates by bare
+    // __ida measured 114 s at the sf2 sweep point)
     assert(plan.contains("windowspecdefinition(centroid_id"),
-      s"rank window not keyed to the assignment partitioning:\n$plan")
-    // exactly 3 hash-exchange OPERATORS ("+-"-prefixed; the ReusedExchange
+      s"tile rank window not keyed to the pair-join partitioning:\n$plan")
+    // the phase-2 re-rank shuffles only k-bounded survivors: Spark plans
+    // a PARTIAL WindowGroupLimit below the __ida exchange, so at most k
+    // rows per (partition, query) ever move
+    assert("WindowGroupLimit \\[__ida[^\\]]*\\].*Partial".r.findFirstIn(plan).isDefined,
+      s"phase-2 rank not k-bounded before its exchange:\n$plan")
+    // exactly 4 hash-exchange OPERATORS ("+-"-prefixed; the ReusedExchange
     // line repeats the text): the assignment repartition (reused by both
-    // pair sides) + the two k-bounded votes exchanges. A 4th would be the
-    // candidate stream re-shuffling before the rank window.
+    // pair sides) + the two explicit tile-pair exchanges + the __ida
+    // exchange the phase-2 rank, votes agg, k_eff window and final vote
+    // rank ALL ride. A 5th would mean a consumer re-shuffling candidates.
     val hashEx = "\\+- Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(hashEx <= 3,
-      s"candidate pairs re-shuffled before the rank window ($hashEx exchanges):\n$plan")
+    assert(hashEx <= 4,
+      s"candidate stream re-shuffled beyond the tiled shape ($hashEx exchanges):\n$plan")
+    // the tile exchanges must be explicit-count (AQE-coalesce-exempt):
+    // the pair join's OUTPUT is quadratic in what AQE can see
+    val tiled = "REPARTITION_BY_NUM".r.findAllIn(plan).length
+    assert(tiled >= 3, s"tile exchanges not explicit-count:\n$plan")
   }
 
   test("q83 text cleanup and q84 split assignment are zero-exchange codegen scans") {

@@ -50,6 +50,49 @@ class VectorExprSpec extends SparkSpec {
     assert(gotI(1)._2 == 0L)
   }
 
+  test("native quantized_dot matches the HOF form on random, null, and " +
+      "length-mismatched inputs (value AND null semantics)") {
+    val rnd = new scala.util.Random(29)
+    val rows = (0L until 200L).map { i =>
+      val len = if (i % 17 == 0) 8 else 16 // planted length mismatches
+      (i, if (i % 23 == 0) null
+          else Seq.fill(len)(rnd.nextInt(2001).toLong - 1000L))
+    }
+    val df = rows.toDF("id", "qa")
+      .withColumn("qb", expr("transform(qa, x -> x + id % 7)"))
+    // cross pair a few rows so mismatched lengths actually meet
+    val a = df.select(col("id").as("ida"), col("qa"))
+    val b = df.limit(20).select(col("id").as("idb"), col("qb"))
+    val both = a.crossJoin(b).select(
+        VectorFns.quantizedDot(col("qa"), col("qb")).as("native"),
+        VectorFns.quantizedDotHof(col("qa"), col("qb")).as("hof"))
+      .as[(Option[Long], Option[Long])].collect()
+    both.foreach { case (n, h) => assert(n == h, s"native $n != hof $h") }
+    assert(both.exists(_._1.isEmpty) && both.exists(_._1.nonEmpty))
+  }
+
+  test("native centroid_argmin matches the HOF ranking's element 1 on every row, " +
+      "including planted dist ties (lowest-cid tie-break)") {
+    val rnd = new scala.util.Random(31)
+    // centroids drawn FROM the corpus rows -> guaranteed exact-distance
+    // ties (a row vs its own centroid) plus duplicate rows for multi-way
+    // ties between equal centroids at different cids
+    val base = (0L until 120L).map(i =>
+      (i, Seq.fill(12)(rnd.nextInt(21).toLong - 10L)))
+    val rows = base ++ base.take(15).map { case (i, v) => (i + 1000L, v) }
+    val df = rows.toDF("id", "qv")
+    val cents = (base.take(6) ++ base.take(3)).zipWithIndex.map {
+      case ((_, v), ci) => (ci.toLong, v.toArray)
+    }
+    val got = df.select(col("id"),
+        graft.operators.Similarity.centroidArgmin(cents)(col("qv")).as("native"),
+        element_at(graft.operators.Similarity.centroidRanking(cents)(col("qv")), 1)
+          .getField("cid").as("hof"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (id, n, h) => assert(n == h, s"row $id: native $n != hof $h") }
+    assert(got.map(_._2).distinct.length > 1)
+  }
+
   test("cmpProd3 matches BigInt arithmetic on random and extreme operands") {
     def ref(a: Long, b: Long, c: Long, d: Long, e: Long, f: Long): Int =
       (BigInt(a) * b * c).compare(BigInt(d) * e * f)
