@@ -85,7 +85,12 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       queries.foreach { case (_, fn) =>
-        try exec(fn(spark, warmDir)) catch { case _: Throwable => () }
+        try exec(fn(spark, warmDir)) catch { case _: Throwable =>
+          if (spark.sparkContext.isStopped) {
+            System.err.println("[bench] SparkContext stopped during warm-up — aborting run")
+            sys.exit(3)
+          }
+        }
       }
 
     // A throwing query must be LOUD: it reports -1 (excluded from the total)
@@ -99,6 +104,15 @@ object Bench {
         try { exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch {
           case e: Throwable =>
+            // a dead context means EVERY remaining rep/query fails the
+            // same way (the r8 sf8 sweep log: 48 identical errors against
+            // a SIGINT-stopped context) — abort the JVM with a distinct
+            // rc instead of iterating failures into the artifact
+            if (spark.sparkContext.isStopped) {
+              System.err.println(
+                s"[bench] SparkContext stopped during $name — aborting run")
+              sys.exit(3)
+            }
             val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
             if (!errors.contains(name)) errors += name -> msg
             System.err.println(s"[bench] $name FAILED: $msg")

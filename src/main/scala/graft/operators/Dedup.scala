@@ -152,6 +152,20 @@ object Dedup {
       .distinct()
   }
 
+  /** The `pairPartitions=0` sizing rule, factored out so the spec can pin
+    * its regimes directly: one partition per ~24 KiB of the input's
+    * Catalyst size estimate, floored at the session shuffle width (small
+    * corpora keep the default plan), clamped at 1024× it (size estimates
+    * inflate multiplicatively through joins). Reads
+    * `optimizedPlan.stats.sizeInBytes` — file bytes for a scan, row-count
+    * × row-width for in-memory plans; never runs a job. */
+  private[graft] def sizedPairPartitions(df: DataFrame): Int = {
+    val base = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val sized = (bytes / (24 * 1024)).min(BigInt(1024L * base)).toLong
+    math.max(base.toLong, sized).toInt
+  }
+
   /** Exhaustive-on-candidates n-gram Jaccard dedup: candidate pairs are docs
     * sharing at least one shingle (inverted-index join — shuffle keyed by
     * shingle, hot shingles capped), then exact Jaccard >= threshold.
@@ -185,19 +199,6 @@ object Dedup {
     * past that — or at 100 TB — pass `pairPartitions` explicitly, sized
     * so a partition's candidate set (~Σ min(DF,cap)² / P) fits an
     * executor's aggregation memory. */
-  /** The `pairPartitions=0` sizing rule, factored out so the spec can pin
-    * its regimes directly: one partition per ~24 KiB of the input's
-    * Catalyst size estimate, floored at the session shuffle width (small
-    * corpora keep the default plan), clamped at 1024× it (size estimates
-    * inflate multiplicatively through joins). Reads
-    * `optimizedPlan.stats.sizeInBytes` — file bytes for a scan, row-count
-    * × row-width for in-memory plans; never runs a job. */
-  private[graft] def sizedPairPartitions(df: DataFrame): Int = {
-    val base = df.sparkSession.sessionState.conf.numShufflePartitions
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val sized = (bytes / (24 * 1024)).min(BigInt(1024L * base)).toLong
-    math.max(base.toLong, sized).toInt
-  }
 
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, threshold: Double = 0.8,

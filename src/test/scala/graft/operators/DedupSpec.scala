@@ -44,16 +44,28 @@ class DedupSpec extends SparkSpec {
 
   test("sizedPairPartitions: floor / proportional / clamp regimes") {
     val base = spark.sessionState.conf.numShufflePartitions
+    // expected values derive from the plan's OWN Catalyst size estimate —
+    // the regime boundaries are the thing under test, not Spark's stats
+    // model for any particular plan shape (which a version upgrade may
+    // change without sizedPairPartitions misbehaving)
+    def statsBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
     // tiny input: the floor regime — keep the session default width
     assert(Dedup.sizedPairPartitions(docs) == base)
-    // ~8 MiB estimate (range rows are 8 bytes in Catalyst stats): the
-    // bytes-proportional regime — one task per 24 KiB, well above floor
-    val mid = Dedup.sizedPairPartitions(spark.range(1L << 20).toDF("id"))
-    val expectMid = ((1L << 23) / (24 * 1024)).toInt
-    assert(mid == math.max(base, expectMid), s"mid=$mid")
-    // ~1.6 GiB estimate: the clamp regime — capped at 1024x session width
-    val big = Dedup.sizedPairPartitions(spark.range(200L << 20).toDF("id"))
-    assert(big == 1024 * base, s"big=$big")
+    assert(statsBytes(docs) / (24 * 1024) < base,
+      "floor-regime fixture no longer small enough to exercise the floor")
+    // mid-size estimate: the bytes-proportional regime — one task per
+    // 24 KiB, above the floor, below the clamp
+    val midDf = spark.range(1L << 20).toDF("id")
+    val expectMid = (statsBytes(midDf) / (24 * 1024)).toInt
+    assert(expectMid > base && expectMid < 1024 * base,
+      s"mid fixture left the proportional regime (expect=$expectMid)")
+    assert(Dedup.sizedPairPartitions(midDf) == expectMid)
+    // huge estimate: the clamp regime — capped at 1024x session width
+    val bigDf = spark.range(200L << 20).toDF("id")
+    assert(statsBytes(bigDf) / (24 * 1024) > 1024L * base,
+      "clamp-regime fixture no longer large enough to exercise the clamp")
+    assert(Dedup.sizedPairPartitions(bigDf) == 1024 * base)
   }
 
   test("jaccardPairs matches brute-force ground truth") {

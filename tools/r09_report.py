@@ -1,17 +1,24 @@
 #!/usr/bin/env python3
-"""Assemble SCALING_r08.json from the round-8 sweep (tools/r08_sweep.sh):
+"""Assemble SCALING_r09.json from the round-9 sweep (tools/r09_sweep.sh):
 
-  A. new-op families one more decade — q70/q75/q76/q79/q82 at sf1/2/4/8
-     (log-log slope on minima, medians alongside; r7 evidence stopped at
-     sf2 and the brief's question is the next decade)
+  A. new-op families sf1/2/4/8 — q70/q75/q76/q79/q82 bench twins, one JVM
+     per point, minima-of-3 (the r8 sweep caught q70/q82 cliffing 3.66x/
+     3.07x on the sf2->4 doubling; round 9 tiled the pair join and
+     nativized the dot/argmin kernels — this is the re-measurement)
   B. q39 sf2 same-config stability x2 under the SIZED pairPartitions
-  C. CorpusPipeline end-to-end at sf2/4/8 (total + per-stage slopes)
+  C. CorpusPipeline end-to-end at sf2/4/8
   D. multimodal decode->aHash->near-dup at 8k/32k/128k real PNGs, with
      measured payload-pruning bytes and planted-pair recall
   E. streaming curation steady state: per-batch wall vs index size,
      least-squares drift over the post-warmup tail
 
-Usage: r08_report.py <r08Dir> [> SCALING_r08.json]
+Replaces tools/r08_report.py, which fed Bench's -1.0 error sentinels into
+the log-log fits (clamped to log(1e-3) — a failed query yielded a
+plausible-looking corrupted slope). This version FAILS FAST when a bench
+line carries an 'errors' key or any negative per-query value: scaling
+evidence must come from clean runs only.
+
+Usage: r09_report.py <workDir> [> SCALING_r09.json]
 """
 import json
 import math
@@ -21,8 +28,9 @@ work = sys.argv[1]
 
 
 def fit(xs, ys):
+    assert all(y > 0 for y in ys), f"non-positive time in fit input: {ys}"
     lx = [math.log(x) for x in xs]
-    ly = [math.log(max(y, 1e-3)) for y in ys]
+    ly = [math.log(y) for y in ys]
     n = len(xs)
     mx, my = sum(lx) / n, sum(ly) / n
     den = sum((x - mx) ** 2 for x in lx)
@@ -30,11 +38,19 @@ def fit(xs, ys):
 
 
 def bench_lines(path):
-    """Bench writes two self-contained lines: medians then minima."""
+    """Bench writes two self-contained lines: medians then minima.
+    Refuse errored or sentinel-carrying runs — a corrupted point must
+    break the report, not bend a slope."""
     with open(path) as f:
         lines = [json.loads(l) for l in f if l.strip()]
     med = next(l for l in lines if l["metric"] == "total")
     mn = next(l for l in lines if l["metric"] == "total_min")
+    if "errors" in med:
+        sys.exit(f"REFUSING {path}: bench run carries errors: {med['errors']}")
+    bad = {k: v for line in (med["queries"], mn["queries_min"])
+           for k, v in line.items() if v < 0}
+    if bad:
+        sys.exit(f"REFUSING {path}: negative (sentinel) timings: {bad}")
     return med, mn
 
 
@@ -122,8 +138,9 @@ curation = {
 }
 
 out = {
-    "what": ("round-8 extrapolation evidence: the near-linear families one "
-             "more decade (sf1-8, isolated JVMs, minima-of-3), q39 sf2 "
+    "what": ("round-9 scale evidence: the r8-measured q70/q82 cliff "
+             "re-measured after the tiled pair join + native dot/argmin "
+             "kernels (sf1-8, isolated JVMs, minima-of-3), q39 sf2 "
              "stability under the SIZED posting exchange, CorpusPipeline "
              "end-to-end sf2-8, multimodal decode/near-dup at 8k-128k real "
              "PNGs with measured payload pruning, and the streaming "

@@ -1,27 +1,25 @@
 #!/bin/bash
-# Round-8 scale-evidence sweep — one JVM per measurement point, run on an
+# Round-9 scale-evidence sweep — one JVM per measurement point, run on an
 # IDLE machine (no sbt while this runs; tools/jrun.sh avoids the sbt lock).
+# Replaces tools/r08_sweep.sh (whose stage A was interrupted at sf8 and
+# whose artifacts lived only in gitignored scaledata/ — this version ends
+# by COPYING every point JSON into scaling/r09/, which is committed).
 #
-#  A. near-linear families one more decade: q70/q75/q76/q79/q82 bench
-#     twins at sf1/2/4/8 (the r7 evidence stopped at sf2; q39 proved
-#     regimes can change with another doubling)
-#  B. q39 sf2 same-config stability x2 under the NEW sized pairPartitions
-#     (replaces the r7 fixed-512 pin; sf0.1 recovery is in BENCH_r08)
-#  C. CorpusPipeline end-to-end at sf2/4/8 (within-round continuity point
-#     at sf2, then the new decade)
-#  D. multimodal decode->aHash->near-dup at 8k/32k/128k real PNGs — the
-#     one family with no scaling point in r7 — plus measured payload
-#     pruning bytes
-#  E. streaming curation steady state: 25 fixed-size micro-batches,
-#     per-batch wall vs index size (the O(batch) flat-line)
+#  A. q70/q75/q76/q79/q82 bench twins at sf1/2/4/8 — the re-measurement of
+#     the r8 cliff after the tiled pair join + native kernels
+#  B. q39 sf2 same-config stability x2 under the SIZED pairPartitions
+#  C. CorpusPipeline end-to-end at sf2/4/8
+#  D. multimodal decode->aHash->near-dup at 8k/32k/128k real PNGs
+#  E. streaming curation steady state: 25 fixed-size micro-batches
 set -u
 cd "$(dirname "$0")/.."
-WORK=/root/repo/scaledata/r08
-mkdir -p "$WORK"
+WORK=/root/repo/scaledata/r09
+KEEP=/root/repo/scaling/r09
+mkdir -p "$WORK" "$KEEP"
 STATUS="$WORK/status.txt"
 : > "$STATUS"
 
-# A: new-op families, one more decade
+# A: new-op families — the cliff re-measurement decade
 for sf in 1 2 4 8; do
   SPARK_GRAFT_SF_DIR=/root/repo/scaledata/sf$sf \
   SPARK_GRAFT_BENCH_ONLY=q70_semdedup,q75_classifier_score,q76_lm_perplexity,q79_ppl_buckets,q82_label_noise \
@@ -51,6 +49,7 @@ for sf in 2 4 8; do
     "/root/repo/scaledata/sf$sf" "$WORK/corpus_out_$sf" "$sf" \
     "$WORK/corpus_$sf.json" > "$WORK/corpus_$sf.log" 2>&1
   echo "corpus sf$sf rc=$?" >> "$STATUS"
+  rm -rf "$WORK/corpus_out_$sf"
 done
 
 # D: multimodal scaling points
@@ -69,5 +68,13 @@ SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
 tools/jrun.sh graft.tools.CurateSteadyState \
   "$WORK/curate" 25 2000 "$WORK/curate.json" > "$WORK/curate.log" 2>&1
 echo "curate rc=$?" >> "$STATUS"
+rm -rf "$WORK/curate"
 
-echo "R08_SWEEP_COMPLETE" >> "$STATUS"
+# persist every point artifact where git can see it (the r8 lesson:
+# evidence left in gitignored scaledata/ vanished with the workdir)
+cp "$WORK"/newops_sf*.json "$WORK"/q39_sf2_run*.json \
+   "$WORK"/corpus_*.json "$WORK"/mm_*.json "$WORK"/curate.json \
+   "$WORK/status.txt" "$KEEP"/ 2>> "$STATUS"
+python3 tools/r09_report.py "$KEEP" > "$KEEP/SCALING_r09.json" 2>> "$STATUS" \
+  && cp "$KEEP/SCALING_r09.json" /root/repo/SCALING_r09.json
+echo "R09_SWEEP_COMPLETE" >> "$STATUS"
