@@ -88,7 +88,49 @@ object Compaction {
     * [[graft.operators.MergeSink]]; readers see old or new, never a mix. */
   def compactParquetDir(spark: SparkSession, dir: String,
                         targetBytes: Long,
-                        maxParallelBins: Int = 4): (Int, Int) = {
+                        maxParallelBins: Int = 4): (Int, Int) =
+    compactDirInto(spark, dir, dir + ".compact-staging", dir + ".compact-old",
+      targetBytes, maxParallelBins)
+
+  /** [[compactParquetDir]] for a HIVE-PARTITIONED parquet table
+    * (`root/key=value/part-*`): compact each partition directory
+    * independently, never merging across partitions — partition dirs are
+    * replay/overwrite boundaries (dynamic partition overwrite replaces a
+    * whole `key=value` dir, so rows must stay inside theirs) and pruning
+    * boundaries. Already-compact partitions no-op cheaply, so calling
+    * this every K batches from an ingestion loop does O(new partitions)
+    * work, not O(table).
+    *
+    * Staging and swap directories live under SIBLINGS of the table root
+    * (`root.compact-staging/key=value`), NOT inside it: a leftover
+    * `root/key=value.compact-old` from a crash would parse as a bogus
+    * partition value and double-read old rows; outside the root, leftover
+    * state is invisible to readers and cleaned on the next pass.
+    * Returns (filesBefore, filesAfter) summed over partitions. */
+  def compactPartitionedDir(spark: SparkSession, root: String,
+                            targetBytes: Long,
+                            maxParallelBins: Int = 4): (Int, Int) = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return (0, 0)
+    val parts = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath).sortBy(_.getName)
+    val out = parts.foldLeft((0, 0)) { case ((b, a), part) =>
+      val (pb, pa) = compactDirInto(spark, part.toString,
+        s"$root.compact-staging/${part.getName}",
+        s"$root.compact-old/${part.getName}", targetBytes, maxParallelBins)
+      (b + pb, a + pa)
+    }
+    fs.delete(new Path(root + ".compact-staging"), true)
+    fs.delete(new Path(root + ".compact-old"), true)
+    out
+  }
+
+  private def compactDirInto(spark: SparkSession, dir: String,
+                             stagingDir: String, oldDir: String,
+                             targetBytes: Long,
+                             maxParallelBins: Int): (Int, Int) = {
     require(maxParallelBins >= 1, s"maxParallelBins must be >= 1, got $maxParallelBins")
     val listing = listPartFiles(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
@@ -102,7 +144,7 @@ object Compaction {
     if (listing.length <= bins.length) return (listing.length, bins.length)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new Path(dir + ".compact-staging")
+    val staging = new Path(stagingDir)
     fs.delete(staging, true)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(maxParallelBins, bins.length))
@@ -134,8 +176,9 @@ object Compaction {
         }
       fs.delete(binDir, true)
     }
-    val old = new Path(dir + ".compact-old")
+    val old = new Path(oldDir)
     fs.delete(old, true)
+    fs.mkdirs(old.getParent)
     require(fs.rename(p, old), s"compaction swap: could not move $dir aside")
     require(fs.rename(staging, p), s"compaction swap: could not publish $staging")
     fs.delete(old, true)

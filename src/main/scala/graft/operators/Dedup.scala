@@ -347,6 +347,85 @@ object Dedup {
     out
   }
 
+  /** [[incrementalNearDups]] against a MATERIALIZED bucket sidecar — the
+    * deployment shape the [[nearDupIndex]] scaladoc prescribes, with the
+    * set fetch partition-pruned. Same pair set as [[incrementalNearDups]]
+    * over the same index (DedupSpec pins the equality); the difference is
+    * per-batch IO:
+    *
+    *  - [[incrementalNearDups]] re-derives band buckets from the FULL
+    *    index's signature column every batch (O(index x bands) explode +
+    *    hash) and the Jaccard verify scans the full index's shingle-set
+    *    arrays — both grow with the corpus, which is the measured drift
+    *    of the r9 curation steady state (~160 ms/batch at 2k docs/batch).
+    *  - here the buckets were computed ONCE, at index-write time, into
+    *    `indexBuckets` (3 thin int64 columns + a partition value — ~1.5%
+    *    of the index's array bytes), and the fat shingle sets are fetched
+    *    only for the PARTITIONS whose rows actually collided with the
+    *    batch, via `fetchIndexSets` (the caller maps partition values to
+    *    a pruned scan of its lake layout).
+    *
+    * The one driver-side step is collecting the DISTINCT collided
+    * partition values — bounded by the number of ingested batches (one
+    * value per `partCol` partition, ~bytes each; years of daily batches
+    * collect in KBs), the same bounded-metadata class as compaction's
+    * file listing.
+    *
+    * The thin bucket scan itself remains O(index) bytes — the honest
+    * floor of LSH probing on immutable files: Spark cannot point-look-up
+    * a bucket. Its coefficient is ~24 B x bands per indexed doc, two
+    * orders below the signature+set re-derivation it replaces; a
+    * deployment needing true O(batch) probes puts the sidecar behind a
+    * hash-partitioned store keyed by (band, bucket). */
+  def incrementalNearDupsIndexed(batch: DataFrame, indexBuckets: DataFrame,
+                                 fetchIndexSets: Seq[Any] => DataFrame,
+                                 idCol: String, partCol: String,
+                                 numHashes: Int = 64, bands: Int = 16,
+                                 shingleN: Int = 3, threshold: Double = 0.8,
+                                 maxBucketSize: Int = 1000,
+                                 textCol: String = "text"): DataFrame = {
+    val batchIdx = nearDupIndex(batch, idCol, textCol, numHashes, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBuckets = bandBuckets(batchIdx, idCol, bands, numHashes)
+      .withColumn("__part", lit(null).cast(indexBuckets.schema(partCol).dataType))
+    val iBuckets = indexBuckets
+      .join(broadcast(bBuckets.select(col("band"), col("bucket")).distinct()),
+        Seq("band", "bucket"), "leftsemi")
+      .select(col("band"), col("bucket"), col(idCol), col(partCol).as("__part"))
+    val union = bBuckets.withColumn("__new", lit(true))
+      .unionByName(iBuckets.withColumn("__new", lit(false)))
+    val capped = (
+      if (maxBucketSize == Int.MaxValue) union
+      else union
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+        .filter(col("__n") <= maxBucketSize)
+        .drop("__n")
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // bounded driver collect: one value per collided index partition
+      val parts = capped.filter(!col("__new"))
+        .select(col("__part")).distinct().collect().map(_.get(0)).toSeq
+      val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("__new").as("__na"))
+      val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("__new").as("__nb"))
+      val pairs = a.join(b, Seq("band", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(col("__na") || col("__nb"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      val idxSets =
+        if (parts.isEmpty) batchIdx.select(col(idCol), col("shset")).limit(0)
+        else fetchIndexSets(parts).select(col(idCol), col("shset"))
+      val allSets = batchIdx.select(col(idCol), col("shset")).unionByName(idxSets)
+      // same lineage-severing release discipline as minhashDedup
+      jaccardForPairsSets(allSets, pairs, idCol)
+        .filter(col("jaccard") >= threshold)
+        .localCheckpoint(true)
+    } finally {
+      capped.unpersist()
+      batchIdx.unpersist()
+    }
+  }
+
   /** Exact-Jaccard verification of candidate pairs: join each side's
     * shingle-set array, intersect per row (array_intersect). Shuffles only
     * the candidate pairs and two set arrays — never an exploded posting

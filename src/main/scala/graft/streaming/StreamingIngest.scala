@@ -90,14 +90,53 @@ object StreamingIngest {
     * replay semantics are testable: running it twice with the SAME
     * batchId (what a post-crash Structured Streaming replay does) must
     * leave identical pairs/index partitions. */
-  /** Replay-safe index read shared by [[incrementalDedupBatch]] and
-    * [[curateBatch]]: the persisted signature index with any ids of THIS
-    * batch anti-joined out (present iff this is a post-crash replay whose
-    * index write already landed), so a replay sees exactly the index
-    * state the original run saw. Path-resolved Hadoop FS, not
+  /** Replay-safe index read for [[incrementalDedupBatch]] (and the
+    * fat-set fetch inside [[curateBatch]]): the persisted signature index
+    * with any ids of THIS batch anti-joined out (present iff this is a
+    * post-crash replay whose index write already landed), so a replay
+    * sees exactly the index state the original run saw. Path-resolved
+    * Hadoop FS, not
     * java.io.File — the index lives wherever the deployment's warehouse
     * does (HDFS/S3 at 100 TB); a local-only check would silently dedup
     * every batch against an empty index there. */
+  /** The bucket sidecar's conventional location, derived from the index
+    * path: a SIBLING directory (never inside the index root, where its
+    * dirs would corrupt partition discovery). */
+  def bucketsPath(indexPath: String): String = indexPath + "_buckets"
+
+  /** Replay-safe read of the bucket sidecar for [[curateBatch]]'s pruned
+    * probe: this batch's ids anti-joined out (same contract as
+    * [[replaySafeIndex]]). Bootstrap/migration: an index WITHOUT a sidecar
+    * (a deployment predating it) gets the sidecar derived from the full
+    * index and written ONCE — O(corpus) on that batch only; every later
+    * batch appends its own partition incrementally. */
+  private def replaySafeBuckets(spark: SparkSession, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                indexPath: String, numHashes: Int,
+                                bands: Int, shingleN: Int): DataFrame = {
+    import graft.operators.Dedup
+    val bPath = bucketsPath(indexPath)
+    val hBuckets = new org.apache.hadoop.fs.Path(bPath)
+    val hIndex = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = hBuckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hBuckets) && fs.exists(hIndex)) {
+      val idx = spark.read.parquet(indexPath)
+      Dedup.bandBuckets(idx, idCol, bands, numHashes)
+        .join(idx.select(col(idCol), col("batch_id")), Seq(idCol))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(bPath)
+    }
+    if (fs.exists(hBuckets))
+      spark.read.parquet(bPath)
+        .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_anti")
+    else
+      Dedup.bandBuckets(
+          Dedup.nearDupIndex(batch.limit(0), idCol, textCol, numHashes, shingleN),
+          idCol, bands, numHashes)
+        .withColumn("batch_id", lit(null).cast("long"))
+  }
+
   private def replaySafeIndex(spark: SparkSession, batch: DataFrame,
                               idCol: String, textCol: String,
                               indexPath: String, numHashes: Int,
@@ -137,9 +176,20 @@ object StreamingIngest {
   /** Streaming corpus curation — the "corpus grows daily" twin of
     * [[graft.pipeline.CorpusPipeline]]'s front half: each micro-batch is
     * cleaned (q83), quality-gated (q34/q35), near-dup'd against the
-    * PERSISTED signature index (q65's O(batch) discipline — history text
-    * is never re-read, never index-vs-index), and appended to the
-    * curated lake; every drop lands beside it with a `drop_reason`.
+    * PERSISTED signature index (q65's discipline — history text is never
+    * re-read, never index-vs-index), and appended to the curated lake;
+    * every drop lands beside it with a `drop_reason`.
+    *
+    * Per-batch index cost, measured (r9 steady state, 25 x 2k-doc
+    * batches): probing through the plain [[graft.operators.Dedup
+    * .incrementalNearDups]] re-derived buckets from every indexed
+    * signature each batch and drifted +160 ms/batch; the
+    * [[graft.operators.Dedup.incrementalNearDupsIndexed]] probe used here
+    * reads the thin bucket SIDECAR (written incrementally below) and
+    * fetches shingle sets only from the batch_id partitions that actually
+    * collided — per-batch work is O(batch) plus an O(index) thin-bucket
+    * scan at ~24 B x bands per indexed doc (see that method's doc for the
+    * floor argument).
     *
     * Near-dup keep rules: a batch doc yields to ANY history match (the
     * canonical already shipped — it cannot be unshipped) and to a
@@ -149,10 +199,11 @@ object StreamingIngest {
     * stage.
     *
     * Exactly-once on replay without transactions, the
-    * [[incrementalDedupBatch]] contract: all three sinks partition by
-    * batch_id with dynamic partition overwrite, and the index read
-    * anti-joins this batch's ids out, so a replayed batch recomputes
-    * identical partitions. */
+    * [[incrementalDedupBatch]] contract: all four sinks (curated,
+    * rejects, index, bucket sidecar) partition by batch_id with dynamic
+    * partition overwrite, and every index/sidecar read anti-joins this
+    * batch's ids out, so a replayed batch recomputes identical
+    * partitions. */
   def curateBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
                   idCol: String, textCol: String, indexPath: String,
                   curatedPath: String, rejectsPath: String,
@@ -174,19 +225,32 @@ object StreamingIngest {
     val passed = scored.filter(col("drop_reason").isNull).drop("drop_reason")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val index = replaySafeIndex(spark, passed, idCol, textCol, indexPath,
-        numHashes, shingleN)
-      val pairs = Dedup.incrementalNearDups(passed, index, idCol, textCol,
-        numHashes, bands, shingleN, threshold, maxBucketSize)
+      // Probe through the materialized bucket sidecar + partition-pruned
+      // set fetch (Dedup.incrementalNearDupsIndexed), NOT the plain
+      // incrementalNearDups: the plain probe re-derives band buckets from
+      // the full index and scans every indexed doc's shingle-set array
+      // each batch, so per-batch wall grows with the corpus (the measured
+      // r9 steady-state drift). Here the per-batch index IO is the thin
+      // bucket scan plus only the COLLIDED batch_id partitions' sets.
+      val iBuckets = replaySafeBuckets(spark, passed, idCol, textCol,
+        indexPath, numHashes, bands, shingleN)
+      val fetchSets = (parts: Seq[Any]) =>
+        spark.read.parquet(indexPath)
+          .filter(col("batch_id").isin(parts: _*))
+          .join(broadcast(passed.select(col(idCol))), Seq(idCol), "left_anti")
+      val pairs = Dedup.incrementalNearDupsIndexed(passed, iBuckets,
+        fetchSets, idCol, "batch_id", numHashes, bands, shingleN,
+        threshold, maxBucketSize, textCol)
       // orient every pair both ways; batch ids and index ids are
-      // disjoint, so "other side in the index" = history match and
-      // everything else is within-batch
+      // disjoint, so "other side NOT in this batch" = history match and
+      // everything else is within-batch — classified against the
+      // micro-batch-sized id set, no index scan
       val oriented = pairs.select(col("id_a").as("__d"), col("id_b").as("__o"))
         .unionByName(pairs.select(col("id_b").as("__d"), col("id_a").as("__o")))
-      val indexIds = index.select(col(idCol).as("__o"))
-      val dropHist = oriented.join(indexIds, Seq("__o"), "left_semi")
+      val batchIds = passed.select(col(idCol).as("__o"))
+      val dropHist = oriented.join(broadcast(batchIds), Seq("__o"), "left_anti")
       val dropBatch = oriented.filter(col("__o") < col("__d"))
-        .join(indexIds, Seq("__o"), "left_anti")
+        .join(broadcast(batchIds), Seq("__o"), "left_semi")
       // Sever the index-read lineage HERE: `drops` is the only frame
       // downstream of the indexPath scan, and the index sink below
       // overwrites indexPath — a sink whose plan reads the path it
@@ -213,26 +277,60 @@ object StreamingIngest {
       sink(scored.filter(col("drop_reason").isNotNull)
         .unionByName(passed.join(drops, Seq(idCol), "left_semi")
           .withColumn("drop_reason", lit("near_duplicate"))), rejectsPath)
-      sink(Dedup.nearDupIndex(kept, idCol, textCol, numHashes, shingleN),
-        indexPath)
+      val keptIdx = Dedup.nearDupIndex(kept, idCol, textCol, numHashes, shingleN)
+      sink(keptIdx, indexPath)
+      // bucket sidecar: band buckets computed ONCE here, at write time, so
+      // future batches probe 3 thin int64 columns instead of re-deriving
+      // buckets from every indexed signature (same batch_id partitioning
+      // and dynamic overwrite -> same replay story as the index itself)
+      sink(Dedup.bandBuckets(keptIdx, idCol, bands, numHashes),
+        bucketsPath(indexPath))
     } finally passed.unpersist()
   }
 
   /** [[curateBatch]] as a Structured Streaming sink: foreachBatch loop
-    * with a checkpoint, AvailableNow by default (the daily-drain shape). */
+    * with a checkpoint, AvailableNow by default (the daily-drain shape).
+    *
+    * `compactEvery` (0 = off): every K committed batches, compact the
+    * near-dup index's and bucket sidecar's sealed `batch_id=` partitions
+    * in place ([[graft.maintenance.Compaction.compactPartitionedDir]]).
+    * Each batch appends one partition of small files; compaction keeps
+    * per-file open/footer costs bounded as batches accumulate (measured
+    * r9 A/B: with ~1 file/partition file count was NOT the drift driver —
+    * the probe's full-index bucket re-derivation was, which is why
+    * [[curateBatch]] now probes the materialized sidecar — but a
+    * many-task production batch writes `shuffle.partitions` files per
+    * partition, where compaction is what keeps listings flat).
+    * Per-partition compaction preserves the replay contract (dynamic
+    * partition overwrite still replaces whole `batch_id=` dirs) and is
+    * amortized O(1): partitions already at one file no-op on the next
+    * pass. Runs inside the trigger, after the batch's own sinks — the
+    * index is quiescent there, and a crash mid-compaction leaves either
+    * the old or the swapped partition, both complete. The curated/rejects
+    * lakes are write-only for this loop; compact those on the consumer's
+    * schedule instead. */
   def curateStream(spark: SparkSession, stream: DataFrame, idCol: String,
                    textCol: String, indexPath: String, curatedPath: String,
                    rejectsPath: String, checkpoint: String,
                    minTokens: Long = 10L, minQuality: Double = 0.3,
                    numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3,
                    threshold: Double = 0.5, maxBucketSize: Int = 1000,
-                   availableNow: Boolean = true): StreamingQuery = {
+                   availableNow: Boolean = true,
+                   compactEvery: Int = 0,
+                   compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(spark, batch, batchId, idCol, textCol, indexPath,
           curatedPath, rejectsPath, minTokens, minQuality, numHashes,
           bands, shingleN, threshold, maxBucketSize)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.maintenance.Compaction.compactPartitionedDir(
+            spark, indexPath, compactTargetBytes)
+          graft.maintenance.Compaction.compactPartitionedDir(
+            spark, bucketsPath(indexPath), compactTargetBytes)
+          ()
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }

@@ -20,7 +20,16 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * rate (~0.2% adjacent replays) and length distribution are identical
   * across batches — any wall-time drift is the loop, not the data.
   *
-  * Usage: jrun graft.tools.CurateSteadyState <workDir> <nBatches> <batchRows> [<outJson>]
+  * Usage: jrun graft.tools.CurateSteadyState <workDir> <nBatches> <batchRows> [<outJson>] [<compactEvery>] [<bands>] [<maxBucketSize>] [<vocabSize>]
+  * `compactEvery` > 0 turns on the loop's in-trigger index compaction
+  * (curateStream's knob) — the A/B that separates file-count drift from
+  * true per-row probe cost. `bands` (default 32 = curateStream's default,
+  * i.e. 2 minhash rows/band) sets LSH banding selectivity: on this
+  * 31-word-vocab synthetic corpus the default's per-band collision
+  * probability j^2 makes nearly every doc collide with history, so the
+  * candidate stream GROWS with the index (an LSH S-curve property of the
+  * corpus, not loop overhead); bands=16 (j^4) is the selective
+  * counter-point that isolates the loop's own drift.
   */
 object CurateSteadyState {
 
@@ -52,9 +61,35 @@ object CurateSteadyState {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one single-file parquet per batch: contiguous GenScaleData id slices
+    // one single-file parquet per batch: contiguous GenScaleData id slices.
+    // vocabSize > 0 swaps GenScaleData's 31-word vocabulary for a hashed
+    // synthetic one of that size, SAME doc shape (8-108 words, ~0.2%
+    // adjacent exact-dup replays): the decomposition experiment — with 31
+    // words every doc LSH-collides with most of the index (minhash
+    // concentrates on the globally-smallest common shingles), so probe
+    // work grows with the corpus by construction of the DATA; at
+    // realistic vocabulary entropy collisions ≈ true near-dups and the
+    // same loop runs flat
+    val vocabSize = args.lift(7).map(_.toInt).getOrElse(0)
     val incoming = s"$workDir/incoming"
-    val all = GenScaleData.documents(spark, nBatches * batchRows)
+    val all =
+      if (vocabSize <= 0) GenScaleData.documents(spark, nBatches * batchRows)
+      else {
+        val n = nBatches * batchRows
+        val seed0 = col("id")
+        val contentSeed = when(
+          pmod(xxhash64(lit("d_dup"), seed0, lit(42L)), lit(500L)) === 0 && seed0 > 0,
+          seed0 - 1).otherwise(seed0)
+        val len = (pmod(xxhash64(lit("d_len"), contentSeed, lit(42L)), lit(100L)) + 8).cast("int")
+        val text = array_join(
+          transform(sequence(lit(1), len), i =>
+            concat(lit("w"),
+              pmod(xxhash64(lit("d_w"), contentSeed, i, lit(42L)), lit(vocabSize.toLong)))),
+          " ")
+        spark.range(n).select(col("id").as("doc_id"), text.as("text"),
+          lit("en").as("lang"), lit("src0").as("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
     (0 until nBatches).foreach { b =>
       all.filter(col("doc_id") >= b * batchRows &&
           col("doc_id") < (b + 1) * batchRows)
@@ -77,9 +112,13 @@ object CurateSteadyState {
       .option("maxFilesPerTrigger", "1")
       .parquet(incoming)
     val indexPath = s"$workDir/index"
+    val compactEvery = args.lift(4).map(_.toInt).getOrElse(0)
+    val bands = args.lift(5).map(_.toInt).getOrElse(32)
+    val maxBucket = args.lift(6).map(_.toInt).getOrElse(1000)
     val q = graft.streaming.StreamingIngest.curateStream(spark, stream,
       "doc_id", "text", indexPath, s"$workDir/curated", s"$workDir/rejects",
-      s"$workDir/ckpt")
+      s"$workDir/ckpt", bands = bands, maxBucketSize = maxBucket,
+      compactEvery = compactEvery)
     q.awaitTermination()
     Thread.sleep(2000) // let the last progress event drain the listener bus
     spark.streams.removeListener(capture)
@@ -99,8 +138,12 @@ object CurateSteadyState {
       cum += perBatch.getOrElse(bid, 0L)
       s"""{"batch_id":$bid,"wall_ms":$ms,"input_rows":$inRows,"index_rows_after":$cum}"""
     }
-    // drift fit: least-squares slope of wall_ms over batch_id, batches
-    // 3+ (first batches carry JIT/codegen warm-up)
+    // drift fits over batches 3+ (first batches carry JIT/codegen
+    // warm-up): least-squares AND Theil-Sen (median of pairwise slopes) —
+    // one multi-second host-noise spike in a ~25-point window bends the
+    // LSQ slope by tens of ms/batch (observed: batch-18 spike turned a
+    // flat tail into "+89 ms/batch"); the median-of-slopes estimator is
+    // robust to it and is the headline number
     val steady = rows.drop(3).filter(_._2 >= 0)
     val drift =
       if (steady.size < 2) 0.0
@@ -110,9 +153,32 @@ object CurateSteadyState {
         xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
           math.max(1e-9, xs.map(x => (x - mx) * (x - mx)).sum)
       }
+    val driftTs =
+      if (steady.size < 2) 0.0
+      else {
+        val pts = steady.map(t => (t._1.toDouble, t._2.toDouble))
+        val slopes = (for {
+          i <- pts.indices; j <- (i + 1) until pts.size
+        } yield (pts(j)._2 - pts(i)._2) / (pts(j)._1 - pts(i)._1)).sorted
+        if (slopes.size % 2 == 1) slopes(slopes.size / 2)
+        else (slopes(slopes.size / 2 - 1) + slopes(slopes.size / 2)) / 2.0
+      }
     def f(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // final index file count: the thing compaction bounds
+    val idxFiles = {
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.startsWith("part-")) n += 1 }
+      n
+    }
     val line = s"""{"n_batches":$nBatches,"batch_rows":$batchRows,""" +
-      s""""drift_ms_per_batch":${f(drift)},"batches":[${entries.mkString(",")}]}"""
+      s""""compact_every":$compactEvery,"bands":$bands,""" +
+      s""""max_bucket_size":$maxBucket,"vocab_size":$vocabSize,""" +
+      s""""index_part_files":$idxFiles,""" +
+      s""""drift_ms_per_batch":${f(drift)},"drift_theil_sen_ms_per_batch":${f(driftTs)},""" +
+      s""""batches":[${entries.mkString(",")}]}"""
     args.lift(3).foreach { out =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     }

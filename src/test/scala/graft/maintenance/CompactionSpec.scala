@@ -53,4 +53,42 @@ class CompactionSpec extends SparkSpec {
     assert(res._1 == res._2, s"no fixpoint after $passes passes: $res")
     assert(spark.read.parquet(dir).as[(Long, Long)].collect().toSet == rows)
   }
+
+  test("compactPartitionedDir compacts each hive partition in place; partition column and rows intact; no staging debris under the root") {
+    val root = Files.createTempDirectory("compactp").resolve("t").toString
+    spark.range(0, 900)
+      .select((col("id") % 3).as("batch_id"), col("id"), (col("id") * 7).as("v"))
+      .repartition(8)
+      .write.partitionBy("batch_id").parquet(root)
+    val expect = spark.read.parquet(root)
+      .select("batch_id", "id", "v").as[(Long, Long, Long)].collect().toSet
+    def files(): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.startsWith("part-")) b += f.toString
+      }
+      b.result()
+    }
+    val nBefore = files().size
+    assert(nBefore > 3, s"fixture not fragmented: $nBefore files")
+    val (b1, a1) = Compaction.compactPartitionedDir(spark, root, 1L << 30)
+    assert(b1 == nBefore && a1 == 3, s"expected $nBefore -> 3 files, got $b1 -> $a1")
+    assert(files().size == 3)
+    // rows AND the dir-encoded partition values survive the per-partition swap
+    assert(spark.read.parquet(root)
+      .select("batch_id", "id", "v").as[(Long, Long, Long)].collect().toSet == expect)
+    // second pass is a no-op (the amortized-O(1) loop contract)
+    val (b2, a2) = Compaction.compactPartitionedDir(spark, root, 1L << 30)
+    assert(b2 == 3 && a2 == 3, s"second pass not a no-op: $b2 -> $a2")
+    // staging/old siblings cleaned; nothing inside the root but partitions
+    val parent = new java.io.File(root).getParentFile.listFiles().map(_.getName).toSet
+    assert(!parent.exists(_.contains("compact-")), s"staging debris: $parent")
+    val inRoot = new java.io.File(root).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+    assert(inRoot == Set("batch_id=0", "batch_id=1", "batch_id=2"), s"root contents: $inRoot")
+  }
 }

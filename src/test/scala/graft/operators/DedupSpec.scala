@@ -132,6 +132,29 @@ class DedupSpec extends SparkSpec {
       "no index-index pair existed, so the exclusion is untested")
     // and index-vs-index pairs are excluded
     inc.foreach { case (a, b, _) => assert(a % 3 == 0 || b % 3 == 0) }
+
+    // the sidecar-probing variant returns the SAME pair set: buckets
+    // materialized once (as an ingestion loop would write them, spread
+    // over two "batch" partitions) + partition-pruned set fetch
+    val idx = index.persist()
+    try {
+      val sidecar = Dedup.bandBuckets(idx, "doc_id", bands = 32, numHashes = 64)
+        .withColumn("batch_id", (col("doc_id") % 2).cast("long"))
+      val fetched = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val fetchSets = (parts: Seq[Any]) => {
+        fetched ++= parts
+        idx.filter(col("doc_id") % 2 === 0 && lit(parts.contains(0L)) ||
+          col("doc_id") % 2 === 1 && lit(parts.contains(1L)))
+      }
+      val viaSidecar = Dedup.incrementalNearDupsIndexed(batch, sidecar,
+          fetchSets, "doc_id", "batch_id", numHashes = 64, bands = 32,
+          shingleN = 3, threshold = 0.5, maxBucketSize = Int.MaxValue)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(viaSidecar == expected, s"sidecar=$viaSidecar expected=$expected")
+      assert(fetched.nonEmpty && fetched.toSet.subsetOf(Set[Any](0L, 1L)),
+        s"fetch callback got unexpected partitions: $fetched")
+    } finally idx.unpersist()
   }
 
   test("minhashDedup finds the true near-dup pairs (LSH recall on strong pairs)") {

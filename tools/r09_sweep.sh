@@ -62,18 +62,30 @@ for n in 8000 32000 128000; do
   rm -rf "$WORK/mm_$n"   # keep the JSON, drop the corpus (up to ~500 MB)
 done
 
-# E: streaming curation steady state
+# E: streaming curation steady state — v1 (plain probe era) kept for the
+# drift baseline; f1/f2 are the post-sidecar decomposition pair (40
+# batches; GenScaleData 31-word vocab vs 20k-word synthetic vocab)
 rm -rf "$WORK/curate"
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
 tools/jrun.sh graft.tools.CurateSteadyState \
   "$WORK/curate" 25 2000 "$WORK/curate.json" > "$WORK/curate.log" 2>&1
 echo "curate rc=$?" >> "$STATUS"
 rm -rf "$WORK/curate"
+for run in "f1 40 2000 0 32 1000 0" "f2 40 2000 0 32 1000 20000"; do
+  set -- $run
+  rm -rf "$WORK/curate_$1"
+  SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
+  tools/jrun.sh graft.tools.CurateSteadyState \
+    "$WORK/curate_$1" "$2" "$3" "$WORK/curate_$1.json" "$4" "$5" "$6" "$7" \
+    > "$WORK/curate_$1.log" 2>&1
+  echo "curate_$1 rc=$?" >> "$STATUS"
+  rm -rf "$WORK/curate_$1"
+done
 
 # persist every point artifact where git can see it (the r8 lesson:
 # evidence left in gitignored scaledata/ vanished with the workdir)
 cp "$WORK"/newops_sf*.json "$WORK"/q39_sf2_run*.json \
-   "$WORK"/corpus_*.json "$WORK"/mm_*.json "$WORK"/curate.json \
+   "$WORK"/corpus_*.json "$WORK"/mm_*.json "$WORK"/curate*.json \
    "$WORK/status.txt" "$KEEP"/ 2>> "$STATUS"
 python3 tools/r09_report.py "$KEEP" > "$KEEP/SCALING_r09.json" 2>> "$STATUS" \
   && cp "$KEEP/SCALING_r09.json" /root/repo/SCALING_r09.json
