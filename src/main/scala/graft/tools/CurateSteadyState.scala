@@ -74,22 +74,7 @@ object CurateSteadyState {
     val incoming = s"$workDir/incoming"
     val all =
       if (vocabSize <= 0) GenScaleData.documents(spark, nBatches * batchRows)
-      else {
-        val n = nBatches * batchRows
-        val seed0 = col("id")
-        val contentSeed = when(
-          pmod(xxhash64(lit("d_dup"), seed0, lit(42L)), lit(500L)) === 0 && seed0 > 0,
-          seed0 - 1).otherwise(seed0)
-        val len = (pmod(xxhash64(lit("d_len"), contentSeed, lit(42L)), lit(100L)) + 8).cast("int")
-        val text = array_join(
-          transform(sequence(lit(1), len), i =>
-            concat(lit("w"),
-              pmod(xxhash64(lit("d_w"), contentSeed, i, lit(42L)), lit(vocabSize.toLong)))),
-          " ")
-        spark.range(n).select(col("id").as("doc_id"), text.as("text"),
-          lit("en").as("lang"), lit("src0").as("source"))
-          .withColumn("n_chars", length(col("text")).cast("long"))
-      }
+      else GenScaleData.documentsVocab(spark, nBatches * batchRows, vocabSize)
     (0 until nBatches).foreach { b =>
       all.filter(col("doc_id") >= b * batchRows &&
           col("doc_id") < (b + 1) * batchRows)

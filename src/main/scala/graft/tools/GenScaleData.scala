@@ -147,6 +147,37 @@ object GenScaleData {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** [[documents]] with a PARAMETERIZED synthetic vocabulary ("w0".."wN-1"
+    * via the same per-(seed,position) hash stream), same shape otherwise:
+    * 8-108 words, ~0.2% adjacent exact-dup replays, 20-source mix. The
+    * 31-word default corpus is deliberately low-entropy (it mirrors the
+    * driver's testdata) — which makes minhash/LSH collision load grow with
+    * corpus size by construction of the DATA (minhash concentrates on the
+    * globally smallest common shingles). This variant generates
+    * realistic-entropy text for the decomposition experiments that
+    * separate operator scaling from that data artifact
+    * (SCALING_r09 curate_steady_state / corpus_rich series). */
+  def documentsVocab(spark: SparkSession, n: Long, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val seed0 = col("id")
+    val contentSeed = when(
+      pm(h("d_dup", seed0), 500L) === 0 && seed0 > 0, seed0 - 1).otherwise(seed0)
+    val len = (pm(h("d_len", contentSeed), 100L) + 8).cast("int")
+    val text = array_join(
+      transform(sequence(lit(1), len), i =>
+        concat(lit("w"), pm(h("d_w", contentSeed, i), vocabSize.toLong))),
+      " ")
+    ids(spark, n).select(
+      col("id").as("doc_id"),
+      text.as("text"),
+      element_at(
+        array((Seq.fill(8)("en") ++ Seq.fill(3)("zh") ++ Seq.fill(3)("fr") ++
+          Seq.fill(3)("es") ++ Seq.fill(3)("de")).map(lit): _*),
+        (pm(h("d_lang", col("id")), 20L) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pm(h("d_src", col("id")), 20L).cast("string")).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def embeddings(spark: SparkSession, n: Long): DataFrame =
     ids(spark, n).select(
       col("id").as("vec_id"),
@@ -197,7 +228,9 @@ object GenScaleData {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: GenScaleData <outBase> <sf> [<sf2> ...] (writes <outBase>/sf<sf>)")
+      "usage: GenScaleData <outBase> <sf> [<sf2> ...] (writes <outBase>/sf<sf>)\n" +
+        "   or: GenScaleData <outBase> --docs-vocab <V> <sf> [<sf2> ...] " +
+        "(writes <outBase>/rich<sf>/documents.parquet with a V-word vocabulary)")
     val outBase = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -208,7 +241,15 @@ object GenScaleData {
       .config("spark.ui.enabled", "false")
       .appName("graft-gen-scale-data").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    args.drop(1).foreach { s =>
+    if (args.lift(1).contains("--docs-vocab")) {
+      val vocab = args(2).toInt
+      args.drop(3).foreach { s =>
+        val nDoc = math.max(500L, (50000L * s.toDouble).toLong)
+        documentsVocab(spark, nDoc, vocab)
+          .write.mode("overwrite").parquet(s"$outBase/rich$s/documents.parquet")
+        println(s"[gen] documents(vocab=$vocab) -> $outBase/rich$s/documents.parquet")
+      }
+    } else args.drop(1).foreach { s =>
       val sf = s.toDouble
       writeAll(spark, s"$outBase/sf$s", sf)
     }

