@@ -78,7 +78,7 @@ for q in sorted(points[SFS[0]]["med"].keys()):
 # --- B: q39 sf2 stability ---
 q39 = {}
 q39_runs = []
-for run in (1, 2, 3):
+for run in (1, 2, 3, 4, 5):
     try:
         med, _ = bench_lines(f"{work}/q39_sf2_run{run}.json")
     except FileNotFoundError:
@@ -86,14 +86,36 @@ for run in (1, 2, 3):
     q39[f"run{run}_sec"] = med["queries"]["q39_dedup_jaccard"]
     q39_runs.append(q39[f"run{run}_sec"])
 q39["min_sec"] = min(q39_runs)
-q39["spread"] = round(max(q39_runs) / min(q39_runs), 3)
-q39["note"] = ("same config, one idle JVM per run; r7 steady state under the "
-               "flat-512 exchange was 510-564 s — every r9 run under the "
-               "SIZED exchange beats it (worst 390 s = 1.3x faster than r7's "
-               "best). Runs decline monotonically across the session "
-               "(390/274/206 s), the page-cache-warming signature, so the "
-               "spread reflects cold-read variance, not the r6 thrash regime "
-               "(5.3x spread with an 1862 s outlier), which stays gone.")
+q39["spread_all"] = round(max(q39_runs) / min(q39_runs), 3)
+if len(q39_runs) >= 2:
+    warmed = sorted(q39_runs)[:2]
+    q39["spread_warmed"] = round(warmed[1] / warmed[0], 3)
+q39["note"] = ("same config, one idle JVM per run; runs decline "
+               "monotonically (390/274/206/179/179 s — page-cache warming "
+               "of the 100k-doc corpus) and the two warmed runs agree to "
+               "0.3%. Steady state ~179 s vs r7's 510-564 s under the "
+               "flat-512 exchange: the SIZED posting exchange is 2.9x "
+               "faster, and the r6 thrash regime (5.3x same-config spread, "
+               "1862 s outlier) stays gone.")
+# q39 on realistic-entropy documents (same counts as sf2/sf8 synthetic):
+# the absolute cost above is the 31-word corpus's shared-shingle posting
+# lists, not the operator
+for name, key in (("q39_rich2", "rich2_100k_docs_sec"),
+                  ("q39_rich8", "rich8_400k_docs_sec")):
+    try:
+        _, mn = bench_lines(f"{work}/{name}.json")
+        q39[key] = mn["queries_min"]["q39_dedup_jaccard"]
+    except FileNotFoundError:
+        pass
+if "rich2_100k_docs_sec" in q39 and "rich8_400k_docs_sec" in q39:
+    q39["rich_slope_2_8"] = round(fit(
+        [2, 8], [q39["rich2_100k_docs_sec"], q39["rich8_400k_docs_sec"]]), 3)
+    q39["rich_note"] = ("identical doc counts and shape at 20k-word "
+                        "vocabulary: 100k docs in ~3-5 s, 400k in ~14 s "
+                        "(slope ~1.1, linear in docs) — the synthetic "
+                        "corpus's ~179 s is data-intrinsic posting-list "
+                        "degeneracy, the same artifact quantified in "
+                        "corpus_pipeline_richvocab and curate_steady_state")
 
 # --- C: corpus pipeline sf2/4/8 ---
 # per SF take the fastest same-config run (sweep + any idle re-run): the
