@@ -258,6 +258,18 @@ out = {
              "end-to-end sf2-8, multimodal decode/near-dup at 8k-128k real "
              "PNGs with measured payload pruning, and the streaming "
              "curation loop's per-batch steady state"),
+    "bench_context": (
+        "the q70/q82 bench twins now run CONVERGED k-means++ centroids "
+        "(build cost timed in) instead of seed centroids, as the operators' "
+        "scaladoc mandates — seed-centroid occupancy skew squares into pair "
+        "work. At sf0.1 this adds ~2.3 s absolute to q82 (1.99 -> 4.25 s in "
+        "a same-host A/B vs the r8 tail) while q70 absorbs the same build "
+        "inside its tiled-join saving (1.80 -> 1.72 s); at sf4 the combined "
+        "change is 262 -> 19 s (q82) and 325 -> 16 s (q70). Full-suite "
+        "sf0.1 totals this session (bench_sf01_full.json: 71.7 median / "
+        "64.7 min) ran on a host window measurably slower than r8's "
+        "(untouched 0.1-0.5 s queries inflated 50-90% across the board; "
+        "same pattern in the corpus sweep re-runs)."),
     "newops_sf1_8": newops,
     "q39_sf2_stability_sized": q39,
     "corpus_pipeline_sf2_8": corpus,
