@@ -135,7 +135,12 @@ class DedupSpec extends SparkSpec {
 
     // the sidecar-probing variant returns the SAME pair set: buckets
     // materialized once (as an ingestion loop would write them, spread
-    // over two "batch" partitions) + partition-pruned set fetch
+    // over two "batch" partitions) + partition-pruned set fetch. No
+    // executed-plan pin, same reason as q85 (the operator localCheckpoints
+    // its result, which hides the join from the executed plan) — the
+    // load-bearing property is pinned DIRECTLY instead: the fetch callback
+    // observes exactly which partitions were requested, so a regression to
+    // an unpruned full-index fetch fails the `fetched` assertion below
     val idx = index.persist()
     try {
       val sidecar = Dedup.bandBuckets(idx, "doc_id", bands = 32, numHashes = 64)
