@@ -104,6 +104,22 @@ object StreamingIngest {
     * dirs would corrupt partition discovery). */
   def bucketsPath(indexPath: String): String = indexPath + "_buckets"
 
+  /** "Exists" for a parquet dataset = the directory holds at least one
+    * part file, not merely the directory: a fully-rejected FIRST batch
+    * writes an EMPTY dynamic-overwrite sink (base dir + _SUCCESS, zero
+    * part files), and a bare `fs.exists` would then route the next batch
+    * into `spark.read.parquet` on a fileless dir — an
+    * UNABLE_TO_INFER_SCHEMA crash on day two of a production loop. */
+  private def hasParquetData(fs: org.apache.hadoop.fs.FileSystem,
+                             path: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(path)) return false
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.startsWith("part-")) return true
+    }
+    false
+  }
+
   /** Replay-safe read of the bucket sidecar for [[curateBatch]]'s pruned
     * probe: this batch's ids anti-joined out (same contract as
     * [[replaySafeIndex]]). Bootstrap/migration: an index WITHOUT a sidecar
@@ -119,7 +135,7 @@ object StreamingIngest {
     val hBuckets = new org.apache.hadoop.fs.Path(bPath)
     val hIndex = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hBuckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hBuckets) && fs.exists(hIndex)) {
+    if (!hasParquetData(fs, hBuckets) && hasParquetData(fs, hIndex)) {
       val idx = spark.read.parquet(indexPath)
       Dedup.bandBuckets(idx, idCol, bands, numHashes)
         .join(idx.select(col(idCol), col("batch_id")), Seq(idCol))
@@ -127,7 +143,7 @@ object StreamingIngest {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id").parquet(bPath)
     }
-    if (fs.exists(hBuckets))
+    if (hasParquetData(fs, hBuckets))
       spark.read.parquet(bPath)
         .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_anti")
     else
@@ -143,9 +159,8 @@ object StreamingIngest {
                               shingleN: Int): DataFrame = {
     import graft.operators.Dedup
     val hPath = new org.apache.hadoop.fs.Path(indexPath)
-    val indexExists =
-      hPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hPath)
-    if (indexExists)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (hasParquetData(fs, hPath))
       // the batch id set is micro-batch-sized, broadcast probe
       spark.read.parquet(indexPath).drop("batch_id")
         .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_anti")

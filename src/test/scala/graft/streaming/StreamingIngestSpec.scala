@@ -233,6 +233,40 @@ class StreamingIngestSpec extends SparkSpec {
     assert(dirs == (0 until 4).map(b => s"batch_id=$b").toSet, s"partitions: $dirs")
   }
 
+  test("curateBatch survives a fully-rejected FIRST batch (empty sinks create fileless dirs, not a readable index)") {
+    val root = Files.createTempDirectory("curatefr")
+    val (indexPath, curatedPath, rejectsPath) =
+      (s"$root/index", s"$root/curated", s"$root/rejects")
+    // batch 0: everything fails the gate -> curated/index/sidecar sinks
+    // all write EMPTY partitions (dir + _SUCCESS, zero part files)
+    val b0 = Seq((1L, "tiny"), (2L, "also tiny")).toDF("doc_id", "text")
+    StreamingIngest.curateBatch(spark, b0, batchId = 0L,
+      "doc_id", "text", indexPath, curatedPath, rejectsPath, minTokens = 8L)
+    // batch 1 must read those fileless dirs as "no index yet", not crash
+    // schema inference, and proceed normally
+    val ok = "a perfectly ordinary document with enough words to clear the gate"
+    val b1 = Seq((3L, ok), (4L, ok.replace("ordinary", "unusual"))).toDF("doc_id", "text")
+    StreamingIngest.curateBatch(spark, b1, batchId = 1L,
+      "doc_id", "text", indexPath, curatedPath, rejectsPath,
+      minTokens = 8L, maxBucketSize = Int.MaxValue)
+    assert(spark.read.parquet(curatedPath).select("doc_id")
+      .as[Long].collect().toSet == Set(3L), "3 kept, 4 its near-dup")
+    assert(spark.read.parquet(rejectsPath).select("doc_id", "drop_reason")
+      .as[(Long, String)].collect().toMap ==
+      Map(1L -> "too_short", 2L -> "too_short", 4L -> "near_duplicate"))
+    assert(spark.read.parquet(indexPath).select("doc_id")
+      .as[Long].collect().toSet == Set(3L))
+    // and batch 2 probes the now-real index + sidecar
+    val b2 = Seq((5L, ok.replace("gate", "bar"))).toDF("doc_id", "text")
+    StreamingIngest.curateBatch(spark, b2, batchId = 2L,
+      "doc_id", "text", indexPath, curatedPath, rejectsPath,
+      minTokens = 8L, maxBucketSize = Int.MaxValue)
+    assert(spark.read.parquet(rejectsPath)
+      .filter(col("doc_id") === 5L).select("drop_reason")
+      .as[String].collect().toSeq == Seq("near_duplicate"),
+      "batch 2 must dedup against the history index")
+  }
+
   test("dedupWithinWatermark drops redelivered keys via bounded state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
