@@ -54,25 +54,31 @@ def bench_lines(path):
     return med, mn
 
 
-# --- A: new-op families, sf1..8 ---
-SFS = [1, 2, 4, 8]
+# --- A: new-op families, sf1..8 (+ an optional sf16 point for the two
+# cliff queries: one more doubling past the artifact's core decade) ---
+SFS = [1, 2, 4, 8, 16]
 points = {}
 for sf in SFS:
-    med, mn = bench_lines(f"{work}/newops_sf{sf}.json")
+    try:
+        med, mn = bench_lines(f"{work}/newops_sf{sf}.json")
+    except FileNotFoundError:
+        continue
     points[sf] = {"med": med["queries"], "min": mn["queries_min"]}
 
 newops = {}
-for q in sorted(points[SFS[0]]["med"].keys()):
-    mins = {sf: points[sf]["min"][q] for sf in SFS}
-    meds = {sf: points[sf]["med"][q] for sf in SFS}
-    slope = fit(SFS, [mins[sf] for sf in SFS])
+for q in sorted(points[1]["med"].keys()):
+    qsfs = [sf for sf in SFS if sf in points and q in points[sf]["min"]]
+    mins = {sf: points[sf]["min"][q] for sf in qsfs}
+    meds = {sf: points[sf]["med"][q] for sf in qsfs}
+    slope = fit(qsfs, [mins[sf] for sf in qsfs])
     # the extrapolation question: does the top doubling bend upward?
-    tail = fit(SFS[-2:], [mins[sf] for sf in SFS[-2:]])
+    tail = fit(qsfs[-2:], [mins[sf] for sf in qsfs[-2:]])
     newops[q] = {
-        "sec_min": {str(sf): mins[sf] for sf in SFS},
-        "sec_median": {str(sf): meds[sf] for sf in SFS},
-        "slope_minima_sf1_8": round(slope, 3),
-        "slope_last_doubling_sf4_8": round(tail, 3),
+        "sec_min": {str(sf): mins[sf] for sf in qsfs},
+        "sec_median": {str(sf): meds[sf] for sf in qsfs},
+        "slope_minima_full_range": round(slope, 3),
+        "slope_last_doubling": round(tail, 3),
+        "max_sf": qsfs[-1],
     }
 
 # --- B: q39 sf2 stability ---
