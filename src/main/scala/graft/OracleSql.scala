@@ -54,7 +54,7 @@ object OracleSql {
        THEN list_transform(generate_series(1, len(toks) - 2), i -> array_to_string(list_slice(toks, i, i + 2), ' '))
        ELSE [array_to_string(toks, ' ')] END"""
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
@@ -1294,6 +1294,14 @@ object OracleSql {
              1, 15) AS BIGINT) % 100 AS b FROM documents)
          ORDER BY doc_id"""
   )
+
+  /** q86 shares q65's oracle verbatim: the sidecar-probed
+    * incrementalNearDupsIndexed is result-equal to incrementalNearDups by
+    * construction (DedupSpec pins the equality), so the driver's DuckDB
+    * gate hash-verifies the NEW probe path against the same exact
+    * full-corpus Jaccard replay restricted to batch-touching pairs. */
+  val all: Map[String, String] =
+    base + ("q86_incremental_dedup_indexed" -> base("q65_incremental_dedup"))
 
   /** Every char as chr(codepoint), '||'-joined — unambiguous for the
     * unprintable mojibake sequences. */

@@ -1155,6 +1155,33 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** q65's semantics through [[graft.operators.Dedup
+    * .incrementalNearDupsIndexed]] — the sidecar-probed deployment shape
+    * the streaming curation loop runs: band buckets come from a
+    * MATERIALIZED thin frame (here derived once from the same index, with
+    * a synthetic 7-way partition column standing in for the lake's
+    * batch_id dirs) and the fat shingle-set fetch is restricted to the
+    * partitions whose rows collided with the batch. Result-equal to q65
+    * by construction; registering it as its own oracled query puts the
+    * indexed probe path itself under the driver's DuckDB hash gate. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val index = Dedup.nearDupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", numHashes = 64, shingleN = 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sidecar = Dedup.bandBuckets(index, "doc_id", bands = 32, numHashes = 64)
+      .withColumn("part", (col("doc_id") % 7).cast("long"))
+    val out = Dedup.incrementalNearDupsIndexed(
+        docs.filter(col("doc_id") % 5 === 0), sidecar,
+        parts => index.filter((col("doc_id") % 7).isin(parts: _*)),
+        "doc_id", "part", numHashes = 64, bands = 32, shingleN = 3,
+        threshold = 0.5, maxBucketSize = Int.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    index.unpersist()
+    out
+  }
+
   /** Embedding cosine near-duplicate pairs (integer-SRP blocking + exact
     * integer cosine-threshold test at 3/10). Threshold 0.3 ~= p99 of the
     * synthetic corpus's pairwise cosine (max is ~0.51), so the blocking
@@ -1348,7 +1375,8 @@ object SparkEntry {
     "q82_label_noise" -> q82 _,
     "q83_text_cleanup" -> q83 _,
     "q84_split_assign" -> q84 _,
-    "q85_incr_embed_dedup" -> q85 _
+    "q85_incr_embed_dedup" -> q85 _,
+    "q86_incremental_dedup_indexed" -> q86 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -1398,6 +1426,25 @@ object SparkEntry {
             "doc_id", "text", numHashes = 64, bands = 32, shingleN = 3,
             threshold = 0.5)
           .orderBy(col("id_a"), col("id_b"))
+      }),
+      // q86 twin: the sidecar-probed path with the production cap, same
+      // rationale as the q65 twin
+      "q86_incremental_dedup_indexed" -> ((s, dir) => {
+        val docs = T(s, dir, "documents")
+        val index = Dedup.nearDupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+            "doc_id", "text", numHashes = 64, shingleN = 3)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sidecar = Dedup.bandBuckets(index, "doc_id", bands = 32, numHashes = 64)
+          .withColumn("part", (col("doc_id") % 7).cast("long"))
+        val out = Dedup.incrementalNearDupsIndexed(
+            docs.filter(col("doc_id") % 5 === 0), sidecar,
+            parts => index.filter((col("doc_id") % 7).isin(parts: _*)),
+            "doc_id", "part", numHashes = 64, bands = 32, shingleN = 3,
+            threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        index.unpersist()
+        out
       }),
       // q44 twin: PRODUCTION sizing, BOTH knobs derived. The oracled q44
       // pins bits=6 (the SQL oracle inlines those plane constants), which
