@@ -272,10 +272,13 @@ out = {
         "a same-host A/B vs the r8 tail) while q70 absorbs the same build "
         "inside its tiled-join saving (1.80 -> 1.72 s); at sf4 the combined "
         "change is 262 -> 19 s (q82) and 325 -> 16 s (q70). Full-suite "
-        "sf0.1 totals this session (bench_sf01_full.json: 71.7 median / "
-        "64.7 min) ran on a host window measurably slower than r8's "
-        "(untouched 0.1-0.5 s queries inflated 50-90% across the board; "
-        "same pattern in the corpus sweep re-runs)."),
+        "sf0.1 totals this session (bench_sf01_full.json, all 86 queries "
+        "incl. the new q86): 67.9 s median / 60.5 s min — level with r8's "
+        "85-query 67.5/60.0 despite the added query and the q82 build "
+        "cost. An earlier run in a loaded window measured 71.7/64.7 with "
+        "untouched sub-second queries inflated 50-90%, the same host "
+        "pattern seen in the corpus sweep re-runs — treat cross-round "
+        "per-query deltas at that granularity as window noise."),
     "newops_sf1_8": newops,
     "q39_sf2_stability_sized": q39,
     "corpus_pipeline_sf2_8": corpus,
