@@ -106,32 +106,132 @@ object Compaction {
     * `root/key=value.compact-old` from a crash would parse as a bogus
     * partition value and double-read old rows; outside the root, leftover
     * state is invisible to readers and cleaned on the next pass.
-    * Returns (filesBefore, filesAfter) summed over partitions. */
+    *
+    * `minFiles` (0 = off) is the ADAPTIVE trigger: partitions holding
+    * `minFiles` part files or fewer are skipped without planning a
+    * rewrite — an ingestion loop can then call this EVERY batch and pay
+    * only FS listings until a partition actually accumulates enough
+    * files to hurt scan planning (the r9 cadence ablation showed
+    * unconditional every-N compaction costs more than it saves at short
+    * horizons; the file-count rule makes the cost proportional to the
+    * problem). Returns (filesBefore, filesAfter) summed over the
+    * partitions it REWROTE (skipped partitions are not counted).
+    * NOTE: crash recovery ([[recoverPartitionedDir]] semantics) still
+    * runs on every call, regardless of skips. */
   def compactPartitionedDir(spark: SparkSession, root: String,
                             targetBytes: Long,
-                            maxParallelBins: Int = 4): (Int, Int) = {
+                            maxParallelBins: Int = 4,
+                            minFiles: Int = 0): (Int, Int) = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return (0, 0)
+    // A previous pass may have died between the two swap renames of a
+    // partition (or the rename itself failed — on S3A a directory rename
+    // is a non-atomic copy, so the window is wide): the partition then
+    // exists ONLY under the sibling dirs. It would not be listed below
+    // (the fold only sees dirs present under root), so recover FIRST —
+    // otherwise the end-of-pass cleanup would delete the only copies.
+    recoverInterruptedSwaps(fs, rootPath)
     val parts = fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map(_.getPath).sortBy(_.getName)
     val out = parts.foldLeft((0, 0)) { case ((b, a), part) =>
-      val (pb, pa) = compactDirInto(spark, part.toString,
-        s"$root.compact-staging/${part.getName}",
-        s"$root.compact-old/${part.getName}", targetBytes, maxParallelBins)
-      (b + pb, a + pa)
+      val skip = minFiles > 0 && {
+        val n = fs.listStatus(part).count(st => st.isFile &&
+          st.getPath.getName.startsWith("part-"))
+        n <= minFiles
+      }
+      if (skip) (b, a)
+      else {
+        val (pb, pa) = compactDirInto(spark, part.toString,
+          s"$root.compact-staging/${part.getName}",
+          s"$root.compact-old/${part.getName}", targetBytes, maxParallelBins)
+        (b + pb, a + pa)
+      }
+    }
+    // Belt and braces before the irreversible deletes: restore any
+    // partition whose only copy still sits in a sibling dir, then verify
+    // the pass preserved the partition set. A vanished partition here is
+    // data loss in flight — fail LOUDLY rather than hand readers a
+    // silently-thinner index (streaming replay reads these dirs and a
+    // missing partition just looks like fewer rows).
+    recoverInterruptedSwaps(fs, rootPath)
+    val after = fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map(_.getPath.getName).toSet
+    parts.map(_.getName).foreach { n =>
+      require(after.contains(n),
+        s"compaction lost partition $n of $root — aborting cleanup so the " +
+          s"surviving copy under $root.compact-old / .compact-staging is kept")
     }
     fs.delete(new Path(root + ".compact-staging"), true)
     fs.delete(new Path(root + ".compact-old"), true)
     out
   }
 
+  /** Public recovery entry point for readers of a partitioned dir that is
+    * ALSO compacted in place (e.g. the streaming curation loop's index +
+    * sidecar): restores any partition stranded in the swap window by a
+    * crashed [[compactPartitionedDir]] pass, so a replay that runs BEFORE
+    * the next compaction pass never reads a silently-thinner table. No-op
+    * (one FS listing) when there is nothing to recover. */
+  def recoverPartitionedDir(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) recoverInterruptedSwaps(fs, rootPath)
+  }
+
+  /** Complete or roll back partition swaps interrupted between
+    * `rename(p, old)` and `rename(staging, p)` of [[compactDirInto]]: any
+    * `key=value` dir under `root.compact-old` (preferred — it is the
+    * untouched pre-swap original) or `root.compact-staging` (the fully
+    * rewritten copy; staging dirs are only ever swapped after being fully
+    * built, so if the partition is absent from root the staging copy is
+    * complete) with no corresponding `root/key=value` is renamed back into
+    * the root. Leftovers whose partition DOES exist in root are stale
+    * by-products of a completed swap and are left for the caller's
+    * cleanup. */
+  private def recoverInterruptedSwaps(fs: org.apache.hadoop.fs.FileSystem,
+                                      root: Path): Unit =
+    Seq(new Path(root.toString + ".compact-old"),
+        new Path(root.toString + ".compact-staging")).foreach { side =>
+      if (fs.exists(side))
+        fs.listStatus(side).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .foreach { st =>
+            val target = new Path(root, st.getPath.getName)
+            if (!fs.exists(target))
+              require(fs.rename(st.getPath, target),
+                s"compaction recovery: could not restore ${st.getPath} to $target")
+          }
+    }
+
   private def compactDirInto(spark: SparkSession, dir: String,
                              stagingDir: String, oldDir: String,
                              targetBytes: Long,
                              maxParallelBins: Int): (Int, Int) = {
     require(maxParallelBins >= 1, s"maxParallelBins must be >= 1, got $maxParallelBins")
+    // Crash-window recovery for the UNPARTITIONED entry point (the
+    // partitioned caller recovers at the root level before listing): if a
+    // previous swap died between its two renames, `dir` is absent and the
+    // data lives only in oldDir (pre-swap original, preferred) or
+    // stagingDir (fully-built rewrite — staging is only ever swapped
+    // after completion, so dir-absent implies it is complete).
+    locally {
+      val p0 = new Path(dir)
+      val fs0 = p0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs0.exists(p0)) {
+        val oldP = new Path(oldDir); val stg = new Path(stagingDir)
+        if (fs0.exists(oldP)) {
+          require(fs0.rename(oldP, p0),
+            s"compaction recovery: could not restore $oldDir to $dir")
+          fs0.delete(stg, true)
+        } else if (fs0.exists(stg)) {
+          require(fs0.rename(stg, p0),
+            s"compaction recovery: could not publish $stagingDir to $dir")
+        }
+      }
+    }
     val listing = listPartFiles(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val plan = {

@@ -350,8 +350,10 @@ object Dedup {
   /** [[incrementalNearDups]] against a MATERIALIZED bucket sidecar — the
     * deployment shape the [[nearDupIndex]] scaladoc prescribes, with the
     * set fetch partition-pruned. Same pair set as [[incrementalNearDups]]
-    * over the same index (DedupSpec pins the equality); the difference is
-    * per-batch IO:
+    * over the same index; the difference is
+    * per-batch IO (DedupSpec pins the equality in BOTH cap regimes —
+    * uncapped, and with a maxBucketSize that actually truncates a hot
+    * bucket, the branch the production curateBatch default exercises):
     *
     *  - [[incrementalNearDups]] re-derives band buckets from the FULL
     *    index's signature column every batch (O(index x bands) explode +

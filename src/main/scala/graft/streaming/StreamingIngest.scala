@@ -320,10 +320,26 @@ object StreamingIngest {
     * partition overwrite still replaces whole `batch_id=` dirs) and is
     * amortized O(1): partitions already at one file no-op on the next
     * pass. Runs inside the trigger, after the batch's own sinks — the
-    * index is quiescent there, and a crash mid-compaction leaves either
-    * the old or the swapped partition, both complete. The curated/rejects
-    * lakes are write-only for this loop; compact those on the consumer's
-    * schedule instead. */
+    * index is quiescent there.
+    *
+    * `compactMinFiles` (0 = unconditional) is the ADAPTIVE variant: a
+    * partition is only rewritten once it holds more than that many part
+    * files, so the every-K pass degenerates to FS listings until file
+    * growth actually bites (the r9 cadence ablation measured
+    * unconditional every-5 compaction as net-negative at short horizons).
+    *
+    * Crash safety: the swap inside
+    * [[graft.maintenance.Compaction.compactPartitionedDir]] has a real
+    * window — between its two renames the partition exists only in the
+    * sibling `.compact-old`/`.compact-staging` dirs (on S3A the rename is
+    * a non-atomic copy, so the window is wide). A crash there aborts the
+    * trigger; compaction passes self-heal on their next run, and because
+    * the REPLAYED batch must not dedup against a silently-thinner index
+    * before that next pass, every trigger (when compaction is enabled)
+    * first runs [[graft.maintenance.Compaction.recoverPartitionedDir]] on
+    * the index and sidecar — a no-op listing in the steady state. The
+    * curated/rejects lakes are write-only for this loop; compact those on
+    * the consumer's schedule instead. */
   def curateStream(spark: SparkSession, stream: DataFrame, idCol: String,
                    textCol: String, indexPath: String, curatedPath: String,
                    rejectsPath: String, checkpoint: String,
@@ -332,18 +348,27 @@ object StreamingIngest {
                    threshold: Double = 0.5, maxBucketSize: Int = 1000,
                    availableNow: Boolean = true,
                    compactEvery: Int = 0,
-                   compactTargetBytes: Long = 128L * 1024 * 1024): StreamingQuery = {
+                   compactTargetBytes: Long = 128L * 1024 * 1024,
+                   compactMinFiles: Int = 0): StreamingQuery = {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (compactEvery > 0) {
+          // heal any partition stranded by a compaction crash BEFORE the
+          // (possibly replayed) batch probes the index — see scaladoc
+          graft.maintenance.Compaction.recoverPartitionedDir(spark, indexPath)
+          graft.maintenance.Compaction.recoverPartitionedDir(
+            spark, bucketsPath(indexPath))
+        }
         curateBatch(spark, batch, batchId, idCol, textCol, indexPath,
           curatedPath, rejectsPath, minTokens, minQuality, numHashes,
           bands, shingleN, threshold, maxBucketSize)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.maintenance.Compaction.compactPartitionedDir(
-            spark, indexPath, compactTargetBytes)
+            spark, indexPath, compactTargetBytes, minFiles = compactMinFiles)
           graft.maintenance.Compaction.compactPartitionedDir(
-            spark, bucketsPath(indexPath), compactTargetBytes)
+            spark, bucketsPath(indexPath), compactTargetBytes,
+            minFiles = compactMinFiles)
           ()
         }
       }

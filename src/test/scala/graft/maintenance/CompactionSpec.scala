@@ -91,4 +91,55 @@ class CompactionSpec extends SparkSpec {
       .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
     assert(inRoot == Set("batch_id=0", "batch_id=1", "batch_id=2"), s"root contents: $inRoot")
   }
+
+  test("compactPartitionedDir recovers a partition stranded mid-swap instead of deleting it") {
+    val root = Files.createTempDirectory("compactr").resolve("t").toString
+    spark.range(0, 600)
+      .select((col("id") % 3).as("batch_id"), col("id"), (col("id") * 7).as("v"))
+      .repartition(4)
+      .write.partitionBy("batch_id").parquet(root)
+    val expect = spark.read.parquet(root)
+      .select("batch_id", "id", "v").as[(Long, Long, Long)].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def strand(sibling: String, part: String): Unit = {
+      // simulate a crash between rename(p, old) and rename(staging, p):
+      // the partition exists ONLY under the sibling dir
+      val side = new org.apache.hadoop.fs.Path(root + sibling, part)
+      fs.mkdirs(side.getParent)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(root, part), side))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root, part)))
+    }
+    strand(".compact-old", "batch_id=1")      // pre-swap original stranded
+    strand(".compact-staging", "batch_id=2")  // fully-built rewrite stranded
+    val (_, after) = Compaction.compactPartitionedDir(spark, root, 1L << 30)
+    assert(after == 3, s"expected 3 files after recovery+compaction, got $after")
+    // every row of every partition survived, including both stranded ones
+    assert(spark.read.parquet(root)
+      .select("batch_id", "id", "v").as[(Long, Long, Long)].collect().toSet == expect)
+    val parent = new java.io.File(root).getParentFile.listFiles().map(_.getName).toSet
+    assert(!parent.exists(_.contains("compact-")), s"staging debris: $parent")
+  }
+
+  test("compactPartitionedDir minFiles skips small partitions (adaptive trigger)") {
+    val root = Files.createTempDirectory("compacta").resolve("t").toString
+    // batch_id=0: 2 files (under the bound); batch_id=1: 6 files (over it)
+    spark.range(0, 100).select(lit(0L).as("batch_id"), col("id"))
+      .repartition(2).write.partitionBy("batch_id").parquet(root)
+    spark.range(100, 200).select(lit(1L).as("batch_id"), col("id"))
+      .repartition(6).write.mode("append").partitionBy("batch_id").parquet(root)
+    def partFiles(part: String): Set[String] =
+      new java.io.File(root, part).listFiles()
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+    val smallBefore = partFiles("batch_id=0")
+    assert(smallBefore.size == 2 && partFiles("batch_id=1").size == 6)
+    val (b, a) = Compaction.compactPartitionedDir(spark, root, 1L << 30,
+      minFiles = 3)
+    // only the over-bound partition was planned and rewritten
+    assert(b == 6 && a == 1, s"expected 6 -> 1 (skipping the small partition), got $b -> $a")
+    assert(partFiles("batch_id=0") == smallBefore, "skipped partition was touched")
+    assert(partFiles("batch_id=1").size == 1)
+    assert(spark.read.parquet(root).select("id").as[Long].collect().toSet
+      == (0L until 200L).toSet)
+  }
 }

@@ -162,6 +162,51 @@ class DedupSpec extends SparkSpec {
     } finally idx.unpersist()
   }
 
+  test("incremental variants agree on the CAPPED branch (production maxBucketSize)") {
+    // a hot bucket that the cap actually truncates: 12 identical docs all
+    // land in the same bucket in EVERY band; plus one well-behaved
+    // near-dup pair (200, 201) straddling the batch/index split whose
+    // buckets stay under the cap. curateBatch's default (maxBucketSize =
+    // 1000) exercises this branch in production, so the
+    // plain-vs-sidecar equality must hold here too, not just uncapped.
+    val hot = (0L until 12L).map(i =>
+      (i, "same same same same same text repeated for the hot bucket"))
+    val pair = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the river"),
+      (201L, "the quick brown fox jumps over the lazy cat near the river"))
+    val all = (hot ++ pair).toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 3 === 0 || col("doc_id") === 201L
+    val batch = all.filter(isBatch)
+    val existing = all.filter(!isBatch)
+    val index = Dedup.nearDupIndex(existing, "doc_id", "text",
+      numHashes = 64, shingleN = 3)
+    def runPlain(cap: Int) =
+      Dedup.incrementalNearDups(batch, index, "doc_id", "text",
+          numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
+          maxBucketSize = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = runPlain(Int.MaxValue)
+    val capped = runPlain(8)
+    // the cap really bit: hot-bucket pairs are gone, the honest pair stays
+    assert(capped != uncapped, "cap did not truncate any bucket — fixture broken")
+    assert(capped.contains((200L, 201L)))
+    assert(!capped.exists { case (a, b) => a < 12L && b < 12L })
+    val idx = index.persist()
+    try {
+      val sidecar = Dedup.bandBuckets(idx, "doc_id", bands = 32, numHashes = 64)
+        .withColumn("batch_id", (col("doc_id") % 2).cast("long"))
+      val fetchSets = (parts: Seq[Any]) =>
+        idx.filter(col("doc_id") % 2 === 0 && lit(parts.contains(0L)) ||
+          col("doc_id") % 2 === 1 && lit(parts.contains(1L)))
+      val viaSidecar = Dedup.incrementalNearDupsIndexed(batch, sidecar,
+          fetchSets, "doc_id", "batch_id", numHashes = 64, bands = 32,
+          shingleN = 3, threshold = 0.5, maxBucketSize = 8)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(viaSidecar == capped,
+        s"capped sidecar=$viaSidecar differs from capped plain=$capped")
+    } finally idx.unpersist()
+  }
+
   test("minhashDedup finds the true near-dup pairs (LSH recall on strong pairs)") {
     // threshold 0.3; identical pair (2,3) MUST collide in every band;
     // (0,1) at jaccard ~0.45 collides with overwhelming probability at 64/16

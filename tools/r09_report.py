@@ -66,7 +66,10 @@ for sf in SFS:
     points[sf] = {"med": med["queries"], "min": mn["queries_min"]}
 
 newops = {}
-for q in sorted(points[1]["med"].keys()):
+# key the query list off the smallest PRESENT sf (degrade gracefully when
+# sf1 is missing, consistent with the per-file FileNotFoundError handling)
+base_sf = min(points) if points else None
+for q in (sorted(points[base_sf]["med"].keys()) if points else []):
     qsfs = [sf for sf in SFS if sf in points and q in points[sf]["min"]]
     mins = {sf: points[sf]["min"][q] for sf in qsfs}
     meds = {sf: points[sf]["med"][q] for sf in qsfs}
@@ -91,8 +94,9 @@ for run in (1, 2, 3, 4, 5):
         continue
     q39[f"run{run}_sec"] = med["queries"]["q39_dedup_jaccard"]
     q39_runs.append(q39[f"run{run}_sec"])
-q39["min_sec"] = min(q39_runs)
-q39["spread_all"] = round(max(q39_runs) / min(q39_runs), 3)
+if q39_runs:
+    q39["min_sec"] = min(q39_runs)
+    q39["spread_all"] = round(max(q39_runs) / min(q39_runs), 3)
 if len(q39_runs) >= 2:
     warmed = sorted(q39_runs)[:2]
     q39["spread_warmed"] = round(warmed[1] / warmed[0], 3)
