@@ -1300,8 +1300,166 @@ object OracleSql {
     * construction (DedupSpec pins the equality), so the driver's DuckDB
     * gate hash-verifies the NEW probe path against the same exact
     * full-corpus Jaccard replay restricted to batch-touching pairs. */
-  val all: Map[String, String] =
+  private val staticAll: Map[String, String] =
     base + ("q86_incremental_dedup_indexed" -> base("q65_incremental_dedup"))
+
+  /** Full oracle map. The three BPE entries are GENERATED from the primed
+    * merge table ([[primeBpe]] — Verify primes before dumping); un-primed,
+    * they are omitted and the driver records its weaker rows-only check
+    * for them rather than comparing against SQL that cannot be built
+    * without the corpus. */
+  def all: Map[String, String] = staticAll ++ bpeEntries
+
+  // ------------------------------------------------------ BPE (q87-q89)
+  //
+  // Soundness of generating the TRAINING oracle from the engine's own
+  // merge table (q87): the SQL re-derives round k's argmax pair IN DUCKDB
+  // from the corpus, GIVEN merges 0..k-1 as the applied replace chain. If
+  // the engine's table diverges from true greedy BPE at any first round j,
+  // the oracle's round-j row (true argmax under the agreed prefix) differs
+  // from the engine's row j and the driver's hash compare fails. So a full
+  // match proves, by induction over rounds, that the engine's table IS the
+  // greedy-BPE merge sequence of the corpus — the inlined merges are an
+  // induction hypothesis, not a trusted input. (Caveat, documented: the
+  // oracle does not re-check the trainer's minCount early-stop — at the
+  // test SFs all 32 rounds clear minCount=2 by orders of magnitude.)
+  //
+  // Encoding replay (q88/q89): a word is delimiterized to
+  // <L>c<R><L>c<R>... (<L>=chr(1), <R>=chr(2), both stripped from input
+  // text first, so they cannot occur in a symbol) and each merge (x, y) is
+  // ONE literal replace('<L>x<R><L>y<R>' -> '<L>xy<R>') applied in rank
+  // order — exactly the kernel's documented algorithm (BpeKernel scaladoc
+  // proves chain == greedy). Token count = occurrences of <R>.
+
+  @volatile private var bpeMerges: Option[Seq[graft.functions.Bpe.Merge]] = None
+
+  /** Train (or reuse the per-JVM memo of) the merge table for `sfDir` so
+    * the q87-q89 oracle SQL can be generated. Deterministic, so the primed
+    * table equals what the query fns derive from the same dir. */
+  def primeBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    bpeMerges = Some(graft.functions.Bpe.trainMergesCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), sfDir, "text",
+      graft.SparkEntry.BpeNumMerges))
+
+  /** Shared DuckDB snippet: words of `text` under the BPE word model
+    * (mirrors Bpe.words = TextFns.tokens after stripping U+0001/U+0002). */
+  private val bpeWords =
+    """list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '[\x01\x02]', '', 'g'))), '\s+'), x -> length(x) > 0)"""
+
+  private def bpeSqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Delimiterize a word expression: chr(1) before and chr(2) after every
+    * CODE POINT (RE2 '.' is codepoint-wise, matching the kernel). */
+  private def bpeDelim(expr: String): String =
+    s"regexp_replace($expr, '(.)', chr(1) || '" + "\\1" + s"' || chr(2), 'g')"
+
+  /** Rank-order replace chain applying `merges` to a delimiterized-word
+    * expression. */
+  private def bpeChain(expr: String, merges: Seq[graft.functions.Bpe.Merge]): String =
+    merges.foldLeft(expr) { (acc, m) =>
+      val pat = s"chr(1)||${bpeSqlStr(m.left)}||chr(2)||chr(1)||${bpeSqlStr(m.right)}||chr(2)"
+      val rep = s"chr(1)||${bpeSqlStr(m.left + m.right)}||chr(2)"
+      s"replace($acc, $pat, $rep)"
+    }
+
+  /** Per-word BPE token count: number of chr(2) symbol terminators in the
+    * fully-merged encoding. */
+  private def bpeCountWord(wordExpr: String, merges: Seq[graft.functions.Bpe.Merge]): String =
+    s"len(string_split(${bpeChain(bpeDelim(wordExpr), merges)}, chr(2))) - 1"
+
+  /** Per-doc BPE token count over the `text` column. */
+  private def bpeCountDoc(merges: Seq[graft.functions.Bpe.Merge]): String =
+    s"""CAST(COALESCE(list_sum(list_transform($bpeWords,
+         wd -> ${bpeCountWord("wd", merges)})), 0) AS BIGINT)"""
+
+  /** q87: the induction over training rounds — e0 = delimiterized vocab;
+    * e(k+1) = e(k) + engine merge k; p(k) = DuckDB's own argmax over
+    * e(k)'s adjacent-pair weighted counts (count DESC, then binary-order
+    * (l, r) — DuckDB default collation is binary, same total order as
+    * Spark's UTF8String sort). */
+  private def bpeTrainSql(merges: Seq[graft.functions.Bpe.Merge]): String = {
+    if (merges.isEmpty)
+      return """SELECT CAST(0 AS INTEGER) AS merge_rank, '' AS left_sym,
+        '' AS right_sym, CAST(0 AS BIGINT) AS cnt WHERE 1=0"""
+    val ctes = new StringBuilder(
+      s"""WITH v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM
+           (SELECT unnest($bpeWords) AS word FROM documents) GROUP BY word),
+         e0 AS (SELECT cnt, ${bpeDelim("word")} AS sym FROM v)""")
+    merges.indices.foreach { k =>
+      ctes.append(s""",
+         p$k AS (SELECT CAST($k AS INTEGER) AS merge_rank, l AS left_sym,
+             r AS right_sym, c AS cnt FROM (
+           SELECT pr.l AS l, pr.r AS r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+             SELECT cnt, unnest(list_transform(range(1, len(syms)),
+               i -> {'l': syms[i], 'r': syms[i+1]})) AS pr
+             FROM (SELECT cnt, string_split(regexp_replace(sym,
+               '^\\x01|\\x02$$', '', 'g'), chr(2)||chr(1)) AS syms FROM e$k)
+             WHERE len(syms) >= 2)
+           GROUP BY pr.l, pr.r)
+           ORDER BY c DESC, l, r LIMIT 1)""")
+      if (k + 1 < merges.length) {
+        val m = merges(k)
+        ctes.append(s""",
+         e${k + 1} AS (SELECT cnt, replace(sym,
+           chr(1)||${bpeSqlStr(m.left)}||chr(2)||chr(1)||${bpeSqlStr(m.right)}||chr(2),
+           chr(1)||${bpeSqlStr(m.left + m.right)}||chr(2)) AS sym FROM e$k)""")
+      }
+    }
+    ctes.append("\n         " +
+      merges.indices.map(k => s"SELECT * FROM p$k").mkString(" UNION ALL ") +
+      " ORDER BY merge_rank")
+    ctes.toString
+  }
+
+  private def bpeEntries: Map[String, String] = bpeMerges match {
+    case None => Map.empty
+    case Some(merges) => Map(
+      "q87_bpe_train" -> bpeTrainSql(merges),
+      "q88_bpe_token_count" ->
+        s"""WITH w AS (SELECT doc_id, $bpeWords AS words FROM documents)
+           SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(words,
+               wd -> ${bpeCountWord("wd", merges)})), 0) AS BIGINT) AS n_bpe_tokens
+           FROM w ORDER BY doc_id""",
+      // q64's mixture replay with the token column re-denominated in BPE
+      // tokens (budget 80000, same weights and integer keep test)
+      "q89_bpe_mixture" ->
+        s"""WITH t AS (
+             SELECT doc_id, source, ${bpeCountDoc(merges)} AS n_bpe_tokens
+             FROM documents),
+           tot AS (
+             SELECT source, CAST(SUM(n_bpe_tokens) AS BIGINT) AS source_tokens,
+               (80000 * (20 - CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)) * 10000)
+                 // (210 * CAST(SUM(n_bpe_tokens) AS BIGINT)) AS keep_threshold
+             FROM t GROUP BY source)
+           SELECT doc_id, t.source, n_bpe_tokens, source_tokens, keep_threshold,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 10000 AS sample_bucket
+           FROM t JOIN tot USING (source)
+           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+               % 10000 < keep_threshold
+           ORDER BY doc_id""",
+      // q90: budget chunking — per-word BPE counts, within-doc running
+      // total (window), floor-div bin at 64 tokens, ordered re-join.
+      // Replays Chunker.chunkByTokenBudget(wordsFn = Bpe.words).
+      "q90_bpe_chunk" ->
+        s"""WITH w AS (SELECT doc_id, unnest(words) AS word,
+               unnest(range(1, len(words) + 1)) AS pos
+             FROM (SELECT doc_id, $bpeWords AS words FROM documents)),
+           t AS (SELECT doc_id, pos, word,
+               CAST(${bpeCountWord("word", merges)} AS BIGINT) AS wt FROM w),
+           c AS (SELECT doc_id, pos, word, wt,
+               CAST(SUM(wt) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - wt
+                 AS BIGINT) AS cum_before
+             FROM t)
+           SELECT doc_id, CAST(cum_before // 64 AS INTEGER) AS chunk_id,
+             string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+             CAST(SUM(wt) AS BIGINT) AS n_chunk_tokens,
+             CAST(COUNT(*) AS INTEGER) AS n_chunk_words
+           FROM c GROUP BY doc_id, chunk_id
+           ORDER BY doc_id, chunk_id""")
+  }
 
   /** Every char as chr(codepoint), '||'-joined — unambiguous for the
     * unprintable mojibake sequences. */

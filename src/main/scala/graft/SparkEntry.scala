@@ -1182,6 +1182,71 @@ object SparkEntry {
     out
   }
 
+  // ---------------------------------------------------------- BPE family
+
+  /** Shared q87-q89 tokenizer config: 32 merges, minCount 2 — enough for
+    * multi-char subwords to emerge at every test sf while keeping the
+    * induction oracle's generated SQL bounded (one replace per round). */
+  private[graft] val BpeNumMerges = 32
+
+  private def bpeTable(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    Bpe.trainMergesCached(T(s, dir, "documents"), dir, "text", BpeNumMerges)
+
+  /** Distributed greedy BPE training on the documents corpus — the learned
+    * merge table IS the query output, verified by INDUCTION in the oracle
+    * (round k's argmax recomputed in DuckDB given merges 0..k-1; see
+    * OracleSql for the soundness argument). Trains UNCACHED on purpose:
+    * this query is the one that times training honestly in Bench. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Bpe.trainMerges(T(s, dir, "documents"), "text", BpeNumMerges)
+      .map(m => (m.rank, m.left, m.right, m.cnt))
+      .toDF("merge_rank", "left_sym", "right_sym", "cnt")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Tokenizer-faithful token accounting: per-doc BPE token count (native
+    * codegen expression applying the corpus-trained merge table) next to
+    * the whitespace word count the other token-denominated operators used
+    * until now — the ratio between the two columns is the measured
+    * fidelity gap BPE accounting closes. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    T(s, dir, "documents")
+      .select(col("doc_id"),
+        size(Bpe.words(col("text"))).cast("long").as("n_words"),
+        Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q64's domain-mixture budget RE-DENOMINATED IN BPE TOKENS: same
+    * weights and keep-test contract, budget 80000 BPE tokens (~q64's
+    * 20000-word budget at this corpus's tokens-per-word) — the mixture
+    * thresholds now mean what a training run means by "tokens". */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+    val w = lit(20L) - regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    Mixture.tokenBudgetSample(docs, "doc_id", "source", "n_bpe_tokens",
+        weightCol = w, weightTotal = 210L, budgetTokens = 80000L)
+      .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+        col("source_tokens"), col("keep_threshold"), col("sample_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Tokenizer-BUDGET chunking: every document split at exact cumulative
+    * BPE-token boundaries (floor-div binning, words kept intact) — the
+    * context-window packer sized by what the tokenizer will actually see,
+    * not by word count. 64-token budget over the corpus-trained table. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    Chunker.chunkByTokenBudget(T(s, dir, "documents"), "doc_id", "text",
+        budgetTokens = 64L, tokenCounter = Bpe.tokenCount(_, merges),
+        wordsFn = Bpe.words)
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Embedding cosine near-duplicate pairs (integer-SRP blocking + exact
     * integer cosine-threshold test at 3/10). Threshold 0.3 ~= p99 of the
     * synthetic corpus's pairwise cosine (max is ~0.51), so the blocking
@@ -1376,7 +1441,11 @@ object SparkEntry {
     "q83_text_cleanup" -> q83 _,
     "q84_split_assign" -> q84 _,
     "q85_incr_embed_dedup" -> q85 _,
-    "q86_incremental_dedup_indexed" -> q86 _
+    "q86_incremental_dedup_indexed" -> q86 _,
+    "q87_bpe_train" -> q87 _,
+    "q88_bpe_token_count" -> q88 _,
+    "q89_bpe_mixture" -> q89 _,
+    "q90_bpe_chunk" -> q90 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

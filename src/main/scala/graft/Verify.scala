@@ -33,6 +33,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // The q87-q89 oracles are GENERATED from the corpus-trained BPE merge
+    // table: prime it (deterministic; reuses the per-JVM memo the query
+    // fns already populated) before the dump below.
+    OracleSql.primeBpe(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native BPE token-count expression — tokenizer-faithful token accounting
+  * inside whole-stage codegen (the [[ShingleSetExpr]] ladder step: no
+  * ScalaUDF boundary, one static call into [[BpeKernel]] per row). The
+  * merge table rides along as a codegen REFERENCE OBJECT (shared
+  * [[BpeRanks]] instance, so its word-encode memo is shared across every
+  * row a task processes), not as inlined constants.
+  *
+  * `merges` is a Seq (not Array) so case-class equality — which Catalyst
+  * uses for subexpression elimination and plan matching — is structural.
+  * Null text -> 0, never null. */
+case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  @transient private lazy val ranks = new BpeRanks(merges.toArray)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_token_count expects a STRING child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bpe_token_count"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    BpeKernel.tokenCount(
+      if (v == null) null else v.asInstanceOf[UTF8String].toString, ranks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "graft.functions.BpeRanks")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        long ${ev.value} = graft.functions.BpeKernel.tokenCount(
+          ${c.isNull} ? null : ${c.value}.toString(), $ref);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCountExpr =
+    copy(child = newChild)
+}
+
+/** Sibling of [[BpeTokenCountExpr]] returning the tokens themselves
+  * (`array<string>`, word-order preserved) — the materializing form for
+  * downstream packing/chunking. Null/blank text -> EMPTY array, never
+  * null. */
+case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  @transient private lazy val ranks = new BpeRanks(merges.toArray)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_tokens expects a STRING child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(DataTypes.StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bpe_tokens"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    BpeKernel.tokens(
+      if (v == null) null else v.asInstanceOf[UTF8String].toString, ranks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "graft.functions.BpeRanks")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.BpeKernel.tokens(
+            ${c.isNull} ? null : ${c.value}.toString(), $ref);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
+    copy(child = newChild)
+}

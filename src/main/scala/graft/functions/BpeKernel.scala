@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Learned merge table of a byte-pair-encoding tokenizer, in training
+  * (rank) order, plus a bounded per-instance encode memo.
+  *
+  * The memo is the reason BPE encoding is affordable on a corpus scan: the
+  * encoder runs per WORD, and corpora repeat words with Zipfian frequency,
+  * so after the first few thousand rows almost every lookup is a cache
+  * hit. The map is confined to this Ranks instance (one per expression
+  * per executor after deserialization), concurrent because one executor
+  * runs many tasks, and bounded (stops inserting at 2^20 entries — worst
+  * case a few hundred MB of short strings) so adversarial high-entropy
+  * corpora degrade to cache-miss CPU, not OOM. */
+final class BpeRanks(val merges: Array[(String, String)]) extends Serializable {
+
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  /** BPE-encode one word (applies merges in rank order, each as ONE
+    * leftmost-nonoverlapping pass — see [[BpeKernel]] for why that equals
+    * greedy lowest-rank-first encoding). */
+  def encode(word: String): Array[String] = {
+    val hit = memo.get(word)
+    if (hit != null) return hit
+    val out = encodeUncached(word)
+    if (memo.size < (1 << 20)) memo.put(word, out)
+    out
+  }
+
+  private def encodeUncached(word: String): Array[String] = {
+    // initial symbols: Unicode CODE POINTS (not UTF-16 chars), matching
+    // RE2's '(.)' in the oracle's delimiterizer and DuckDB's length()
+    var syms = {
+      val cps = word.codePoints().toArray
+      val a = new Array[String](cps.length)
+      var i = 0
+      while (i < cps.length) { a(i) = new String(Character.toChars(cps(i))); i += 1 }
+      a
+    }
+    var m = 0
+    while (m < merges.length && syms.length > 1) {
+      val l = merges(m)._1
+      val r = merges(m)._2
+      // one leftmost-nonoverlapping pass (string-replace semantics)
+      var i = 0
+      var found = false
+      while (!found && i < syms.length - 1) {
+        found = (syms(i) == l) && (syms(i + 1) == r); i += 1
+      }
+      if (found) {
+        val out = new Array[String](syms.length)
+        var n = 0
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+            out(n) = l + r; n += 1; j += 2
+          } else { out(n) = syms(j); n += 1; j += 1 }
+        }
+        syms = java.util.Arrays.copyOf(out, n)
+      }
+      m += 1
+    }
+    syms
+  }
+}
+
+/** Static BPE kernels called from both the interpreted `eval` and the
+  * generated Java of [[BpeTokenCountExpr]]/[[BpeTokensExpr]] (the
+  * [[ShingleKernel]] codegen pattern).
+  *
+  * Encoding algorithm = apply the merges IN RANK ORDER, each merge as one
+  * leftmost-nonoverlapping pass over the word's symbols. This is provably
+  * identical to the textbook greedy lowest-rank-present-pair loop: a merge
+  * (x, y) -> xy can only create new adjacent pairs involving xy, and any
+  * pair involving xy can only have been LEARNED after xy existed — i.e.
+  * at a HIGHER rank — so processing ranks in ascending order never skips
+  * a lower-rank opportunity, and one pass per rank suffices (applying
+  * (x, y) never creates another (x, y) adjacency, since xy != x). The
+  * same rank-order pass is exactly what the oracle's generated
+  * `replace()` chain computes over the delimiterized word, which is what
+  * makes the SQL replay possible at all.
+  *
+  * Word model (shared with [[Bpe.words]] and the oracle SQL, and with
+  * TextFns.tokens' conventions): strip the two delimiter code points
+  * U+0001/U+0002, lowercase, split on ASCII `\s+`, drop empties. Merges
+  * never cross word boundaries and there is no end-of-word marker (token
+  * counts are marker-invariant; documented choice). */
+object BpeKernel {
+
+  private val Ws = "\\s+".r.pattern
+
+  /** Words of `text` under the shared BPE word model. */
+  def words(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c != '\u0001' && c != '\u0002') sb.append(c)
+      i += 1
+    }
+    Ws.split(sb.toString.toLowerCase(java.util.Locale.ROOT).trim)
+      .filter(_.nonEmpty)
+  }
+
+  /** Total BPE token count of `text` (0 for null/blank). */
+  def tokenCount(text: String, ranks: BpeRanks): Long = {
+    val ws = words(text)
+    var total = 0L
+    var i = 0
+    while (i < ws.length) { total += ranks.encode(ws(i)).length; i += 1 }
+    total
+  }
+
+  /** All BPE tokens of `text`, in order (empty array for null/blank). */
+  def tokens(text: String, ranks: BpeRanks): ArrayData = {
+    val ws = words(text)
+    val buf = new scala.collection.mutable.ArrayBuffer[AnyRef](ws.length * 2)
+    var i = 0
+    while (i < ws.length) {
+      val enc = ranks.encode(ws(i))
+      var j = 0
+      while (j < enc.length) { buf += UTF8String.fromString(enc(j)); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+}

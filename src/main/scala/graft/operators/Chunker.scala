@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -62,5 +63,49 @@ object Chunker {
         org.apache.spark.sql.functions.size(
           slice(col("__toks"), col("chunk_id") * stride + 1, lit(size)))
           .cast("int").as("n_chunk_tokens"))
+  }
+
+  /** BUDGET-denominated chunking: split each doc's word sequence at exact
+    * cumulative TOKEN-count boundaries — floor-div binning (word with
+    * `cum_before` tokens before it goes to chunk
+    * `cum_before div budgetTokens`), the same virtual-concatenation rule
+    * as [[graft.maintenance.Compaction.binPack]] and Spark's own
+    * FilePartition packing. Words stay intact (a training pipeline never
+    * splits a word's subwords across samples), so a chunk overflows the
+    * budget by at most one word's tail.
+    *
+    * `tokenCounter` maps a WORD column to its token count — pass
+    * `Bpe.tokenCount(_, merges)` for tokenizer-faithful budgets (q90), or
+    * `_ => lit(1L)` to reduce to word-count budgets. `wordsFn` is the word
+    * model (default [[graft.functions.TextFns.tokens]]; q90 passes
+    * [[graft.functions.Bpe.words]] so the chunker and the counter agree on
+    * the delimiter-stripped model). Output words are lowercased (the word
+    * model's normalization).
+    *
+    * 100 TB shape: narrow word explode -> ONE hash exchange on the doc id
+    * for the within-doc running total (the q49/q67 windowed-cumsum
+    * contract shape) -> (doc, chunk) partial+final aggregation. Never a
+    * global sort; per-doc window state is O(words-per-doc). */
+  def chunkByTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                         budgetTokens: Long,
+                         tokenCounter: Column => Column,
+                         wordsFn: Column => Column = TextFns.tokens): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val w = df
+      .select(col(idCol), posexplode(wordsFn(col(textCol))).as(Seq("__pos", "__word")))
+      .withColumn("__wt", tokenCounter(col("__word")).cast("long"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w.withColumn("__cum_before",
+        (sum(col("__wt")).over(win) - col("__wt")).cast("long"))
+      .withColumn("chunk_id",
+        expr(s"__cum_before div ${budgetTokens}L").cast("int"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__word")))),
+          s => s.getField("__word")), " ").as("chunk_text"),
+        sum(col("__wt")).cast("long").as("n_chunk_tokens"),
+        count(lit(1)).cast("int").as("n_chunk_words"))
   }
 }

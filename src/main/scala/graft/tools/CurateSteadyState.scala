@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * rate (~0.2% adjacent replays) and length distribution are identical
   * across batches — any wall-time drift is the loop, not the data.
   *
-  * Usage: jrun graft.tools.CurateSteadyState <workDir> <nBatches> <batchRows> [<outJson>] [<compactEvery>] [<bands>] [<maxBucketSize>] [<vocabSize>]
+  * Usage: jrun graft.tools.CurateSteadyState <workDir> <nBatches> <batchRows> [<outJson>] [<compactEvery>] [<bands>] [<maxBucketSize>] [<vocabSize>] [<compactMinFiles>]
   * `compactEvery` > 0 turns on the loop's in-trigger index compaction
   * (curateStream's knob) — the A/B that separates file-count drift from
   * true per-row probe cost. `bands` (default 32 = curateStream's default,
@@ -100,10 +100,13 @@ object CurateSteadyState {
     val compactEvery = args.lift(4).map(_.toInt).getOrElse(0)
     val bands = args.lift(5).map(_.toInt).getOrElse(32)
     val maxBucket = args.lift(6).map(_.toInt).getOrElse(1000)
+    // compactMinFiles > 0 = the ADAPTIVE trigger (skip partitions at or
+    // under that many part files; the r10 cadence experiment)
+    val compactMinFiles = args.lift(8).map(_.toInt).getOrElse(0)
     val q = graft.streaming.StreamingIngest.curateStream(spark, stream,
       "doc_id", "text", indexPath, s"$workDir/curated", s"$workDir/rejects",
       s"$workDir/ckpt", bands = bands, maxBucketSize = maxBucket,
-      compactEvery = compactEvery)
+      compactEvery = compactEvery, compactMinFiles = compactMinFiles)
     q.awaitTermination()
     Thread.sleep(2000) // let the last progress event drain the listener bus
     spark.streams.removeListener(capture)
@@ -159,7 +162,7 @@ object CurateSteadyState {
       n
     }
     val line = s"""{"n_batches":$nBatches,"batch_rows":$batchRows,""" +
-      s""""compact_every":$compactEvery,"bands":$bands,""" +
+      s""""compact_every":$compactEvery,"compact_min_files":$compactMinFiles,"bands":$bands,""" +
       s""""max_bucket_size":$maxBucket,"vocab_size":$vocabSize,""" +
       s""""index_part_files":$idxFiles,""" +
       s""""drift_ms_per_batch":${f(drift)},"drift_theil_sen_ms_per_batch":${f(driftTs)},""" +

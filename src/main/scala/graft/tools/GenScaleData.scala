@@ -198,7 +198,16 @@ object GenScaleData {
       concat(lit("NATION_"), col("id").cast("string")).as("n_name"),
       pm(col("id"), 5L).cast("int").as("n_regionkey"))
 
-  def writeAll(spark: SparkSession, outDir: String, sf: Double): Unit = {
+  /** Writes all 10 tables at `sf`. `docVocab` picks the documents corpus:
+    * a hashed synthetic vocabulary of that size (default 20000 — the
+    * REALISTIC-ENTROPY corpus, the r10 sweep default: operator slopes
+    * read on operator scaling by default), or 0 for the 31-word
+    * testdata-mirror corpus (kept as the LABELED ADVERSARIAL case — its
+    * shared-shingle degeneracy makes LSH collision load grow with corpus
+    * size by construction of the data; measure it by exception, not by
+    * default). */
+  def writeAll(spark: SparkSession, outDir: String, sf: Double,
+               docVocab: Int = 20000): Unit = {
     def rows(perSf1: Long, floor: Long = 0L): Long =
       math.max(floor, (perSf1 * sf).toLong)
     val nCust = rows(150000L)
@@ -222,15 +231,17 @@ object GenScaleData {
     w(orders(spark, nOrd, nCust), "orders")
     w(lineitem(spark, nLine, nOrd, nPart, nSupp), "lineitem")
     w(events(spark, nEvt, nUsers), "events")
-    w(documents(spark, nDoc), "documents")
+    w(if (docVocab <= 0) documents(spark, nDoc)
+      else documentsVocab(spark, nDoc, docVocab), "documents")
     w(embeddings(spark, nEmb), "embeddings")
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: GenScaleData <outBase> <sf> [<sf2> ...] (writes <outBase>/sf<sf>)\n" +
+      "usage: GenScaleData <outBase> [--vocab <V>] <sf> [<sf2> ...] (writes <outBase>/sf<sf>;\n" +
+        "       documents vocab defaults to 20000 realistic-entropy, 0 = 31-word testdata mirror)\n" +
         "   or: GenScaleData <outBase> --docs-vocab <V> <sf> [<sf2> ...] " +
-        "(writes <outBase>/rich<sf>/documents.parquet with a V-word vocabulary)")
+        "(documents-only, writes <outBase>/rich<sf>/ or v31-<sf>/ for V=0)")
     val outBase = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -242,16 +253,28 @@ object GenScaleData {
       .appName("graft-gen-scale-data").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (args.lift(1).contains("--docs-vocab")) {
+      // documents-only generation into a named dir: --docs-vocab <V>
+      // writes rich<sf>/ at vocab V, --docs-vocab 0 writes v31-<sf>/ with
+      // the testdata-mirror corpus (the labeled adversarial case)
       val vocab = args(2).toInt
       args.drop(3).foreach { s =>
         val nDoc = math.max(500L, (50000L * s.toDouble).toLong)
-        documentsVocab(spark, nDoc, vocab)
-          .write.mode("overwrite").parquet(s"$outBase/rich$s/documents.parquet")
-        println(s"[gen] documents(vocab=$vocab) -> $outBase/rich$s/documents.parquet")
+        val dir = if (vocab <= 0) s"$outBase/v31-$s" else s"$outBase/rich$s"
+        (if (vocab <= 0) documents(spark, nDoc)
+         else documentsVocab(spark, nDoc, vocab))
+          .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        println(s"[gen] documents(vocab=$vocab) -> $dir/documents.parquet")
       }
-    } else args.drop(1).foreach { s =>
-      val sf = s.toDouble
-      writeAll(spark, s"$outBase/sf$s", sf)
+    } else {
+      // full-table generation; optional `--vocab <V>` overrides the
+      // documents corpus (default 20000 realistic-entropy; 0 = 31-word)
+      val (vocab, sfs) =
+        if (args.lift(1).contains("--vocab")) (args(2).toInt, args.drop(3))
+        else (20000, args.drop(1))
+      sfs.foreach { s =>
+        val sf = s.toDouble
+        writeAll(spark, s"$outBase/sf$s", sf, vocab)
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,137 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // vocab: the:4, cat:1, hat:1, that:1 — greedy rounds are hand-derivable
+  private lazy val docs = Seq(
+    (1L, "the cat the hat"),
+    (2L, "the the that")
+  ).toDF("doc_id", "text")
+
+  test("trainMerges matches hand-derived greedy merges and stops at minCount") {
+    // r0: (t,h) the*4 + that*1 = 5; r1: (th,e) = 4; r2: (a,t) cat+hat+that = 3;
+    // r3: best remaining pair count is 1 < minCount=2 -> stop early
+    val got = Bpe.trainMerges(docs, "text", numMerges = 10, minCount = 2L)
+    assert(got == Seq(
+      Bpe.Merge(0, "t", "h", 5L),
+      Bpe.Merge(1, "th", "e", 4L),
+      Bpe.Merge(2, "a", "t", 3L)))
+  }
+
+  test("trainMerges tiebreak is deterministic: count desc, then (l, r) ascending") {
+    // after the three merges above, round 3 candidates all have count 1:
+    // (c,at), (h,at), (th,at) -> lexicographically smallest left wins
+    val got = Bpe.trainMerges(docs, "text", numMerges = 4, minCount = 1L)
+    assert(got.length == 4)
+    assert(got(3) == Bpe.Merge(3, "c", "at", 1L))
+    // repeated training is bit-identical (exact integer counts, total order)
+    assert(Bpe.trainMerges(docs, "text", numMerges = 4, minCount = 1L) == got)
+  }
+
+  /** Textbook greedy BPE encode (lowest-rank PRESENT pair first, one
+    * leftmost-nonoverlapping pass per pick) — deliberately a DIFFERENT
+    * control flow from BpeKernel's rank-order chain, to pin the
+    * equivalence the kernel scaladoc proves. */
+  private def refEncode(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.codePoints().toArray.toSeq.map(cp => new String(Character.toChars(cp)))
+    var go = syms.length > 1
+    while (go) {
+      val present = syms.zip(syms.tail).filter(rank.contains)
+      if (present.isEmpty) go = false
+      else {
+        val best = present.minBy(rank)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && (syms(i), syms(i + 1)) == best) {
+            out += best._1 + best._2; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+        go = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  test("kernel encode == textbook greedy reference on randomized words + learned merges") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcde"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val corpus = (0 until 300).map(i => (i.toLong, Seq.fill(8)(word(1 + rnd.nextInt(9))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 20, minCount = 2L)
+    assert(merges.length == 20, s"fixture too small: ${merges.length} merges")
+    val pairs = merges.map(m => (m.left, m.right))
+    val ranks = new BpeRanks(pairs.toArray)
+    val words = (0 until 500).map(_ => word(1 + rnd.nextInt(12))).distinct
+    words.foreach { w =>
+      val kern = ranks.encode(w).toSeq
+      val ref = refEncode(w, pairs)
+      assert(kern == ref, s"word=$w kernel=$kern ref=$ref")
+      assert(kern.mkString == w, s"encode must partition the word: $w -> $kern")
+    }
+  }
+
+  /** Spark-side replay of the ORACLE's replace chain (delimiterize, apply
+    * merges in rank order as literal replaces, count U+0002 terminators) —
+    * pins expression == chain inside Spark; the DuckDB side of the same
+    * chain is the driver's q88 compare. */
+  private def chainCount(text: Column, merges: Seq[Bpe.Merge]): Column = {
+    val perWord = (w: Column) => {
+      val delim = regexp_replace(w, "(.)", "\u0001$1\u0002")
+      val enc = merges.foldLeft(delim)((acc, m) => org.apache.spark.sql.functions.replace(
+        acc,
+        lit("\u0001" + m.left + "\u0002\u0001" + m.right + "\u0002"),
+        lit("\u0001" + m.left + m.right + "\u0002")))
+      size(split(enc, "\u0002", -1)) - 1
+    }
+    coalesce(aggregate(Bpe.words(text), lit(0L), (acc, w) => acc + perWord(w)), lit(0L))
+  }
+
+  test("BpeTokenCountExpr == oracle replace-chain replay; tokens flatten in order") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdef"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val corpus = (0 until 200).map(i =>
+        (i.toLong, Seq.fill(6)(word(1 + rnd.nextInt(10))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(corpus, "text", numMerges = 16, minCount = 2L)
+    val mismatches = corpus
+      .select(Bpe.tokenCount(col("text"), merges).as("a"),
+        chainCount(col("text"), merges).cast("long").as("b"),
+        size(Bpe.tokens(col("text"), merges)).cast("long").as("c"))
+      .filter(col("a") =!= col("b") || col("a") =!= col("c"))
+      .count()
+    assert(mismatches == 0L)
+    // token order: concatenation reconstructs the lowercased words
+    val row = corpus.orderBy("doc_id")
+      .select(concat_ws("", Bpe.tokens(col("text"), merges)).as("joined"),
+        concat_ws("", Bpe.words(col("text"))).as("plain"))
+      .head()
+    assert(row.getString(0) == row.getString(1))
+  }
+
+  test("word model: delimiters stripped, null/blank -> 0, codepoint symbols") {
+    val ranks = new BpeRanks(Array(("a", "b")))
+    assert(BpeKernel.tokenCount(null, ranks) == 0L)
+    assert(BpeKernel.tokenCount("   ", ranks) == 0L)
+    assert(BpeKernel.tokenCount("AB ab", ranks) == 2L) // lowercased, both merge
+    assert(BpeKernel.tokenCount("a\u0001b \u0002ab", ranks) == 2L) // strip first
+    // astral char is ONE symbol (code point), not two UTF-16 halves
+    assert(BpeKernel.tokenCount("😀x", new BpeRanks(Array.empty)) == 2L)
+  }
+
+  test("trainMergesCached memoizes per (dir, col, config)") {
+    val key = s"bpe-spec-memo-${System.nanoTime()}"
+    val a = Bpe.trainMergesCached(docs, key, "text", 2)
+    val b = Bpe.trainMergesCached(docs.limit(0), key, "text", 2) // ignored: memo hit
+    assert(a == b && a.length == 2)
+  }
+}

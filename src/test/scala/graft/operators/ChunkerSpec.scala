@@ -57,4 +57,34 @@ class ChunkerSpec extends SparkSpec {
       Chunker.chunkByTokens(docs((1L, "x")), "doc_id", "text", 8, 0)
     }
   }
+
+  test("chunkByTokenBudget with unit counter == non-overlapping chunkByTokens") {
+    val d = docs(
+      (1L, (1 to 23).map(i => s"w$i").mkString(" ")),
+      (2L, "solo"),
+      (3L, (1 to 10).map(i => s"v$i").mkString(" ")))
+    val byWindow = Chunker.chunkByTokens(d, "doc_id", "text", size = 5, stride = 5)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Int, String)].collect().toSet
+    val byBudget = Chunker.chunkByTokenBudget(d, "doc_id", "text",
+        budgetTokens = 5L, tokenCounter = _ => lit(1L))
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(byBudget == byWindow)
+  }
+
+  test("chunkByTokenBudget: floor-div binning on weighted words, words intact") {
+    // weights = word length; budget 6: cum_before 0,3,5 | 8,11 -> bins 0,0,0,1,1
+    val d = docs((7L, "abc ab abc abc a"))
+    val got = Chunker.chunkByTokenBudget(d, "doc_id", "text",
+        budgetTokens = 6L, tokenCounter = w => length(w).cast("long"))
+      .orderBy("chunk_id")
+      .as[(Long, Int, String, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (7L, 0, "abc ab abc", 8L, 3),
+      (7L, 1, "abc a", 4L, 2)))
+    // empty docs produce no chunks (nothing to pack)
+    assert(Chunker.chunkByTokenBudget(docs((8L, "   ")), "doc_id", "text",
+      budgetTokens = 6L, tokenCounter = _ => lit(1L)).count() == 0L)
+  }
 }
