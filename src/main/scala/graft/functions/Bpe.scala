@@ -45,9 +45,10 @@ import org.apache.spark.sql.functions._
   * 100 TB shape: training scans the corpus ONCE (word count, one hash
   * shuffle); each of the `numMerges` rounds is one vocabulary-sized
   * exchange plus a 1-row driver collect (the argmax), with the vocab
-  * frame localCheckpointed every round so round k's job reads materialized
-  * blocks instead of re-running k replace passes of lineage. Encoding is
-  * a zero-shuffle in-scan expression with a per-executor word memo. */
+  * frame localCheckpointed every 8 rounds — bounded lineage at bounded
+  * job count (rounds are job-overhead-bound: the frame is vocab-sized).
+  * Encoding is a zero-shuffle in-scan expression with a per-executor
+  * word memo. */
 object Bpe {
 
   /** One learned merge: `left + right -> left+right`, learned at `rank`
@@ -108,10 +109,15 @@ object Bpe {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(k, l, r, c)
+        // Bounded lineage, amortized checkpoints: re-planning k nested
+        // replaces is cheaper than a checkpoint job per round (rounds are
+        // job-overhead-bound at any sf — the frame is vocabulary-sized),
+        // so cut lineage every 8 rounds and let the argmax job pay <= 8
+        // replace passes of recompute.
         vocab = vocab
           .withColumn("sym", replace(col("sym"),
             lit(SepL + l + SepR + SepL + r + SepR), lit(SepL + l + r + SepR)))
-          .localCheckpoint(true)
+        if ((k + 1) % 8 == 0) vocab = vocab.localCheckpoint(true)
         k += 1
       }
     }

@@ -84,8 +84,11 @@ object Chunker {
     *
     * 100 TB shape: narrow word explode -> ONE hash exchange on the doc id
     * for the within-doc running total (the q49/q67 windowed-cumsum
-    * contract shape) -> (doc, chunk) partial+final aggregation. Never a
-    * global sort; per-doc window state is O(words-per-doc). */
+    * contract shape); the (doc, chunk) aggregation REUSES that
+    * partitioning (hash(doc) satisfies clustering on (doc, chunk)), so
+    * the whole operator moves the corpus once — PlanShapeSpec pins the
+    * single-exchange plan. Never a global sort; per-doc window state is
+    * O(words-per-doc). */
   def chunkByTokenBudget(df: DataFrame, idCol: String, textCol: String,
                          budgetTokens: Long,
                          tokenCounter: Column => Column,

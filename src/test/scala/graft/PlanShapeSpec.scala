@@ -229,6 +229,30 @@ class PlanShapeSpec extends SparkSpec {
       s"column pruning failed (reads more than doc_id+text):\n$plan")
   }
 
+  test("q88 BPE counting: native expression in the scan's codegen span, zero hash exchange") {
+    val plan = executed(SparkEntry.queries("q88_bpe_token_count")(spark, dir))
+    // the count is a native expression evaluated in the scan projection —
+    // no shuffle anywhere except the final presentation sort
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"BPE count plan shuffled:\n$plan")
+    assert(plan.contains("bpe_token_count"), s"native expression missing:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF leaked into the BPE path:\n$plan")
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      s"column pruning failed (reads more than doc_id+text):\n$plan")
+  }
+
+  test("q90 budget chunking: ONE doc-keyed exchange serves BOTH the window and the (doc,chunk) agg") {
+    val plan = executed(SparkEntry.queries("q90_bpe_chunk")(spark, dir))
+    // hash(doc_id) satisfies ClusteredDistribution(doc_id, chunk_id), so
+    // the aggregation reuses the window's partitioning — one exchange total
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected the single shared doc-keyed exchange, got $hashExchanges:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      s"column pruning failed (reads more than doc_id+text):\n$plan")
+  }
+
   test("q74 shard plan: corpus rank through the two-phase scan, offsets broadcast") {
     val plan = executed(graft.operators.Sharding.shardPlan(spark,
       T2(dir, "documents").select("doc_id"), "doc_id", shardSize = 64))
