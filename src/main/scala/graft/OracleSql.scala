@@ -30,10 +30,17 @@ object OracleSql {
 
   import graft.operators.Similarity
 
+  /** The engine's whitespace class, spelled out: Java's ASCII `\s` is
+    * exactly `[ \t\n\x0B\f\r]`, while RE2's `\s` (DuckDB) omits `\x0B` —
+    * an explicit class is the only spelling the two dialects agree on
+    * (a document containing a vertical tab would otherwise tokenize
+    * differently in the oracle than in the engine). */
+  private val ws = """[ \t\n\x0b\f\r]"""
+
   /** Shared DuckDB snippet: lowercased whitespace tokens of `text`
     * (mirrors TextFns.tokens). */
   private val toks =
-    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
+    s"""list_filter(regexp_split_to_array(lower(trim(text)), '$ws+'), x -> length(x) > 0)"""
 
   /** Integer-quantized embedding (mirrors VectorFns.quantize). */
   private def quantized(scale: Int) =
@@ -336,8 +343,8 @@ object OracleSql {
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents)
          SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
-           CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
-           CAST(length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS INTEGER) AS n_chars_norm,
+           CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0b\\f\\r]')) AS INTEGER) AS n_piece_tokens,
+           CAST(length(trim(regexp_replace(lower(text), '$ws+', ' ', 'g'))) AS INTEGER) AS n_chars_norm,
            ROUND(CASE WHEN len(toks) > 0
              THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
              ELSE 0.0 END, 6) AS mean_word_len,
@@ -1303,14 +1310,14 @@ object OracleSql {
   private val staticAll: Map[String, String] =
     base + ("q86_incremental_dedup_indexed" -> base("q65_incremental_dedup"))
 
-  /** Full oracle map. The three BPE entries are GENERATED from the primed
-    * merge table ([[primeBpe]] — Verify primes before dumping); un-primed,
-    * they are omitted and the driver records its weaker rows-only check
-    * for them rather than comparing against SQL that cannot be built
-    * without the corpus. */
+  /** Full oracle map. The BPE entries (q87-q93) are GENERATED from the
+    * primed merge table ([[primeBpe]] — Verify primes before dumping);
+    * un-primed, this THROWS rather than silently omitting them (an
+    * omission would quietly downgrade those queries to the driver's
+    * rows-only check). */
   def all: Map[String, String] = staticAll ++ bpeEntries
 
-  // ------------------------------------------------------ BPE (q87-q89)
+  // ------------------------------------------------------ BPE (q87-q93)
   //
   // Soundness of generating the TRAINING oracle from the engine's own
   // merge table (q87): the SQL re-derives round k's argmax pair IN DUCKDB
@@ -1334,7 +1341,7 @@ object OracleSql {
   @volatile private var bpeMerges: Option[Seq[graft.functions.Bpe.Merge]] = None
 
   /** Train (or reuse the per-JVM memo of) the merge table for `sfDir` so
-    * the q87-q89 oracle SQL can be generated. Deterministic, so the primed
+    * the q87-q93 oracle SQL can be generated. Deterministic, so the primed
     * table equals what the query fns derive from the same dir. */
   def primeBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
     bpeMerges = Some(graft.functions.Bpe.trainMergesCached(
@@ -1344,14 +1351,17 @@ object OracleSql {
   /** Shared DuckDB snippet: words of `text` under the BPE word model
     * (mirrors Bpe.words = TextFns.tokens after stripping U+0001/U+0002). */
   private val bpeWords =
-    """list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '[\x01\x02]', '', 'g'))), '\s+'), x -> length(x) > 0)"""
+    raw"""list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '[\x01\x02]', '', 'g'))), '$ws+'), x -> length(x) > 0)"""
 
   private def bpeSqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Delimiterize a word expression: chr(1) before and chr(2) after every
-    * CODE POINT (RE2 '.' is codepoint-wise, matching the kernel). */
+    * CODE POINT (RE2 '.' is codepoint-wise, matching the kernel; `(?s)`
+    * because Unicode line separators survive the ASCII whitespace split
+    * and must delimiterize like any other symbol — RE2's bare '.'
+    * excludes \n, Java's excludes U+0085/U+2028/U+2029 too). */
   private def bpeDelim(expr: String): String =
-    s"regexp_replace($expr, '(.)', chr(1) || '" + "\\1" + s"' || chr(2), 'g')"
+    s"regexp_replace($expr, '(?s)(.)', chr(1) || '" + "\\1" + s"' || chr(2), 'g')"
 
   /** Rank-order replace chain applying `merges` to a delimiterized-word
     * expression. */
@@ -1412,7 +1422,14 @@ object OracleSql {
   }
 
   private def bpeEntries: Map[String, String] = bpeMerges match {
-    case None => Map.empty
+    // FAIL LOUDLY un-primed: silently omitting the generated q87-q93
+    // oracles would degrade those queries to the driver's weaker
+    // rows-only check with no error signal — any dump path must call
+    // primeBpe (or accept this exception), never lose oracles quietly.
+    case None => throw new IllegalStateException(
+      "OracleSql.primeBpe(spark, sfDir) must run before OracleSql.all: " +
+        "the q87-q93 oracle SQL is generated from the corpus-trained BPE " +
+        "merge table and cannot be built without it")
     case Some(merges) => Map(
       "q87_bpe_train" -> bpeTrainSql(merges),
       "q88_bpe_token_count" ->
@@ -1458,7 +1475,59 @@ object OracleSql {
              CAST(SUM(wt) AS BIGINT) AS n_chunk_tokens,
              CAST(COUNT(*) AS INTEGER) AS n_chunk_words
            FROM c GROUP BY doc_id, chunk_id
-           ORDER BY doc_id, chunk_id""")
+           ORDER BY doc_id, chunk_id""",
+      // q91: q61's sequence packing re-denominated in BPE tokens —
+      // same global prefix sum and integer // binning, 8192-token
+      // sequences (~q61's 2048 words at this corpus's tokens-per-word)
+      "q91_bpe_pack" ->
+        s"""WITH t AS (SELECT doc_id, ${bpeCountDoc(merges)} AS n_bpe_tokens
+             FROM documents),
+           c AS (SELECT doc_id, n_bpe_tokens,
+               CAST(SUM(n_bpe_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             FROM t)
+           SELECT doc_id, n_bpe_tokens, cum_tokens,
+             (cum_tokens - n_bpe_tokens) // 8192 AS seq_first,
+             (cum_tokens - 1) // 8192 AS seq_last,
+             (cum_tokens - n_bpe_tokens) % 8192 AS tok_offset
+           FROM c WHERE n_bpe_tokens > 0 ORDER BY doc_id""",
+      // q92: q67's greedy budget fill re-denominated in BPE tokens —
+      // per-source budget B*w/210 with B = 80000 BPE tokens
+      "q92_bpe_budget_select" ->
+        s"""WITH t AS (
+             SELECT doc_id, source, ${bpeCountDoc(merges)} AS n_bpe_tokens,
+               (80000 * (20 - CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT))) // 210
+                 AS source_budget
+             FROM documents),
+           c AS (
+             SELECT *, CAST(SUM(n_bpe_tokens) OVER (
+               PARTITION BY source ORDER BY n_bpe_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+             FROM t)
+           SELECT doc_id, source, n_bpe_tokens, source_budget, cum_tokens
+           FROM c WHERE cum_tokens <= source_budget
+           ORDER BY doc_id""",
+      // q93: q66's up/down-resampling re-denominated in BPE tokens —
+      // budget 240000 (~2.2x the corpus in BPE tokens), uncapped
+      // rate_myriad, epoch = unnest(range(n_copies))
+      "q93_bpe_resample" ->
+        s"""WITH t AS (
+             SELECT doc_id, source, ${bpeCountDoc(merges)} AS n_bpe_tokens
+             FROM documents),
+           tot AS (
+             SELECT source,
+               (240000 * (20 - CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT)) * 10000)
+                 // (210 * CAST(SUM(n_bpe_tokens) AS BIGINT)) AS rate_myriad
+             FROM t GROUP BY source),
+           j AS (
+             SELECT doc_id, t.source, n_bpe_tokens, rate_myriad,
+               rate_myriad // 10000
+                 + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 10000 < rate_myriad % 10000 THEN 1 ELSE 0 END AS n_copies
+             FROM t JOIN tot USING (source))
+           SELECT doc_id, source, n_bpe_tokens, rate_myriad, n_copies,
+             unnest(range(n_copies)) AS epoch
+           FROM j WHERE n_copies > 0
+           ORDER BY doc_id, epoch""")
   }
 
   /** Every char as chr(codepoint), '||'-joined — unambiguous for the

@@ -521,13 +521,15 @@ object SparkEntry {
   // North-star: text analysis
   // ===================================================================
 
-  /** Token counting (whitespace + BPE-ish subword proxy), normalized length
-    * stats, and the min-pooled rolling-hash document signature. */
+  /** Token counting (whitespace + regex word-piece proxy — named
+    * `n_piece_tokens` to keep it distinct from q88's real BPE
+    * `n_bpe_tokens`), normalized length stats, and the min-pooled
+    * rolling-hash document signature. */
   private def q34(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "documents")
       .select(col("doc_id"),
         TextFns.tokenCount(col("text")).as("n_tokens"),
-        TextFns.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"),
+        TextFns.tokenCountBpeIsh(col("text")).as("n_piece_tokens"),
         length(TextFns.normalizedText(col("text"))).as("n_chars_norm"),
         round(TextFns.meanWordLen(col("text")), 6).as("mean_word_len"),
         TextFns.docSignaturePortable(col("text"), 3).as("doc_sig"))
@@ -1184,7 +1186,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------- BPE family
 
-  /** Shared q87-q89 tokenizer config: 32 merges, minCount 2 — enough for
+  /** Shared q87-q93 tokenizer config: 32 merges, minCount 2 — enough for
     * multi-char subwords to emerge at every test sf while keeping the
     * induction oracle's generated SQL bounded (one replace per round). */
   private[graft] val BpeNumMerges = 32
@@ -1192,14 +1194,18 @@ object SparkEntry {
   private def bpeTable(s: SparkSession, dir: String): Seq[Bpe.Merge] =
     Bpe.trainMergesCached(T(s, dir, "documents"), dir, "text", BpeNumMerges)
 
-  /** Distributed greedy BPE training on the documents corpus — the learned
-    * merge table IS the query output, verified by INDUCTION in the oracle
-    * (round k's argmax recomputed in DuckDB given merges 0..k-1; see
-    * OracleSql for the soundness argument). Trains UNCACHED on purpose:
-    * this query is the one that times training honestly in Bench. */
+  /** Greedy BPE training on the documents corpus via the PRODUCTION
+    * trainer (one distributed word-count shuffle + the driver-local
+    * incremental merge loop — Bpe.trainMergesLocal) — the learned merge
+    * table IS the query output, verified by INDUCTION in the oracle
+    * (round k's argmax recomputed in DuckDB against the corpus given
+    * merges 0..k-1; see OracleSql for the soundness argument — the gate
+    * therefore proves the local trainer greedy round by round, on top of
+    * BpeSpec's pin against the distributed fallback). Trains UNCACHED on
+    * purpose: this query times training honestly in Bench. */
   private def q87(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Bpe.trainMerges(T(s, dir, "documents"), "text", BpeNumMerges)
+    Bpe.trainMergesLocal(T(s, dir, "documents"), "text", BpeNumMerges)
       .map(m => (m.rank, m.left, m.right, m.cnt))
       .toDF("merge_rank", "left_sym", "right_sym", "cnt")
       .orderBy(col("merge_rank"))
@@ -1245,6 +1251,65 @@ object SparkEntry {
         budgetTokens = 64L, tokenCounter = Bpe.tokenCount(_, merges),
         wordsFn = Bpe.words)
       .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** q61's GPT-style sequence packing RE-DENOMINATED IN BPE TOKENS: the
+    * same two-phase distributed prefix sum and integer `div` binning,
+    * budgeted by what the tokenizer will actually emit — 8192-token
+    * sequences (~q61's 2048 words at this corpus's tokens-per-word).
+    * Same plan shape as q61: the per-doc count is one extra in-scan
+    * codegen expression, so nothing about the exchange structure
+    * changes. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    val toks = T(s, dir, "documents")
+      .select(col("doc_id"),
+        Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+    PrefixSum.withRunningTotal(s, toks, "doc_id", "n_bpe_tokens", "cum_tokens")
+      .filter(col("n_bpe_tokens") > 0)
+      .selectExpr("doc_id", "n_bpe_tokens", "cum_tokens",
+        "(cum_tokens - n_bpe_tokens) div 8192 as seq_first",
+        "(cum_tokens - 1) div 8192 as seq_last",
+        "(cum_tokens - n_bpe_tokens) % 8192 as tok_offset")
+      .orderBy(col("doc_id"))
+  }
+
+  /** q67's greedy budget fill RE-DENOMINATED IN BPE TOKENS: per source,
+    * docs in (n_bpe_tokens DESC, doc_id) order until the source's
+    * 80000-BPE-token budget share (B*w/210) is full — the budget now
+    * means what a training run means by "tokens". Same windowed-cumsum
+    * contract shape as q67. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("n_bpe_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("source_budget", expr("(80000 * (20 - CAST(regexp_extract(source, '(\\\\d+)', 1) AS BIGINT))) div 210"))
+      .withColumn("cum_tokens", sum(col("n_bpe_tokens")).over(win))
+      .filter(col("cum_tokens") <= col("source_budget"))
+      .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+        col("source_budget"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q66's up/down-RESAMPLING RE-DENOMINATED IN BPE TOKENS: budget
+    * 240000 (~2.2x the corpus in BPE tokens, like q66's 60000 in words)
+    * under the q64 weights — high-weight sources upsample into multiple
+    * epochs, low-weight ones downsample, with copy counts exact integer
+    * functions of the BPE token totals. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("source"),
+      Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+    val w = lit(20L) - regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    Mixture.tokenBudgetResample(docs, "doc_id", "source", "n_bpe_tokens",
+        weightCol = w, weightTotal = 210L, budgetTokens = 240000L)
+      .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+        col("rate_myriad"), col("n_copies"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
   }
 
   /** Embedding cosine near-duplicate pairs (integer-SRP blocking + exact
@@ -1445,7 +1510,10 @@ object SparkEntry {
     "q87_bpe_train" -> q87 _,
     "q88_bpe_token_count" -> q88 _,
     "q89_bpe_mixture" -> q89 _,
-    "q90_bpe_chunk" -> q90 _
+    "q90_bpe_chunk" -> q90 _,
+    "q91_bpe_pack" -> q91 _,
+    "q92_bpe_budget_select" -> q92 _,
+    "q93_bpe_resample" -> q93 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -1546,7 +1614,7 @@ object SparkEntry {
         T(s, dir, "documents")
           .select(col("doc_id"),
             TextFns.tokenCount(col("text")).as("n_tokens"),
-            TextFns.tokenCountBpeIsh(col("text")).as("n_bpe_tokens"),
+            TextFns.tokenCountBpeIsh(col("text")).as("n_piece_tokens"),
             length(TextFns.normalizedText(col("text"))).as("n_chars_norm"),
             round(TextFns.meanWordLen(col("text")), 6).as("mean_word_len"),
             array_min(Dedup.shingleSetCol(col("text"), 3)).as("doc_sig"))

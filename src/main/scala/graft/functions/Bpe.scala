@@ -9,12 +9,25 @@ import org.apache.spark.sql.functions._
   * whitespace words and misstate budgets by multiples on code/CJK text.
   *
   * Three pieces, each independently verified:
-  *  - [[trainMerges]]: DISTRIBUTED greedy BPE training — one corpus-scan
-  *    word-count shuffle, then one (pair)-keyed count + argmax per merge
-  *    round over the VOCABULARY frame (the classic trainer optimization:
-  *    merges depend only on word frequencies, so after round 0 nothing is
-  *    ever corpus-sized again). SparkEntry q87's oracle re-verifies every
-  *    round's argmax in DuckDB by INDUCTION (see OracleSql).
+  *  - [[trainMergesLocal]]: the PRODUCTION trainer — one distributed
+  *    corpus-scan word-count shuffle, then the merge loop runs
+  *    DRIVER-LOCAL over the collected (word, cnt) vocabulary with
+  *    incrementally maintained pair counts (only pairs overlapping the
+  *    last merge change between rounds, and the argmax is an O(log P)
+  *    ordered-set head). The vocab frame is orders of magnitude smaller
+  *    than the corpus (Heaps' law: ~millions of distinct words for a
+  *    web-scale crawl — hundreds of MB, driver-sized), so per-merge cost
+  *    is proportional to the occurrences the merge actually touches, NOT
+  *    vocab-scan-sized, and 30k-100k merges need zero additional Spark
+  *    jobs. SparkEntry q87's oracle re-verifies every round's argmax in
+  *    DuckDB by INDUCTION (see OracleSql), so the driver's gate proves
+  *    THIS trainer greedy round by round; BpeSpec additionally pins it
+  *    merge-for-merge equal to [[trainMerges]].
+  *  - [[trainMerges]]: the distributed fallback — same word-count
+  *    shuffle, then one (pair)-keyed count + argmax job per merge round
+  *    over the VOCABULARY frame. Kept for vocabularies too large to
+  *    collect; O(numMerges × vocab-tokens) with a sequential job per
+  *    round, so only sane at small merge counts.
   *  - [[tokenCount]]/[[tokens]]: native codegen expressions
   *    ([[BpeTokenCountExpr]]/[[BpeTokensExpr]]) applying a merge table on
   *    a corpus scan (q88's oracle replays them as a generated
@@ -28,9 +41,14 @@ import org.apache.spark.sql.functions._
   *    pays training once per JVM).
   *
   * Shared word model (kernel, trainer, oracle SQL — all three must agree
-  * bit-for-bit): strip U+0001/U+0002, lowercase, split ASCII `\s+`, drop
-  * empties. Initial symbols are Unicode code points; no end-of-word
-  * marker (token counts are marker-invariant; merges never cross words).
+  * bit-for-bit): strip U+0001/U+0002, lowercase, split on the explicit
+  * whitespace class `[ \t\n\x0B\f\r]+` (what Java's ASCII `\s` means —
+  * the oracle spells the class out because RE2's `\s` omits `\x0B`), drop
+  * empties. Initial symbols are Unicode code points — the delimiterizers
+  * use `(?s)(.)` so Unicode line separators (U+0085/U+2028/U+2029), which
+  * survive the ASCII whitespace split, are one symbol everywhere too. No
+  * end-of-word marker (token counts are marker-invariant; merges never
+  * cross words).
   *
   * The U+0001/U+0002 strip is what makes the SQL replay SOUND: the oracle
   * (and the trainer) represent a symbol sequence as
@@ -43,12 +61,10 @@ import org.apache.spark.sql.functions._
   * controls — real text loses nothing) guarantees no collision.
   *
   * 100 TB shape: training scans the corpus ONCE (word count, one hash
-  * shuffle); each of the `numMerges` rounds is one vocabulary-sized
-  * exchange plus a 1-row driver collect (the argmax), with the vocab
-  * frame localCheckpointed every 8 rounds — bounded lineage at bounded
-  * job count (rounds are job-overhead-bound: the frame is vocab-sized).
-  * Encoding is a zero-shuffle in-scan expression with a per-executor
-  * word memo. */
+  * shuffle — the only data-sized work); the merge loop is driver-local
+  * over the collected vocabulary, so the merges dimension costs no Spark
+  * jobs at all (tools/BpeTrainScale measures ≥1k merges). Encoding is a
+  * zero-shuffle in-scan expression with a per-executor word memo. */
 object Bpe {
 
   /** One learned merge: `left + right -> left+right`, learned at `rank`
@@ -73,19 +89,23 @@ object Bpe {
     df.select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
 
-  /** Greedy BPE training: `numMerges` rounds of (pair)-keyed weighted
-    * count + deterministic argmax (count DESC, then (left, right)
-    * ascending in UTF-8 byte order — Spark's UTF8String comparison and
-    * DuckDB's binary collation agree). Stops early when no pair reaches
-    * `minCount`. Deterministic: exact integer counts, total-order
-    * tiebreak. */
+  /** DISTRIBUTED-fallback greedy BPE training: `numMerges` rounds of
+    * (pair)-keyed weighted count + deterministic argmax (count DESC, then
+    * (left, right) ascending in UTF-8 byte order — Spark's UTF8String
+    * comparison and DuckDB's binary collation agree). Stops early when no
+    * pair reaches `minCount`. Deterministic: exact integer counts,
+    * total-order tiebreak. Use [[trainMergesLocal]] (pinned equal) unless
+    * the vocabulary itself exceeds driver memory: this loop re-counts all
+    * pairs every round and runs one sequential Spark job per merge —
+    * O(numMerges × vocab-tokens) — which is fine at tens of merges and
+    * days of job overhead at tokenizer-real 30k+. */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
                   minCount: Long = 2L): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     var vocab = wordCounts(df, textCol)
       .select(col("cnt"),
-        regexp_replace(col("word"), "(.)", SepL + "$1" + SepR).as("sym"))
+        regexp_replace(col("word"), "(?s)(.)", SepL + "$1" + SepR).as("sym"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var k = 0
@@ -124,10 +144,161 @@ object Bpe {
     merges.toSeq
   }
 
+  /** UTF-8 byte-order string comparison (== code-POINT order — UTF-8 was
+    * designed so the two agree). This is the total order Spark's
+    * UTF8String sort and DuckDB's binary collation share; Java's
+    * `String.compareTo` orders by UTF-16 code UNIT instead, which ranks
+    * supplementary characters below U+E000..U+FFFF — a tiebreak the
+    * distributed argmax and the oracle would disagree with. */
+  private[functions] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** PRODUCTION greedy BPE training: ONE distributed word-count shuffle
+    * (the only corpus-sized work), then the merge loop runs driver-local
+    * over the collected vocabulary via [[trainMergesOnVocab]]. Result is
+    * merge-for-merge equal to [[trainMerges]] (BpeSpec pins it; q87's
+    * induction oracle re-proves greediness round by round against the
+    * corpus). Scale: the vocab is Heaps'-law-sized (millions of entries
+    * at web scale — driver-sized), and per-merge cost is proportional to
+    * the occurrences the merge touches plus O(log P) ordered-set
+    * maintenance, so 30k-100k-merge tokenizers train with zero
+    * per-round Spark jobs (tools/BpeTrainScale measures it). */
+  def trainMergesLocal(df: DataFrame, textCol: String, numMerges: Int,
+                       minCount: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val vocab = wordCounts(df, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    trainMergesOnVocab(vocab, numMerges, minCount)
+  }
+
+  /** The driver-local merge loop of [[trainMergesLocal]], exposed for
+    * direct use on an already-collected vocabulary (and for spark-free
+    * tests). Incremental pair maintenance — the standard trainer design:
+    *  - every adjacent symbol pair's occurrence-weighted count lives in a
+    *    hash map, mirrored into an ordered set keyed (count DESC, left,
+    *    right) under UTF-8 byte order, so each round's argmax is the set
+    *    head (exactly [[trainMerges]]' `ORDER BY c DESC, l, r LIMIT 1`);
+    *  - a pair -> containing-words index restricts each round's rewrite
+    *    to the words the winning pair occurs in; only THEIR pair counts
+    *    change (subtract the word's old adjacencies, apply the merge as
+    *    one leftmost-nonoverlapping pass — [[BpeKernel]] semantics — add
+    *    the new adjacencies). Membership bits can go stale after later
+    *    merges; appliers re-check occurrence and skip, so staleness
+    *    costs a scan of that word, never correctness. */
+  def trainMergesOnVocab(vocab: Seq[(String, Long)], numMerges: Int,
+                         minCount: Long = 2L): Seq[Merge] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val n = vocab.length
+    val words = new Array[Array[String]](n)
+    val cnts = new Array[Long](n)
+    var wi = 0
+    vocab.foreach { case (w, c) =>
+      val cps = w.codePoints().toArray
+      val a = new Array[String](cps.length)
+      var i = 0
+      while (i < cps.length) { a(i) = new String(Character.toChars(cps(i))); i += 1 }
+      words(wi) = a
+      cnts(wi) = c
+      wi += 1
+    }
+    val pairCnt = new java.util.HashMap[(String, String), Long]()
+    val pairWords = new java.util.HashMap[(String, String), java.util.BitSet]()
+    val order = new java.util.TreeSet[(Long, String, String)](
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+          if (a._1 != b._1) return java.lang.Long.compare(b._1, a._1)
+          val cl = cpCompare(a._2, b._2)
+          if (cl != 0) cl else cpCompare(a._3, b._3)
+        }
+      })
+    /** Apply `delta` to pair `p`'s count; record membership of `word`
+      * (>= 0) when the pair has live occurrences. */
+    def bump(p: (String, String), delta: Long, word: Int): Unit = {
+      val old = pairCnt.getOrDefault(p, 0L)
+      val nu = old + delta
+      if (old > 0) order.remove((old, p._1, p._2))
+      if (nu > 0) {
+        pairCnt.put(p, nu)
+        order.add((nu, p._1, p._2))
+        if (word >= 0)
+          pairWords.computeIfAbsent(p, _ => new java.util.BitSet(n)).set(word)
+      } else {
+        pairCnt.remove(p)
+        pairWords.remove(p)
+      }
+    }
+    wi = 0
+    while (wi < n) {
+      val s = words(wi)
+      var i = 0
+      while (i + 1 < s.length) { bump((s(i), s(i + 1)), cnts(wi), wi); i += 1 }
+      wi += 1
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      if (order.isEmpty || order.first()._1 < minCount) done = true
+      else {
+        val (c, l, r) = order.first()
+        merges += Merge(k, l, r, c)
+        val merged = l + r
+        val members = pairWords.get((l, r))
+        // snapshot: bump() mutates pairWords during the rewrite below
+        val idxs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var b = members.nextSetBit(0)
+        while (b >= 0) { idxs += b; b = members.nextSetBit(b + 1) }
+        idxs.foreach { w =>
+          val old = words(w)
+          var has = false
+          var i = 0
+          while (!has && i + 1 < old.length) {
+            has = (old(i) == l) && (old(i + 1) == r); i += 1
+          }
+          if (has) { // stale membership bits are skipped, not an error
+            val wc = cnts(w)
+            i = 0
+            while (i + 1 < old.length) { bump((old(i), old(i + 1)), -wc, -1); i += 1 }
+            val out = new Array[String](old.length)
+            var m2 = 0
+            var j = 0
+            while (j < old.length) {
+              if (j + 1 < old.length && old(j) == l && old(j + 1) == r) {
+                out(m2) = merged; m2 += 1; j += 2
+              } else { out(m2) = old(j); m2 += 1; j += 1 }
+            }
+            val nu = java.util.Arrays.copyOf(out, m2)
+            words(w) = nu
+            i = 0
+            while (i + 1 < nu.length) { bump((nu(i), nu(i + 1)), wc, w); i += 1 }
+          }
+        }
+        // every live occurrence was consumed by the rewrites above (one
+        // leftmost-nonoverlapping pass can't recreate (l, r): l+r != l)
+        assert(!pairCnt.containsKey((l, r)),
+          s"merge ($l, $r) left a nonzero count — incremental bookkeeping bug")
+        k += 1
+      }
+    }
+    merges.toSeq
+  }
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), Seq[Merge]]()
 
-  /** [[trainMerges]] memoized per (corpus dir, textCol, numMerges,
+  /** [[trainMergesLocal]] memoized per (corpus dir, textCol, numMerges,
     * minCount) for the life of the JVM — the train-once-reuse-everywhere
     * production shape. Only sound for an IMMUTABLE corpus path (the
     * testdata dirs); a live lake should train explicitly and version the
@@ -135,7 +306,7 @@ object Bpe {
   def trainMergesCached(df: DataFrame, dirKey: String, textCol: String,
                         numMerges: Int, minCount: Long = 2L): Seq[Merge] =
     cache.computeIfAbsent((dirKey, textCol, numMerges, minCount),
-      _ => trainMerges(df, textCol, numMerges, minCount))
+      _ => trainMergesLocal(df, textCol, numMerges, minCount))
 
   /** Tokenizer-faithful token count of `text` under `merges` (native
     * codegen expression; null text -> 0). */

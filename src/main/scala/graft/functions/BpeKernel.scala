@@ -92,7 +92,14 @@ object BpeKernel {
 
   private val Ws = "\\s+".r.pattern
 
-  /** Words of `text` under the shared BPE word model. */
+  /** Words of `text` under the shared BPE word model. Lowercasing goes
+    * through UTF8String — the SAME implementation Spark's `lower()`
+    * Column uses — so the kernel can never disagree with the Column-based
+    * trainer word model on non-ASCII text or under a non-English default
+    * JVM locale (String.toLowerCase differs on e.g. Turkish dotted İ).
+    * DuckDB's `lower()` agrees on ASCII and ordinary case-folding; exotic
+    * locale-sensitive code points remain an oracle-comparison caveat, not
+    * an engine-internal one (BpeSpec pins kernel == Column on non-ASCII). */
   def words(text: String): Array[String] = {
     if (text == null) return Array.empty
     val sb = new java.lang.StringBuilder(text.length)
@@ -102,7 +109,7 @@ object BpeKernel {
       if (c != '\u0001' && c != '\u0002') sb.append(c)
       i += 1
     }
-    Ws.split(sb.toString.toLowerCase(java.util.Locale.ROOT).trim)
+    Ws.split(UTF8String.fromString(sb.toString).toLowerCase.toString.trim)
       .filter(_.nonEmpty)
   }
 

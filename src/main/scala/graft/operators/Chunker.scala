@@ -23,9 +23,13 @@ import graft.functions.TextFns
   *    end of the doc (it may be shorter than `size` only in its overlap
   *    arithmetic, never empty);
   *  - chunk k covers tokens [k·stride, min(k·stride + size, n));
-  *  - an EMPTY document still yields exactly one (empty-text) chunk, so
-  *    every input row is represented downstream — callers that want to
-  *    drop empties filter `n_chunk_tokens > 0` explicitly.
+  *  - empty-document semantics DIFFER by method (each matches its
+  *    oracle): [[chunkByTokens]] yields exactly one empty-text chunk, so
+  *    every input row is represented downstream (drop empties with
+  *    `n_chunk_tokens > 0`); [[chunkByTokenBudget]] DROPS empty docs —
+  *    its word `posexplode` emits nothing for an empty word array
+  *    (callers needing every row represented should left-join the output
+  *    back to the input ids).
   *
   * 100 TB design: this is a pure NARROW operator — tokenize, compute the
   * chunk count, explode a `sequence`, slice — no exchange anywhere, no

@@ -234,6 +234,21 @@ object GenScaleData {
     w(if (docVocab <= 0) documents(spark, nDoc)
       else documentsVocab(spark, nDoc, docVocab), "documents")
     w(embeddings(spark, nEmb), "embeddings")
+    writeMeta(outDir, sf, docVocab, nDoc)
+  }
+
+  /** Generation-metadata sidecar: the r10 default-vocab change made
+    * regenerating an existing sf dir silently produce a DIFFERENT corpus
+    * than the one committed bench/correctness anchors were built from —
+    * this file makes a stale-corpus comparison detectable (and records
+    * which vocab a dir actually carries). */
+  private def writeMeta(outDir: String, sf: Double, docVocab: Int,
+                        nDoc: Long): Unit = {
+    val meta = s"""{"generator":"GenScaleData","seed":$Seed,"sf":$sf,""" +
+      s""""doc_vocab":$docVocab,"n_documents":$nDoc,""" +
+      s""""corpus":"${if (docVocab <= 0) "testdata-mirror-31-word" else s"synthetic-vocab-$docVocab"}"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/_gen_meta.json"), meta + "\n")
   }
 
   def main(args: Array[String]): Unit = {
@@ -263,6 +278,7 @@ object GenScaleData {
         (if (vocab <= 0) documents(spark, nDoc)
          else documentsVocab(spark, nDoc, vocab))
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+        writeMeta(dir, s.toDouble, vocab, nDoc)
         println(s"[gen] documents(vocab=$vocab) -> $dir/documents.parquet")
       }
     } else {

@@ -253,6 +253,30 @@ class PlanShapeSpec extends SparkSpec {
       s"column pruning failed (reads more than doc_id+text):\n$plan")
   }
 
+  test("q91 BPE packing keeps q61's distributed prefix-sum shape") {
+    val plan = executed(SparkEntry.queries("q91_bpe_pack")(spark, dir))
+    // re-denominating the budget in BPE tokens adds ONE in-scan native
+    // expression and must not change the exchange structure: the only
+    // SinglePartition exchange is the config-bounded totals frame
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single == 1, s"expected 1 bounded SinglePartition exchange, got $single:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    // (the native count itself runs inside the PRE-checkpoint scan job —
+    // PrefixSum materializes the ranged frame, so the visible plan starts
+    // at Scan ExistingRDD; q88's pin covers the in-scan expression claim)
+  }
+
+  test("q92 BPE budget fill: one source-keyed exchange, native count in the scan") {
+    val plan = executed(SparkEntry.queries("q92_bpe_budget_select")(spark, dir))
+    // q67's windowed-cumsum contract shape: one hash exchange on source
+    // feeding the per-source sort + running sum
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected the single source-keyed exchange, got $hashExchanges:\n$plan")
+    assert(plan.contains("bpe_token_count"), s"native BPE expression missing:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF leaked into the BPE path:\n$plan")
+  }
+
   test("q74 shard plan: corpus rank through the two-phase scan, offsets broadcast") {
     val plan = executed(graft.operators.Sharding.shardPlan(spark,
       T2(dir, "documents").select("doc_id"), "doc_id", shardSize = 64))

@@ -85,7 +85,7 @@ class BpeSpec extends SparkSpec {
     * chain is the driver's q88 compare. */
   private def chainCount(text: Column, merges: Seq[Bpe.Merge]): Column = {
     val perWord = (w: Column) => {
-      val delim = regexp_replace(w, "(.)", "\u0001$1\u0002")
+      val delim = regexp_replace(w, "(?s)(.)", "\u0001$1\u0002")
       val enc = merges.foldLeft(delim)((acc, m) => org.apache.spark.sql.functions.replace(
         acc,
         lit("\u0001" + m.left + "\u0002\u0001" + m.right + "\u0002"),
@@ -126,6 +126,82 @@ class BpeSpec extends SparkSpec {
     assert(BpeKernel.tokenCount("a\u0001b \u0002ab", ranks) == 2L) // strip first
     // astral char is ONE symbol (code point), not two UTF-16 halves
     assert(BpeKernel.tokenCount("😀x", new BpeRanks(Array.empty)) == 2L)
+  }
+
+  test("trainMergesLocal == distributed trainMerges: hand-derived case + early stop") {
+    val loc = Bpe.trainMergesLocal(docs, "text", numMerges = 10, minCount = 2L)
+    assert(loc == Seq(
+      Bpe.Merge(0, "t", "h", 5L),
+      Bpe.Merge(1, "th", "e", 4L),
+      Bpe.Merge(2, "a", "t", 3L)))
+    assert(loc == Bpe.trainMerges(docs, "text", numMerges = 10, minCount = 2L))
+  }
+
+  test("trainMergesLocal == distributed trainMerges, merge-for-merge, on a randomized corpus") {
+    // minCount=1 + a small alphabet drives the loop deep into count-1
+    // tiebreak territory — the argmax order (count DESC, then (l, r)
+    // ascending) is exercised on every round past the head
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcd"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val corpus = (0 until 250).map(i =>
+        (i.toLong, Seq.fill(7)(word(1 + rnd.nextInt(8))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dist = Bpe.trainMerges(corpus, "text", numMerges = 24, minCount = 1L)
+    val loc = Bpe.trainMergesLocal(corpus, "text", numMerges = 24, minCount = 1L)
+    assert(dist.length == 24, s"fixture too small: ${dist.length} merges")
+    assert(loc == dist,
+      s"local/distributed diverge first at rank ${loc.zip(dist).indexWhere(p => p._1 != p._2)}:\n  local=$loc\n  dist=$dist")
+  }
+
+  test("trainMergesOnVocab: occurrence-weighted overlapping pairs ('aaa' counts (a,a) twice)") {
+    // vocab {aaa: 3} — (a,a) has 2 adjacencies x cnt 3 = 6; after the
+    // merge the word is [aa, a] and the next best pair is (aa, a) at 3
+    val got = Bpe.trainMergesOnVocab(Seq(("aaa", 3L)), numMerges = 2, minCount = 1L)
+    assert(got == Seq(Bpe.Merge(0, "a", "a", 6L), Bpe.Merge(1, "aa", "a", 3L)))
+  }
+
+  test("unicode line separators (U+2028) are one symbol in trainer, kernel, and chain alike") {
+    // U+2028 survives the ASCII \s+ word split, so it lands INSIDE a
+    // word; the (?s) delimiterizer must treat it as a normal symbol
+    // (pre-fix, Java's '(.)' skipped it and produced corrupted
+    // multi-codepoint symbols in the distributed trainer only)
+    val sep = "\u2028"
+    val corpus = Seq(
+      (1L, s"ab${sep}ab ab${sep}ab cd"),
+      (2L, s"ab${sep}ab xy")).toDF("doc_id", "text")
+    val dist = Bpe.trainMerges(corpus, "text", numMerges = 3, minCount = 2L)
+    val loc = Bpe.trainMergesLocal(corpus, "text", numMerges = 3, minCount = 2L)
+    assert(loc == dist, s"local=$loc dist=$dist")
+    // the kernel and the oracle-shaped replace chain agree on the counts
+    val merges = loc
+    val mism = corpus
+      .select(Bpe.tokenCount(col("text"), merges).as("a"),
+        chainCount(col("text"), merges).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mism == 0L)
+  }
+
+  test("kernel word model == Column word model on non-ASCII case folding") {
+    // kernel lowercases through UTF8String — the same implementation
+    // Spark's lower() uses — so the two word models cannot diverge on
+    // non-ASCII text regardless of the default JVM locale
+    val texts = Seq("ÄRGER Straße MASSE", "İstanbul IJssel", "ΣΟΦΙΑ σοφια")
+    texts.foreach { t =>
+      val colWords = Seq(Tuple1(t)).toDF("text")
+        .select(Bpe.words(col("text"))).head().getSeq[String](0)
+      assert(BpeKernel.words(t).toSeq == colWords, s"text=$t")
+    }
+  }
+
+  test("cpCompare agrees with UTF8String (UTF-8 byte) order, including astral chars") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // U+FFFF vs U+1F600: UTF-16 code-unit order would invert these
+    val samples = Seq("a", "ab", "b", "é", "￿", "😀", "z￿", "z😀", "")
+    for (a <- samples; b <- samples) {
+      val exp = Integer.signum(UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      assert(Integer.signum(Bpe.cpCompare(a, b)) == exp, s"a=$a b=$b")
+    }
   }
 
   test("trainMergesCached memoizes per (dir, col, config)") {
