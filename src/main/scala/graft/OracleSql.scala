@@ -1430,7 +1430,16 @@ object OracleSql {
       "OracleSql.primeBpe(spark, sfDir) must run before OracleSql.all: " +
         "the q87-q93 oracle SQL is generated from the corpus-trained BPE " +
         "merge table and cannot be built without it")
-    case Some(merges) => Map(
+    case Some(merges) =>
+      // Precondition of the chain == greedy-encode equivalence (see
+      // BpeKernel scaladoc): no duplicate (left, right) table entry. The
+      // kernel's rank dict collapses a duplicate to its first rank while
+      // the generated replace chain would re-apply it later — reject
+      // loudly rather than replay SQL that could diverge from the engine.
+      require(merges.map(m => (m.left, m.right)).distinct.size == merges.size,
+        "BPE merge table contains a duplicate pair — the replace-chain " +
+          "oracle would diverge from the kernel's dict-greedy encode")
+      Map(
       "q87_bpe_train" -> bpeTrainSql(merges),
       "q88_bpe_token_count" ->
         s"""WITH w AS (SELECT doc_id, $bpeWords AS words FROM documents)

@@ -19,9 +19,27 @@ final class BpeRanks(val merges: Array[(String, String)]) extends Serializable {
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
-  /** BPE-encode one word (applies merges in rank order, each as ONE
-    * leftmost-nonoverlapping pass — see [[BpeKernel]] for why that equals
-    * greedy lowest-rank-first encoding). */
+  /** (left, right) -> rank, built once per deserialized instance — the
+    * dict that makes per-word encode independent of merge-table SIZE
+    * (a rank-order scan over the table is O(|table|) per uncached word:
+    * invisible at the 32-merge oracle config, ruinous at the 20k+-merge
+    * tables [[Bpe.trainMergesLocal]] produces in well under a second). */
+  @transient private lazy val rank = {
+    val m = new java.util.HashMap[(String, String), Integer](merges.length * 2)
+    var i = 0
+    while (i < merges.length) {
+      // first (lowest) rank wins if a pair was somehow learned twice
+      if (!m.containsKey(merges(i))) m.put(merges(i), Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
+
+  /** BPE-encode one word: greedy lowest-rank-PRESENT-pair first, each
+    * pick applied as one leftmost-nonoverlapping pass (the textbook
+    * loop — see [[BpeKernel]] for the proof it equals the oracle's
+    * rank-order replace chain). O(len^2) in the word's code points with
+    * O(1) rank lookups; table size never enters the per-word cost. */
   def encode(word: String): Array[String] = {
     val hit = memo.get(word)
     if (hit != null) return hit
@@ -40,17 +58,21 @@ final class BpeRanks(val merges: Array[(String, String)]) extends Serializable {
       while (i < cps.length) { a(i) = new String(Character.toChars(cps(i))); i += 1 }
       a
     }
-    var m = 0
-    while (m < merges.length && syms.length > 1) {
-      val l = merges(m)._1
-      val r = merges(m)._2
-      // one leftmost-nonoverlapping pass (string-replace semantics)
+    var go = syms.length > 1
+    while (go) {
+      // lowest-rank pair present among current adjacencies
+      var bestRank = Int.MaxValue
       var i = 0
-      var found = false
-      while (!found && i < syms.length - 1) {
-        found = (syms(i) == l) && (syms(i + 1) == r); i += 1
+      while (i < syms.length - 1) {
+        val r = rank.get((syms(i), syms(i + 1)))
+        if (r != null && r.intValue < bestRank) bestRank = r.intValue
+        i += 1
       }
-      if (found) {
+      if (bestRank == Int.MaxValue) go = false
+      else {
+        val l = merges(bestRank)._1
+        val r = merges(bestRank)._2
+        // one leftmost-nonoverlapping pass (string-replace semantics)
         val out = new Array[String](syms.length)
         var n = 0
         var j = 0
@@ -60,8 +82,8 @@ final class BpeRanks(val merges: Array[(String, String)]) extends Serializable {
           } else { out(n) = syms(j); n += 1; j += 1 }
         }
         syms = java.util.Arrays.copyOf(out, n)
+        go = syms.length > 1
       }
-      m += 1
     }
     syms
   }
@@ -71,17 +93,30 @@ final class BpeRanks(val merges: Array[(String, String)]) extends Serializable {
   * generated Java of [[BpeTokenCountExpr]]/[[BpeTokensExpr]] (the
   * [[ShingleKernel]] codegen pattern).
   *
-  * Encoding algorithm = apply the merges IN RANK ORDER, each merge as one
-  * leftmost-nonoverlapping pass over the word's symbols. This is provably
-  * identical to the textbook greedy lowest-rank-present-pair loop: a merge
-  * (x, y) -> xy can only create new adjacent pairs involving xy, and any
-  * pair involving xy can only have been LEARNED after xy existed — i.e.
-  * at a HIGHER rank — so processing ranks in ascending order never skips
-  * a lower-rank opportunity, and one pass per rank suffices (applying
-  * (x, y) never creates another (x, y) adjacency, since xy != x). The
-  * same rank-order pass is exactly what the oracle's generated
-  * `replace()` chain computes over the delimiterized word, which is what
-  * makes the SQL replay possible at all.
+  * Encoding algorithm = the textbook greedy loop: repeatedly merge the
+  * lowest-RANK pair present among the word's current adjacencies (one
+  * leftmost-nonoverlapping pass per pick), ranks looked up in a
+  * pair->rank dict — O(len^2) per word in its code points, INDEPENDENT
+  * of merge-table size (the previous rank-order-scan formulation was
+  * O(|table|) per uncached word: invisible at 32 merges, ruinous at the
+  * 20k+-merge tables [[Bpe.trainMergesLocal]] produces).
+  *
+  * This greedy is provably identical to applying the merges IN RANK
+  * ORDER, one leftmost-nonoverlapping pass each — which is exactly what
+  * the oracle's generated `replace()` chain computes over the
+  * delimiterized word, making the SQL replay possible at all. Proof: a
+  * merge (x, y) -> xy can only create new adjacent pairs involving xy,
+  * and any pair involving xy can only have been LEARNED after xy existed
+  * — i.e. at a HIGHER rank — so the ascending-rank chain never skips a
+  * lower-rank opportunity, and one pass per rank suffices (applying
+  * (x, y) never creates another (x, y) adjacency, since xy != x).
+  * PRECONDITION: the table has no duplicate (left, right) entry. A
+  * duplicate is theoretically learnable (a string can re-form via a
+  * different split and the pair's count resurge); the dict collapses it
+  * to its FIRST rank (the ecosystem-standard semantic), while the
+  * replace chain would re-apply it at the later rank too — so the oracle
+  * generator REJECTS duplicate-bearing tables loudly
+  * (OracleSql.bpeEntries) instead of replaying SQL that could diverge.
   *
   * Word model (shared with [[Bpe.words]] and the oracle SQL, and with
   * TextFns.tokens' conventions): strip the two delimiter code points

@@ -70,6 +70,27 @@ object BpeTrainScale {
     }
     val localLearned = localTable.length
 
+    // 2b. encode throughput UNDER the large trained table — the consumer
+    // side of the merges dimension: per-word encode must not scale with
+    // table size (the dict-greedy kernel's claim). Full corpus scan
+    // through the native expression into a noop sink; total tokens from
+    // a second (cheap) aggregate.
+    val bigTable = localTable
+    def encodePass(): Double = {
+      val t0 = System.nanoTime()
+      df.select(Bpe.tokenCount(org.apache.spark.sql.functions.col("text"), bigTable)
+          .as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    encodePass() // warm (JIT + memo fill)
+    val tEncode = encodePass()
+    val totalTokens = df
+      .select(org.apache.spark.sql.functions.sum(
+        Bpe.tokenCount(org.apache.spark.sql.functions.col("text"), bigTable))
+        .as("t"))
+      .head().getLong(0)
+
     // 3. distributed fallback at the small merge count
     val (distTable, tDist) = time {
       Bpe.trainMerges(df, "text", distMerges, minCount)
@@ -85,6 +106,8 @@ object BpeTrainScale {
         s""""wordcount_collect_sec":${f(tCollect)},""" +
         s""""local_merges_requested":$localMerges,"local_merges_learned":$localLearned,""" +
         s""""local_loop_sec":${f(tLocal)},"local_us_per_merge":${f(if (localLearned > 0) tLocal * 1e6 / localLearned else -1)},""" +
+        s""""encode_corpus_sec":${f(tEncode)},"encode_total_tokens":$totalTokens,""" +
+        s""""encode_mtokens_per_sec":${f(totalTokens / tEncode / 1e6)},""" +
         s""""dist_merges":${distTable.length},"dist_loop_sec":${f(tDist)},""" +
         s""""dist_sec_per_merge":${f(if (distTable.nonEmpty) tDist / distTable.length else -1)},""" +
         s""""prefix_equal":$equal,"min_count":$minCount}"""

@@ -204,6 +204,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("exhaustion-scale table: kernel == textbook greedy, no duplicate pairs, chain parity") {
+    // train far past what the vocabulary yields (the tokenizer-real
+    // shape): per-word encode must stay correct when |table| >> |word|,
+    // and the table must satisfy the chain==greedy precondition the
+    // oracle generator asserts (no duplicate (l, r) entry)
+    val rnd = new scala.util.Random(41)
+    val alpha = "abcdef"
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val corpus = (0 until 400).map(i =>
+        (i.toLong, Seq.fill(8)(word(1 + rnd.nextInt(10))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(corpus, "text", numMerges = 100000, minCount = 2L)
+    assert(merges.length > 100, s"fixture too small: ${merges.length} merges")
+    val pairs = merges.map(m => (m.left, m.right))
+    assert(pairs.distinct.size == pairs.size, "duplicate pair in exhausted table")
+    val ranks = new BpeRanks(pairs.toArray)
+    val sample = (0 until 300).map(_ => word(1 + rnd.nextInt(14))).distinct
+    sample.foreach { w =>
+      assert(ranks.encode(w).toSeq == refEncode(w, pairs), s"word=$w")
+    }
+    // chain parity spot-check on the first 48 merges (a full-table chain
+    // would be an impractically deep nested-replace expression — the
+    // equivalence proof covers the rest given no-duplicates, asserted
+    // above and at oracle-generation time)
+    val head = merges.take(48)
+    val mism = corpus
+      .select(Bpe.tokenCount(col("text"), head).as("a"),
+        chainCount(col("text"), head).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mism == 0L)
+  }
+
   test("trainMergesCached memoizes per (dir, col, config)") {
     val key = s"bpe-spec-memo-${System.nanoTime()}"
     val a = Bpe.trainMergesCached(docs, key, "text", 2)
