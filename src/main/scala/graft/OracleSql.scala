@@ -1310,14 +1310,14 @@ object OracleSql {
   private val staticAll: Map[String, String] =
     base + ("q86_incremental_dedup_indexed" -> base("q65_incremental_dedup"))
 
-  /** Full oracle map. The BPE entries (q87-q93) are GENERATED from the
+  /** Full oracle map. The BPE entries (q87-q95) are GENERATED from the
     * primed merge table ([[primeBpe]] — Verify primes before dumping);
     * un-primed, this THROWS rather than silently omitting them (an
     * omission would quietly downgrade those queries to the driver's
     * rows-only check). */
   def all: Map[String, String] = staticAll ++ bpeEntries
 
-  // ------------------------------------------------------ BPE (q87-q93)
+  // ------------------------------------------------------ BPE (q87-q95)
   //
   // Soundness of generating the TRAINING oracle from the engine's own
   // merge table (q87): the SQL re-derives round k's argmax pair IN DUCKDB
@@ -1341,7 +1341,7 @@ object OracleSql {
   @volatile private var bpeMerges: Option[Seq[graft.functions.Bpe.Merge]] = None
 
   /** Train (or reuse the per-JVM memo of) the merge table for `sfDir` so
-    * the q87-q93 oracle SQL can be generated. Deterministic, so the primed
+    * the q87-q95 oracle SQL can be generated. Deterministic, so the primed
     * table equals what the query fns derive from the same dir. */
   def primeBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
     bpeMerges = Some(graft.functions.Bpe.trainMergesCached(
@@ -1381,6 +1381,17 @@ object OracleSql {
   private def bpeCountDoc(merges: Seq[graft.functions.Bpe.Merge]): String =
     s"""CAST(COALESCE(list_sum(list_transform($bpeWords,
          wd -> ${bpeCountWord("wd", merges)})), 0) AS BIGINT)"""
+
+  /** Per-doc BPE token LIST over the `text` column (mirrors Bpe.tokens:
+    * per-word encodings concatenated in word order). Each encoded word is
+    * `\x01 t \x02 \x01 t \x02 …`; strip the anchored lead/tail delimiters
+    * and split on the `\x02\x01` inter-token seam — token strings
+    * themselves can never contain the delimiters (bpeWords strips them
+    * from the input). */
+  private def bpeToksDoc(merges: Seq[graft.functions.Bpe.Merge]): String =
+    s"""flatten(list_transform($bpeWords,
+         wd -> string_split(regexp_replace(${bpeChain(bpeDelim("wd"), merges)},
+           '^\\x01|\\x02$$', '', 'g'), chr(2)||chr(1))))"""
 
   /** q87: the induction over training rounds — e0 = delimiterized vocab;
     * e(k+1) = e(k) + engine merge k; p(k) = DuckDB's own argmax over
@@ -1422,13 +1433,13 @@ object OracleSql {
   }
 
   private def bpeEntries: Map[String, String] = bpeMerges match {
-    // FAIL LOUDLY un-primed: silently omitting the generated q87-q93
+    // FAIL LOUDLY un-primed: silently omitting the generated q87-q95
     // oracles would degrade those queries to the driver's weaker
     // rows-only check with no error signal — any dump path must call
     // primeBpe (or accept this exception), never lose oracles quietly.
     case None => throw new IllegalStateException(
       "OracleSql.primeBpe(spark, sfDir) must run before OracleSql.all: " +
-        "the q87-q93 oracle SQL is generated from the corpus-trained BPE " +
+        "the q87-q95 oracle SQL is generated from the corpus-trained BPE " +
         "merge table and cannot be built without it")
     case Some(merges) =>
       // Precondition of the chain == greedy-encode equivalence (see
@@ -1536,7 +1547,45 @@ object OracleSql {
            SELECT doc_id, source, n_bpe_tokens, rate_myriad, n_copies,
              unnest(range(n_copies)) AS epoch
            FROM j WHERE n_copies > 0
-           ORDER BY doc_id, epoch""")
+           ORDER BY doc_id, epoch""",
+      // q94: q76's unigram-LM cross-entropy with the BPE tokenization as
+      // the token unit (the real CCNet shape — LM over tokenizer output).
+      // Replays QualityModel.unigramCrossEntropy(tokensOf = Bpe.tokens).
+      "q94_bpe_lm_perplexity" ->
+        s"""WITH t AS (SELECT doc_id, unnest(${bpeToksDoc(merges)}) AS tok
+             FROM documents),
+           c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+           g AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM c),
+           lp AS (SELECT doc_id,
+               CAST(ROUND((ln(CAST(n_total + vocab AS DOUBLE))
+                 - ln(CAST(cnt + 1 AS DOUBLE))) * 1e6) AS BIGINT) AS lp_i
+             FROM t JOIN c USING (tok) CROSS JOIN g),
+           d AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+               SUM(lp_i) AS lp_sum FROM lp GROUP BY doc_id)
+           SELECT doc_id, n_tokens,
+             ROUND(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6), 6) AS xent,
+             ROUND(exp(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6)), 4) AS ppl
+           FROM d ORDER BY doc_id""",
+      // q95: q79's CCNet thirds over the BPE-token LM — ntile(3) by
+      // (xent, doc_id). Replays perplexityBuckets(tokensOf = Bpe.tokens).
+      "q95_bpe_ppl_buckets" ->
+        s"""WITH t AS (SELECT doc_id, unnest(${bpeToksDoc(merges)}) AS tok
+             FROM documents),
+           c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+           g AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM c),
+           lp AS (SELECT doc_id,
+               CAST(ROUND((ln(CAST(n_total + vocab AS DOUBLE))
+                 - ln(CAST(cnt + 1 AS DOUBLE))) * 1e6) AS BIGINT) AS lp_i
+             FROM t JOIN c USING (tok) CROSS JOIN g),
+           d AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+               SUM(lp_i) AS lp_sum FROM lp GROUP BY doc_id),
+           x AS (SELECT doc_id, n_tokens,
+               ROUND(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6), 6) AS xent,
+               ROUND(exp(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6)), 4) AS ppl
+             FROM d)
+           SELECT doc_id, n_tokens, xent, ppl,
+             CAST(ntile(3) OVER (ORDER BY xent, doc_id) AS INTEGER) AS bucket
+           FROM x ORDER BY doc_id""")
   }
 
   /** Every char as chr(codepoint), '||'-joined — unambiguous for the

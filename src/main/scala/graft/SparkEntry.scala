@@ -1186,7 +1186,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------- BPE family
 
-  /** Shared q87-q93 tokenizer config: 32 merges, minCount 2 — enough for
+  /** Shared q87-q95 tokenizer config: 32 merges, minCount 2 — enough for
     * multi-char subwords to emerge at every test sf while keeping the
     * induction oracle's generated SQL bounded (one replace per round). */
   private[graft] val BpeNumMerges = 32
@@ -1310,6 +1310,32 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
         col("rate_myriad"), col("n_copies"), col("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** q76's perplexity filter RE-DENOMINATED IN BPE TOKENS — the real
+    * CCNet shape (KenLM scores sentencepiece TOKENS, not words): the
+    * add-one unigram LM is trained over, and each document's
+    * cross-entropy averaged over, the corpus-trained BPE tokenization.
+    * Same three key-partitioned exchanges as q76; the BPE unit SHRINKS
+    * the count-frame vocabulary (subwords ≤ words + alphabet), so the
+    * token⋈count join is MORE broadcastable at scale, and the encode
+    * itself stays in the scan's codegen span. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    QualityModel.unigramCrossEntropy(T(s, dir, "documents"), "doc_id",
+        "text", tokensOf = Bpe.tokens(_, merges))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q79's CCNet head/middle/tail bucketing over the BPE-token LM of
+    * q94 — ntile(3) by tokenizer-faithful cross-entropy rank, computed
+    * with the same two-phase PrefixSum rank (no SinglePartition
+    * window). */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    QualityModel.perplexityBuckets(s, T(s, dir, "documents"), "doc_id",
+        "text", nBuckets = 3, tokensOf = Bpe.tokens(_, merges))
+      .orderBy(col("doc_id"))
   }
 
   /** Embedding cosine near-duplicate pairs (integer-SRP blocking + exact
@@ -1513,7 +1539,9 @@ object SparkEntry {
     "q90_bpe_chunk" -> q90 _,
     "q91_bpe_pack" -> q91 _,
     "q92_bpe_budget_select" -> q92 _,
-    "q93_bpe_resample" -> q93 _
+    "q93_bpe_resample" -> q93 _,
+    "q94_bpe_lm_perplexity" -> q94 _,
+    "q95_bpe_ppl_buckets" -> q95 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -135,11 +135,19 @@ object QualityModel {
     * it defaults to false because a forced broadcast of an UNBOUNDED
     * web-corpus vocabulary (URLs, typos, hex blobs can push V past the
     * driver/broadcast limit) fails the job outright, whereas the AQE
-    * path degrades to a shuffle join and completes. */
+    * path degrades to a shuffle join and completes.
+    *
+    * `tokensOf` is the LM's token unit — whitespace words by default, or
+    * `Bpe.tokens(_, merges)` for a tokenizer-faithful LM (the real CCNet
+    * shape: KenLM over sentencepiece tokens). A BPE unit SHRINKS the
+    * closed vocabulary (subwords ≤ words + alphabet), so the count-frame
+    * join is MORE broadcastable, and the per-token expression stays in
+    * the scan's codegen span either way. */
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
-                          hintSmallVocab: Boolean = false): DataFrame = {
+                          hintSmallVocab: Boolean = false,
+                          tokensOf: Column => Column = TextFns.tokens): DataFrame = {
     val toksDf = df.select(col(idCol),
-        explode(TextFns.tokens(col(textCol))).as("tok"))
+        explode(tokensOf(col(textCol))).as("tok"))
     val counts = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(
       sum(col("cnt")).as("n_total"), count(lit(1)).as("vocab"))
@@ -187,7 +195,8 @@ object QualityModel {
     * mis-ordered negatives — Spark's lpad cuts, it never errors.) */
   def perplexityBuckets(spark: org.apache.spark.sql.SparkSession,
                         df: DataFrame, idCol: String, textCol: String,
-                        nBuckets: Int = 3): DataFrame = {
+                        nBuckets: Int = 3,
+                        tokensOf: Column => Column = TextFns.tokens): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val isIntegral = df.schema(idCol).dataType match {
@@ -201,7 +210,7 @@ object QualityModel {
       if (isIntegral)
         lpad(hex(col(idCol).cast("long").bitwiseXOR(lit(Long.MinValue))), 16, "0")
       else col(idCol)
-    val xent = unigramCrossEntropy(df, idCol, textCol)
+    val xent = unigramCrossEntropy(df, idCol, textCol, tokensOf = tokensOf)
     // round BEFORE the long cast: xent is a 6-decimal value whose binary
     // double can sit just under the integer (3.456789e6 = 3456788.999…);
     // a bare cast truncates and would collide adjacent keys that the

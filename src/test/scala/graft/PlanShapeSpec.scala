@@ -253,6 +253,23 @@ class PlanShapeSpec extends SparkSpec {
       s"column pruning failed (reads more than doc_id+text):\n$plan")
   }
 
+  test("q94 BPE-token LM: native tokens expr, AQE broadcasts the count frame, no UDF") {
+    val plan = executed(SparkEntry.queries("q94_bpe_lm_perplexity")(spark, dir))
+    // the tokenization is the native array expression exploded in the
+    // scan project — never a UDF
+    assert(plan.contains("bpe_tokens"), s"native BPE tokens expr missing:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF leaked into the BPE LM path:\n$plan")
+    // Zipf vocab ≪ corpus — and the BPE unit shrinks it further — so AQE
+    // must promote the token⋈count join to a broadcast probe from the
+    // aggregate's measured output size (the documented scale path: the
+    // corpus is never shuffled for the join)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token-count frame not broadcast by AQE:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      s"column pruning failed (reads more than doc_id+text):\n$plan")
+  }
+
   test("q91 BPE packing keeps q61's distributed prefix-sum shape") {
     val plan = executed(SparkEntry.queries("q91_bpe_pack")(spark, dir))
     // re-denominating the budget in BPE tokens adds ONE in-scan native

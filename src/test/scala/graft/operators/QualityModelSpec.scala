@@ -55,6 +55,41 @@ class QualityModelSpec extends SparkSpec {
     assert(math.abs(got(0)._4 - math.exp(got(0)._3)) < 1e-3)
   }
 
+  test("unigramCrossEntropy: BPE token unit == word unit over the " +
+      "pre-tokenized rewrite (tokensOf cross-validation)") {
+    // xent with tokensOf = Bpe.tokens(merges) over `text` must equal the
+    // DEFAULT word-unit xent over text' = the BPE tokens space-joined:
+    // BPE tokens contain no whitespace and are already lowercase, so the
+    // whitespace word model of text' recovers exactly the token sequence.
+    // Two independent code paths (native encode expr inside the LM vs
+    // encode-then-retokenize) over the same corpus distribution.
+    import graft.functions.Bpe
+    val df = docs((1L, "the sea was wet as wet could be"),
+      (2L, "the sands were dry as dry could be"),
+      (3L, "talk of many things of shoes and ships"),
+      (4L, ""), (5L, "sea sea sea shells she sells"))
+    val merges = Bpe.trainMergesLocal(df, "text", numMerges = 24, minCount = 2L)
+    assert(merges.nonEmpty)
+    val a = QualityModel.unigramCrossEntropy(df, "doc_id", "text",
+        tokensOf = Bpe.tokens(_, merges))
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "xent", "ppl")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    val pre = df.select(col("doc_id"),
+      concat_ws(" ", Bpe.tokens(col("text"), merges)).as("text"))
+    val b = QualityModel.unigramCrossEntropy(pre, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "xent", "ppl")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._1) == Seq(1L, 2L, 3L, 5L), "empty doc omitted")
+    // the BPE unit must actually differ from the word unit (subword
+    // tokens > words) or the pin proves nothing
+    val words = QualityModel.unigramCrossEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").select("n_tokens").as[Int].collect().toSeq
+    assert(a.map(_._2).sum > words.sum)
+  }
+
   test("unigramCrossEntropy: repeated boilerplate scores lower xent than " +
       "unique text (the filtering property)") {
     val boiler = (1L to 20L).map(i => (i, "click here to subscribe now"))
