@@ -1310,14 +1310,14 @@ object OracleSql {
   private val staticAll: Map[String, String] =
     base + ("q86_incremental_dedup_indexed" -> base("q65_incremental_dedup"))
 
-  /** Full oracle map. The BPE entries (q87-q95) are GENERATED from the
+  /** Full oracle map. The BPE entries (q87-q96) are GENERATED from the
     * primed merge table ([[primeBpe]] — Verify primes before dumping);
     * un-primed, this THROWS rather than silently omitting them (an
     * omission would quietly downgrade those queries to the driver's
     * rows-only check). */
   def all: Map[String, String] = staticAll ++ bpeEntries
 
-  // ------------------------------------------------------ BPE (q87-q95)
+  // ------------------------------------------------------ BPE (q87-q96)
   //
   // Soundness of generating the TRAINING oracle from the engine's own
   // merge table (q87): the SQL re-derives round k's argmax pair IN DUCKDB
@@ -1341,7 +1341,7 @@ object OracleSql {
   @volatile private var bpeMerges: Option[Seq[graft.functions.Bpe.Merge]] = None
 
   /** Train (or reuse the per-JVM memo of) the merge table for `sfDir` so
-    * the q87-q95 oracle SQL can be generated. Deterministic, so the primed
+    * the q87-q96 oracle SQL can be generated. Deterministic, so the primed
     * table equals what the query fns derive from the same dir. */
   def primeBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
     bpeMerges = Some(graft.functions.Bpe.trainMergesCached(
@@ -1433,13 +1433,13 @@ object OracleSql {
   }
 
   private def bpeEntries: Map[String, String] = bpeMerges match {
-    // FAIL LOUDLY un-primed: silently omitting the generated q87-q95
+    // FAIL LOUDLY un-primed: silently omitting the generated q87-q96
     // oracles would degrade those queries to the driver's weaker
     // rows-only check with no error signal — any dump path must call
     // primeBpe (or accept this exception), never lose oracles quietly.
     case None => throw new IllegalStateException(
       "OracleSql.primeBpe(spark, sfDir) must run before OracleSql.all: " +
-        "the q87-q95 oracle SQL is generated from the corpus-trained BPE " +
+        "the q87-q96 oracle SQL is generated from the corpus-trained BPE " +
         "merge table and cannot be built without it")
     case Some(merges) =>
       // Precondition of the chain == greedy-encode equivalence (see
@@ -1585,7 +1585,34 @@ object OracleSql {
              FROM d)
            SELECT doc_id, n_tokens, xent, ppl,
              CAST(ntile(3) OVER (ORDER BY xent, doc_id) AS INTEGER) AS bucket
-           FROM x ORDER BY doc_id""")
+           FROM x ORDER BY doc_id""",
+      // q96: temperature-scaled mixture at α = 1/2 — w_s = √n_s via
+      // IEEE-correctly-rounded sqrt quantized to 1e-3 (bit-identical in
+      // the JVM and DuckDB), then pure integer rate/copy math; the
+      // >64-bit product runs in HUGEINT (engine side: DECIMAL(38,0)).
+      // Replays Mixture.temperatureResampleSqrt, budget 240000.
+      "q96_bpe_temperature_mix" ->
+        s"""WITH t AS (
+             SELECT doc_id, source, ${bpeCountDoc(merges)} AS n_bpe_tokens
+             FROM documents),
+           tot AS (
+             SELECT source, CAST(SUM(n_bpe_tokens) AS BIGINT) AS source_tokens,
+               CAST(ROUND(sqrt(CAST(SUM(n_bpe_tokens) AS DOUBLE)) * 1000) AS BIGINT) AS sq
+             FROM t GROUP BY source),
+           z AS (SELECT CAST(SUM(sq) AS BIGINT) AS z FROM tot),
+           r AS (SELECT source, source_tokens,
+               CAST((CAST(240000 AS HUGEINT) * sq * 10000)
+                 // (CAST(z AS HUGEINT) * source_tokens) AS BIGINT) AS rate_myriad
+             FROM tot CROSS JOIN z),
+           j AS (SELECT doc_id, t.source, n_bpe_tokens, source_tokens, rate_myriad,
+               rate_myriad // 10000
+                 + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                     % 10000 < rate_myriad % 10000 THEN 1 ELSE 0 END AS n_copies
+             FROM t JOIN r USING (source))
+           SELECT doc_id, source, n_bpe_tokens, source_tokens, rate_myriad,
+             n_copies, unnest(range(n_copies)) AS epoch
+           FROM j WHERE n_copies > 0
+           ORDER BY doc_id, epoch""")
   }
 
   /** Every char as chr(codepoint), '||'-joined — unambiguous for the

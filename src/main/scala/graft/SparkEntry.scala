@@ -1186,7 +1186,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------- BPE family
 
-  /** Shared q87-q95 tokenizer config: 32 merges, minCount 2 — enough for
+  /** Shared q87-q96 tokenizer config: 32 merges, minCount 2 — enough for
     * multi-char subwords to emerge at every test sf while keeping the
     * induction oracle's generated SQL bounded (one replace per round). */
   private[graft] val BpeNumMerges = 32
@@ -1309,6 +1309,26 @@ object SparkEntry {
         weightCol = w, weightTotal = 210L, budgetTokens = 240000L)
       .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
         col("rate_myriad"), col("n_copies"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** Temperature-scaled mixture at α = 1/2 (the mBERT/XLM-R multilingual
+    * sampling rule), BPE-denominated: sources re-weighted p_s ∝ √n_s —
+    * low-resource domains upsample, high-resource downsample — same
+    * 240000-token budget as q93 for a direct head-to-head between
+    * fixed-weight and temperature weighting. √ is IEEE-correctly-rounded
+    * in both engines, quantized to integer before all downstream math. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    val docs = T(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Mixture.temperatureResampleSqrt(docs, "doc_id", "source",
+        "n_bpe_tokens", budgetTokens = 240000L)
+      .select(col("doc_id"), col("source"), col("n_bpe_tokens"),
+        col("source_tokens"), col("rate_myriad"), col("n_copies"),
+        col("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
   }
 
@@ -1541,7 +1561,8 @@ object SparkEntry {
     "q92_bpe_budget_select" -> q92 _,
     "q93_bpe_resample" -> q93 _,
     "q94_bpe_lm_perplexity" -> q94 _,
-    "q95_bpe_ppl_buckets" -> q95 _
+    "q95_bpe_ppl_buckets" -> q95 _,
+    "q96_bpe_temperature_mix" -> q96 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

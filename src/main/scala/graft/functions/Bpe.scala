@@ -308,6 +308,43 @@ object Bpe {
     cache.computeIfAbsent((dirKey, textCol, numMerges, minCount),
       _ => trainMergesLocal(df, textCol, numMerges, minCount))
 
+  /** Persist a trained merge table as a parquet artifact — the
+    * production contract: train ONCE, version the table, apply it from
+    * every job that must tokenize consistently (the per-JVM
+    * [[trainMergesCached]] memo does not outlive a driver; a shipped
+    * tokenizer must). One file (`coalesce(1)`) — a merge table is KB to
+    * low MB even at 100k merges, and a single footer makes the artifact
+    * trivially copyable/diffable. */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table saved by [[saveMerges]], re-validating the two
+    * invariants every consumer depends on — FAIL LOUDLY on a corrupt or
+    * hand-edited artifact rather than silently mis-tokenizing:
+    *  - ranks are exactly 0..n-1 (the greedy order is the algorithm);
+    *  - no duplicate (left, right) pair (the precondition of the
+    *    chain == dict-greedy equivalence — see [[BpeKernel]]). */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[Merge] = {
+    import spark.implicits._
+    val m = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("cnt").cast("long"))
+      .as[(Int, String, String, Long)].collect()
+      .sortBy(_._1)
+      .map { case (r, l, rt, c) => Merge(r, l, rt, c) }.toSeq
+    require(m.iterator.zipWithIndex.forall { case (mm, i) => mm.rank == i },
+      s"merge table at $path has non-contiguous ranks — corrupt artifact")
+    val pairs = m.map(mm => (mm.left, mm.right))
+    require(pairs.distinct.size == pairs.size,
+      s"merge table at $path contains a duplicate pair — corrupt artifact")
+    m
+  }
+
   /** Tokenizer-faithful token count of `text` under `merges` (native
     * codegen expression; null text -> 0). */
   def tokenCount(text: Column, merges: Seq[Merge]): Column =

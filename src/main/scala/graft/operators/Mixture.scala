@@ -220,4 +220,57 @@ object Mixture {
     }
     df.withColumn("split", expr)
   }
+
+  /** Temperature-scaled mixture resampling at α = 1/2 — the multilingual
+    * sampling rule (mBERT / XLM-R / mT5): sources are re-weighted
+    * p_s ∝ n_s^α so low-resource domains UPsample and high-resource ones
+    * DOWNsample relative to their natural shares, with the total kept
+    * mass targeting `budgetTokens`. Unlike [[tokenBudgetResampleOn]] the
+    * weights are DERIVED FROM THE DATA (w_s = √n_s), not supplied.
+    *
+    * Exactness across engines: α = 1/2 is computed with IEEE-754 `sqrt`,
+    * which is CORRECTLY ROUNDED by spec — bit-identical in the JVM and
+    * DuckDB — then quantized to 1e-3 fixed point (`sq_s =
+    * round(√n_s · 1000)`) so everything downstream is integer:
+    * `rate_myriad_s = (B · sq_s · granularity) div (Z · n_s)` with
+    * Z = Σ sq_t. The one product that can exceed 64 bits at petascale
+    * (B · sq · granularity with B ~ 10^13, sq ~ 5·10^9) runs in
+    * DECIMAL(38,0) (DuckDB: HUGEINT) — exact integer arithmetic at any
+    * realistic magnitude, result cast back to BIGINT (< granularity ·
+    * n_copies_max, always small). Per-row copy semantics are exactly
+    * [[tokenBudgetResampleOn]]'s: `n_copies = rate div g + [bucket <
+    * rate mod g]`, epochs exploded.
+    *
+    * 100 TB shape: per-source totals frame (map-side partial sum, tiny
+    * shuffle) → one-row Z frame (broadcast) → rates broadcast-joined back
+    * onto the fact scan; per-row hot path is one md5 + integer compares
+    * in codegen. Same single-persisted-scan discipline as
+    * [[tokenBudgetSampleOn]] — pass a caller-persisted `in`. */
+  def temperatureResampleSqrt(in: DataFrame, idCol: String,
+                              sourceCol: String, tokensCol: String,
+                              budgetTokens: Long,
+                              granularity: Long = 10000L): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(granularity > 0 && granularity <= 1000000L,
+      s"granularity must be in (0, 10^6], got $granularity")
+    val totals = in.groupBy(col(sourceCol))
+      .agg(sum(col(tokensCol)).cast("long").as("source_tokens"))
+      .withColumn("sq",
+        round(sqrt(col("source_tokens").cast("double")) * 1000.0)
+          .cast("long"))
+    val z = totals.agg(sum(col("sq")).as("z"))
+    val rates = totals.crossJoin(broadcast(z))
+      .withColumn("rate_myriad",
+        expr(s"CAST((CAST($budgetTokens AS DECIMAL(38,0)) * sq * $granularity)" +
+             s" div (CAST(z AS DECIMAL(38,0)) * source_tokens) AS BIGINT)"))
+      .select(col(sourceCol), col("source_tokens"), col("rate_myriad"))
+    val copies = expr(s"rate_myriad div $granularity") +
+      when(col("sample_bucket") < pmod(col("rate_myriad"), lit(granularity)), 1L)
+        .otherwise(0L)
+    in.join(broadcast(rates), sourceCol)
+      .withColumn("sample_bucket", sampleBucket(col(idCol), granularity))
+      .withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+  }
 }

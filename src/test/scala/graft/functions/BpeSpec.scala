@@ -236,6 +236,29 @@ class BpeSpec extends SparkSpec {
     assert(mism == 0L)
   }
 
+  test("saveMerges/loadMerges roundtrip; load rejects corrupt artifacts") {
+    val table = Bpe.trainMergesLocal(docs, "text", numMerges = 16, minCount = 2L)
+    assert(table.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-artifact").toString
+    val path = s"$dir/merges.parquet"
+    Bpe.saveMerges(spark, table, path)
+    assert(Bpe.loadMerges(spark, path) == table)
+    // tokenization under the loaded table is identical (the contract the
+    // artifact exists for)
+    val a = docs.select(Bpe.tokenCount(col("text"), table)).collect().toSeq
+    val b = docs.select(Bpe.tokenCount(col("text"), Bpe.loadMerges(spark, path)))
+      .collect().toSeq
+    assert(a == b)
+    // corrupt: non-contiguous ranks fail loudly
+    Bpe.saveMerges(spark, table.map(m => m.copy(rank = m.rank * 2)), path)
+    intercept[IllegalArgumentException](Bpe.loadMerges(spark, path))
+    // corrupt: duplicate pair fails loudly
+    Bpe.saveMerges(spark,
+      table.zipWithIndex.map { case (m, i) =>
+        m.copy(rank = i, left = "x", right = "y") }, path)
+    intercept[IllegalArgumentException](Bpe.loadMerges(spark, path))
+  }
+
   test("trainMergesCached memoizes per (dir, col, config)") {
     val key = s"bpe-spec-memo-${System.nanoTime()}"
     val a = Bpe.trainMergesCached(docs, key, "text", 2)

@@ -96,6 +96,42 @@ class MixtureSpec extends SparkSpec {
     assert(resampled.sorted == sampled.sorted)
   }
 
+  test("temperatureResampleSqrt: α=1/2 rates hand-computed, upsamples the " +
+      "small source relative to its natural share") {
+    // big: 4 docs × 400 tokens = 1600; small: 4 docs × 25 tokens = 100.
+    // sq_big = round(√1600·1000) = 40000; sq_small = round(√100·1000)
+    // = 10000; Z = 50000. Budget 1700 (= corpus):
+    //   rate_big   = 1700·40000·10000 div (50000·1600) = 8500  (~0.85)
+    //   rate_small = 1700·10000·10000 div (50000·100)  = 34000 (3 copies
+    //     + 40% chance of a 4th) — the small source upsamples 3.4× while
+    //     the big one trims, exactly the temperature rule's point.
+    val df = ((0 until 4).map(i => (s"b$i", "big", 400L)) ++
+      (0 until 4).map(i => (s"s$i", "small", 25L)))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Mixture.temperatureResampleSqrt(df, "doc_id", "source",
+        "n_tokens", budgetTokens = 1700L)
+      .select("doc_id", "source_tokens", "rate_myriad", "n_copies", "epoch")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    val byDoc = got.groupBy(_._1)
+    byDoc.foreach { case (id, rows) =>
+      val (_, st, rate, n, _) = rows.head
+      val b = bucket(id, 10000L)
+      if (id.startsWith("b")) {
+        assert(st == 1600L && rate == 8500L)
+        assert(n == (if (b < 8500L) 1L else 0L))
+      } else {
+        assert(st == 100L && rate == 34000L)
+        assert(n == 3L + (if (b < 4000L) 1L else 0L))
+      }
+      // epochs are exactly 0..n-1
+      assert(rows.map(_._5).sorted == (0L until n))
+    }
+    // every emitted doc has n_copies > 0; zero-copy docs are absent
+    val expectedDocs = (0 until 4).map(i => s"s$i").toSet ++
+      (0 until 4).map(i => s"b$i").filter(i => bucket(i, 10000L) < 8500L)
+    assert(byDoc.keySet == expectedDocs)
+  }
+
   test("stratifiedK keeps exactly min(k, stratum size) rows, ranked by md5 bucket") {
     val df = docs.toDF("doc_id", "source", "n_tokens")
     val got = Mixture.stratifiedK(df, "doc_id", "source", k = 4)
