@@ -1310,14 +1310,14 @@ object OracleSql {
   private val staticAll: Map[String, String] =
     base + ("q86_incremental_dedup_indexed" -> base("q65_incremental_dedup"))
 
-  /** Full oracle map. The BPE entries (q87-q96) are GENERATED from the
+  /** Full oracle map. The BPE entries (q87-q97) are GENERATED from the
     * primed merge table ([[primeBpe]] — Verify primes before dumping);
     * un-primed, this THROWS rather than silently omitting them (an
     * omission would quietly downgrade those queries to the driver's
     * rows-only check). */
   def all: Map[String, String] = staticAll ++ bpeEntries
 
-  // ------------------------------------------------------ BPE (q87-q96)
+  // ------------------------------------------------------ BPE (q87-q97)
   //
   // Soundness of generating the TRAINING oracle from the engine's own
   // merge table (q87): the SQL re-derives round k's argmax pair IN DUCKDB
@@ -1341,7 +1341,7 @@ object OracleSql {
   @volatile private var bpeMerges: Option[Seq[graft.functions.Bpe.Merge]] = None
 
   /** Train (or reuse the per-JVM memo of) the merge table for `sfDir` so
-    * the q87-q96 oracle SQL can be generated. Deterministic, so the primed
+    * the q87-q97 oracle SQL can be generated. Deterministic, so the primed
     * table equals what the query fns derive from the same dir. */
   def primeBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
     bpeMerges = Some(graft.functions.Bpe.trainMergesCached(
@@ -1433,13 +1433,13 @@ object OracleSql {
   }
 
   private def bpeEntries: Map[String, String] = bpeMerges match {
-    // FAIL LOUDLY un-primed: silently omitting the generated q87-q96
+    // FAIL LOUDLY un-primed: silently omitting the generated q87-q97
     // oracles would degrade those queries to the driver's weaker
     // rows-only check with no error signal — any dump path must call
     // primeBpe (or accept this exception), never lose oracles quietly.
     case None => throw new IllegalStateException(
       "OracleSql.primeBpe(spark, sfDir) must run before OracleSql.all: " +
-        "the q87-q96 oracle SQL is generated from the corpus-trained BPE " +
+        "the q87-q97 oracle SQL is generated from the corpus-trained BPE " +
         "merge table and cannot be built without it")
     case Some(merges) =>
       // Precondition of the chain == greedy-encode equivalence (see
@@ -1612,7 +1612,52 @@ object OracleSql {
            SELECT doc_id, source, n_bpe_tokens, source_tokens, rate_myriad,
              n_copies, unnest(range(n_copies)) AS epoch
            FROM j WHERE n_copies > 0
-           ORDER BY doc_id, epoch""")
+           ORDER BY doc_id, epoch""",
+      // q97: packed token-ID sequences — the vocabulary's id order is
+      // RE-DERIVED here (alphabet = distinct single-codepoint symbols in
+      // binary order, then merge products by rank), so a hash match
+      // verifies Bpe.vocab's assignment, the per-token lookup, the
+      // global coordinates AND the piece reassembly end to end. Replays
+      // Bpe.tokenIds + Packer.packTokenIds at budget 8192.
+      "q97_bpe_pack_ids" -> {
+        val mergeVals = merges
+          .map(m => s"(${bpeSqlStr(m.left + m.right)}, ${m.rank})")
+          .mkString(", ")
+        val mergedVocab =
+          if (merges.isEmpty) ""
+          else s"""
+             UNION ALL SELECT v.tok,
+               CAST((SELECT COUNT(*) FROM alpha) + v.rank AS INTEGER) AS id
+             FROM (VALUES $mergeVals) v(tok, rank)"""
+        s"""WITH w AS (SELECT doc_id, $bpeWords AS words FROM documents),
+           tw AS (SELECT doc_id, unnest(words) AS wd,
+               unnest(range(1, len(words) + 1)) AS wpos FROM w),
+           alpha AS (SELECT c,
+               CAST(row_number() OVER (ORDER BY c) - 1 AS INTEGER) AS id
+             FROM (SELECT DISTINCT unnest(string_split(regexp_replace(
+               ${bpeDelim("wd")}, '^\\x01|\\x02$$', '', 'g'),
+               chr(2)||chr(1))) AS c FROM tw)),
+           vocab AS (SELECT c AS tok, id FROM alpha$mergedVocab),
+           enc AS (SELECT doc_id, wpos, string_split(regexp_replace(
+               ${bpeChain(bpeDelim("wd"), merges)}, '^\\x01|\\x02$$', '', 'g'),
+               chr(2)||chr(1)) AS ts FROM tw),
+           tok AS (SELECT doc_id, wpos, unnest(ts) AS tok,
+               unnest(range(1, len(ts) + 1)) AS tpos FROM enc),
+           ti AS (SELECT doc_id, tok, row_number() OVER (
+               PARTITION BY doc_id ORDER BY wpos, tpos) AS pos FROM tok),
+           ids AS (SELECT ti.doc_id, ti.pos, vocab.id
+             FROM ti JOIN vocab ON ti.tok = vocab.tok),
+           dn AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY doc_id),
+           cum AS (SELECT doc_id,
+               SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 AS strt FROM dn),
+           g AS (SELECT (c.strt + i.pos - 1) AS gpos, i.id
+             FROM ids i JOIN cum c USING (doc_id))
+           SELECT CAST(gpos // 8192 AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS INTEGER) AS n_tokens,
+             string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+           FROM g GROUP BY 1 ORDER BY seq_id"""
+      })
   }
 
   /** Every char as chr(codepoint), '||'-joined — unambiguous for the

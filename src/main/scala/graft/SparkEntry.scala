@@ -1186,7 +1186,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------- BPE family
 
-  /** Shared q87-q96 tokenizer config: 32 merges, minCount 2 — enough for
+  /** Shared q87-q97 tokenizer config: 32 merges, minCount 2 — enough for
     * multi-char subwords to emerge at every test sf while keeping the
     * induction oracle's generated SQL bounded (one replace per round). */
   private[graft] val BpeNumMerges = 32
@@ -1330,6 +1330,28 @@ object SparkEntry {
         col("source_tokens"), col("rate_myriad"), col("n_copies"),
         col("epoch"))
       .orderBy(col("doc_id"), col("epoch"))
+  }
+
+  /** The pipeline's OUTPUT stage: documents encoded to token IDS over
+    * the deterministic vocabulary (corpus alphabet in code-point order,
+    * then merge products by rank) and MATERIALIZED as packed
+    * 8192-token training sequences — q91 computes the packing
+    * coordinates; this emits the sequences themselves. The packer
+    * shuffles document PIECES (array slices), never exploded tokens:
+    * O(docs + sequences) rows through the one sequence-keyed exchange.
+    * The oracle re-derives the alphabet and its id order in SQL, so a
+    * hash match verifies the id assignment end to end. token_ids is
+    * emitted space-joined (portable hash of an integer sequence). */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    val docs = T(s, dir, "documents")
+    val vocab = Bpe.vocab(docs, "text", merges)
+    val ids = docs.select(col("doc_id"),
+      Bpe.tokenIds(col("text"), merges, vocab).as("ids"))
+    Packer.packTokenIds(s, ids, "doc_id", "ids", budgetTokens = 8192L)
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("token_ids"))
+      .orderBy(col("seq_id"))
   }
 
   /** q76's perplexity filter RE-DENOMINATED IN BPE TOKENS — the real
@@ -1562,7 +1584,8 @@ object SparkEntry {
     "q93_bpe_resample" -> q93 _,
     "q94_bpe_lm_perplexity" -> q94 _,
     "q95_bpe_ppl_buckets" -> q95 _,
-    "q96_bpe_temperature_mix" -> q96 _
+    "q96_bpe_temperature_mix" -> q96 _,
+    "q97_bpe_pack_ids" -> q97 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -359,4 +359,41 @@ object Bpe {
       BpeTokensExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(text),
         merges.map(m => (m.left, m.right))))
+
+  /** Deterministic token-id vocabulary for `merges` over `df`'s corpus:
+    * ids 0..|A|-1 are the corpus ALPHABET — every distinct
+    * single-codepoint symbol the word model yields — in code-point order
+    * (== UTF-8 binary order, the one total order both engines share);
+    * ids |A|.. are the merge products in rank order. Every token
+    * [[tokens]] can ever emit is covered by construction: encode output
+    * is either an unmerged alphabet symbol or a merge product.
+    *
+    * The alphabet derivation is ONE distinct-aggregate over the corpus
+    * (bounded output: Unicode has < 2^21 code points; real corpora are
+    * a few thousand) — train-time cost, memoize alongside the merge
+    * table. Fails loudly if two merges produce the same string (e.g.
+    * (a, bc) and (ab, c) both yielding "abc"): such a table would make
+    * string-keyed ids ambiguous. */
+  def vocab(df: DataFrame, textCol: String, merges: Seq[Merge]): Seq[(String, Int)] = {
+    val alpha = df
+      .select(explode(tokens(col(textCol), Nil)).as("c"))
+      .distinct().collect().map(_.getString(0))
+      .sortWith(cpCompare(_, _) < 0)
+    val toks = alpha.toSeq ++ merges.map(m => m.left + m.right)
+    require(toks.distinct.size == toks.size,
+      "ambiguous vocabulary: two merges produce the same token string")
+    toks.zipWithIndex
+  }
+
+  /** Token IDS of `text`: [[tokens]] mapped through `vocab`. The map
+    * rides the plan as a literal — the [[graft.operators.QualityModel
+    * .hashedLinearScoreWeights]] precedent: a tokenizer vocabulary is
+    * ≤ ~256k short strings (single-digit MB), shipped with the closure
+    * exactly like fastText ships its matrix; lookup is a per-token O(1)
+    * map probe inside codegen, zero exchanges, zero UDFs. */
+  def tokenIds(text: Column, merges: Seq[Merge],
+               vocab: Seq[(String, Int)]): Column = {
+    val m = typedlit(vocab.toMap)
+    transform(tokens(text, merges), t => element_at(m, t))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialization of GPT-style packed training sequences — the OUTPUT
+  * stage of the corpus pipeline: q61/q91 compute each document's packing
+  * COORDINATES (which fixed-length sequence its tokens land in); this
+  * operator emits the sequences themselves, each exactly `budget` token
+  * ids (the last one ragged), ready to shard and train on.
+  *
+  * 100 TB shape — the design constraint is that the corpus is
+  * TOKEN-heavy but DOCUMENT-shaped: materializing by exploding one row
+  * per token would shuffle O(corpus tokens) rows. Instead each document
+  * is split NARROWLY (slice on its id array, no explode of tokens) into
+  * the at-most-⌈n/budget⌉+1 contiguous PIECES that land in distinct
+  * sequences, and only those pieces — O(docs + sequences) rows, each
+  * carrying its ids as one array value — go through the single
+  * sequence-keyed exchange. Reassembly is a per-sequence sort_array over
+  * the (bounded: ≤ budget tokens) collected pieces. Global coordinates
+  * come from [[PrefixSum]]'s two-phase scan, so no stage funnels the
+  * corpus through one task.
+  *
+  * Determinism: piece start offsets are exact integers off the prefix
+  * sum; sort_array orders pieces by their global start, which is unique
+  * within a sequence — the output is a pure function of (idCol order,
+  * ids), independent of partitioning.
+  */
+object Packer {
+
+  /** Pack per-document token-id arrays into consecutive `budget`-sized
+    * sequences in global `idCol` order. Input: `idCol`, `idsCol`
+    * (array&lt;int&gt;). Empty documents are dropped (they own no tokens).
+    * Output: `seq_id` (0-based), `n_tokens` (= budget except the tail),
+    * `token_ids` (array&lt;int&gt;). */
+  def packTokenIds(spark: SparkSession, docs: DataFrame, idCol: String,
+                   idsCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
+    val B = budgetTokens
+    val sized = docs
+      .select(col(idCol), col(idsCol).as("__ids"),
+        size(col(idsCol)).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    val cum = PrefixSum.withRunningTotal(spark, sized, idCol, "__n", "__cum")
+      .withColumn("__start", col("__cum") - col("__n"))
+    // one row per (doc, sequence-it-touches): slice the id array at the
+    // sequence boundaries — narrow ops only, token count never explodes
+    val pieces = cum
+      .withColumn("seq_id",
+        explode(sequence(expr(s"__start div $B"),
+          expr(s"(__cum - 1) div $B"))))
+      .withColumn("__pfrom", greatest(col("__start"), expr(s"seq_id * $B")))
+      .withColumn("__plen",
+        least(col("__cum"), expr(s"(seq_id + 1) * $B")) - col("__pfrom"))
+      .select(col("seq_id"), col("__pfrom"),
+        slice(col("__ids"), (col("__pfrom") - col("__start") + 1).cast("int"),
+          col("__plen").cast("int")).as("__pids"))
+    pieces.groupBy(col("seq_id"))
+      .agg(flatten(transform(
+          sort_array(collect_list(struct(col("__pfrom"), col("__pids")))),
+          p => p.getField("__pids"))).as("token_ids"))
+      .select(col("seq_id"),
+        size(col("token_ids")).as("n_tokens"), col("token_ids"))
+  }
+}

@@ -270,6 +270,27 @@ class PlanShapeSpec extends SparkSpec {
       s"column pruning failed (reads more than doc_id+text):\n$plan")
   }
 
+  test("q97 packed sequences: pieces shuffle on ONE seq-keyed exchange, tokens never explode") {
+    val plan = executed(SparkEntry.queries("q97_bpe_pack_ids")(spark, dir))
+    // exactly ONE sequence-keyed exchange carries the piece rows — the
+    // explode generates PIECE rows (doc × sequences-it-touches), the
+    // token arrays travel as sliced values, never as rows. PrefixSum's
+    // internal __pid-keyed exchanges (its documented two-phase shape,
+    // same as q61/q79/q91) are the only other hash exchanges allowed.
+    val hashKeys = "Exchange hashpartitioning\\(([^,#]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashKeys.count(_.startsWith("seq_id")) == 1 &&
+      hashKeys.forall(k => k.startsWith("seq_id") || k.startsWith("__pid")),
+      s"unexpected hash exchanges $hashKeys:\n$plan")
+    // PrefixSum's bounded totals funnel is the only SinglePartition
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single == 1, s"expected 1 bounded SinglePartition, got $single:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF leaked into the packer path:\n$plan")
+    // (the native encode itself runs inside the PRE-checkpoint scan job —
+    // PrefixSum materializes the ranged frame, so the visible plan starts
+    // at Scan ExistingRDD; q88's pin covers the in-scan expression claim)
+  }
+
   test("q91 BPE packing keeps q61's distributed prefix-sum shape") {
     val plan = executed(SparkEntry.queries("q91_bpe_pack")(spark, dir))
     // re-denominating the budget in BPE tokens adds ONE in-scan native

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packTokenIds: hand-checked boundaries — straddling docs split, " +
+      "sequences reassemble in order, tail ragged") {
+    // budget 4; docs in id order: a=[1,2,3] b=[4,5] c=[6] d=[] e=[7,8,9,10,11]
+    // stream: 1 2 3 4 | 5 6 7 8 | 9 10 11
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6)),
+      (4L, Seq.empty[Int]), (5L, Seq(7, 8, 9, 10, 11)))
+      .toDF("doc_id", "ids")
+    val got = Packer.packTokenIds(spark, docs, "doc_id", "ids", 4L)
+      .orderBy("seq_id")
+      .as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      (0L, 4, Seq(1, 2, 3, 4)),
+      (1L, 4, Seq(5, 6, 7, 8)),
+      (2L, 3, Seq(9, 10, 11))))
+  }
+
+  test("packTokenIds: result independent of input partitioning; every " +
+      "token lands exactly once in stream order") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 200L).map(i =>
+      (i, Seq.fill(rnd.nextInt(40))(rnd.nextInt(1000))))
+    val expectStream = docs.sortBy(_._1).flatMap(_._2)
+    for (parts <- Seq(1, 7)) {
+      val df = docs.toDF("doc_id", "ids").repartition(parts)
+      val got = Packer.packTokenIds(spark, df, "doc_id", "ids", 64L)
+        .orderBy("seq_id")
+        .as[(Long, Int, Seq[Int])].collect().toSeq
+      assert(got.flatMap(_._3) == expectStream, s"parts=$parts")
+      assert(got.map(_._1) == got.indices.map(_.toLong), "seq ids contiguous")
+      got.dropRight(1).foreach { case (_, n, ids) =>
+        assert(n == 64 && ids.size == 64)
+      }
+      assert(got.last._2 == expectStream.size % 64 ||
+        got.last._2 == 64)
+    }
+  }
+
+  test("Bpe.vocab ids: alphabet in codepoint order then merge products; " +
+      "tokenIds == tokens mapped through it") {
+    import graft.functions.Bpe
+    val docs = Seq((1L, "abba bab cab"), (2L, "abba abba bc"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(docs, "text", 8, 2L)
+    val vocab = Bpe.vocab(docs, "text", merges)
+    val vm = vocab.toMap
+    // alphabet = distinct letters, codepoint-sorted, ids 0..|A|-1
+    val alpha = "abc".map(_.toString)
+    alpha.zipWithIndex.foreach { case (c, i) => assert(vm(c) == i) }
+    merges.foreach(m => assert(vm(m.left + m.right) == alpha.size + m.rank))
+    val a = docs.select(Bpe.tokenIds(col("text"), merges, vocab).as("x"))
+      .orderBy(col("x")).as[Seq[Int]].collect().toSeq
+    val b = docs.select(transform(Bpe.tokens(col("text"), merges),
+        t => element_at(typedlit(vm), t)).as("x"))
+      .orderBy(col("x")).as[Seq[Int]].collect().toSeq
+    assert(a == b && a.forall(_.forall(_ >= 0)))
+  }
+}
