@@ -1310,14 +1310,14 @@ object OracleSql {
   private val staticAll: Map[String, String] =
     base + ("q86_incremental_dedup_indexed" -> base("q65_incremental_dedup"))
 
-  /** Full oracle map. The BPE entries (q87-q97) are GENERATED from the
+  /** Full oracle map. The BPE entries (q87-q99) are GENERATED from the
     * primed merge table ([[primeBpe]] — Verify primes before dumping);
     * un-primed, this THROWS rather than silently omitting them (an
     * omission would quietly downgrade those queries to the driver's
     * rows-only check). */
   def all: Map[String, String] = staticAll ++ bpeEntries
 
-  // ------------------------------------------------------ BPE (q87-q97)
+  // ------------------------------------------------------ BPE (q87-q99)
   //
   // Soundness of generating the TRAINING oracle from the engine's own
   // merge table (q87): the SQL re-derives round k's argmax pair IN DUCKDB
@@ -1341,7 +1341,7 @@ object OracleSql {
   @volatile private var bpeMerges: Option[Seq[graft.functions.Bpe.Merge]] = None
 
   /** Train (or reuse the per-JVM memo of) the merge table for `sfDir` so
-    * the q87-q97 oracle SQL can be generated. Deterministic, so the primed
+    * the q87-q99 oracle SQL can be generated. Deterministic, so the primed
     * table equals what the query fns derive from the same dir. */
   def primeBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
     bpeMerges = Some(graft.functions.Bpe.trainMergesCached(
@@ -1433,13 +1433,13 @@ object OracleSql {
   }
 
   private def bpeEntries: Map[String, String] = bpeMerges match {
-    // FAIL LOUDLY un-primed: silently omitting the generated q87-q97
+    // FAIL LOUDLY un-primed: silently omitting the generated q87-q99
     // oracles would degrade those queries to the driver's weaker
     // rows-only check with no error signal — any dump path must call
     // primeBpe (or accept this exception), never lose oracles quietly.
     case None => throw new IllegalStateException(
       "OracleSql.primeBpe(spark, sfDir) must run before OracleSql.all: " +
-        "the q87-q97 oracle SQL is generated from the corpus-trained BPE " +
+        "the q87-q99 oracle SQL is generated from the corpus-trained BPE " +
         "merge table and cannot be built without it")
     case Some(merges) =>
       // Precondition of the chain == greedy-encode equivalence (see
@@ -1657,7 +1657,49 @@ object OracleSql {
              CAST(COUNT(*) AS INTEGER) AS n_tokens,
              string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
            FROM g GROUP BY 1 ORDER BY seq_id"""
-      })
+      },
+      // q98: per-source fertility (BPE tokens per word) and compression
+      // (word chars per token), myriad-quantized — integer sums first,
+      // ONE double multiply/divide/floor at the end, identical operand
+      // order on both engines.
+      "q98_bpe_fertility" ->
+        s"""WITH d AS (SELECT source,
+             CAST(len($bpeWords) AS BIGINT) AS w,
+             ${bpeCountDoc(merges)} AS t,
+             CAST(length(array_to_string($bpeWords, '')) AS BIGINT) AS c
+           FROM documents),
+           g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS n_words,
+             CAST(SUM(t) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(c) AS BIGINT) AS n_word_chars
+           FROM d GROUP BY source)
+           SELECT source, n_docs, n_words, n_bpe_tokens, n_word_chars,
+             CAST(floor(n_bpe_tokens * 10000.0 / n_words + 0.5) AS BIGINT)
+               AS fertility_myriad,
+             CAST(floor(n_word_chars * 10000.0 / n_bpe_tokens + 0.5) AS BIGINT)
+               AS chars_per_token_myriad
+           FROM g WHERE n_words > 0 AND n_bpe_tokens > 0 ORDER BY source""",
+      // q99: q58's decontamination in BPE-token 5-grams — grams joined on
+      // a chr(1) seam (stripped from input text by the word model, so no
+      // token can contain it); docs shorter than 5 tokens contribute
+      // their whole encoding as one gram, mirroring the engine fallback.
+      "q99_bpe_decontaminate" ->
+        s"""WITH t AS (SELECT doc_id, ${bpeToksDoc(merges)} AS toks
+             FROM documents),
+           sh AS (SELECT doc_id, unnest(list_distinct(
+               CASE WHEN len(toks) >= 5 THEN
+                 list_transform(range(1, len(toks) - 3), i ->
+                   array_to_string(list_slice(toks, i, i + 4), chr(1)))
+               ELSE [array_to_string(toks, chr(1))] END)) AS g FROM t),
+           bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+           ov AS (SELECT s.doc_id, COUNT(*) AS hits
+             FROM sh s JOIN bench b ON s.g = b.g
+             WHERE s.doc_id % 50 <> 0 GROUP BY 1)
+           SELECT d.doc_id,
+             CAST(COALESCE(ov.hits, 0) AS BIGINT) AS n_overlap_grams,
+             COALESCE(ov.hits, 0) > 0 AS contaminated
+           FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+           WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""")
   }
 
   /** Every char as chr(codepoint), '||'-joined — unambiguous for the

@@ -1186,7 +1186,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------- BPE family
 
-  /** Shared q87-q97 tokenizer config: 32 merges, minCount 2 — enough for
+  /** Shared q87-q99 tokenizer config: 32 merges, minCount 2 — enough for
     * multi-char subwords to emerge at every test sf while keeping the
     * induction oracle's generated SQL bounded (one replace per round). */
   private[graft] val BpeNumMerges = 32
@@ -1352,6 +1352,68 @@ object SparkEntry {
       .select(col("seq_id"), col("n_tokens"),
         array_join(col("token_ids"), " ").as("token_ids"))
       .orderBy(col("seq_id"))
+  }
+
+  /** Per-source tokenizer-evaluation table — the FERTILITY / COMPRESSION
+    * report a tokenizer ships with: BPE tokens per word ("fertility",
+    * lower = the tokenizer splits words less) and word characters per
+    * BPE token ("compression"), both myriad-quantized for a
+    * cross-engine-stable hash, plus the raw corpus totals they derive
+    * from. One in-scan pass (native codegen token count; word chars via
+    * `length(concat_ws(""))`, codegen'd — no higher-order fold) feeding
+    * one partial aggregate keyed by the handful of sources: the corpus
+    * never moves, only per-source partial sums do. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    T(s, dir, "documents")
+      .select(col("source"),
+        size(Bpe.words(col("text"))).cast("long").as("w"),
+        Bpe.tokenCount(col("text"), merges).as("t"),
+        length(concat_ws("", Bpe.words(col("text")))).cast("long").as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("t")).as("n_bpe_tokens"), sum(col("c")).as("n_word_chars"))
+      .filter(col("n_words") > 0 && col("n_bpe_tokens") > 0)
+      .withColumn("fertility_myriad",
+        floor(col("n_bpe_tokens") * 10000.0 / col("n_words") + 0.5))
+      .withColumn("chars_per_token_myriad",
+        floor(col("n_word_chars") * 10000.0 / col("n_bpe_tokens") + 0.5))
+      .orderBy(col("source"))
+  }
+
+  /** q58's eval-set decontamination RE-DENOMINATED IN BPE TOKENS — the
+    * unit real decontamination runs in (PaLM/GPT-3 style: token n-gram
+    * overlap against the benchmark, not word shingles): 5-token grams
+    * over the corpus-trained encoding, the eval side's distinct grams
+    * broadcast, per-document overlap counted. Tokens are materialized
+    * into a column BEFORE the gram lambda so the encode expression runs
+    * once per document, not once per gram (the [[graft.functions
+    * .TextFns.shingleHashes]] re-evaluation trap); gram strings join on
+    * a U+0001 seam, which [[graft.functions.Bpe.words]] strips from
+    * the input so no token can contain it. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val merges = bpeTable(s, dir)
+    val docs = T(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      Bpe.tokens(col("text"), merges).as("__ts"))
+    val ts = col("__ts")
+    val grams = toks.select(col("doc_id"), explode(array_distinct(
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws("\u0001", slice(ts, i, lit(n)))))
+        .otherwise(array(concat_ws("\u0001", ts))))).as("g"))
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select(col("g")).distinct()
+    val overlap = grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap_grams"))
+    docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap_grams"), lit(0L)).as("n_overlap_grams"),
+        (coalesce(col("n_overlap_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
   }
 
   /** q76's perplexity filter RE-DENOMINATED IN BPE TOKENS — the real
@@ -1585,7 +1647,9 @@ object SparkEntry {
     "q94_bpe_lm_perplexity" -> q94 _,
     "q95_bpe_ppl_buckets" -> q95 _,
     "q96_bpe_temperature_mix" -> q96 _,
-    "q97_bpe_pack_ids" -> q97 _
+    "q97_bpe_pack_ids" -> q97 _,
+    "q98_bpe_fertility" -> q98 _,
+    "q99_bpe_decontaminate" -> q99 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

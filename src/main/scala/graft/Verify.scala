@@ -33,7 +33,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // The q87-q97 oracles are GENERATED from the corpus-trained BPE merge
+    // The q87-q99 oracles are GENERATED from the corpus-trained BPE merge
     // table: prime it (deterministic; reuses the per-JVM memo the query
     // fns already populated) before the dump below.
     OracleSql.primeBpe(spark, sfDir)

@@ -291,6 +291,37 @@ class PlanShapeSpec extends SparkSpec {
     // at Scan ExistingRDD; q88's pin covers the in-scan expression claim)
   }
 
+  test("q98 fertility: in-scan encode, ONE source-keyed exchange, map-side partials") {
+    val plan = executed(SparkEntry.queries("q98_bpe_fertility")(spark, dir))
+    // token count + word-char length run in the scan projection; only
+    // per-source partial sums (a handful of rows) reach the exchange
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"expected the single source-keyed exchange, got $hashExchanges:\n$plan")
+    assert(plan.contains("bpe_token_count"), s"native count expr missing:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF leaked into the fertility path:\n$plan")
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      s"column pruning failed (reads more than source+text):\n$plan")
+  }
+
+  test("q99 token-gram decontamination: encode evaluated ONCE per doc, bench side broadcast") {
+    val plan = executed(SparkEntry.queries("q99_bpe_decontaminate")(spark, dir))
+    // the tokens are materialized into a column BEFORE the gram lambda —
+    // if CollapseProject ever re-inlined the encode into the transform,
+    // it would appear once per reference and re-run per GRAM (the
+    // shingleHashes O(tokens^2) trap); exactly one occurrence per scan
+    // branch (corpus + bench sides of the self-probe) pins the shape
+    val encodes = "bpe_tokens".r.findAllIn(plan).size
+    assert(encodes <= 2, s"encode re-inlined ($encodes occurrences):\n$plan")
+    assert(encodes >= 1, s"native BPE tokens expr missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench gram set not broadcast:\n$plan")
+    assert(!plan.contains("UDF"), s"UDF leaked into the decontamination path:\n$plan")
+    assert(!plan.contains("n_chars") && !plan.contains("lang"),
+      s"column pruning failed (reads more than doc_id+text):\n$plan")
+  }
+
   test("q91 BPE packing keeps q61's distributed prefix-sum shape") {
     val plan = executed(SparkEntry.queries("q91_bpe_pack")(spark, dir))
     // re-denominating the budget in BPE tokens adds ONE in-scan native
