@@ -1,7 +1,7 @@
 package graft.pipeline
 
-import graft.functions.TextFns
-import graft.operators.{Dedup, Mixture, PrefixSum, QualityModel, Sharding}
+import graft.functions.{Bpe, TextFns}
+import graft.operators.{Dedup, Mixture, Packer, PrefixSum, QualityModel, Sharding}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * → near-dup clustering → substring rewrite → benchmark decontamination
   * → mixture sampling → sequence packing → shard layout — with the same
   * per-stage [[DailyPipeline.StageResult]] summary contract (rows out +
-  * wall-clock, failures recorded, fail-fast propagation).
+  * wall-clock, failures recorded, fail-fast propagation). With
+  * `bpeMerges > 0` the run additionally trains a BPE tokenizer on the
+  * decontaminated corpus (stage "tokenizer", artifact persisted),
+  * denominates the mixture budget and packing coordinates in REAL BPE
+  * tokens, and materializes the packed token-id training sequences
+  * themselves (stage "pack_ids" → `s8b_packed_ids`).
   *
   * Stages communicate through parquet under `outDir` (`s0_clean` …
   * `s9_shards`, rejects kept beside them with a `drop_reason`), mirroring
@@ -56,7 +61,22 @@ object CorpusPipeline {
       maxXent: Double = 12.0,
       budgetTokens: Long = 1000000L,
       seqLen: Int = 2048,
-      shardSize: Long = 100000L)
+      shardSize: Long = 100000L,
+      // 0 = word-denominated budgets (the legacy/word anchors). > 0 =
+      // the pipeline gains a "tokenizer" stage: a BPE merge table of
+      // this size is trained ON the decontaminated corpus (the text the
+      // model will actually see), persisted as the versioned artifact
+      // under outDir/tokenizer (+ _vocab), and everything downstream of
+      // it is denominated in REAL tokenizer tokens — the mixture budget,
+      // the packing coordinates, and a final "pack_ids" stage that
+      // materializes the training file itself (s8b_packed_ids: packed
+      // seqLen-sized token-id sequences via [[graft.operators.Packer]]).
+      // Upstream gates (quality minTokens, span windows, decontam
+      // n-grams) stay word-denominated on purpose: they act on surface
+      // text before a tokenizer exists, and training the tokenizer on
+      // pre-curation text would bake noise into the vocabulary.
+      bpeMerges: Int = 0,
+      bpeMinCount: Long = 2L)
 
   /** Runs the full curation sequence over `docs` (doc_id, text, source).
     * `benchmark` is the decontamination reference (any frame with a text
@@ -169,8 +189,28 @@ object CorpusPipeline {
       write(in.join(contaminated, Seq("doc_id"), "left_anti"), "s6_clean")
     }
 
-    stage("mixture") {
+    // trained in the "tokenizer" stage (bpeMerges > 0) and consumed by
+    // every stage after it within this run; restarts reload the artifact
+    var merges: Seq[Bpe.Merge] = Nil
+    var vocab: Seq[(String, Int)] = Nil
+    if (cfg.bpeMerges > 0) stage("tokenizer") {
       val in = read("s6_clean")
+      merges = Bpe.trainMergesLocal(in, "text", cfg.bpeMerges, cfg.bpeMinCount)
+      vocab = Bpe.vocab(in, "text", merges)
+      Bpe.saveMerges(spark, merges, s"$outDir/tokenizer")
+      import spark.implicits._
+      vocab.toDF("token", "id").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/tokenizer_vocab")
+      merges.size.toLong
+    }
+
+    stage("mixture") {
+      val in0 = read("s6_clean")
+      // bpeMerges > 0: the budget below means what a training run means
+      // by "tokens" — re-denominate with the in-scan encode expression
+      val in = if (cfg.bpeMerges > 0)
+        in0.withColumn("n_tokens", Bpe.tokenCount(col("text"), merges))
+      else in0
       // equal per-source weights: budget splits evenly across the sources
       // present (the q64 machinery with weight=1 for each)
       val nSources = in.select(col("source")).distinct().count()
@@ -192,6 +232,18 @@ object CorpusPipeline {
           s"(cum_tokens - 1) div ${cfg.seqLen} as seq_last",
           s"(cum_tokens - n_tokens) % ${cfg.seqLen} as tok_offset")
       write(packed, "s8_packed")
+    }
+
+    if (cfg.bpeMerges > 0) stage("pack_ids") {
+      // the training file itself: s7's documents encoded to ids over the
+      // tokenizer-stage vocabulary (s7 ⊆ s6, so every symbol is covered)
+      // and packed into seqLen-sized sequences — s8_packed holds the
+      // coordinates, this holds the sequences
+      val in = read("s7_mixture")
+      val ids = in.select(col("doc_id"),
+        Bpe.tokenIds(col("text"), merges, vocab).as("ids"))
+      write(Packer.packTokenIds(spark, ids, "doc_id", "ids",
+        cfg.seqLen.toLong), "s8b_packed_ids")
     }
 
     stage("shard") {

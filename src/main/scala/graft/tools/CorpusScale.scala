@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions.col
   * corpus itself (deterministic, scales with the corpus, guarantees real
   * hits), removed from the input so contamination is cross-document.
   *
-  * Usage: jrun graft.tools.CorpusScale <sfDir> <outDir> <label> [<outJson>]
+  * Usage: jrun graft.tools.CorpusScale <sfDir> <outDir> <label>
+  *          [<outJson>] [<bpeMerges>]
+  * `bpeMerges` > 0 measures the tokenizer-faithful configuration: the
+  * tokenizer-training stage, BPE-denominated mixture/pack, and the
+  * packed token-id materialization (`pack_ids`) on top of the word
+  * baseline the committed rich4/8/16 points time.
   */
 object CorpusScale {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: CorpusScale <sfDir> <outDir> <label> [<outJson>]")
+      "usage: CorpusScale <sfDir> <outDir> <label> [<outJson>] [<bpeMerges>]")
     val Array(sfDir, outDir, label) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -43,7 +48,8 @@ object CorpusScale {
       outDir, graft.pipeline.CorpusPipeline.Config(
         // budget = ~40% of the corpus tokens so the mixture stage does
         // real work at every size (same fraction, any scale)
-        budgetTokens = math.max(1L, (totalChars * 2) / 25)))
+        budgetTokens = math.max(1L, (totalChars * 2) / 25),
+        bpeMerges = args.lift(4).map(_.toInt).getOrElse(0)))
     val totalSec = (System.nanoTime() - t0) / 1e9
     require(results.nonEmpty && results.forall(_.ok),
       s"corpus pipeline not green: ${results.filterNot(_.ok).mkString("; ")}")

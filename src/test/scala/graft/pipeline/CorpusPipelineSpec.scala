@@ -122,6 +122,50 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rejected == Map(4L -> "high_perplexity"))
   }
 
+  test("bpeMerges > 0: tokenizer trained on the decontaminated corpus, " +
+      "budgets re-denominated, packed token-id sequences materialize") {
+    import graft.functions.Bpe
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("corpus_bpe").toString
+    val summary = CorpusPipeline.run(spark, docs, benchmark, out,
+      CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
+        bpeMerges = 8))
+    assert(summary.map(_.stage) == Seq("clean", "quality", "ppl_gate",
+      "exact_dedup", "near_dedup", "span_rewrite", "decontaminate",
+      "tokenizer", "mixture", "pack", "pack_ids", "shard"))
+    assert(summary.forall(_.ok))
+
+    // the persisted artifact IS the table trained on s6_clean
+    val merges = Bpe.loadMerges(spark, s"$out/tokenizer")
+    val s6 = spark.read.parquet(s"$out/s6_clean")
+    assert(merges == Bpe.trainMergesLocal(s6, "text", 8, 2L))
+    assert(summary.find(_.stage == "tokenizer").get.rows == merges.size.toLong)
+
+    // downstream token accounting is the tokenizer's, not whitespace words
+    val s7 = spark.read.parquet(s"$out/s7_mixture")
+    val mismatch = s7
+      .withColumn("bpe", Bpe.tokenCount(col("text"), merges))
+      .filter(col("bpe") =!= col("n_tokens")).count()
+    assert(mismatch == 0, "s7_mixture n_tokens is not BPE-denominated")
+
+    // the packed training file covers exactly the mixture's token stream
+    // in doc order, full seqLen sequences except the ragged tail
+    val vm = spark.read.parquet(s"$out/tokenizer_vocab")
+      .select("token", "id").as[(String, Int)].collect().toMap
+    val expected = s7.orderBy("doc_id")
+      .select(col("doc_id"), Bpe.tokens(col("text"), merges).as("ts"))
+      .as[(Long, Seq[String])].collect().toSeq
+      .flatMap(_._2).map(vm)
+    val packed = spark.read.parquet(s"$out/s8b_packed_ids")
+      .orderBy("seq_id").select("seq_id", "n_tokens", "token_ids")
+      .as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(packed.flatMap(_._3) == expected)
+    packed.dropRight(1).foreach { case (_, n, ids) =>
+      assert(n == 16 && ids.size == 16)
+    }
+    assert(packed.map(_._1) == packed.indices.map(_.toLong))
+  }
+
   test("fail-fast: a broken stage aborts with the partial summary intact") {
     val out = Files.createTempDirectory("corpus_fail").toString
     val bad = docs.withColumnRenamed("text", "body") // quality stage can't resolve `text`
