@@ -44,6 +44,36 @@ class PackerSpec extends SparkSpec {
     }
   }
 
+  test("packTokenIds: stream an exact multiple of the budget — no phantom " +
+      "empty tail sequence; budget 1 degenerates to one token per sequence") {
+    val docs = Seq((1L, Seq(1, 2)), (2L, Seq(3, 4))).toDF("doc_id", "ids")
+    val exact = Packer.packTokenIds(spark, docs, "doc_id", "ids", 2L)
+      .orderBy("seq_id").as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(exact == Seq((0L, 2, Seq(1, 2)), (1L, 2, Seq(3, 4))))
+    val unit = Packer.packTokenIds(spark, docs, "doc_id", "ids", 1L)
+      .orderBy("seq_id").as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(unit == Seq((0L, 1, Seq(1)), (1L, 1, Seq(2)),
+      (2L, 1, Seq(3)), (3L, 1, Seq(4))))
+    intercept[IllegalArgumentException] {
+      Packer.packTokenIds(spark, docs, "doc_id", "ids", 0L)
+    }
+  }
+
+  test("Bpe.vocab fails loudly on an ambiguous merge table (two merges " +
+      "producing the same token string)") {
+    import graft.functions.Bpe
+    val docs = Seq((1L, "abc abc ab bc")).toDF("doc_id", "text")
+    // hand-built pathological table: (a,bc) and (ab,c) both yield "abc" —
+    // a real greedy trainer cannot learn this, and string-keyed ids would
+    // be ambiguous if it ever appeared in a loaded artifact
+    val bad = Seq(Bpe.Merge(0, "a", "b", 3L), Bpe.Merge(1, "b", "c", 2L),
+      Bpe.Merge(2, "a", "bc", 1L), Bpe.Merge(3, "ab", "c", 1L))
+    val e = intercept[IllegalArgumentException] {
+      Bpe.vocab(docs, "text", bad)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("Bpe.vocab ids: alphabet in codepoint order then merge products; " +
       "tokenIds == tokens mapped through it") {
     import graft.functions.Bpe
