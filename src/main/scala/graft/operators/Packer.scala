@@ -15,11 +15,19 @@ import org.apache.spark.sql.functions._
   * is split NARROWLY (slice on its id array, no explode of tokens) into
   * the at-most-⌈n/budget⌉+1 contiguous PIECES that land in distinct
   * sequences, and only those pieces — O(docs + sequences) rows, each
-  * carrying its ids as one array value — go through the single
-  * sequence-keyed exchange. Reassembly is a per-sequence sort_array over
-  * the (bounded: ≤ budget tokens) collected pieces. Global coordinates
-  * come from [[PrefixSum]]'s two-phase scan, so no stage funnels the
-  * corpus through one task.
+  * carrying its ids as one array value — go through the sequence-keyed
+  * exchange. Reassembly is a per-sequence sort_array over the (bounded:
+  * ≤ budget tokens) collected pieces. Global coordinates come from
+  * [[PrefixSum]]'s two-phase scan, so no stage funnels the corpus
+  * through one task. Total payload movement, counted honestly: the
+  * prefix-sum phase range-exchanges AND checkpoints the sized frame
+  * (ids ride along so the encode feeding [[packTokenIds]] runs exactly
+  * ONCE — the materialization doubles as the boundary pin and the
+  * resume point), then the pieces cross the one sequence exchange —
+  * a constant number of passes over the token payload, never a
+  * per-token row explosion. Trading the checkpoint for a narrow
+  * prefix sum + join-back would re-run the upstream encode or shuffle
+  * the payload an extra time; this shape was chosen deliberately.
   *
   * Determinism: piece start offsets are exact integers off the prefix
   * sum; sort_array orders pieces by their global start, which is unique
