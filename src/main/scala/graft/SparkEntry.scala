@@ -1345,7 +1345,7 @@ object SparkEntry {
   private def q97(s: SparkSession, dir: String): DataFrame = {
     val merges = bpeTable(s, dir)
     val docs = T(s, dir, "documents")
-    val vocab = Bpe.vocab(docs, "text", merges)
+    val vocab = Bpe.vocabCached(docs, dir, "text", merges)
     val ids = docs.select(col("doc_id"),
       Bpe.tokenIds(col("text"), merges, vocab).as("ids"))
     Packer.packTokenIds(s, ids, "doc_id", "ids", budgetTokens = 8192L)

@@ -308,6 +308,20 @@ object Bpe {
     cache.computeIfAbsent((dirKey, textCol, numMerges, minCount),
       _ => trainMergesLocal(df, textCol, numMerges, minCount))
 
+  private val vocabMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int),
+      Seq[(String, Int)]]
+
+  /** [[vocab]] memoized per (corpus dir, textCol, merge-table identity)
+    * for the life of the JVM — same immutable-path soundness contract as
+    * [[trainMergesCached]] (the alphabet scan is train-time cost; repeat
+    * callers against the same corpus+table should pay it once). */
+  def vocabCached(df: DataFrame, dirKey: String, textCol: String,
+                  merges: Seq[Merge]): Seq[(String, Int)] =
+    vocabMemo.computeIfAbsent(
+      (dirKey, textCol, merges.size, merges.hashCode),
+      _ => vocab(df, textCol, merges))
+
   /** Persist a trained merge table as a parquet artifact — the
     * production contract: train ONCE, version the table, apply it from
     * every job that must tokenize consistently (the per-JVM
