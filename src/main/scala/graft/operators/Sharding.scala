@@ -66,6 +66,20 @@ object Sharding {
   def writeShards(spark: SparkSession, df: DataFrame, idCol: String,
                   shardSize: Long, outDir: String): Unit = {
     val plan = shardPlan(spark, df, idCol, shardSize)
+    if (df.isEmpty) {
+      // zero curated rows (an over-aggressive gate upstream, a dry
+      // rerun): partitionBy over nothing writes a FILELESS directory
+      // that read-back cannot even infer a schema from
+      // (UNABLE_TO_INFER_SCHEMA) — the batch edition of the streaming
+      // fileless-sink lesson. Write the empty frame UNPARTITIONED so
+      // the full schema (shard_id included, now as a data column)
+      // survives and downstream reads see zero rows, not a crash. The
+      // probe is a limit-1 scan of the raw input — narrow and cheap at
+      // any corpus size, unlike probing the joined plan (which would
+      // force the rank shuffles just to learn the count).
+      plan.join(df, Seq(idCol)).write.mode("overwrite").parquet(outDir)
+      return
+    }
     plan.join(df, Seq(idCol))
       .repartitionByRange(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col("pos_in_shard"))

@@ -57,4 +57,16 @@ class ShardingSpec extends SparkSpec {
       .select("pos_in_shard").as[Long].collect().toSeq
     assert(s0 == s0.sorted, "shard rows not in permutation order")
   }
+
+  test("writeShards on an EMPTY corpus: the directory still reads back " +
+      "(zero rows, full schema) instead of UNABLE_TO_INFER_SCHEMA") {
+    val out = java.nio.file.Files.createTempDirectory("shards_empty").toString
+    val df = spark.range(0, 0).toDF("doc_id")
+      .withColumn("payload", concat(lit("doc-"), col("doc_id")))
+    Sharding.writeShards(spark, df, "doc_id", shardSize = 50, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 0)
+    assert(Set("doc_id", "payload", "shard_id", "pos_in_shard", "pos")
+      .subsetOf(back.columns.toSet), back.columns.mkString(","))
+  }
 }

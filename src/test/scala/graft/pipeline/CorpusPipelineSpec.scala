@@ -166,6 +166,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(packed.map(_._1) == packed.indices.map(_.toLong))
   }
 
+  test("fully-rejected corpus: every stage (incl. tokenizer mode) survives " +
+      "empty frames end to end instead of crashing the run") {
+    // the r9 streaming lesson, batch edition: an over-aggressive gate at
+    // 100 TB must produce an EMPTY curated set, not a dead pipeline
+    val out = Files.createTempDirectory("corpus_empty").toString
+    val hopeless = Seq(
+      (1L, " ", "srcA"), // empties at clean
+      (2L, "tiny doc", "srcA")            // under minTokens
+    ).toDF("doc_id", "text", "source")
+    val summary = CorpusPipeline.run(spark, hopeless, benchmark, out,
+      CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
+        bpeMerges = 4))
+    assert(summary.forall(_.ok),
+      s"stages failed: ${summary.filterNot(_.ok).mkString("; ")}")
+    assert(summary.map(_.stage).contains("tokenizer"))
+    assert(summary.filter(s => Set("mixture", "pack", "pack_ids",
+      "shard").contains(s.stage)).forall(_.rows == 0L))
+    val merges = graft.functions.Bpe.loadMerges(spark, s"$out/tokenizer")
+    assert(merges.isEmpty)
+  }
+
   test("fail-fast: a broken stage aborts with the partial summary intact") {
     val out = Files.createTempDirectory("corpus_fail").toString
     val bad = docs.withColumnRenamed("text", "body") // quality stage can't resolve `text`
