@@ -369,12 +369,30 @@ object MergeSink {
       val tgt = new Path(path)
       val tmp = path + "__tmp"
 
+      // A ZERO-ROW frame through partitionBy writes a FILELESS dir that
+      // read-back cannot infer a schema from — an empty FIRST upsert
+      // would brick the table for every later call (the same class as
+      // the streaming fileless-sink and empty-shard lessons). Empty
+      // frames are written UNPARTITIONED without the __bucket column
+      // and WITHOUT meta: the dir reads back (0 rows, full schema) as
+      // a legacy-unbucketed table, and the first non-empty upsert
+      // migrates it to the bucketed layout through the None branch
+      // below. The emptiness probe is one limit-1 job on a frame that
+      // is batch-sized (create) or rare (migration).
+      def writeWhole(df: DataFrame, dest: String): Boolean = {
+        val nonEmpty = !df.isEmpty
+        if (nonEmpty)
+          df.write.mode("overwrite").partitionBy("__bucket").parquet(dest)
+        else
+          df.drop("__bucket").write.mode("overwrite").parquet(dest)
+        nonEmpty
+      }
+
       if (!fs.exists(tgt)) {
         val nb = numBuckets
-        updates.dropDuplicates(keys)
-          .withColumn("__bucket", bucketExpr(keys, nb))
-          .write.mode("overwrite").partitionBy("__bucket").parquet(path)
-        writeMeta(fs, path, keys, nb)
+        if (writeWhole(updates.dropDuplicates(keys)
+            .withColumn("__bucket", bucketExpr(keys, nb)), path))
+          writeMeta(fs, path, keys, nb)
         spark.catalog.refreshByPath(path)
       } else readNumBuckets(fs, path) match {
         case None =>
@@ -386,9 +404,9 @@ object MergeSink {
           // an unresolvable-__bucket analysis error)
           val merged = merge(readTable(spark, path), updates, keys, hashCol)
             .withColumn("__bucket", bucketExpr(keys, numBuckets))
-          merged.write.mode("overwrite").partitionBy("__bucket").parquet(tmp)
+          val bucketed = writeWhole(merged, tmp)
           swapDirs(fs, path, tmp, Seq(""), lock)
-          writeMeta(fs, path, keys, numBuckets)
+          if (bucketed) writeMeta(fs, path, keys, numBuckets)
           spark.catalog.refreshByPath(path)
 
         case Some(nb) =>

@@ -82,6 +82,32 @@ class MergeSinkSpec extends SparkSpec {
     finally s.close()
   }
 
+  test("an EMPTY first upsert does not brick the table: dir reads back, " +
+      "the first real upsert migrates it to the bucketed layout") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_empty").toString
+    val path = s"$dir/warehouse"
+    val none = withHash(Seq.empty[(String, Double)].toDF("ticker", "price"))
+    MergeSink.upsertParquet(spark, path, none, Seq("ticker"))
+    // dir exists with schema, zero rows — NOT a fileless unreadable stub
+    assert(MergeSink.readTable(spark, path).count() == 0)
+    MergeSink.upsertParquet(spark, path, none, Seq("ticker")) // replay empty
+    assert(MergeSink.readTable(spark, path).count() == 0)
+
+    val b1 = withHash(Seq(("AAA", 10.0), ("BBB", 20.0)).toDF("ticker", "price"))
+    MergeSink.upsertParquet(spark, path, b1, Seq("ticker"))
+    assert(MergeSink.readTable(spark, path).orderBy("ticker")
+      .as[(String, Double, String)].collect().toSeq.map(r => (r._1, r._2))
+      == Seq(("AAA", 10.0), ("BBB", 20.0)))
+    // migration landed the bucketed layout (partition dirs present), so
+    // later upserts take the touched-buckets fast path
+    assert(new java.io.File(path).listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
+    val b2 = withHash(Seq(("BBB", 21.0)).toDF("ticker", "price"))
+    MergeSink.upsertParquet(spark, path, b2, Seq("ticker"))
+    assert(MergeSink.readTable(spark, path).filter(col("ticker") === "BBB")
+      .as[(String, Double, String)].head()._2 == 21.0)
+  }
+
   test("bucketed upsert touching 1 key rewrites ONLY that key's bucket dir") {
     val dir = java.nio.file.Files.createTempDirectory("merge_bucket").toString
     val path = s"$dir/warehouse"
