@@ -410,4 +410,41 @@ object Bpe {
     val m = typedlit(vocab.toMap)
     transform(tokens(text, merges), t => element_at(m, t))
   }
+
+  // ------------------------------------------------ decodable variants
+  //
+  // The flat [[tokens]] stream (and therefore [[tokenIds]]/q97's packed
+  // ids) drops word boundaries — "ab","c" could be the tail of one word
+  // or two words' pieces — so it is NOT decodable back to text. Real
+  // tokenizers mark word-initial pieces for exactly this reason (GPT-2's
+  // 'Ġ', sentencepiece's '▁'). The marked variants below use U+0001 as
+  // the word-initial marker — [[strip]] guarantees no token can contain
+  // it — making encode → decode lossless back to the word model
+  // (lowercased, single-spaced text; case/whitespace were consumed by
+  // the model itself, as in any lowercasing tokenizer). Composed Column
+  // forms (per-word lambda over the native per-word expression, one
+  // encode per word — no re-evaluation blowup); the unmarked flat forms
+  // stay the oracle-checked q87-q99 surface.
+
+  /** Per-word token arrays (`array<array<string>>`): element i is word
+    * i's encoding. Invariant (BpeSpec): `flatten(wordTokens) == tokens`
+    * and `concat_ws("", wordTokens(i)) == words(i)` — merges only ever
+    * concatenate adjacent pieces of one word. */
+  def wordTokens(text: Column, merges: Seq[Merge]): Column =
+    transform(words(text), w => tokens(w, merges))
+
+  /** Flat token stream with each word-INITIAL piece prefixed by the
+    * U+0001 marker — the decodable production form. */
+  def tokensMarked(text: Column, merges: Seq[Merge]): Column =
+    flatten(transform(wordTokens(text, merges), ts => concat(
+      array(concat(lit(SepL), element_at(ts, 1))),
+      slice(ts, lit(2), greatest(size(ts) - 1, lit(0))))))
+
+  /** Inverse of [[tokensMarked]]: marker → word break, pieces rejoin.
+    * `decodeMarked(tokensMarked(text)) == concat_ws(" ", words(text))`
+    * for every input (pinned in BpeSpec on randomized corpora). */
+  def decodeMarked(toks: Column): Column =
+    ltrim(concat_ws("", transform(toks, t =>
+      when(t.startsWith(SepL), concat(lit(" "), substring(t, 2, Int.MaxValue)))
+        .otherwise(t))))
 }

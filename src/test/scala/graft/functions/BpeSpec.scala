@@ -259,6 +259,38 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Bpe.loadMerges(spark, path))
   }
 
+  test("marked stream round trip: decodeMarked(tokensMarked) recovers the " +
+      "word model exactly; wordTokens flatten/rejoin invariants hold") {
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcde"
+    def word(n: Int) =
+      Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val corpus = (0 until 200).map(i => (i.toLong,
+        Seq.fill(1 + rnd.nextInt(10))(word(1 + rnd.nextInt(9))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(corpus, "text", 16, 2L)
+    assert(merges.nonEmpty)
+    val checked = corpus.select(
+        // lossless round trip back to the word model
+        (Bpe.decodeMarked(Bpe.tokensMarked(col("text"), merges)) ===
+          concat_ws(" ", Bpe.words(col("text")))).as("rt"),
+        // flattening per-word arrays == the flat oracle-checked stream
+        (flatten(Bpe.wordTokens(col("text"), merges)) ===
+          Bpe.tokens(col("text"), merges)).as("fl"),
+        // each word's pieces concatenate back to the word
+        (transform(Bpe.wordTokens(col("text"), merges),
+            ts => concat_ws("", ts)) ===
+          Bpe.words(col("text"))).as("wd"))
+      .agg(sum(when(col("rt") && col("fl") && col("wd"), 0).otherwise(1)))
+      .head.getLong(0)
+    assert(checked == 0L, s"$checked rows failed a marked-stream invariant")
+    // mixed case + messy whitespace normalize through the word model
+    val messy = Seq((1L, "  The  CAT\tthe hat ")).toDF("doc_id", "text")
+    assert(messy.select(Bpe.decodeMarked(
+        Bpe.tokensMarked(col("text"), merges))).head.getString(0)
+      == "the cat the hat")
+  }
+
   test("trainMergesCached memoizes per (dir, col, config)") {
     val key = s"bpe-spec-memo-${System.nanoTime()}"
     val a = Bpe.trainMergesCached(docs, key, "text", 2)
