@@ -399,17 +399,20 @@ object Bpe {
     toks.zipWithIndex
   }
 
-  /** Token IDS of `text`: [[tokens]] mapped through `vocab`. The map
-    * rides the plan as a literal — the [[graft.operators.QualityModel
-    * .hashedLinearScoreWeights]] precedent: a tokenizer vocabulary is
-    * ≤ ~256k short strings (single-digit MB), shipped with the closure
-    * exactly like fastText ships its matrix; lookup is a per-token O(1)
-    * map probe inside codegen, zero exchanges, zero UDFs. */
+  /** Token IDS of `text`: the flat [[tokens]] stream mapped through
+    * `vocab` in ONE native kernel call (encode + O(1) hash-map probe per
+    * piece — the map rides as a codegen reference object, like
+    * [[graft.operators.QualityModel]] ships its weight matrix: a
+    * tokenizer vocabulary is ≤ ~256k short strings, single-digit MB).
+    * NOT a Catalyst literal map: `element_at` on one is a LINEAR scan
+    * per lookup (GetMapValue), measured superlinear at a 1k-merge
+    * vocabulary on the r11 pipeline decade. */
   def tokenIds(text: Column, merges: Seq[Merge],
-               vocab: Seq[(String, Int)]): Column = {
-    val m = typedlit(vocab.toMap)
-    transform(tokens(text, merges), t => element_at(m, t))
-  }
+               vocab: Seq[(String, Int)]): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      BpeTokenIdsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(text),
+        merges.map(m => (m.left, m.right)), vocab, markShift = 0))
 
   // ------------------------------------------------ decodable variants
   //
@@ -447,4 +450,54 @@ object Bpe {
     ltrim(concat_ws("", transform(toks, t =>
       when(t.startsWith(SepL), concat(lit(" "), substring(t, 2, Int.MaxValue)))
         .otherwise(t))))
+
+  /** Vocabulary for the MARKED stream: every [[vocab]] token at its
+    * unmarked id, plus its word-initial twin at id + |V| — the GPT-2
+    * device ('x' and 'Ġx' are distinct vocabulary entries). Ids stay a
+    * pure function of (corpus alphabet, merge table). */
+  def vocabMarked(df: DataFrame, textCol: String,
+                  merges: Seq[Merge]): Seq[(String, Int)] = {
+    val base = vocab(df, textCol, merges)
+    base ++ base.map { case (t, i) => (SepL + t, base.size + i) }
+  }
+
+  /** Token IDS of an arbitrary token-array column under `vocab` (the
+    * [[tokenIds]] lookup, decoupled from the text→tokens step so marked
+    * and unmarked streams share it). */
+  def idsOf(toks: Column, vocab: Seq[(String, Int)]): Column = {
+    val m = typedlit(vocab.toMap)
+    transform(toks, t => element_at(m, t))
+  }
+
+  /** Ids of the DECODABLE marked stream — what a training file that must
+    * reconstruct its documents stores (see CorpusPipeline's pack_ids).
+    * Takes the [[vocabMarked]] vocabulary; validates its base+twin
+    * structure ONCE at plan build, then marking is pure arithmetic in
+    * the kernel (word-initial id = unmarked + |base| — no per-token
+    * string prefixing, no literal-map scan). */
+  def tokenIdsMarked(text: Column, merges: Seq[Merge],
+                     vocab: Seq[(String, Int)]): Column = {
+    val (marked, base) = vocab.partition(_._1.startsWith(SepL))
+    // empty == empty is legal (an empty corpus yields an empty
+    // vocabulary and the expression will never see a token)
+    require(marked.size == base.size,
+      s"tokenIdsMarked needs the marked vocabulary (vocabMarked): got " +
+        s"${base.size} base + ${marked.size} marked entries")
+    val baseIdx = base.toMap
+    marked.foreach { case (t, i) =>
+      require(baseIdx.get(t.drop(1)).contains(i - base.size),
+        s"marked entry '$t'($i) is not its base twin + ${base.size}")
+    }
+    org.apache.spark.sql.graft.ExprBridge.column(
+      BpeTokenIdsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(text),
+        merges.map(m => (m.left, m.right)), base, markShift = base.size))
+  }
+
+  /** Ids → text (word-model form): reverse-lookup then [[decodeMarked]].
+    * `decodeIds(tokenIdsMarked(text)) == concat_ws(" ", words(text))`. */
+  def decodeIds(ids: Column, vocab: Seq[(String, Int)]): Column = {
+    val rev = typedlit(vocab.map { case (t, i) => (i, t) }.toMap)
+    decodeMarked(transform(ids, i => element_at(rev, i)))
+  }
 }

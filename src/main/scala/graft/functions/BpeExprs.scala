@@ -96,3 +96,57 @@ case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(newChild: Expression): BpeTokensExpr =
     copy(child = newChild)
 }
+
+/** Token-ID sibling: encode + O(1) hash-map vocabulary lookup in one
+  * kernel call (`array<int>`, never null). Catalyst's own literal-map
+  * `element_at` (GetMapValue) does a LINEAR scan per lookup — measured
+  * superlinear on the r11 marked-pipeline decade at a 1k-merge
+  * vocabulary — so the map rides as a reference object instead.
+  * `markShift > 0` = marked stream (word-initial piece id + shift, the
+  * decodable form); 0 = the flat unmarked stream (q97's oracle-checked
+  * ids). */
+case class BpeTokenIdsExpr(child: Expression, merges: Seq[(String, String)],
+                           vocab: Seq[(String, Int)], markShift: Int)
+  extends UnaryExpression {
+
+  @transient private lazy val ranks = new BpeRanks(merges.toArray)
+  @transient private lazy val vmap = {
+    val m = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.foreach { case (t, i) => m.put(t, Integer.valueOf(i)) }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_token_ids expects a STRING child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(DataTypes.IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bpe_token_ids"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    BpeKernel.tokenIds(
+      if (v == null) null else v.asInstanceOf[UTF8String].toString,
+      ranks, vmap, markShift)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "graft.functions.BpeRanks")
+    val vref = ctx.addReferenceObj("bpeVocab", vmap, "java.util.HashMap")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.BpeKernel.tokenIds(
+            ${c.isNull} ? null : ${c.value}.toString(), $ref, $vref, $markShift);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenIdsExpr =
+    copy(child = newChild)
+}

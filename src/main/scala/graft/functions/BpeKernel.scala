@@ -157,6 +157,40 @@ object BpeKernel {
     total
   }
 
+  /** Token IDS of `text` under `vocab` — a REAL hash map, O(1) per
+    * piece (Catalyst's `GetMapValue` on a literal map is a linear scan
+    * per lookup: ruinous at real vocabulary sizes × corpus tokens — the
+    * r11 marked-pipeline measurement that motivated this kernel).
+    * `markShift > 0` selects the MARKED stream: each word's FIRST piece
+    * id is shifted by `markShift` (the word-initial twin's id is exactly
+    * `unmarked + shift` by [[Bpe.vocabMarked]] construction, so marking
+    * is pure arithmetic — no string allocation per token). Throws on a
+    * token absent from `vocab`: the vocabulary is complete by
+    * construction for the corpus it was derived from, so a miss is a
+    * caller bug (wrong vocab for this table/corpus), never data. */
+  def tokenIds(text: String, ranks: BpeRanks,
+               vocab: java.util.HashMap[String, Integer],
+               markShift: Int): ArrayData = {
+    val ws = words(text)
+    val buf = new scala.collection.mutable.ArrayBuffer[Int](ws.length * 2)
+    var i = 0
+    while (i < ws.length) {
+      val enc = ranks.encode(ws(i))
+      var j = 0
+      while (j < enc.length) {
+        val id = vocab.get(enc(j))
+        if (id == null) throw new IllegalStateException(
+          s"BPE token '${enc(j)}' not in the ${vocab.size}-entry vocabulary" +
+            " — vocab was derived from a different corpus or merge table")
+        buf += (if (j == 0) id.intValue + markShift else id.intValue)
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(buf.toArray)
+  }
+
   /** All BPE tokens of `text`, in order (empty array for null/blank). */
   def tokens(text: String, ranks: BpeRanks): ArrayData = {
     val ws = words(text)

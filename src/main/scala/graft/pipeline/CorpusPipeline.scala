@@ -196,7 +196,10 @@ object CorpusPipeline {
     if (cfg.bpeMerges > 0) stage("tokenizer") {
       val in = read("s6_clean")
       merges = Bpe.trainMergesLocal(in, "text", cfg.bpeMerges, cfg.bpeMinCount)
-      vocab = Bpe.vocab(in, "text", merges)
+      // the MARKED vocabulary (every token + its word-initial twin, the
+      // GPT-2 device): the packed training file below must be decodable
+      // back to documents, which the unmarked flat stream is not
+      vocab = Bpe.vocabMarked(in, "text", merges)
       Bpe.saveMerges(spark, merges, s"$outDir/tokenizer")
       import spark.implicits._
       vocab.toDF("token", "id").coalesce(1)
@@ -235,13 +238,16 @@ object CorpusPipeline {
     }
 
     if (cfg.bpeMerges > 0) stage("pack_ids") {
-      // the training file itself: s7's documents encoded to ids over the
-      // tokenizer-stage vocabulary (s7 ⊆ s6, so every symbol is covered)
-      // and packed into seqLen-sized sequences — s8_packed holds the
-      // coordinates, this holds the sequences
+      // the training file itself: s7's documents encoded to MARKED-stream
+      // ids over the tokenizer-stage vocabulary (s7 ⊆ s6, so every symbol
+      // is covered; marked length == unmarked length, so s8_packed's
+      // coordinates address this stream exactly) and packed into
+      // seqLen-sized sequences. Decodable by construction:
+      // Bpe.decodeIds over a doc's coordinate slice reconstructs its
+      // word-model text (CorpusPipelineSpec pins it end to end).
       val in = read("s7_mixture")
       val ids = in.select(col("doc_id"),
-        Bpe.tokenIds(col("text"), merges, vocab).as("ids"))
+        Bpe.tokenIdsMarked(col("text"), merges, vocab).as("ids"))
       write(Packer.packTokenIds(spark, ids, "doc_id", "ids",
         cfg.seqLen.toLong), "s8b_packed_ids")
     }

@@ -289,6 +289,22 @@ class BpeSpec extends SparkSpec {
     assert(messy.select(Bpe.decodeMarked(
         Bpe.tokensMarked(col("text"), merges))).head.getString(0)
       == "the cat the hat")
+    // id level: the native marked-ids kernel round-trips too, and equals
+    // the composed string path mapped through the marked vocabulary
+    val vm = Bpe.vocabMarked(corpus, "text", merges)
+    val idBad = corpus.select(
+        (Bpe.decodeIds(Bpe.tokenIdsMarked(col("text"), merges, vm), vm) ===
+          concat_ws(" ", Bpe.words(col("text")))).as("rt"),
+        (Bpe.tokenIdsMarked(col("text"), merges, vm) ===
+          Bpe.idsOf(Bpe.tokensMarked(col("text"), merges), vm)).as("eq"))
+      .agg(sum(when(col("rt") && col("eq"), 0).otherwise(1)))
+      .head.getLong(0)
+    assert(idBad == 0L, s"$idBad rows failed the id-level round trip")
+    // base-only vocab is rejected loudly (marked ids would be wrong)
+    intercept[IllegalArgumentException] {
+      Bpe.tokenIdsMarked(col("text"), merges,
+        Bpe.vocab(corpus, "text", merges))
+    }
   }
 
   test("trainMergesCached memoizes per (dir, col, config)") {

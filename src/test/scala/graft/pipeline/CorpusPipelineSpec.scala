@@ -125,7 +125,7 @@ class CorpusPipelineSpec extends SparkSpec {
   test("bpeMerges > 0: tokenizer trained on the decontaminated corpus, " +
       "budgets re-denominated, packed token-id sequences materialize") {
     import graft.functions.Bpe
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, concat_ws}
     val out = Files.createTempDirectory("corpus_bpe").toString
     val summary = CorpusPipeline.run(spark, docs, benchmark, out,
       CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
@@ -148,12 +148,12 @@ class CorpusPipelineSpec extends SparkSpec {
       .filter(col("bpe") =!= col("n_tokens")).count()
     assert(mismatch == 0, "s7_mixture n_tokens is not BPE-denominated")
 
-    // the packed training file covers exactly the mixture's token stream
-    // in doc order, full seqLen sequences except the ragged tail
+    // the packed training file covers exactly the mixture's MARKED token
+    // stream in doc order, full seqLen sequences except the ragged tail
     val vm = spark.read.parquet(s"$out/tokenizer_vocab")
       .select("token", "id").as[(String, Int)].collect().toMap
     val expected = s7.orderBy("doc_id")
-      .select(col("doc_id"), Bpe.tokens(col("text"), merges).as("ts"))
+      .select(col("doc_id"), Bpe.tokensMarked(col("text"), merges).as("ts"))
       .as[(Long, Seq[String])].collect().toSeq
       .flatMap(_._2).map(vm)
     val packed = spark.read.parquet(s"$out/s8b_packed_ids")
@@ -164,6 +164,25 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(n == 16 && ids.size == 16)
     }
     assert(packed.map(_._1) == packed.indices.map(_.toLong))
+
+    // THE training-file contract: every document reconstructs from the
+    // packed sequences + s8_packed coordinates alone (marked stream —
+    // same length as unmarked, so the coordinates address it exactly)
+    val stream = packed.flatMap(_._3)
+    val rev = vm.map(_.swap)
+    def decode(ids: Seq[Int]): String = ids.map(rev).map(t =>
+      if (t.startsWith("\u0001")) " " + t.drop(1) else t).mkString.trim
+    val wordText = s7.select(col("doc_id"),
+        concat_ws(" ", Bpe.words(col("text"))).as("w"))
+      .as[(Long, String)].collect().toMap
+    val coords = spark.read.parquet(s"$out/s8_packed")
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(coords.nonEmpty)
+    coords.foreach { case (id, n, cum) =>
+      val got = decode(stream.slice((cum - n).toInt, cum.toInt))
+      assert(got == wordText(id), s"doc $id failed to reconstruct: '$got'")
+    }
   }
 
   test("fully-rejected corpus: every stage (incl. tokenizer mode) survives " +
@@ -172,7 +191,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // 100 TB must produce an EMPTY curated set, not a dead pipeline
     val out = Files.createTempDirectory("corpus_empty").toString
     val hopeless = Seq(
-      (1L, " ", "srcA"), // empties at clean
+      (1L, "\u0000\u0001\u0002", "srcA"), // empties at clean
       (2L, "tiny doc", "srcA")            // under minTokens
     ).toDF("doc_id", "text", "source")
     val summary = CorpusPipeline.run(spark, hopeless, benchmark, out,
