@@ -85,6 +85,24 @@ object BpeTrainScale {
     }
     encodePass() // warm (JIT + memo fill)
     val tEncode = encodePass()
+
+    // 2c. MARKED ID EMISSION under the same table — the training-file
+    // path (BpeTokenIdsExpr: encode + O(1) HashMap probe + arithmetic
+    // word-initial marking). The claim under test: throughput tracks
+    // the encode pass, INDEPENDENT of the vocabulary size (here
+    // |base| = corpus alphabet + every learned merge — the real-table
+    // regime a literal-map lookup could not survive).
+    val vMarked = Bpe.vocabMarked(df, "text", bigTable)
+    def idsPass(): Double = {
+      val t0 = System.nanoTime()
+      df.select(Bpe.tokenIdsMarked(
+          org.apache.spark.sql.functions.col("text"), bigTable, vMarked)
+          .as("ids"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    idsPass() // warm
+    val tIds = idsPass()
     val totalTokens = df
       .select(org.apache.spark.sql.functions.sum(
         Bpe.tokenCount(org.apache.spark.sql.functions.col("text"), bigTable))
@@ -108,6 +126,8 @@ object BpeTrainScale {
         s""""local_loop_sec":${f(tLocal)},"local_us_per_merge":${f(if (localLearned > 0) tLocal * 1e6 / localLearned else -1)},""" +
         s""""encode_corpus_sec":${f(tEncode)},"encode_total_tokens":$totalTokens,""" +
         s""""encode_mtokens_per_sec":${f(totalTokens / tEncode / 1e6)},""" +
+        s""""ids_vocab_entries":${vMarked.size},"ids_corpus_sec":${f(tIds)},""" +
+        s""""ids_mtokens_per_sec":${f(totalTokens / tIds / 1e6)},""" +
         s""""dist_merges":${distTable.length},"dist_loop_sec":${f(tDist)},""" +
         s""""dist_sec_per_merge":${f(if (distTable.nonEmpty) tDist / distTable.length else -1)},""" +
         s""""prefix_equal":$equal,"min_count":$minCount}"""
