@@ -432,7 +432,13 @@ object Bpe {
   /** Per-word token arrays (`array<array<string>>`): element i is word
     * i's encoding. Invariant (BpeSpec): `flatten(wordTokens) == tokens`
     * and `concat_ws("", wordTokens(i)) == words(i)` — merges only ever
-    * concatenate adjacent pieces of one word. */
+    * concatenate adjacent pieces of one word.
+    *
+    * Composed-lambda reference form (CodegenFallback; one native encode
+    * per word, so no re-evaluation blowup, but interpreted array
+    * plumbing): hot id-emission paths use the [[tokenIdsMarked]] kernel
+    * instead — the composed marked pipeline measured 16.5/17.5/50.5 s
+    * on the rich decade where the kernel runs 3.4/3.7/6.3 s. */
   def wordTokens(text: Column, merges: Seq[Merge]): Column =
     transform(words(text), w => tokens(w, merges))
 
@@ -461,9 +467,16 @@ object Bpe {
     base ++ base.map { case (t, i) => (SepL + t, base.size + i) }
   }
 
-  /** Token IDS of an arbitrary token-array column under `vocab` (the
-    * [[tokenIds]] lookup, decoupled from the text→tokens step so marked
-    * and unmarked streams share it). */
+  /** Token IDS of an arbitrary token-array column under `vocab`.
+    *
+    * PERFORMANCE WARNING — reference form only (the [[graft.functions
+    * .TextFns.shingleHashes]] precedent): `element_at` on a literal map
+    * is Catalyst's `GetMapValue`, a LINEAR scan per lookup — measured
+    * 4–8× slower than the kernel at a mere 1k-merge vocabulary and
+    * growing with |V| (`corpus_bpe_r11_late`). Hot paths use
+    * [[tokenIds]]/[[tokenIdsMarked]] (native [[BpeTokenIdsExpr]], O(1)
+    * HashMap probe); specs use this form to pin the kernel against an
+    * independent implementation. */
   def idsOf(toks: Column, vocab: Seq[(String, Int)]): Column = {
     val m = typedlit(vocab.toMap)
     transform(toks, t => element_at(m, t))
