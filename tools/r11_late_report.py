@@ -36,7 +36,7 @@ def fit(sfs, ys):
 
 def segs(sfs, ys):
     return {f"sf{a}->sf{b}": round(math.log(tb / ta) / math.log(b / a), 3)
-            for (a, ta), (b, tb) in zip(zip(sfs, ys), zip(sfs[1:], sfs and ys[1:]))}
+            for (a, ta), (b, tb) in zip(zip(sfs, ys), zip(sfs[1:], ys[1:]))}
 
 
 def bench_lines(path):
