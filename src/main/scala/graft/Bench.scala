@@ -145,25 +145,40 @@ object Bench {
       .mkString("{", ",", "}")
     val qmins = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v._2) }
       .mkString("{", ",", "}")
+    // SHORT keys (the qNN prefix, unique by construction) for the stdout
+    // lines: the r11 driver artifact truncated mid-map with per-query
+    // evidence for only 73/99 queries — long names put the two maps at
+    // ~4.6 KB against a capture window that holds roughly half that.
+    // Compact keys cut each map ~2.4x; the file below keeps full names.
+    def short(k: String): String = k.takeWhile(_ != '_')
+    require(results.keysIterator.map(short).toSet.size == results.size,
+      "bench query qNN prefixes must be unique for the compact stdout map")
+    val qsShort = results.map { case (k, v) => s"\"" + short(k) + "\":" + fmt(v._1) }
+      .mkString("{", ",", "}")
+    val qminsShort = results.map { case (k, v) => s"\"" + short(k) + "\":" + fmt(v._2) }
+      .mkString("{", ",", "}")
     val errJson =
       if (errors.isEmpty) ""
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum else 0.0
     val totalMin = if (results.nonEmpty) results.values.map(_._2).filter(_ >= 0).sum else 0.0
-    // TWO self-contained lines — medians, then minima — each repeating
-    // both totals. The driver's capture window has clipped one line's
-    // head (r7) or tail (r6) two rounds running; with the maps split, a
-    // clip on either end still leaves one COMPLETE per-query map on the
-    // other line.
-    val medLine = s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps$errJson,"queries":$qs}"""
-    val minLine = s"""{"metric":"total_min","value":${fmt(totalMin)},"total":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"queries_min":$qmins}"""
+    // TWO self-contained stdout lines — minima first, MEDIANS LAST (the
+    // headline map sits closest to the end, where a head-side clip of
+    // the capture window can't reach it; a tail-side clip still leaves
+    // the complete minima line). Each repeats both totals.
+    val medLine = s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps$errJson,"queries":$qsShort}"""
+    val minLine = s"""{"metric":"total_min","value":${fmt(totalMin)},"total":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"queries_min":$qminsShort}"""
     // The driver parses the bench JSON; sbt decorates stdout with [info]
-    // prefixes, so ALSO persist the lines to a file it can read directly.
+    // prefixes, so ALSO persist the lines to a file it can read directly
+    // — the file keeps FULL query names (the scaling/report tools key on
+    // them) plus the same totals.
+    val medLineFull = s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps$errJson,"queries":$qs}"""
+    val minLineFull = s"""{"metric":"total_min","value":${fmt(totalMin)},"total":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"queries_min":$qmins}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), medLine + "\n" + minLine + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), medLineFull + "\n" + minLineFull + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }
-    println(medLine)
     println(minLine)
+    println(medLine)
     spark.stop()
   }
 }

@@ -1598,7 +1598,8 @@ object OracleSql {
            tot AS (
              SELECT source, CAST(SUM(n_bpe_tokens) AS BIGINT) AS source_tokens,
                CAST(ROUND(sqrt(CAST(SUM(n_bpe_tokens) AS DOUBLE)) * 1000) AS BIGINT) AS sq
-             FROM t GROUP BY source),
+             FROM t GROUP BY source
+             HAVING CAST(SUM(n_bpe_tokens) AS BIGINT) > 0),
            z AS (SELECT CAST(SUM(sq) AS BIGINT) AS z FROM tot),
            r AS (SELECT source, source_tokens,
                CAST((CAST(240000 AS HUGEINT) * sq * 10000)

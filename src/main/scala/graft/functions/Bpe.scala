@@ -309,17 +309,23 @@ object Bpe {
       _ => trainMergesLocal(df, textCol, numMerges, minCount))
 
   private val vocabMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Seq[Merge]),
       Seq[(String, Int)]]
 
-  /** [[vocab]] memoized per (corpus dir, textCol, merge-table identity)
+  /** [[vocab]] memoized per (corpus dir, textCol, merge-table VALUE)
     * for the life of the JVM — same immutable-path soundness contract as
     * [[trainMergesCached]] (the alphabet scan is train-time cost; repeat
-    * callers against the same corpus+table should pay it once). */
+    * callers against the same corpus+table should pay it once). Keyed on
+    * the merge table itself, not a lossy (size, hashCode) digest: a
+    * 32-bit collision between two same-size tables would silently return
+    * the wrong vocabulary — wrong ids with no error, since the kernel's
+    * missing-token throw only fires on ABSENT tokens, not swapped ids
+    * (r11 ADVICE). The tables are KB-sized; full-value keys cost
+    * nothing. */
   def vocabCached(df: DataFrame, dirKey: String, textCol: String,
                   merges: Seq[Merge]): Seq[(String, Int)] =
     vocabMemo.computeIfAbsent(
-      (dirKey, textCol, merges.size, merges.hashCode),
+      (dirKey, textCol, merges),
       _ => vocab(df, textCol, merges))
 
   /** Persist a trained merge table as a parquet artifact — the
@@ -357,6 +363,34 @@ object Bpe {
     require(pairs.distinct.size == pairs.size,
       s"merge table at $path contains a duplicate pair — corrupt artifact")
     m
+  }
+
+  /** Persist a token-id vocabulary beside its merge table (same
+    * single-file artifact contract as [[saveMerges]]). */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+                vocab: Seq[(String, Int)], path: String): Unit = {
+    import spark.implicits._
+    vocab.toDF("token", "id").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a vocabulary saved by [[saveVocab]], re-validating that ids
+    * are unique and tokens distinct — the invariants every id consumer
+    * depends on. Structural constraints beyond that (marked twins, the
+    * byte-fallback id floor) are re-checked by the encode builders
+    * themselves ([[tokenIdsMarked]]/[[BpeTokenIdsExpr]]), so a corrupt
+    * artifact fails loudly at plan build, never as silent mis-ids. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(String, Int)] = {
+    import spark.implicits._
+    val v = spark.read.parquet(path)
+      .select(col("token"), col("id").cast("int"))
+      .as[(String, Int)].collect().sortBy(_._2).toSeq
+    require(v.map(_._2).distinct.size == v.size,
+      s"vocabulary at $path has duplicate ids — corrupt artifact")
+    require(v.map(_._1).distinct.size == v.size,
+      s"vocabulary at $path has duplicate tokens — corrupt artifact")
+    v
   }
 
   /** Tokenizer-faithful token count of `text` under `merges` (native

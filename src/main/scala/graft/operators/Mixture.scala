@@ -255,6 +255,11 @@ object Mixture {
       s"granularity must be in (0, 10^6], got $granularity")
     val totals = in.groupBy(col(sourceCol))
       .agg(sum(col(tokensCol)).cast("long").as("source_tokens"))
+      // a source whose docs all tokenize to zero has no defined rate
+      // (non-ANSI div would yield NULL and silently drop its rows, while
+      // an ANSI oracle raises) — filter it on BOTH engines so the edge
+      // behaves identically: zero-token docs can never be sampled anyway
+      .filter(col("source_tokens") > 0)
       .withColumn("sq",
         round(sqrt(col("source_tokens").cast("double")) * 1000.0)
           .cast("long"))

@@ -77,7 +77,17 @@ object Sharding {
       // probe is a limit-1 scan of the raw input — narrow and cheap at
       // any corpus size, unlike probing the joined plan (which would
       // force the rank shuffles just to learn the count).
-      plan.join(df, Seq(idCol)).write.mode("overwrite").parquet(outDir)
+      // Schema ALIGNMENT with the non-empty layout (r11 ADVICE): the
+      // partitioned read infers shard_id as INT and appends it LAST, so
+      // the stub frame casts and reorders to match — a consumer that
+      // unions or schema-matches empty and non-empty runs sees ONE
+      // shape. (Partition inference would only widen to LONG past 2^31
+      // shards — beyond any realistic layout; writeShards pins INT.)
+      val joined = plan.join(df, Seq(idCol))
+      val aligned = joined
+        .select((joined.columns.filter(_ != "shard_id").map(col) :+
+          col("shard_id").cast("int")): _*)
+      aligned.write.mode("overwrite").parquet(outDir)
       return
     }
     plan.join(df, Seq(idCol))

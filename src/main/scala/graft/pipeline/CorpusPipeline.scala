@@ -189,10 +189,27 @@ object CorpusPipeline {
       write(in.join(contaminated, Seq("doc_id"), "left_anti"), "s6_clean")
     }
 
-    // trained in the "tokenizer" stage (bpeMerges > 0) and consumed by
-    // every stage after it within this run; restarts reload the artifact
+    // Trained in the "tokenizer" stage (bpeMerges > 0) and consumed by
+    // every stage after it. `tokenizerOk` distinguishes "trained this
+    // run" from "stage failed under failFast=false": an empty `merges`
+    // is a LEGAL training outcome (no pair reached minCount on a tiny
+    // corpus), so emptiness alone cannot signal failure — without the
+    // flag, a failed tokenizer stage would let mixture run Bpe.tokenCount
+    // with an empty table, silently mis-denominating the budget as
+    // per-codepoint counts (r11 ADVICE, medium). When the flag is down,
+    // downstream stages RELOAD the persisted artifact from a previous
+    // run — the restart path — and fail loudly if none exists.
     var merges: Seq[Bpe.Merge] = Nil
     var vocab: Seq[(String, Int)] = Nil
+    var tokenizerOk = false
+    def tokenizerArtifacts(): (Seq[Bpe.Merge], Seq[(String, Int)]) = {
+      if (!tokenizerOk) {
+        merges = Bpe.loadMerges(spark, s"$outDir/tokenizer")
+        vocab = Bpe.loadVocab(spark, s"$outDir/tokenizer_vocab")
+        tokenizerOk = true
+      }
+      (merges, vocab)
+    }
     if (cfg.bpeMerges > 0) stage("tokenizer") {
       val in = read("s6_clean")
       merges = Bpe.trainMergesLocal(in, "text", cfg.bpeMerges, cfg.bpeMinCount)
@@ -201,9 +218,8 @@ object CorpusPipeline {
       // back to documents, which the unmarked flat stream is not
       vocab = Bpe.vocabMarked(in, "text", merges)
       Bpe.saveMerges(spark, merges, s"$outDir/tokenizer")
-      import spark.implicits._
-      vocab.toDF("token", "id").coalesce(1)
-        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/tokenizer_vocab")
+      Bpe.saveVocab(spark, vocab, s"$outDir/tokenizer_vocab")
+      tokenizerOk = true
       merges.size.toLong
     }
 
@@ -211,8 +227,10 @@ object CorpusPipeline {
       val in0 = read("s6_clean")
       // bpeMerges > 0: the budget below means what a training run means
       // by "tokens" — re-denominate with the in-scan encode expression
+      // (artifact reloaded if the tokenizer stage didn't run this run)
       val in = if (cfg.bpeMerges > 0)
-        in0.withColumn("n_tokens", Bpe.tokenCount(col("text"), merges))
+        in0.withColumn("n_tokens",
+          Bpe.tokenCount(col("text"), tokenizerArtifacts()._1))
       else in0
       // equal per-source weights: budget splits evenly across the sources
       // present (the q64 machinery with weight=1 for each)
@@ -246,8 +264,9 @@ object CorpusPipeline {
       // Bpe.decodeIds over a doc's coordinate slice reconstructs its
       // word-model text (CorpusPipelineSpec pins it end to end).
       val in = read("s7_mixture")
+      val (m, v) = tokenizerArtifacts()
       val ids = in.select(col("doc_id"),
-        Bpe.tokenIdsMarked(col("text"), merges, vocab).as("ids"))
+        Bpe.tokenIdsMarked(col("text"), m, v).as("ids"))
       write(Packer.packTokenIds(spark, ids, "doc_id", "ids",
         cfg.seqLen.toLong), "s8b_packed_ids")
     }

@@ -158,21 +158,42 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("q64 mixture: totals pass and fact pass share ONE persisted corpus scan") {
-    val df = SparkEntry.queries("q64_domain_mix")(spark, dir)
-    // both consumers (per-source totals agg, fact-side broadcast join)
-    // must read the persisted narrow frame — a LogicalRelation outside the
-    // InMemoryRelation means the text is scanned + tokenized twice
-    val opt = df.queryExecution.optimizedPlan
-    val direct = opt.collect {
-      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
-    }
-    val cached = opt.collect {
-      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
-    }
-    assert(cached.nonEmpty, s"input frame not persisted:\n$opt")
-    assert(direct.isEmpty,
-      s"corpus scanned ${direct.size} times outside the persisted frame:\n$opt")
+    // The one-scan property is pinned on the OPERATOR over a persisted
+    // input (the shape SparkEntry's mixtureScoped builds internally): both
+    // consumers (per-source totals agg, fact-side broadcast join) must
+    // read the persisted narrow frame — a LogicalRelation outside the
+    // InMemoryRelation means the text is scanned + tokenized twice.
+    import org.apache.spark.sql.functions._
+    val docs = T2(dir, "documents").select(col("doc_id"), col("source"),
+        graft.functions.TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .persist()
+    try {
+      val df = graft.operators.Mixture.tokenBudgetSampleOn(docs, "doc_id",
+        "source", "n_tokens", weightCol = lit(1L), weightTotal = 10L,
+        budgetTokens = 20000L)
+      val opt = df.queryExecution.optimizedPlan
+      val direct = opt.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }
+      val cached = opt.collect {
+        case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+      }
+      assert(cached.nonEmpty, s"input frame not persisted:\n$opt")
+      assert(direct.isEmpty,
+        s"corpus scanned ${direct.size} times outside the persisted frame:\n$opt")
+    } finally { docs.unpersist(); spark.catalog.clearCache() }
+  }
+
+  test("mixture query wrappers leave NO cached frame behind (r11 ADVICE leak)") {
+    // q64/q66/q89/q93/q96 route through SparkEntry.mixtureScoped: persist
+    // the shared sized-docs frame only for the duration of an eager
+    // localCheckpoint, then unpersist — a Bench run (7 reps x 5 queries)
+    // must not accumulate cached corpus scans for the JVM's lifetime.
     spark.catalog.clearCache()
+    for (q <- Seq("q64_domain_mix", "q66_mixture_resample"))
+      SparkEntry.queries(q)(spark, dir)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "a mixture query wrapper leaked a cached frame")
   }
 
   test("q44 near-dup: no vector column ever reaches a post-join exchange") {
