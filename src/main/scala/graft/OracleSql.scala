@@ -1680,6 +1680,68 @@ object OracleSql {
              CAST(floor(n_word_chars * 10000.0 / n_bpe_tokens + 0.5) AS BIGINT)
                AS chars_per_token_myriad
            FROM g WHERE n_words > 0 AND n_bpe_tokens > 0 ORDER BY source""",
+      // q100: OPEN-vocabulary encode with UTF-8 byte fallback — vocab
+      // layout re-derived from scratch (byte ids 0..255 reserved;
+      // alphabet of the ORIGINAL corpus at 256.. in binary order; merge
+      // products after), every document encoded with the shared
+      // OovSuffix appended so out-of-alphabet code points of every
+      // UTF-8 width flow through the fallback: a token missing from the
+      // derived vocab becomes its UTF-8 bytes via pure arithmetic on
+      // unicode(tok) (the standard encoding formulas — DuckDB has no
+      // per-byte string builtin, and arithmetic is engine-portable).
+      "q100_bpe_byte_fallback" -> {
+        val mergeVals = merges
+          .map(m => s"(${bpeSqlStr(m.left + m.right)}, ${m.rank})")
+          .mkString(", ")
+        val mergedVocab =
+          if (merges.isEmpty) ""
+          else s"""
+             UNION ALL SELECT v.tok,
+               CAST(256 + (SELECT COUNT(*) FROM alpha) + v.rank AS INTEGER) AS id
+             FROM (VALUES $mergeVals) v(tok, rank)"""
+        val suffix = graft.SparkEntry.OovSuffix.codePoints().toArray
+          .map(cp => s"chr($cp)").mkString(" || ")
+        s"""WITH tw0 AS (SELECT unnest($bpeWords) AS wd FROM documents),
+           alpha AS (SELECT c,
+               CAST(255 + row_number() OVER (ORDER BY c) AS INTEGER) AS id
+             FROM (SELECT DISTINCT unnest(string_split(regexp_replace(
+               ${bpeDelim("wd")}, '^\\x01|\\x02$$', '', 'g'),
+               chr(2)||chr(1))) AS c FROM tw0)),
+           vocab AS (SELECT c AS tok, id FROM alpha$mergedVocab),
+           aug AS (SELECT doc_id, text || $suffix AS text FROM documents),
+           w AS (SELECT doc_id, $bpeWords AS words FROM aug),
+           tw AS (SELECT doc_id, unnest(words) AS wd,
+               unnest(range(1, len(words) + 1)) AS wpos FROM w),
+           enc AS (SELECT doc_id, wpos, string_split(regexp_replace(
+               ${bpeChain(bpeDelim("wd"), merges)}, '^\\x01|\\x02$$', '', 'g'),
+               chr(2)||chr(1)) AS ts FROM tw),
+           tok AS (SELECT doc_id, wpos, unnest(ts) AS tok,
+               unnest(range(1, len(ts) + 1)) AS tpos FROM enc),
+           idl AS (SELECT t.doc_id, t.wpos, t.tpos,
+               CASE WHEN v.id IS NOT NULL THEN [v.id]
+                 WHEN unicode(t.tok) < 128 THEN [unicode(t.tok)]
+                 WHEN unicode(t.tok) < 2048 THEN
+                   [192 + unicode(t.tok) // 64, 128 + unicode(t.tok) % 64]
+                 WHEN unicode(t.tok) < 65536 THEN
+                   [224 + unicode(t.tok) // 4096,
+                    128 + (unicode(t.tok) // 64) % 64,
+                    128 + unicode(t.tok) % 64]
+                 ELSE
+                   [240 + unicode(t.tok) // 262144,
+                    128 + (unicode(t.tok) // 4096) % 64,
+                    128 + (unicode(t.tok) // 64) % 64,
+                    128 + unicode(t.tok) % 64] END AS ids
+             FROM tok t LEFT JOIN vocab v ON t.tok = v.tok),
+           flat AS (SELECT doc_id, wpos, tpos, unnest(ids) AS id,
+               unnest(range(1, len(ids) + 1)) AS bpos FROM idl),
+           ord AS (SELECT doc_id, id, row_number() OVER (
+               PARTITION BY doc_id ORDER BY wpos, tpos, bpos) AS pos FROM flat)
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
+             CAST(SUM(CASE WHEN id < 256 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fallback,
+             string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS token_ids
+           FROM ord GROUP BY doc_id ORDER BY doc_id"""
+      },
       // q99: q58's decontamination in BPE-token 5-grams — grams joined on
       // a chr(1) seam (stripped from input text by the word model, so no
       // token can contain it); docs shorter than 5 tokens contribute

@@ -1437,6 +1437,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Every document's text suffixed with code points the synthetic
+    * corpus alphabet (25 ASCII symbols — space + a-y minus x) provably
+    * lacks, exercising every UTF-8 fallback width: 'x'/'z'/'9' 1-byte,
+    * 'é' 2-byte, '中'/'文' 3-byte, U+1F600 4-byte. Shared between q100
+    * and its generated oracle so the two sides can never drift. */
+  private[graft] val OovSuffix: String = // " xz9 café 中文 😀"
+    " xz9 café 中文 " + new String(Character.toChars(0x1F600))
+
+  /** OPEN-vocabulary encode — the day-2 contract a PERSISTED tokenizer
+    * must honor: text containing code points the training corpus never
+    * saw must still tokenize (GPT-2-style UTF-8 byte fallback, ids
+    * 0..255 reserved; [[graft.functions.Bpe.vocabBytesFrom]]) instead
+    * of killing the job, which is exactly what the closed-vocabulary
+    * kernel does on one unseen code point. Each document is encoded
+    * with [[OovSuffix]] appended, so every row exercises 1/2/3/4-byte
+    * fallback alongside normal in-vocabulary pieces. The oracle
+    * re-derives the byte ids with pure UTF-8 arithmetic (no DuckDB
+    * byte-casting builtins), the shifted alphabet/merge ids from the
+    * ORIGINAL corpus, and the full per-document id stream — a hash
+    * match verifies the open layout end to end. Same zero-shuffle
+    * in-scan encode shape as q88/q97: the corpus never moves. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    val docs = T(s, dir, "documents")
+    val vocab = Bpe.vocabBytesFrom(Bpe.vocabCached(docs, dir, "text", merges))
+    docs.select(col("doc_id"),
+        Bpe.tokenIds(concat(col("text"), lit(OovSuffix)), merges, vocab)
+          .as("__ids"))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("long").as("n_ids"),
+        size(filter(col("__ids"), i => i < 256)).cast("long").as("n_fallback"),
+        array_join(transform(col("__ids"), i => i.cast("string")), " ")
+          .as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q76's perplexity filter RE-DENOMINATED IN BPE TOKENS — the real
     * CCNet shape (KenLM scores sentencepiece TOKENS, not words): the
     * add-one unigram LM is trained over, and each document's
@@ -1670,7 +1706,8 @@ object SparkEntry {
     "q96_bpe_temperature_mix" -> q96 _,
     "q97_bpe_pack_ids" -> q97 _,
     "q98_bpe_fertility" -> q98 _,
-    "q99_bpe_decontaminate" -> q99 _
+    "q99_bpe_decontaminate" -> q99 _,
+    "q100_bpe_byte_fallback" -> q100 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

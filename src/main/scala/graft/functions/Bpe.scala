@@ -433,6 +433,71 @@ object Bpe {
     toks.zipWithIndex
   }
 
+  /** Lift a plain [[vocab]] to the OPEN byte-fallback layout: ids 0..255
+    * are reserved for the 256 UTF-8 [[byteToken]]s, every real token's
+    * id shifts by 256. Under this vocabulary [[tokenIds]] /
+    * [[tokenIdsMarked]] encode out-of-alphabet code points as UTF-8
+    * byte ids instead of throwing — the layout a PERSISTED tokenizer
+    * artifact must ship with, because day-2 ingest WILL contain a code
+    * point the training corpus lacked and must tokenize, not kill the
+    * job. (Token COUNTS from [[tokenCount]] still count such a code
+    * point as one piece; the id stream spends 1-4 ids on it. Within the
+    * training corpus the two denominations agree exactly.) */
+  def vocabBytesFrom(base: Seq[(String, Int)]): Seq[(String, Int)] = {
+    require(base.iterator.map(_._2).zipWithIndex.forall(p => p._1 == p._2),
+      "vocabBytesFrom expects a dense plain vocabulary (ids 0..n-1)")
+    require(base.forall(e => !e._1.startsWith(SepR) && !e._1.startsWith(SepL)),
+      "vocabBytesFrom expects a PLAIN vocabulary — input already carries " +
+        "byte-fallback or marked entries (double lift?)")
+    (0 until 256).map(b => (byteToken(b), b)) ++
+      base.map { case (t, i) => (t, i + 256) }
+  }
+
+  /** [[vocab]] in the open byte-fallback layout ([[vocabBytesFrom]]). */
+  def vocabBytes(df: DataFrame, textCol: String,
+                 merges: Seq[Merge]): Seq[(String, Int)] =
+    vocabBytesFrom(vocab(df, textCol, merges))
+
+  /** [[vocabMarked]] in the open byte-fallback layout: byte block +
+    * alphabet + merge products, then every entry's word-initial twin at
+    * id + |base| (byte tokens get twins too — a word may START with an
+    * out-of-alphabet code point, and the marked stream marks whatever
+    * id comes first). */
+  def vocabMarkedBytes(df: DataFrame, textCol: String,
+                       merges: Seq[Merge]): Seq[(String, Int)] = {
+    val base = vocabBytes(df, textCol, merges)
+    base ++ base.map { case (t, i) => (SepL + t, base.size + i) }
+  }
+
+  /** The 256 UTF-8 byte-fallback tokens: `U+0002` + two hex digits.
+    * The SepR prefix makes them collision-free BY CONSTRUCTION — real
+    * tokens can never contain U+0002 ([[strip]] removes it from all
+    * input), so no corpus and no merge table can ever mint a token that
+    * collides with a byte entry (unlike e.g. a "<0x41>" convention,
+    * which a corpus literally containing that text would break). */
+  private[graft] def byteToken(b: Int): String = SepR + f"$b%02x"
+
+  /** Validate and detect the byte-fallback layout of a base (unmarked)
+    * vocabulary: SepR-prefixed entries are byte tokens and, when
+    * present, must be exactly the 256 [[byteToken]]s at ids 0..255 with
+    * every real entry at id >= 256. Returns the byte id base (0) or -1
+    * for a plain closed vocabulary. Fails loudly on anything else — a
+    * half-present byte block means a corrupt or hand-edited artifact. */
+  private def byteLayout(base: Seq[(String, Int)]): Int = {
+    val bytes = base.filter(_._1.startsWith(SepR))
+    if (bytes.isEmpty) -1
+    else {
+      require(bytes.size == 256 && bytes.forall { case (t, i) =>
+          i >= 0 && i < 256 && t == byteToken(i) },
+        s"malformed byte-fallback vocabulary: expected the 256 byte " +
+          s"tokens at ids 0..255, got ${bytes.size} byte entries")
+      require(base.forall { case (t, i) => t.startsWith(SepR) || i >= 256 },
+        "malformed byte-fallback vocabulary: a real token sits inside " +
+          "the reserved byte id range 0..255")
+      0
+    }
+  }
+
   /** Token IDS of `text`: the flat [[tokens]] stream mapped through
     * `vocab` in ONE native kernel call (encode + O(1) hash-map probe per
     * piece — the map rides as a codegen reference object, like
@@ -440,13 +505,19 @@ object Bpe {
     * tokenizer vocabulary is ≤ ~256k short strings, single-digit MB).
     * NOT a Catalyst literal map: `element_at` on one is a LINEAR scan
     * per lookup (GetMapValue), measured superlinear at a 1k-merge
-    * vocabulary on the r11 pipeline decade. */
+    * vocabulary on the r11 pipeline decade.
+    *
+    * Accepts both vocabulary layouts: a plain [[vocab]] (closed — any
+    * out-of-vocabulary piece throws) or a [[vocabBytes]] (open — unseen
+    * code points fall back to UTF-8 byte ids 0..255, the GPT-2 device;
+    * detected by the reserved byte block). */
   def tokenIds(text: Column, merges: Seq[Merge],
                vocab: Seq[(String, Int)]): Column =
     org.apache.spark.sql.graft.ExprBridge.column(
       BpeTokenIdsExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(text),
-        merges.map(m => (m.left, m.right)), vocab, markShift = 0))
+        merges.map(m => (m.left, m.right)), vocab, markShift = 0,
+        byteBase = byteLayout(vocab)))
 
   // ------------------------------------------------ decodable variants
   //
@@ -516,34 +587,64 @@ object Bpe {
     transform(toks, t => element_at(m, t))
   }
 
-  /** Ids of the DECODABLE marked stream — what a training file that must
-    * reconstruct its documents stores (see CorpusPipeline's pack_ids).
-    * Takes the [[vocabMarked]] vocabulary; validates its base+twin
-    * structure ONCE at plan build, then marking is pure arithmetic in
-    * the kernel (word-initial id = unmarked + |base| — no per-token
-    * string prefixing, no literal-map scan). */
-  def tokenIdsMarked(text: Column, merges: Seq[Merge],
-                     vocab: Seq[(String, Int)]): Column = {
+  /** Validate a MARKED vocabulary's base+twin structure ([[vocabMarked]]
+    * / [[vocabMarkedBytes]]) and return its base half. */
+  private def markedBase(vocab: Seq[(String, Int)]): Seq[(String, Int)] = {
     val (marked, base) = vocab.partition(_._1.startsWith(SepL))
     // empty == empty is legal (an empty corpus yields an empty
     // vocabulary and the expression will never see a token)
     require(marked.size == base.size,
-      s"tokenIdsMarked needs the marked vocabulary (vocabMarked): got " +
+      s"expected a marked vocabulary (vocabMarked/vocabMarkedBytes): got " +
         s"${base.size} base + ${marked.size} marked entries")
     val baseIdx = base.toMap
     marked.foreach { case (t, i) =>
       require(baseIdx.get(t.drop(1)).contains(i - base.size),
         s"marked entry '$t'($i) is not its base twin + ${base.size}")
     }
+    base
+  }
+
+  /** Ids of the DECODABLE marked stream — what a training file that must
+    * reconstruct its documents stores (see CorpusPipeline's pack_ids).
+    * Takes the [[vocabMarked]] (closed) or [[vocabMarkedBytes]] (open —
+    * byte fallback for unseen code points) vocabulary; validates its
+    * base+twin structure ONCE at plan build, then marking is pure
+    * arithmetic in the kernel (word-initial id = unmarked + |base| — no
+    * per-token string prefixing, no literal-map scan). */
+  def tokenIdsMarked(text: Column, merges: Seq[Merge],
+                     vocab: Seq[(String, Int)]): Column = {
+    val base = markedBase(vocab)
     org.apache.spark.sql.graft.ExprBridge.column(
       BpeTokenIdsExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(text),
-        merges.map(m => (m.left, m.right)), base, markShift = base.size))
+        merges.map(m => (m.left, m.right)), base, markShift = base.size,
+        byteBase = byteLayout(base)))
   }
 
-  /** Ids → text (word-model form): reverse-lookup then [[decodeMarked]].
-    * `decodeIds(tokenIdsMarked(text)) == concat_ws(" ", words(text))`. */
+  /** Ids → text (word-model form), ONE native kernel call
+    * ([[BpeDecodeIdsExpr]]): marked twins become word breaks,
+    * byte-fallback runs reassemble as UTF-8.
+    * `decodeIds(tokenIdsMarked(text)) == concat_ws(" ", words(text))`
+    * for BOTH vocabulary layouts — including text whose code points the
+    * training corpus never saw, when the vocabulary is
+    * [[vocabMarkedBytes]] (pinned in BpeSpec). */
   def decodeIds(ids: Column, vocab: Seq[(String, Int)]): Column = {
+    val base = markedBase(vocab)
+    org.apache.spark.sql.graft.ExprBridge.column(
+      BpeDecodeIdsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(ids),
+        base, markShift = base.size, byteBase = byteLayout(base)))
+  }
+
+  /** Composed-Column reference form of [[decodeIds]] for CLOSED marked
+    * vocabularies — literal-map reverse lookup + [[decodeMarked]].
+    *
+    * PERFORMANCE WARNING — spec cross-pin only (the [[idsOf]]
+    * precedent): `element_at` on a literal map is a LINEAR scan per id,
+    * and this form cannot reassemble byte-fallback runs at all (a byte
+    * id would decode to its placeholder string). BpeSpec pins the
+    * native kernel against it on byte-free vocabularies. */
+  def decodeIdsComposed(ids: Column, vocab: Seq[(String, Int)]): Column = {
     val rev = typedlit(vocab.map { case (t, i) => (i, t) }.toMap)
     decodeMarked(transform(ids, i => element_at(rev, i)))
   }

@@ -104,9 +104,13 @@ case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
   * vocabulary — so the map rides as a reference object instead.
   * `markShift > 0` = marked stream (word-initial piece id + shift, the
   * decodable form); 0 = the flat unmarked stream (q97's oracle-checked
-  * ids). */
+  * ids). `byteBase >= 0` = UTF-8 byte fallback for out-of-alphabet code
+  * points (byte b -> id byteBase + b; see [[BpeKernel.tokenIds]]) — the
+  * open-vocabulary mode a PERSISTED tokenizer needs on day-2 corpora;
+  * -1 = closed vocabulary, any miss throws. */
 case class BpeTokenIdsExpr(child: Expression, merges: Seq[(String, String)],
-                           vocab: Seq[(String, Int)], markShift: Int)
+                           vocab: Seq[(String, Int)], markShift: Int,
+                           byteBase: Int)
   extends UnaryExpression {
 
   @transient private lazy val ranks = new BpeRanks(merges.toArray)
@@ -130,7 +134,7 @@ case class BpeTokenIdsExpr(child: Expression, merges: Seq[(String, String)],
     val v = child.eval(input)
     BpeKernel.tokenIds(
       if (v == null) null else v.asInstanceOf[UTF8String].toString,
-      ranks, vmap, markShift)
+      ranks, vmap, markShift, byteBase)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -142,11 +146,56 @@ case class BpeTokenIdsExpr(child: Expression, merges: Seq[(String, String)],
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.functions.BpeKernel.tokenIds(
-            ${c.isNull} ? null : ${c.value}.toString(), $ref, $vref, $markShift);
+            ${c.isNull} ? null : ${c.value}.toString(), $ref, $vref, $markShift, $byteBase);
       """,
       isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenIdsExpr =
+    copy(child = newChild)
+}
+
+/** Inverse of the MARKED [[BpeTokenIdsExpr]] stream: `array<int>` ids
+  * back to word-model text in one kernel call ([[BpeKernel.decodeIds]]
+  * — byte-fallback runs reassemble as UTF-8, marked twins become word
+  * breaks). The reverse array rides as a reference object; the composed
+  * Column alternative (literal-map `element_at` per id + a lambda
+  * decode) pays GetMapValue's linear scan per token AND cannot
+  * reassemble byte runs at all. Null ids -> null. */
+case class BpeDecodeIdsExpr(child: Expression, vocab: Seq[(String, Int)],
+                            markShift: Int, byteBase: Int)
+  extends UnaryExpression {
+
+  @transient private lazy val rev: Array[String] = {
+    val a = new Array[String](markShift)
+    vocab.foreach { case (t, i) => if (i < markShift) a(i) = t }
+    a
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DataTypes.IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_decode_ids expects an ARRAY<INT> child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = DataTypes.StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "bpe_decode_ids"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else BpeKernel.decodeIds(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      rev, markShift, byteBase)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rref = ctx.addReferenceObj("bpeRev", rev, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeKernel.decodeIds($c, $rref, $markShift, $byteBase);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeDecodeIdsExpr =
     copy(child = newChild)
 }

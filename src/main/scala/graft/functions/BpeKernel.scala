@@ -161,16 +161,27 @@ object BpeKernel {
     * piece (Catalyst's `GetMapValue` on a literal map is a linear scan
     * per lookup: ruinous at real vocabulary sizes × corpus tokens — the
     * r11 marked-pipeline measurement that motivated this kernel).
-    * `markShift > 0` selects the MARKED stream: each word's FIRST piece
-    * id is shifted by `markShift` (the word-initial twin's id is exactly
-    * `unmarked + shift` by [[Bpe.vocabMarked]] construction, so marking
-    * is pure arithmetic — no string allocation per token). Throws on a
-    * token absent from `vocab`: the vocabulary is complete by
-    * construction for the corpus it was derived from, so a miss is a
-    * caller bug (wrong vocab for this table/corpus), never data. */
+    * `markShift > 0` selects the MARKED stream: each word's FIRST
+    * emitted id is shifted by `markShift` (the word-initial twin's id is
+    * exactly `unmarked + shift` by [[Bpe.vocabMarked]] construction, so
+    * marking is pure arithmetic — no string allocation per token).
+    *
+    * `byteBase >= 0` enables UTF-8 BYTE FALLBACK (the GPT-2 device): a
+    * piece absent from `vocab` that is a SINGLE code point — which is
+    * the only shape encode can produce for out-of-alphabet input, since
+    * merges only ever concatenate learned symbols — is emitted as its
+    * UTF-8 bytes, byte b at id `byteBase + b`. This is what makes a
+    * PERSISTED tokenizer artifact total over future corpora: day-2
+    * ingest containing one code point the training corpus lacked must
+    * tokenize, not kill the job. A multi-codepoint miss still throws
+    * even with fallback on — that shape is unreachable from encode, so
+    * it is always a caller bug (wrong vocab for this merge table), never
+    * data. With `byteBase < 0` any miss throws (the closed-vocabulary
+    * mode for corpus == training-corpus paths, where a miss means a
+    * wiring bug). */
   def tokenIds(text: String, ranks: BpeRanks,
                vocab: java.util.HashMap[String, Integer],
-               markShift: Int): ArrayData = {
+               markShift: Int, byteBase: Int): ArrayData = {
     val ws = words(text)
     val buf = new scala.collection.mutable.ArrayBuffer[Int](ws.length * 2)
     var i = 0
@@ -178,17 +189,69 @@ object BpeKernel {
       val enc = ranks.encode(ws(i))
       var j = 0
       while (j < enc.length) {
-        val id = vocab.get(enc(j))
-        if (id == null) throw new IllegalStateException(
-          s"BPE token '${enc(j)}' not in the ${vocab.size}-entry vocabulary" +
+        val piece = enc(j)
+        val id = vocab.get(piece)
+        if (id != null) buf += (if (j == 0) id.intValue + markShift else id.intValue)
+        else if (byteBase >= 0 &&
+                 piece.codePointCount(0, piece.length) == 1) {
+          val bytes = piece.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var b = 0
+          while (b < bytes.length) {
+            val bid = byteBase + (bytes(b) & 0xFF)
+            buf += (if (j == 0 && b == 0) bid + markShift else bid)
+            b += 1
+          }
+        } else throw new IllegalStateException(
+          s"BPE token '$piece' not in the ${vocab.size}-entry vocabulary" +
             " — vocab was derived from a different corpus or merge table")
-        buf += (if (j == 0) id.intValue + markShift else id.intValue)
         j += 1
       }
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(buf.toArray)
+  }
+
+  /** Inverse of the MARKED [[tokenIds]] stream: ids back to word-model
+    * text (lowercased, single-spaced — case/whitespace were consumed by
+    * the model itself). `rev` is the base (unmarked) id -> token-string
+    * array; `markShift` its length; `byteBase >= 0` marks ids
+    * `[byteBase, byteBase+256)` as UTF-8 byte-fallback ids, which are
+    * accumulated and decoded as one UTF-8 run per maximal byte sequence
+    * (per-code-point UTF-8 concatenates, so a run of fallback pieces
+    * reassembles exactly). Total: a malformed byte run (hand-crafted
+    * ids, not encoder output) decodes to U+FFFD replacement characters
+    * rather than throwing — decode is a read path and must not brick on
+    * one bad row. Ids outside [0, 2*markShift) throw: that is artifact
+    * corruption, not data. */
+  def decodeIds(ids: ArrayData, rev: Array[String], markShift: Int,
+                byteBase: Int): UTF8String = {
+    val n = ids.numElements()
+    val sb = new java.lang.StringBuilder(n * 4)
+    val run = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = if (run.size() > 0) {
+      sb.append(new String(run.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      run.reset()
+    }
+    var i = 0
+    while (i < n) {
+      var id = ids.getInt(i)
+      if (id >= markShift && id < 2 * markShift) {
+        // word-initial twin: flush any byte run, open a new word
+        flush()
+        if (sb.length > 0) sb.append(' ')
+        id -= markShift
+      }
+      if (id < 0 || id >= markShift) throw new IllegalStateException(
+        s"token id $id outside the ${markShift}-entry base vocabulary — " +
+          "ids were produced under a different artifact")
+      if (byteBase >= 0 && id >= byteBase && id < byteBase + 256)
+        run.write(id - byteBase)
+      else { flush(); sb.append(rev(id)) }
+      i += 1
+    }
+    flush()
+    UTF8String.fromString(sb.toString)
   }
 
   /** All BPE tokens of `text`, in order (empty array for null/blank). */

@@ -213,10 +213,14 @@ object CorpusPipeline {
     if (cfg.bpeMerges > 0) stage("tokenizer") {
       val in = read("s6_clean")
       merges = Bpe.trainMergesLocal(in, "text", cfg.bpeMerges, cfg.bpeMinCount)
-      // the MARKED vocabulary (every token + its word-initial twin, the
-      // GPT-2 device): the packed training file below must be decodable
-      // back to documents, which the unmarked flat stream is not
-      vocab = Bpe.vocabMarked(in, "text", merges)
+      // the MARKED OPEN vocabulary: every token + its word-initial twin
+      // (the GPT-2 device — the packed training file below must be
+      // decodable back to documents, which the unmarked flat stream is
+      // not) over the byte-fallback layout (ids 0..255 reserved for
+      // UTF-8 bytes), so the PERSISTED artifact can encode any future
+      // batch — one day-2 code point the training corpus lacked must
+      // tokenize as its bytes, not kill the ingest job
+      vocab = Bpe.vocabMarkedBytes(in, "text", merges)
       Bpe.saveMerges(spark, merges, s"$outDir/tokenizer")
       Bpe.saveVocab(spark, vocab, s"$outDir/tokenizer_vocab")
       tokenizerOk = true

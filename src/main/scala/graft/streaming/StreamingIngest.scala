@@ -224,12 +224,27 @@ object StreamingIngest {
                   curatedPath: String, rejectsPath: String,
                   minTokens: Long = 10L, minQuality: Double = 0.3,
                   numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3,
-                  threshold: Double = 0.5, maxBucketSize: Int = 1000): Unit = {
-    import graft.functions.TextFns
+                  threshold: Double = 0.5, maxBucketSize: Int = 1000,
+                  tokenizer: Option[(Seq[graft.functions.Bpe.Merge],
+                    Seq[(String, Int)])] = None,
+                  packedIdsPath: String = "", seqLen: Long = 2048L): Unit = {
+    import graft.functions.{Bpe, TextFns}
     import graft.operators.Dedup
+    // TOKENIZER MODE (tokenizer = Some(loaded artifact)): n_tokens — and
+    // therefore the minTokens gate — is denominated in the artifact's BPE
+    // tokens, the unit the training run downstream actually budgets in;
+    // kept docs additionally emit per-batch PACKED marked-id sequences
+    // (see the sink below). The vocabulary must be the open MARKED
+    // byte-fallback layout (vocabMarkedBytes): an incremental stream is
+    // exactly where unseen alphabet arrives, and one day-2 code point
+    // must tokenize as its UTF-8 bytes, not kill the trigger.
+    val nTokens: org.apache.spark.sql.Column = tokenizer match {
+      case Some((merges, _)) => Bpe.tokenCount(col(textCol), merges)
+      case None => TextFns.tokenCount(col(textCol)).cast("long")
+    }
     val scored = batch
       .withColumn(textCol, TextFns.cleanText(col(textCol)))
-      .withColumn("n_tokens", TextFns.tokenCount(col(textCol)).cast("long"))
+      .withColumn("n_tokens", nTokens)
       .withColumn("quality", TextFns.qualityScore(col(textCol)))
       .withColumn("drop_reason",
         when(length(col(textCol)) === 0, lit("empty_after_clean"))
@@ -289,6 +304,25 @@ object StreamingIngest {
           .partitionBy("batch_id").parquet(path)
 
       sink(kept, curatedPath)
+      // Tokenizer mode: the micro-batch's training-file shard — each
+      // batch packs ITS OWN kept docs' marked token ids into seqLen
+      // sequences (seq_id restarts per batch; the global key is
+      // (batch_id, seq_id), and a training consumer concatenates batch
+      // partitions in batch order). Packing within the batch keeps the
+      // replay contract intact: a replayed batch re-derives the exact
+      // same sequences into the same batch_id partition, while any
+      // cross-batch packing would re-shuffle SEALED partitions on
+      // replay. The ragged tail per batch is bounded: < seqLen tokens
+      // of padding waste per micro-batch, amortized to nothing at
+      // production batch sizes.
+      tokenizer.foreach { case (merges, vocab) =>
+        require(packedIdsPath.nonEmpty,
+          "tokenizer mode needs a packedIdsPath for the packed-id sink")
+        val ids = kept.select(col(idCol),
+          Bpe.tokenIdsMarked(col(textCol), merges, vocab).as("ids"))
+        sink(graft.operators.Packer.packTokenIds(spark, ids, idCol, "ids",
+          seqLen), packedIdsPath)
+      }
       sink(scored.filter(col("drop_reason").isNotNull)
         .unionByName(passed.join(drops, Seq(idCol), "left_semi")
           .withColumn("drop_reason", lit("near_duplicate"))), rejectsPath)
@@ -349,7 +383,34 @@ object StreamingIngest {
                    availableNow: Boolean = true,
                    compactEvery: Int = 0,
                    compactTargetBytes: Long = 128L * 1024 * 1024,
-                   compactMinFiles: Int = 0): StreamingQuery = {
+                   compactMinFiles: Int = 0,
+                   tokenizerPath: String = "",
+                   packedIdsPath: String = "",
+                   seqLen: Long = 2048L): StreamingQuery = {
+    // TOKENIZER MODE (tokenizerPath nonempty): the streaming twin of
+    // CorpusPipeline(bpeMerges > 0)'s apply side. The tokenizer is
+    // trained ONCE, offline (CorpusPipeline's tokenizer stage or an
+    // explicit Bpe.trainMergesLocal run), persisted as the versioned
+    // merges + MARKED-BYTES vocab artifact pair, and loaded here ONE
+    // time at stream start — per-batch work is pure in-scan encode, no
+    // artifact re-read per trigger. The load re-validates the artifact
+    // invariants (loadMerges/loadVocab), tokenIdsMarked rejects an
+    // unmarked vocabulary at plan build, and the require below insists
+    // on the byte-fallback layout, so a mis-paired or closed artifact
+    // fails the stream loudly at startup, never as silent mis-ids (or a
+    // dead trigger on day-2 alphabet) mid-run. Re-training under a
+    // running stream is NOT supported by design: ids are only
+    // comparable within one artifact version — ship a new artifact at a
+    // new path and restart.
+    val tokenizer = if (tokenizerPath.isEmpty) None else {
+      val merges = graft.functions.Bpe.loadMerges(spark, s"$tokenizerPath/merges")
+      val vocab = graft.functions.Bpe.loadVocab(spark, s"$tokenizerPath/vocab")
+      require(vocab.exists(_._1.startsWith("\u0002")),
+        s"tokenizer artifact at $tokenizerPath has a CLOSED vocabulary — " +
+          "a stream needs the open byte-fallback layout (vocabMarkedBytes): " +
+          "day-2 batches WILL contain code points the training corpus lacked")
+      Some((merges, vocab))
+    }
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -362,7 +423,8 @@ object StreamingIngest {
         }
         curateBatch(spark, batch, batchId, idCol, textCol, indexPath,
           curatedPath, rejectsPath, minTokens, minQuality, numHashes,
-          bands, shingleN, threshold, maxBucketSize)
+          bands, shingleN, threshold, maxBucketSize, tokenizer,
+          packedIdsPath, seqLen)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.maintenance.Compaction.compactPartitionedDir(
             spark, indexPath, compactTargetBytes, minFiles = compactMinFiles)

@@ -307,6 +307,112 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte fallback: open vocabulary encodes unseen code points as UTF-8 " +
+      "byte ids (hand-checked, all widths); closed vocabulary still throws") {
+    // trained on docs ("the cat the hat" / "the the that"): alphabet
+    // {a,c,e,h,t}, merges th,the,at,cat -> plain vocab a=0,c=1,e=2,h=3,
+    // t=4,th=5,the=6,at=7,cat=8; open layout shifts by 256
+    val merges = Bpe.trainMergesLocal(docs, "text", 4, 1L)
+    assert(merges.map(m => m.left + m.right) == Seq("th", "the", "at", "cat"))
+    val vb = Bpe.vocabBytes(docs, "text", merges)
+    assert(vb.take(2) == Seq((Bpe.byteToken(0), 0), (Bpe.byteToken(1), 1)))
+    assert(vb(256) == ("a", 256) && vb(261) == ("th", 261))
+    val oov = Seq((1L,
+      "the café 中文 " + new String(Character.toChars(0x1F600))))
+      .toDF("doc_id", "text")
+    val ids = oov.select(Bpe.tokenIds(col("text"), merges, vb))
+      .head.getSeq[Int](0)
+    assert(ids == Seq(
+      262,                     // "the"
+      257, 256, 0x66,          // "café": c, a, f (1-byte fallback 'f'!)
+      0xC3, 0xA9,              //         é -> 2-byte UTF-8
+      0xE4, 0xB8, 0xAD,        // "中文": U+4E2D -> 3 bytes
+      0xE6, 0x96, 0x87,        //         U+6587 -> 3 bytes
+      0xF0, 0x9F, 0x98, 0x80), // "😀": U+1F600 -> 4 bytes
+      s"got $ids")
+    // the CLOSED vocabulary on the same text still fails loudly — a miss
+    // there means a wiring bug (corpus != training corpus), never data
+    val closed = Bpe.vocab(docs, "text", merges)
+    val e = intercept[Exception] {
+      oov.select(Bpe.tokenIds(col("text"), merges, closed)).collect()
+    }
+    assert(Option(e.getMessage).getOrElse(e.getCause.getMessage)
+      .contains("not in the") || e.getCause != null)
+    // malformed byte blocks are rejected at plan build, not mis-encoded
+    intercept[IllegalArgumentException] {
+      Bpe.tokenIds(col("text"), merges, vb.drop(1)) // 255 byte entries
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.vocabBytesFrom(vb) // double-lift: input not dense from 0
+    }
+  }
+
+  test("byte fallback marked stream: word-initial mark lands on the first " +
+      "byte; decodeIds reassembles UTF-8 runs; randomized round trip") {
+    val merges = Bpe.trainMergesLocal(docs, "text", 4, 1L)
+    val vmb = Bpe.vocabMarkedBytes(docs, "text", merges)
+    val base = 265 // 256 bytes + 9 vocab entries
+    assert(vmb.size == 2 * base)
+    val oneWord = Seq((1L,
+      new String(Character.toChars(0x1F600)) + " café")).toDF("doc_id", "text")
+    val mids = oneWord.select(Bpe.tokenIdsMarked(col("text"), merges, vmb))
+      .head.getSeq[Int](0)
+    assert(mids == Seq(
+      0xF0 + base, 0x9F, 0x98, 0x80,      // 😀: mark on the FIRST byte only
+      257 + base, 256, 0x66, 0xC3, 0xA9), // café: mark on the word-initial piece
+      s"got $mids")
+    // decode reassembles the byte runs back to the word model exactly
+    assert(oneWord.select(Bpe.decodeIds(
+        Bpe.tokenIdsMarked(col("text"), merges, vmb), vmb)).head.getString(0)
+      == new String(Character.toChars(0x1F600)) + " café")
+    // randomized: mixed in-vocab words and words with unseen code points
+    // of every width round-trip losslessly through the id stream
+    val rnd = new scala.util.Random(12)
+    val pool = "ttthhheeeacz9éß中文" +
+      new String(Character.toChars(0x1F600)) +
+      new String(Character.toChars(0x10348))
+    val cps = pool.codePoints().toArray
+    def word() = {
+      val n = 1 + rnd.nextInt(6)
+      val sb = new java.lang.StringBuilder
+      (0 until n).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      sb.toString
+    }
+    val corpus = (0 until 150).map(i => (i.toLong,
+        Seq.fill(1 + rnd.nextInt(8))(word()).mkString(" ")))
+      .toDF("doc_id", "text")
+    val bad = corpus.select(
+        (Bpe.decodeIds(Bpe.tokenIdsMarked(col("text"), merges, vmb), vmb) ===
+          concat_ws(" ", Bpe.words(col("text")))).as("rt"))
+      .agg(sum(when(col("rt"), 0).otherwise(1))).head.getLong(0)
+    assert(bad == 0L, s"$bad rows failed the byte-fallback round trip")
+    // native decode == composed reference form on a byte-FREE vocabulary
+    val vm = Bpe.vocabMarked(docs, "text", merges)
+    val eq = docs.select(
+        (Bpe.decodeIds(Bpe.tokenIdsMarked(col("text"), merges, vm), vm) ===
+          Bpe.decodeIdsComposed(
+            Bpe.tokenIdsMarked(col("text"), merges, vm), vm)).as("eq"))
+      .agg(sum(when(col("eq"), 0).otherwise(1))).head.getLong(0)
+    assert(eq == 0L, "native decodeIds diverged from the composed reference")
+  }
+
+  test("byte-fallback artifact: saveVocab/loadVocab round-trips the open " +
+      "marked layout and the loaded artifact encodes day-2 text") {
+    val merges = Bpe.trainMergesLocal(docs, "text", 4, 1L)
+    val vmb = Bpe.vocabMarkedBytes(docs, "text", merges)
+    val dir = java.nio.file.Files.createTempDirectory("bpe-vocab").toString
+    Bpe.saveVocab(spark, vmb, s"$dir/vocab")
+    Bpe.saveMerges(spark, merges, s"$dir/merges")
+    val m2 = Bpe.loadMerges(spark, s"$dir/merges")
+    val v2 = Bpe.loadVocab(spark, s"$dir/vocab")
+    assert(m2 == merges && v2 == vmb)
+    // the production day-2 path: loaded artifact, unseen alphabet
+    val day2 = Seq((1L, "the zürich update")).toDF("doc_id", "text")
+    assert(day2.select(Bpe.decodeIds(
+        Bpe.tokenIdsMarked(col("text"), m2, v2), v2)).head.getString(0)
+      == "the zürich update")
+  }
+
   test("trainMergesCached memoizes per (dir, col, config)") {
     val key = s"bpe-spec-memo-${System.nanoTime()}"
     val a = Bpe.trainMergesCached(docs, key, "text", 2)

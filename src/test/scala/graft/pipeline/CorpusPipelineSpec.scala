@@ -206,6 +206,32 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(merges.isEmpty)
   }
 
+  test("day-2 ingest: the persisted tokenizer artifact encodes a batch " +
+      "whose alphabet the training corpus never saw (byte fallback)") {
+    import graft.functions.Bpe
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val out = Files.createTempDirectory("corpus_day2").toString
+    CorpusPipeline.run(spark, docs, benchmark, out,
+      CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
+        bpeMerges = 8))
+    // the production restart path: a FRESH consumer loads the artifact…
+    val merges = Bpe.loadMerges(spark, s"$out/tokenizer")
+    val vocab = Bpe.loadVocab(spark, s"$out/tokenizer_vocab")
+    // …and day-2 documents carry code points the training corpus lacked
+    // (accents, CJK, an astral emoji) — under the open marked layout the
+    // batch must encode AND reconstruct, not kill the ingest job
+    val day2 = Seq(
+      (101L, "the quick zèbre jumps über the 中文 river"),
+      (102L, "routine ascii only document"),
+      (103L, "emoji day " + new String(Character.toChars(0x1F600))))
+      .toDF("doc_id", "text")
+    val bad = day2.select(
+        (Bpe.decodeIds(Bpe.tokenIdsMarked(col("text"), merges, vocab), vocab)
+          === concat_ws(" ", Bpe.words(col("text")))).as("rt"))
+      .filter(!col("rt")).count()
+    assert(bad == 0L, s"$bad day-2 rows failed the artifact round trip")
+  }
+
   test("fail-fast: a broken stage aborts with the partial summary intact") {
     val out = Files.createTempDirectory("corpus_fail").toString
     val bad = docs.withColumnRenamed("text", "body") // quality stage can't resolve `text`

@@ -181,6 +181,108 @@ class StreamingIngestSpec extends SparkSpec {
       s"replay corrupted the index: ${idx.sorted.toSeq}")
   }
 
+  test("curateStream tokenizer mode: token-denominated gates, per-batch " +
+      "packed marked-id shards, day-2 unseen alphabet, replay idempotent") {
+    import graft.functions.{Bpe, TextFns}
+    val root = Files.createTempDirectory("curate_tok")
+    val landing = root.resolve("landing")
+    val (indexPath, curatedPath, rejectsPath, packedPath) =
+      (s"$root/index", s"$root/curated", s"$root/rejects", s"$root/packed")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // offline train-once: the artifact a production stream would load
+    // (CorpusPipeline's tokenizer stage shape — MARKED + byte fallback)
+    val trainCorpus = Seq(
+      (1L, "the cat chased the other cat near the heated hearth"),
+      (2L, "the hat that the cat had was the best hat ever made"),
+      (3L, "each cheat sheet teaches the arcane art of the trade"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(trainCorpus, "text", 8, 2L)
+    assert(merges.nonEmpty)
+    val vocab = Bpe.vocabMarkedBytes(trainCorpus, "text", merges)
+    Bpe.saveMerges(spark, merges, s"$root/tok/merges")
+    Bpe.saveVocab(spark, vocab, s"$root/tok/vocab")
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(docSchema)
+        .option("header", "true").option("maxFilesPerTrigger", 1)
+        .csv(landing.toString)
+      StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+        indexPath, curatedPath, rejectsPath, s"$root/ckpt",
+        minTokens = 8L, maxBucketSize = Int.MaxValue,
+        tokenizerPath = s"$root/tok", packedIdsPath = packedPath,
+        seqLen = 16L).awaitTermination()
+    }
+
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    write(landing, "b1.csv", s"doc_id,text\n1,$a\n2,$b\n3,tiny doc\n")
+    drain()
+    // gates are BPE-denominated: curated n_tokens equals the artifact's
+    // token count, and differs from whitespace words somewhere (the
+    // tokenizer splits out-of-corpus words into pieces)
+    val cur1 = spark.read.parquet(curatedPath)
+    assert(cur1.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(cur1.filter(Bpe.tokenCount(col("text"), merges) =!= col("n_tokens"))
+      .count() == 0, "n_tokens is not tokenizer-denominated")
+    assert(cur1.filter(TextFns.tokenCount(col("text")).cast("long")
+      =!= col("n_tokens")).count() > 0,
+      "BPE and word counts coincide — the denomination test is vacuous")
+
+    // day-2 batch: unseen alphabet (accents, CJK, astral emoji) must
+    // tokenize through the byte fallback, not kill the trigger
+    val d2 = "a fresh día with zürich 中文 notes and " +
+      new String(Character.toChars(0x1F600)) + " emoji reactions all around"
+    write(landing, "b2.csv", s"doc_id,text\n9,$d2\n")
+    drain()
+    assert(spark.read.parquet(curatedPath).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 9L))
+
+    // the packed training shards: per-batch sequences whose concatenated
+    // stream equals the kept docs' marked ids in doc order, and whose
+    // decode reconstructs every document's word-model text
+    val packed = spark.read.parquet(packedPath)
+      .select("batch_id", "seq_id", "token_ids")
+      .as[(Long, Long, Seq[Int])].collect().sortBy(p => (p._1, p._2))
+    assert(packed.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L))
+    for (bid <- Seq(0L, 1L)) {
+      val stream = packed.filter(_._1 == bid).flatMap(_._3).toSeq
+      val expect = spark.read.parquet(curatedPath)
+        .filter(col("batch_id") === bid).orderBy("doc_id")
+        .select(Bpe.tokenIdsMarked(col("text"), merges, vocab))
+        .as[Seq[Int]].collect().toSeq.flatten
+      assert(stream == expect, s"batch $bid packed stream diverged")
+    }
+    // full-shard invariant within each batch (ragged tail only at the end)
+    packed.groupBy(_._1).foreach { case (_, seqs) =>
+      seqs.sortBy(_._2).dropRight(1).foreach(s => assert(s._3.size == 16))
+    }
+
+    // replay of batch 1 (same content, same batchId): identical packed
+    // partition — no duplicated or reordered sequences
+    val batch2 = Seq((9L, d2)).toDF("doc_id", "text")
+    StreamingIngest.curateBatch(spark, batch2, batchId = 1L,
+      "doc_id", "text", indexPath, curatedPath, rejectsPath,
+      minTokens = 8L, maxBucketSize = Int.MaxValue,
+      tokenizer = Some((merges, vocab)), packedIdsPath = packedPath,
+      seqLen = 16L)
+    val replayed = spark.read.parquet(packedPath)
+      .select("batch_id", "seq_id", "token_ids")
+      .as[(Long, Long, Seq[Int])].collect().sortBy(p => (p._1, p._2))
+    assert(replayed.toSeq == packed.toSeq, "replay changed the packed shards")
+    // decode of the CONCATENATED batch stream (sequences may split a
+    // word or byte run at the boundary — decode is defined over the
+    // reassembled stream) proves the shards are a faithful training file
+    val ids1 = replayed.filter(_._1 == 1L).flatMap(_._3).toSeq
+    val decoded = Seq(Tuple1(ids1)).toDF("ids")
+      .select(Bpe.decodeIds(col("ids"), vocab)).as[String].head
+    assert(decoded == spark.read.parquet(curatedPath)
+      .filter(col("batch_id") === 1L)
+      .select(concat_ws(" ", Bpe.words(col("text")))).as[String].head,
+      s"decoded batch-1 stream diverged: '$decoded'")
+  }
+
   test("curateStream compactEvery: identical curated/rejects/index rows, fewer index files, replay boundaries intact") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
