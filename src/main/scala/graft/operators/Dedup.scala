@@ -133,22 +133,43 @@ object Dedup {
 
   /** LSH banding: signature split into `bands` bands of k/bands rows; docs
     * sharing any band bucket become candidate pairs. Returns distinct
-    * (id_a, id_b) with id_a < id_b. */
+    * (id_a, id_b) with id_a < id_b.
+    *
+    * Shape (r12): ONE hash-aggregated exchange — buckets collapse to
+    * member lists (`collect_list`), single-member buckets (the vast
+    * majority of a real corpus: docs × bands rows, almost all unique)
+    * die in a `size >= 2` filter without ever being joined or sorted,
+    * and the i<j pair combinations generate INSIDE the surviving rows'
+    * arrays. The previous self-join formulation exchanged AND
+    * sort-merge-sorted the full docs × bands bucket frame twice, plus a
+    * third sorted window exchange for the cap — measured 12.8 s of
+    * rich8's 22 s dedupClusters wall for 748 final pairs; this
+    * aggregation shape does the same work in one exchange and makes the
+    * cap a free `size(members) <= cap` predicate (identical
+    * whole-bucket-drop semantics). Member lists are bounded by the cap
+    * (default 1000 -> at most ~500k pair structs per hot row,
+    * single-digit MB); with the cap DISABLED a pathological all-same
+    * corpus would build one giant list — the cap exists exactly so
+    * production never runs that way (see [[minhashDedup]]'s measured
+    * tradeoff). */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
                         bands: Int, numHashes: Int,
                         maxBucketSize: Int = 1000): DataFrame = {
     val buckets = bandBuckets(signatures, idCol, bands, numHashes)
-    val capped =
-      if (maxBucketSize == Int.MaxValue) buckets // cap disabled -> skip the window shuffle
-      else buckets
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-        .filter(col("__n") <= maxBucketSize)
-        .drop("__n")
-    val a = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val b = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // sort_array gives ascending members, so nested i<j generation emits
+    // (id_a < id_b) directly; ids are distinct within a bucket (one row
+    // per (id, band) by construction)
+    val members = buckets.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("__m"))
+      .filter(size(col("__m")) >= 2 &&
+        (if (maxBucketSize == Int.MaxValue) lit(true)
+         else size(col("__m")) <= maxBucketSize))
+    val m = col("__m")
+    members
+      .select(explode(flatten(transform(sequence(lit(1), size(m) - 1), i =>
+        transform(slice(m, i + 1, size(m) - i), b =>
+          struct(element_at(m, i).as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -478,8 +499,28 @@ object Dedup {
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try connectedComponentsFromSym(nodes, idCol, sym, maxIterations)._1
-    finally { sym.unpersist(); p.unpersist() }
+    try {
+      // Iterate ONLY over nodes an edge touches: every other node is a
+      // singleton whose canonical is itself, and feeding them through
+      // the propagation loop made EVERY round's joins corpus-sized
+      // (measured 4.6 s of rich8's 22 s dedupClusters wall for 748
+      // pairs). The touched set is 2x|pairs| ids at most — the rounds
+      // now cost O(edges), and the singleton majority pays one
+      // left-join (broadcast when pairs are few) at the end.
+      val touched = sym.select(col("src").as(idCol)).distinct()
+      val labeled = connectedComponentsFromSym(touched, idCol, sym,
+        maxIterations)._1
+      nodes.select(col(idCol))
+        .join(labeled.withColumnRenamed("canonical_id", "__c"),
+          Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__c"), col(idCol)).as("canonical_id"))
+        // sever the iteration lineage + the touched/labeled frames'
+        // reference to sym BEFORE the finally unpersists them (the
+        // FromSym result is already checkpointed; this pins the final
+        // join so consumers never re-run it against unpersisted inputs)
+        .localCheckpoint(true)
+    } finally { sym.unpersist(); p.unpersist() }
   }
 
   /** Test seam: same as [[connectedComponents]] but also reports the round
@@ -569,10 +610,16 @@ object Dedup {
     val pairs = minhashDedup(df, idCol, textCol, numHashes, bands, shingleN,
       threshold, maxBucketSize)
     val comps = connectedComponents(df.select(col(idCol)), idCol, pairs)
-    val sizes = comps.groupBy(col("canonical_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    comps.join(sizes, Seq("canonical_id"))
-      .select(col(idCol), col("canonical_id"), col("cluster_size"))
+    // cluster sizes from the NON-SINGLETON rows only (pairs-sized, so the
+    // aggregate and the join-back broadcast): sizing via a corpus-keyed
+    // groupBy + join would add two corpus-sized exchanges just to stamp
+    // `1` on the singleton majority
+    val sizes = comps.filter(col(idCol) =!= col("canonical_id"))
+      .groupBy(col("canonical_id"))
+      .agg((count(lit(1)) + 1L).as("__sz"))
+    comps.join(sizes, Seq("canonical_id"), "left")
+      .select(col(idCol), col("canonical_id"),
+        coalesce(col("__sz"), lit(1L)).as("cluster_size"))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -669,21 +716,23 @@ object Dedup {
     * `dup_frac_myriad = floor(10000 * n_dup_windows / max(n_windows,1) + 0.5)`
     * (integer quantization — engine-portable, no double rounding).
     *
-    * 100 TB shape: the windows explode ONCE, and corpus-frequency is a
-    * window-function count over the key partition — ONE wk-keyed exchange
-    * total (the groupBy-then-join-back formulation exchanges the exploded
-    * frame twice AND scans the corpus twice; first cut of this operator
-    * measured 5.7 s at bench scale vs 1 s for this shape). With
-    * `hashWindows=true` (production) windows come from the compiled
-    * [[graft.functions.ShingleListExpr]] kernel — one LINEAR pass per doc
-    * inside whole-stage codegen, and the exchange carries 8-byte keys
-    * (window STRINGS never exist at all; the interpreted
-    * transform/slice window builder re-tokenizes the document per window —
-    * the O(tokens^2)/doc trap documented at [[shingleLists]]). A 64-bit
-    * collision marks two distinct spans as shared duplicates at
-    * p ~ n^2/2^65 — the documented approximation; the portable string
-    * path (`hashWindows=false`) is what the SQL oracle replays
-    * bit-for-bit, kept for Verify-scale corpora. */
+    * 100 TB shape (r12): windows come from a linear in-scan kernel pass
+    * and global frequency is ONE hash-AGGREGATED wk-keyed exchange
+    * (map-side partials collapse within-partition repeats; the exchange
+    * carries (wk, cnt) — never sorted occurrence rows, which is what
+    * the previous window-function formulation shuffled AND sorted).
+    * The duplicated-key frame that survives `cnt > 1` is the corpus's
+    * duplicated-span minority, so the occurrence re-join against a
+    * SECOND kernel scan broadcasts under AQE — unique windows (the vast
+    * majority) never shuffle anywhere. Re-running the linear kernel
+    * beats persisting the exploded window frame at any corpus size.
+    * With `hashWindows=true` (production) the keys are the compiled
+    * [[graft.functions.ShingleListExpr]] kernel's 8-byte hashes (window
+    * STRINGS never exist at all); a 64-bit collision marks two distinct
+    * spans as shared duplicates at p ~ n^2/2^65 — the documented
+    * approximation; the portable string path (`hashWindows=false`) is
+    * what the SQL oracle replays bit-for-bit, kept for Verify-scale
+    * corpora. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       spanTokens: Int = 8,
                       hashWindows: Boolean = true): DataFrame = {
@@ -703,10 +752,10 @@ object Dedup {
         when(size(toks) >= k, TextFns.shingles(col(textCol), k))
           .otherwise(lit(Array.empty[String]))
     val wins = df.select(col(idCol), explode(windows).as("wk"))
-    val occ = Window.partitionBy(col("wk"))
-    val perDoc = wins
-      .withColumn("occ", count(lit(1)).over(occ))
-      .filter(col("occ") > 1)
+    val dupKeys = wins.groupBy(col("wk"))
+      .agg(count(lit(1)).as("__occ")).filter(col("__occ") > 1)
+      .select(col("wk"))
+    val perDoc = wins.join(dupKeys, Seq("wk"))
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
     base.join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_windows"),
@@ -728,14 +777,24 @@ object Dedup {
     * Output: one row per document —
     * (idCol, n_tokens, n_removed, kept_text).
     *
-    * 100 TB shape: the same single wk-keyed exchange as
-    * [[duplicatedSpans]] (occurrence count AND canonical witness are two
-    * window functions over one partition spec), then interval explode of
-    * the REMOVAL windows only (duplicated text is the small minority in a
-    * real corpus), an (id, idx)-keyed anti-join against the token frame,
-    * and one per-doc rebuild aggregation whose sort key is the token
-    * index. `hashWindows` as in [[duplicatedSpans]]: 8-byte kernel keys
-    * on the exchange (production) vs oracle-replayable window strings. */
+    * 100 TB shape (r12): ONE corpus-sized exchange total — the same
+    * hash-aggregated (wk)-keyed frequency pass as [[duplicatedSpans]]
+    * (count + canonical witness in one aggregate; map-side partials, no
+    * sort), everything after it sized by the DUPLICATED minority:
+    * occurrences of duplicated keys re-derived from a second linear
+    * kernel scan against the broadcast dup-key frame, their covered
+    * token indices collected into one per-doc removal set (pairs-sized
+    * aggregate), and each AFFECTED document rebuilt IN its token array
+    * (an index-aware `filter` lambda) after a broadcast join — while
+    * untouched documents (the vast majority) take the
+    * removal-set-is-null branch in the same projection, never exploding
+    * a token or crossing an exchange. The previous formulation sorted
+    * every window occurrence through the key exchange AND shuffled the
+    * full posexploded token frame twice more ((id, idx) anti-join +
+    * per-doc collect_list rebuild): 3 corpus-sized exchanges, measured
+    * 40.5 s of rich16's 185 s pipeline wall. `hashWindows` as in
+    * [[duplicatedSpans]]: 8-byte kernel keys on the exchange
+    * (production) vs oracle-replayable window strings. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
                            spanTokens: Int = 8,
                            hashWindows: Boolean = true): DataFrame = {
@@ -750,28 +809,29 @@ object Dedup {
         when(size(toks) >= k, TextFns.shingles(col(textCol), k))
           .otherwise(lit(Array.empty[String]))
     val wins = df.select(col(idCol), posexplode(windows).as(Seq("pos", "wk")))
-    val byKey = Window.partitionBy(col("wk"))
-    val removals = wins
-      .withColumn("occ", count(lit(1)).over(byKey))
-      .withColumn("canon", min(struct(col(idCol), col("pos"))).over(byKey))
-      .filter(col("occ") > 1 &&
-        col("canon") =!= struct(col(idCol), col("pos")))
-    val covered = removals
+    // global frequency + canonical witness (lowest (doc, pos) — "keep
+    // the first") in ONE aggregate; only duplicated keys survive
+    val dupKeys = wins.groupBy(col("wk"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col(idCol), col("pos"))).as("__canon"))
+      .filter(col("__occ") > 1)
+    // non-canonical occurrences of duplicated windows -> per-doc removed
+    // token-index sets (distinct via collect_set; interval overlap is
+    // the norm for runs of duplicated windows)
+    val remIdx = wins.join(dupKeys, Seq("wk"))
+      .filter(struct(col(idCol), col("pos")) =!= col("__canon"))
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
-      .distinct()
-    val tokens = df.select(col(idCol), posexplode(toks).as(Seq("idx", "tok")))
-    val rebuilt = tokens.join(covered, Seq(idCol, "idx"), "left_anti")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("idx"), col("tok")))),
-          s => s.getField("tok"))).as("kept_text"))
-    df.select(col(idCol), size(toks).cast("int").as("n_tokens"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("int")
-          .as("n_removed"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .agg(collect_set(col("idx")).as("__rm"))
+    df.select(col(idCol), toks.as("__toks"))
+      .join(remIdx, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__toks")).cast("int").as("n_tokens"),
+        when(col("__rm").isNull, lit(0)).otherwise(size(col("__rm")))
+          .cast("int").as("n_removed"),
+        when(col("__rm").isNull, concat_ws(" ", col("__toks")))
+          .otherwise(concat_ws(" ", filter(col("__toks"),
+            (_, i) => !array_contains(col("__rm"), i)))).as("kept_text"))
   }
 }
