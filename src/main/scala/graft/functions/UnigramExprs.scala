@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, StructField, StructType}
+
+/** Static kernel for [[UnigramScoreExpr]] — shared by interpreted eval
+  * and generated code (the [[BpeKernel]] pattern). */
+object UnigramKernel {
+
+  /** Sum the fixed-point -ln P(tok) terms of one document's token array
+    * through an O(1) hash probe per token. Throws on a token absent from
+    * the table: the LM's vocabulary is derived from the SAME corpus and
+    * tokenizer as the scoring pass, so a miss is a wiring bug (different
+    * tokensOf between passes), never data. Returns packed
+    * (n_tokens, lp_sum) as an InternalRow-compatible struct. */
+  def score(toks: ArrayData,
+            lp: java.util.HashMap[String, java.lang.Long]): InternalRow = {
+    val n = if (toks == null) 0 else toks.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i).toString
+      val v = lp.get(t)
+      if (v == null) throw new IllegalStateException(
+        s"token '$t' not in the ${lp.size}-entry unigram LM vocabulary — " +
+          "the LM was trained with a different tokensOf than the scorer")
+      sum += v.longValue
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, sum))
+  }
+}
+
+/** Native unigram-LM scorer: per document, `(n_tokens, lp_sum)` under a
+  * driver-collected token -> lp_i table riding as a codegen reference
+  * object — the zero-shuffle scoring pass of
+  * [[graft.operators.QualityModel.unigramCrossEntropy]] when the
+  * vocabulary is Zipf-small enough to collect. The distributed
+  * formulation explodes every corpus token a second time, probes the
+  * count frame through a join, and re-aggregates doc-keyed — measured
+  * as the corpus pipeline's single most expensive stage at rich32
+  * (66 s of 196 s) for work that is per-row arithmetic. lp_i values are
+  * computed BY Catalyst on the collected vocabulary frame (same
+  * round/log expressions as the distributed path), so the two paths
+  * cannot diverge on floating-point rounding. */
+case class UnigramScoreExpr(child: Expression, lp: Seq[(String, Long)])
+  extends UnaryExpression {
+
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[String, java.lang.Long](lp.size * 2)
+    lp.foreach { case (t, v) => m.put(t, java.lang.Long.valueOf(v)) }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"unigram_score expects an ARRAY<STRING> child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", DataTypes.IntegerType, nullable = false),
+    StructField("lp_sum", DataTypes.LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "unigram_score"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    UnigramKernel.score(v.asInstanceOf[ArrayData], table)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("unigramLp", table, "java.util.HashMap")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.functions.UnigramKernel.score(
+            ${c.isNull} ? null : ${c.value}, $ref);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramScoreExpr =
+    copy(child = newChild)
+}

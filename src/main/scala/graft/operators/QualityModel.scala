@@ -142,24 +142,72 @@ object QualityModel {
     * shape: KenLM over sentencepiece tokens). A BPE unit SHRINKS the
     * closed vocabulary (subwords ≤ words + alphabet), so the count-frame
     * join is MORE broadcastable, and the per-token expression stays in
-    * the scan's codegen span either way. */
+    * the scan's codegen span either way.
+    *
+    * LOCAL-LM fast path (r12): when the vocabulary fits
+    * `maxLocalVocab`, the token -> lp_i table is collected ONCE (the
+    * same Zipf bound that lets AQE broadcast it — a 2M-entry table is
+    * ~tens of MB) and the scoring pass becomes a single zero-shuffle
+    * codegen expression over the scan ([[graft.functions
+    * .UnigramScoreExpr]]: O(1) hash probe + exact integer sum per
+    * token). That deletes exchanges (2) and (3) AND the second corpus
+    * explode — measured 66 s -> ~25 s on the rich32 ppl_gate, the
+    * pipeline's most expensive stage. The lp_i values are computed BY
+    * Catalyst on the collected count rows with the same round/log
+    * expressions the distributed branch uses, so the paths are
+    * bit-identical by construction (q76/q94/q95 hash-verify both: the
+    * tiny Verify corpora take this path, and
+    * QualityModelSpec pins local == distributed directly). A
+    * vocabulary past the threshold (unbounded web-corpus tail) falls
+    * back to the distributed plan, paying one extra vocabulary-count
+    * materialization — the guard job is the count frame itself, which
+    * the fallback plan recomputes. `maxLocalVocab = 0` disables the
+    * fast path outright. */
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                           hintSmallVocab: Boolean = false,
-                          tokensOf: Column => Column = TextFns.tokens): DataFrame = {
+                          tokensOf: Column => Column = TextFns.tokens,
+                          maxLocalVocab: Int = 2000000): DataFrame = {
     val toksDf = df.select(col(idCol),
         explode(tokensOf(col(textCol))).as("tok"))
     val counts = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // lp_i = round((ln(N + V) - ln(cnt + 1)) * 1e6): integer fixed-point
+    // of -ln P(tok); ln over integer-valued doubles is bit-deterministic.
+    def lpOf(cnt: Column, nTotal: Column, vocab: Column): Column =
+      round((log(nTotal.cast("double") + vocab)
+        - log(cnt.cast("double") + 1.0)) * 1e6).cast("long")
+    if (maxLocalVocab > 0) {
+      val cRows = counts.limit(maxLocalVocab + 1).collect()
+      if (cRows.length <= maxLocalVocab) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val nTotal = cRows.iterator.map(_.getLong(1)).sum
+        val lpPairs = cRows.iterator.map(r => (r.getString(0), r.getLong(1)))
+          .toSeq.toDF("tok", "cnt")
+          .select(col("tok"),
+            lpOf(col("cnt"), lit(nTotal), lit(cRows.length.toLong)))
+          .as[(String, Long)].collect().toSeq
+        return df.select(col(idCol),
+            org.apache.spark.sql.graft.ExprBridge.column(
+              graft.functions.UnigramScoreExpr(
+                org.apache.spark.sql.graft.ExprBridge.expression(
+                  tokensOf(col(textCol))), lpPairs)).as("__s"))
+          .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+            col("__s.lp_sum").as("lp_sum"))
+          .filter(col("n_tokens") > 0) // empty docs omitted, as distributed
+          .select(col(idCol), col("n_tokens"),
+            round(col("lp_sum").cast("double") / (col("n_tokens") * 1e6), 6)
+              .as("xent"),
+            round(exp(col("lp_sum").cast("double") / (col("n_tokens") * 1e6)), 4)
+              .as("ppl"))
+      }
+    }
     val totals = counts.agg(
       sum(col("cnt")).as("n_total"), count(lit(1)).as("vocab"))
     val cHinted = if (hintSmallVocab) broadcast(counts) else counts
-    // lp_i = round((ln(N + V) - ln(cnt + 1)) * 1e6): integer fixed-point
-    // of -ln P(tok); ln over integer-valued doubles is bit-deterministic.
     val lp = toksDf.join(cHinted, "tok")
       .crossJoin(broadcast(totals))
       .select(col(idCol),
-        round((log(col("n_total").cast("double") + col("vocab"))
-          - log(col("cnt").cast("double") + 1.0)) * 1e6)
-          .cast("long").as("lp_i"))
+        lpOf(col("cnt"), col("n_total"), col("vocab")).as("lp_i"))
     lp.groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_tokens"),
         sum(col("lp_i")).as("lp_sum"))

@@ -274,19 +274,17 @@ class PlanShapeSpec extends SparkSpec {
       s"column pruning failed (reads more than doc_id+text):\n$plan")
   }
 
-  test("q94 BPE-token LM: native tokens expr, AQE broadcasts the count frame, no UDF") {
+  test("q94 BPE-token LM: native tokens + local-LM scorer, zero-shuffle scoring, no UDF") {
     val plan = executed(SparkEntry.queries("q94_bpe_lm_perplexity")(spark, dir))
-    // the tokenization is the native array expression exploded in the
-    // scan project — never a UDF
+    // the tokenization is the native array expression inside the scan
+    // project — never a UDF — and the scoring pass is the collected-LM
+    // kernel (unigram_score with the lp table as a reference object):
+    // no second explode, no token⋈count join, no doc re-aggregation
     assert(plan.contains("bpe_tokens"), s"native BPE tokens expr missing:\n$plan")
+    assert(plan.contains("unigram_score"), s"local-LM scorer missing:\n$plan")
     assert(!plan.contains("UDF"), s"UDF leaked into the BPE LM path:\n$plan")
-    // Zipf vocab ≪ corpus — and the BPE unit shrinks it further — so AQE
-    // must promote the token⋈count join to a broadcast probe from the
-    // aggregate's measured output size (the documented scale path: the
-    // corpus is never shuffled for the join)
-    assert(plan.contains("BroadcastHashJoin"),
-      s"token-count frame not broadcast by AQE:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), s"corpus-shuffling join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"scoring pass should not join at all (local LM):\n$plan")
     assert(!plan.contains("n_chars") && !plan.contains("lang"),
       s"column pruning failed (reads more than doc_id+text):\n$plan")
   }
@@ -387,11 +385,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"UDF in the scoring path:\n$plan")
   }
 
-  test("q76 unigram LM: token counts partial-aggregate; corpus probe is a broadcast join") {
+  test("q76 unigram LM: local-LM scorer makes the scoring pass zero-shuffle") {
+    // the count pass (one partial-aggregated word-count job) runs at
+    // query BUILD time and collects the Zipf-small lp table; the plan
+    // that remains is a pure scan + unigram_score projection — no
+    // exchange, no join (QualityModelSpec pins local == distributed)
     val plan = executed(SparkEntry.queries("q76_lm_perplexity")(spark, dir))
-    assert(plan.contains("partial_count"), s"no map-side partial counts:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"vocab join not broadcast (corpus would re-shuffle on tok):\n$plan")
+    assert(plan.contains("unigram_score"), s"local-LM scorer missing:\n$plan")
+    // the only exchange is the final presentation sort's range partition
+    assert(!plan.contains("hashpartitioning"),
+      s"local-LM scoring pass should have no keyed exchange:\n$plan")
+    assert(!plan.contains("Join"), s"local-LM path should not join:\n$plan")
   }
 
   test("q63 k-means sums aggregate with map-side partials (one bounded shuffle)") {
@@ -403,9 +407,10 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q69 span dedup (production twin): ONE window-key exchange, no string windows") {
     val plan = executed(SparkEntry.benchQueries("q69_span_dedup")(spark, dir))
-    // corpus frequency = window function over the wk partition, not a
-    // groupBy + join-back (which would explode and exchange twice —
-    // measured 5.7 s vs 0.7 s at bench scale)
+    // corpus frequency = ONE hash-aggregated wk exchange; the occurrence
+    // re-join probes the dup-key minority through an AQE broadcast, so a
+    // second wk-keyed exchange in this plan means the broadcast died and
+    // the corpus windows are shuffling twice
     val wkExchanges = "hashpartitioning\\(wk".r.findAllIn(plan).length
     assert(wkExchanges == 1, s"expected 1 wk exchange, got $wkExchanges:\n$plan")
     assert(plan.contains("shingle_list"),

@@ -55,6 +55,24 @@ class QualityModelSpec extends SparkSpec {
     assert(math.abs(got(0)._4 - math.exp(got(0)._3)) < 1e-3)
   }
 
+  test("unigramCrossEntropy: local native-scorer path == distributed plan, " +
+      "row for row (the r12 fast path)") {
+    val rnd = new scala.util.Random(7)
+    val corpus = docs((1 to 300).map(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(60)}").mkString(" "))): _*)
+    val local = QualityModel.unigramCrossEntropy(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val dist = QualityModel.unigramCrossEntropy(corpus, "doc_id", "text",
+        maxLocalVocab = 0) // force the distributed branch
+      .orderBy("doc_id").collect().toSeq
+    assert(local == dist, "local LM path diverged from the distributed plan")
+    // the local path plans ZERO exchanges for the scoring pass
+    val plan = QualityModel.unigramCrossEntropy(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"local-LM scoring pass should be zero-shuffle:\n$plan")
+  }
+
   test("unigramCrossEntropy: BPE token unit == word unit over the " +
       "pre-tokenized rewrite (tokensOf cross-validation)") {
     // xent with tokensOf = Bpe.tokens(merges) over `text` must equal the
