@@ -156,27 +156,23 @@ object Dedup {
                         bands: Int, numHashes: Int,
                         maxBucketSize: Int = 1000): DataFrame = {
     val buckets = bandBuckets(signatures, idCol, bands, numHashes)
-    // colliding (and under-cap) bucket KEYS first, via a fully-codegen
-    // long-count HashAggregate — the skinniest possible pass over the
-    // docs x bands frame (a direct collect_list here would put every
-    // row through the slower object-based aggregate just to discard the
-    // single-member majority)
-    val hot = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") >= 2 &&
-        (if (maxBucketSize == Int.MaxValue) lit(true)
-         else col("__n") <= maxBucketSize))
-      .select(col("band"), col("bucket"))
-    // membership of the colliding minority: a SECOND in-scan bucket
-    // derivation (linear kernel work, cheaper than persisting the
-    // frame) semi-joined against the hot keys — AQE broadcasts them in
-    // any realistic corpus, so no bucket row ever shuffles twice
-    val collide = buckets.join(hot, Seq("band", "bucket"), "leftsemi")
-    // sort_array gives ascending members, so nested i<j generation emits
-    // (id_a < id_b) directly; ids are distinct within a bucket (one row
-    // per (id, band) by construction); lists are bounded by the cap
-    val members = collide.groupBy(col("band"), col("bucket"))
+    // ONE hash-aggregated exchange: buckets collapse straight to member
+    // lists; single-member buckets (the realistic-corpus majority) die
+    // in the size filter, over-cap buckets (boilerplate clusters) die
+    // with them. sort_array gives ascending members, so nested i<j
+    // generation emits (id_a < id_b) directly; ids are distinct within
+    // a bucket (one row per (id, band) by construction). The
+    // count-first + semi-join-back variant (detect hot keys with a
+    // codegen long-count agg, collect membership only for them) tied
+    // this shape at realistic entropy (19.0 vs 19.2 s at rich16) and
+    // lost on high-duplication corpora, where "colliding minority" is
+    // false and its second bucket derivation + big broadcast are pure
+    // overhead — so the single-pass form ships.
+    val members = buckets.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("__m"))
+      .filter(size(col("__m")) >= 2 &&
+        (if (maxBucketSize == Int.MaxValue) lit(true)
+         else size(col("__m")) <= maxBucketSize))
     val m = col("__m")
     members
       .select(explode(flatten(transform(sequence(lit(1), size(m) - 1), i =>

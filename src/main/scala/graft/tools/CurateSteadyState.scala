@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * rate (~0.2% adjacent replays) and length distribution are identical
   * across batches — any wall-time drift is the loop, not the data.
   *
-  * Usage: jrun graft.tools.CurateSteadyState <workDir> <nBatches> <batchRows> [<outJson>] [<compactEvery>] [<bands>] [<maxBucketSize>] [<vocabSize>] [<compactMinFiles>]
+  * Usage: jrun graft.tools.CurateSteadyState <workDir> <nBatches> <batchRows> [<outJson>] [<compactEvery>] [<bands>] [<maxBucketSize>] [<vocabSize>] [<compactMinFiles>] [<tokenizerMerges>]
   * `compactEvery` > 0 turns on the loop's in-trigger index compaction
   * (curateStream's knob) — the A/B that separates file-count drift from
   * true per-row probe cost. `bands` (default 32 = curateStream's default,
@@ -103,10 +103,29 @@ object CurateSteadyState {
     // compactMinFiles > 0 = the ADAPTIVE trigger (skip partitions at or
     // under that many part files; the r10 cadence experiment)
     val compactMinFiles = args.lift(8).map(_.toInt).getOrElse(0)
+    // tokenizerMerges > 0 = TOKENIZER MODE (the r12 streaming twin of
+    // CorpusPipeline(bpeMerges > 0)): train once on the full generated
+    // corpus up front — the production train-offline shape — persist the
+    // open marked artifact, and run the loop with BPE-denominated gates
+    // + per-batch packed-id emission. The drift stats below then measure
+    // whether per-batch ENCODE cost stays flat as the index grows.
+    val tokenizerMerges = args.lift(9).map(_.toInt).getOrElse(0)
+    val tokenizerPath = if (tokenizerMerges > 0) {
+      import graft.functions.Bpe
+      val merges = Bpe.trainMergesLocal(all, "text", tokenizerMerges, 2L)
+      val vocab = Bpe.vocabMarkedBytes(all, "text", merges)
+      Bpe.saveMerges(spark, merges, s"$workDir/tok/merges")
+      Bpe.saveVocab(spark, vocab, s"$workDir/tok/vocab")
+      println(s"[steady] tokenizer: ${merges.size} merges, |V|=${vocab.size}")
+      s"$workDir/tok"
+    } else ""
     val q = graft.streaming.StreamingIngest.curateStream(spark, stream,
       "doc_id", "text", indexPath, s"$workDir/curated", s"$workDir/rejects",
       s"$workDir/ckpt", bands = bands, maxBucketSize = maxBucket,
-      compactEvery = compactEvery, compactMinFiles = compactMinFiles)
+      compactEvery = compactEvery, compactMinFiles = compactMinFiles,
+      tokenizerPath = tokenizerPath,
+      packedIdsPath = if (tokenizerMerges > 0) s"$workDir/packed" else "",
+      seqLen = 2048L)
     q.awaitTermination()
     Thread.sleep(2000) // let the last progress event drain the listener bus
     spark.streams.removeListener(capture)
@@ -164,6 +183,7 @@ object CurateSteadyState {
     val line = s"""{"n_batches":$nBatches,"batch_rows":$batchRows,""" +
       s""""compact_every":$compactEvery,"compact_min_files":$compactMinFiles,"bands":$bands,""" +
       s""""max_bucket_size":$maxBucket,"vocab_size":$vocabSize,""" +
+      s""""tokenizer_merges":$tokenizerMerges,""" +
       s""""index_part_files":$idxFiles,""" +
       s""""drift_ms_per_batch":${f(drift)},"drift_theil_sen_ms_per_batch":${f(driftTs)},""" +
       s""""batches":[${entries.mkString(",")}]}"""

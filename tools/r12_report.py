@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Assemble SCALING_r12.json from the committed scaling/r12/ point files:
+the final-code corpus-pipeline decade (rich4/8/16/32), the streaming
+tokenizer-mode steady-state series (+ word control), and the standalone
+operator A/Bs measured during the round (recorded as constants here, with
+their methodology in the note).
+
+Usage: python3 tools/r12_report.py > SCALING_r12.json
+"""
+import json
+import math
+import os
+
+R12 = os.path.join(os.path.dirname(__file__), "..", "scaling", "r12")
+
+
+def load(name):
+    with open(os.path.join(R12, name)) as f:
+        return json.load(f)
+
+
+def slope(a, b):
+    return round(math.log2(b / a), 3)
+
+
+points = {}
+labels = [("rich4", 4), ("rich8", 8), ("rich16", 16), ("rich32", 32)]
+for label, _ in labels:
+    d = load(f"corpus_final_rich{label[4:]}.json")
+    points[label] = {
+        "total_sec": d["total_sec"],
+        "stages": {k: v["sec"] for k, v in d["stages"].items()},
+        "rows_out": d["stages"]["shard"]["rows"],
+    }
+
+totals = [points[l]["total_sec"] for l, _ in labels]
+seg = {f"{labels[i][0]}->{labels[i+1][0]}": slope(totals[i], totals[i + 1])
+       for i in range(len(labels) - 1)}
+stage_last_doubling = {
+    s: slope(points["rich16"]["stages"][s], points["rich32"]["stages"][s])
+    for s in points["rich16"]["stages"]}
+
+r11 = {"rich4": 72.101, "rich8": 93.741, "rich16": 185.494}
+vs_r11 = {l: round(points[l]["total_sec"] / r11[l], 3) for l in r11}
+
+steady_tok = load("steady_tokenizer.json")
+steady_word = load("steady_word.json")
+
+
+def steady_summary(d):
+    ws = sorted(b["wall_ms"] for b in d["batches"])
+    return {
+        "n_batches": d["n_batches"],
+        "batch_rows": d["batch_rows"],
+        "vocab_size": d["vocab_size"],
+        "bands": d["bands"],
+        "tokenizer_merges": d.get("tokenizer_merges", 0),
+        "median_wall_ms": ws[len(ws) // 2],
+        "drift_theil_sen_ms_per_batch": d["drift_theil_sen_ms_per_batch"],
+        "drift_lsq_ms_per_batch": d["drift_ms_per_batch"],
+    }
+
+
+out = {
+    "round": 12,
+    "corpus_pipeline_final": {
+        "points": points,
+        "total_segment_slopes": seg,
+        "stage_slopes_rich16_to_rich32": stage_last_doubling,
+        "total_vs_r11": vs_r11,
+        "note": (
+            "Fresh JVM per point, final round-12 code, quiet host. "
+            "rich32 (1.6M docs) is the new largest point. Total doubling "
+            "slopes 0.27/0.50/0.66 - every segment sublinear (r11 last "
+            "doubling was 0.985). The three stage rewrites behind it: "
+            "near_dedup (codegen bucket counting + touched-node-only CC), "
+            "span_rewrite (one hash-agg wk exchange + in-array rebuild of "
+            "affected docs), ppl_gate (local-LM zero-shuffle scorer; 66.3 "
+            "-> 12.2 s at rich32). Stage walls at rich32 wobble +-30% "
+            "run-to-run on this time-shared host (span_rewrite seen at "
+            "23.2 and 33.7 s under identical code); the standalone "
+            "fresh-JVM A/Bs below are the attributable per-operator "
+            "numbers, and the cross-round -53% at rich16 is far above "
+            "the noise floor."),
+    },
+    "standalone_operator_ab": {
+        "dedup_clusters_rich8_min_sec": {"r11_code": 24.7, "r12_code": 14.4},
+        "dedup_clusters_rich16_min_sec": {"collect_list_shape": 19.2,
+                                          "count_plus_semijoin_shape": 19.0},
+        "remove_duplicate_spans_rich8_min_sec": {"r11_code": 8.1, "r12_code": 4.0},
+        "ppl_gate_rich32_in_pipeline_sec": {"distributed": 66.3, "local_lm": 12.8},
+        "adversarial_testdata_tradeoff": {
+            "q53_dedup_clusters_sf01_min_sec": {"r11": 2.06, "r12": 2.58},
+            "q69_span_dedup_sf01_min_sec": {"r11": 0.64, "r12": 1.08},
+            "note": (
+                "The driver testdata documents table is a DEGENERATE "
+                "31-word-vocabulary corpus where nearly every window/"
+                "bucket is duplicated, so the new shapes' 'duplicated "
+                "minority' assumption is false there: the dup-key "
+                "probe frames are corpus-sized and the rebuild touches "
+                "every doc. Conscious tradeoff: <=1 s per query on the "
+                "degenerate fixture bought 1.7-2x on realistic-entropy "
+                "corpora (the 100 TB case). The two collect_list "
+                "variants were A/B'd on the fixture too: the single-"
+                "pass form (shipped) is the faster of the two there "
+                "(2.58 vs 2.93 on q53). Isolation noise on this host "
+                "is +-0.3 s (identical-code reruns of untouched q65/"
+                "q72 moved that much between windows)."),
+        },
+        "note": (
+            "3 reps per side, fresh JVM, min reported; outputs asserted "
+            "identical (dedup: same 400k rows / 748 pairs; spans: "
+            "removed=42085 chars=147725740 equal on both sides)."),
+    },
+    "curate_steady_state_tokenizer_mode": {
+        "tokenizer": steady_summary(steady_tok),
+        "word_control": steady_summary(steady_word),
+        "note": (
+            "25 batches x 4000 docs, realistic 20k vocab, bands=16, "
+            "index uncompacted. Tokenizer mode (256 merges, |V|=1046 "
+            "marked-bytes artifact, packed-id emission per batch): "
+            "Theil-Sen drift -23.6 ms/batch on ~7.3 s batches - flat; "
+            "word control +11.3 ms/batch on ~9.2 s batches - flat. "
+            "Per-batch encode cost is invisible against the near-dup "
+            "probe; medians differ only by host noise (the two runs "
+            "executed at different host-load windows)."),
+    },
+}
+print(json.dumps(out, indent=1))
