@@ -112,6 +112,25 @@ out = {
             "identical (dedup: same 400k rows / 748 pairs; spans: "
             "removed=42085 chars=147725740 equal on both sides)."),
     },
+    "corpus_pipeline_bpe_config": {
+        "points": {
+            l: (lambda d: {"total_sec": d["total_sec"],
+                           "stages": {k: v["sec"] for k, v in d["stages"].items()}})(
+                load(f"corpus_bpe_rich{l[4:]}.json"))
+            for l in ["rich16", "rich32"]},
+        "total_vs_r11": {"rich16": round(96.475 / 170.719, 3)},
+        "note": (
+            "Tokenizer-faithful configuration (bpeMerges=1024, matching "
+            "the r11 corpus_bpe decade): rich16 170.7 -> 96.5 s (-43%) "
+            "on the round-12 stage rewrites; rich32 = 165.0 s, doubling "
+            "slope 0.77. Caveat on per-stage attribution at the big "
+            "points: span_rewrite read 20.0 s and 45.8 s in two "
+            "back-to-back rich32 runs of IDENTICAL code (512- vs "
+            "1024-merge configs - the stage does not depend on the "
+            "merge count), so individual stage walls at rich32 carry "
+            "up-to-2x host noise; totals and cross-round deltas are "
+            "the reliable signal."),
+    },
     "curate_steady_state_tokenizer_mode": {
         "tokenizer": steady_summary(steady_tok),
         "word_control": steady_summary(steady_word),
