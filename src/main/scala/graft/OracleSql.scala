@@ -1659,6 +1659,54 @@ object OracleSql {
              string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
            FROM g GROUP BY 1 ORDER BY seq_id"""
       },
+      // q101: q97's packing with the document order SHUFFLED by
+      // md5(seed || doc_id) — same alphabet/merge id re-derivation, but
+      // the global token coordinates follow the hash permutation (hex
+      // is ASCII: DuckDB's binary varchar collation == Spark's UTF8
+      // ordering), so a hash match verifies the seeded shuffle AND the
+      // permuted packing end to end.
+      "q101_bpe_shuffled_pack" -> {
+        val mergeVals = merges
+          .map(m => s"(${bpeSqlStr(m.left + m.right)}, ${m.rank})")
+          .mkString(", ")
+        val mergedVocab =
+          if (merges.isEmpty) ""
+          else s"""
+             UNION ALL SELECT v.tok,
+               CAST((SELECT COUNT(*) FROM alpha) + v.rank AS INTEGER) AS id
+             FROM (VALUES $mergeVals) v(tok, rank)"""
+        s"""WITH w AS (SELECT doc_id,
+               md5('graft-q101:' || CAST(doc_id AS VARCHAR)) AS ord,
+               $bpeWords AS words FROM documents),
+           tw AS (SELECT doc_id, ord, unnest(words) AS wd,
+               unnest(range(1, len(words) + 1)) AS wpos FROM w),
+           alpha AS (SELECT c,
+               CAST(row_number() OVER (ORDER BY c) - 1 AS INTEGER) AS id
+             FROM (SELECT DISTINCT unnest(string_split(regexp_replace(
+               ${bpeDelim("wd")}, '^\\x01|\\x02$$', '', 'g'),
+               chr(2)||chr(1))) AS c FROM tw)),
+           vocab AS (SELECT c AS tok, id FROM alpha$mergedVocab),
+           enc AS (SELECT doc_id, ord, wpos, string_split(regexp_replace(
+               ${bpeChain(bpeDelim("wd"), merges)}, '^\\x01|\\x02$$', '', 'g'),
+               chr(2)||chr(1)) AS ts FROM tw),
+           tok AS (SELECT doc_id, ord, wpos, unnest(ts) AS tok,
+               unnest(range(1, len(ts) + 1)) AS tpos FROM enc),
+           ti AS (SELECT doc_id, ord, tok, row_number() OVER (
+               PARTITION BY doc_id ORDER BY wpos, tpos) AS pos FROM tok),
+           ids AS (SELECT ti.doc_id, ti.ord, ti.pos, vocab.id
+             FROM ti JOIN vocab ON ti.tok = vocab.tok),
+           dn AS (SELECT doc_id, ord, COUNT(*) AS n FROM ids
+             GROUP BY doc_id, ord),
+           cum AS (SELECT doc_id,
+               SUM(n) OVER (ORDER BY ord ROWS UNBOUNDED PRECEDING) - n
+                 AS strt FROM dn),
+           g AS (SELECT (c.strt + i.pos - 1) AS gpos, i.id
+             FROM ids i JOIN cum c USING (doc_id))
+           SELECT CAST(gpos // 8192 AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS INTEGER) AS n_tokens,
+             string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+           FROM g GROUP BY 1 ORDER BY seq_id"""
+      },
       // q98: per-source fertility (BPE tokens per word) and compression
       // (word chars per token), myriad-quantized — integer sums first,
       // ONE double multiply/divide/floor at the end, identical operand

@@ -1473,6 +1473,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q97's packed training file with SEEDED DOCUMENT-ORDER SHUFFLE — the
+    * missing half of training-file preparation: corpus order correlates
+    * with source/time, and a model trained on unshuffled sequences sees
+    * non-stationary batches, so real training files randomize document
+    * order BEFORE packing. The permutation is `md5(seed || doc_id)` used
+    * directly as [[graft.operators.Packer.packTokenIds]]'s order key
+    * (hex is ASCII, so Spark's UTF8 ordering and DuckDB's binary
+    * collation agree): deterministic in the id set — retry-stable,
+    * partition-independent, oracle-replayable — and the pack itself is
+    * the same piece-sliced O(docs+sequences) exchange as q97, just
+    * range-partitioned by the hash instead of the id (the two-phase
+    * prefix sum never cares what the order key means). */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    val docs = T(s, dir, "documents")
+    val vocab = Bpe.vocabCached(docs, dir, "text", merges)
+    val ids = docs.select(
+      md5(concat(lit("graft-q101:"), col("doc_id").cast("string")))
+        .as("ord"),
+      Bpe.tokenIds(col("text"), merges, vocab).as("ids"))
+    Packer.packTokenIds(s, ids, "ord", "ids", budgetTokens = 8192L)
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("token_ids"))
+      .orderBy(col("seq_id"))
+  }
+
   /** q76's perplexity filter RE-DENOMINATED IN BPE TOKENS — the real
     * CCNet shape (KenLM scores sentencepiece TOKENS, not words): the
     * add-one unigram LM is trained over, and each document's
@@ -1707,7 +1733,8 @@ object SparkEntry {
     "q97_bpe_pack_ids" -> q97 _,
     "q98_bpe_fertility" -> q98 _,
     "q99_bpe_decontaminate" -> q99 _,
-    "q100_bpe_byte_fallback" -> q100 _
+    "q100_bpe_byte_fallback" -> q100 _,
+    "q101_bpe_shuffled_pack" -> q101 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -23,6 +23,31 @@ class PackerSpec extends SparkSpec {
       (2L, 3, Seq(9, 10, 11))))
   }
 
+  test("packTokenIds: a hash ORDER KEY packs the seeded permutation — " +
+      "document blocks reorder, nothing is lost or split differently") {
+    // the q101 device: order by md5(seed || id) instead of id. Each
+    // doc's ids stay one contiguous block in the stream; the block
+    // ORDER follows the hash permutation.
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6)),
+      (5L, Seq(7, 8, 9, 10, 11)))
+      .toDF("doc_id", "ids")
+    val keyed = docs.select(
+      md5(concat(lit("s:"), col("doc_id").cast("string"))).as("ord"),
+      col("ids"))
+    val stream = Packer.packTokenIds(spark, keyed, "ord", "ids", 4L)
+      .orderBy("seq_id").as[(Long, Int, Seq[Int])].collect().toSeq
+      .flatMap(_._3)
+    // expected: doc blocks concatenated in md5-of-id order
+    val order = docs.select(col("doc_id"),
+        md5(concat(lit("s:"), col("doc_id").cast("string"))).as("ord"))
+      .orderBy("ord").as[(Long, String)].collect().map(_._1).toSeq
+    val blocks = Map(1L -> Seq(1, 2, 3), 2L -> Seq(4, 5), 3L -> Seq(6),
+      5L -> Seq(7, 8, 9, 10, 11))
+    assert(stream == order.flatMap(blocks), s"got $stream in order $order")
+    assert(order != Seq(1L, 2L, 3L, 5L), "hash order degenerated to id order")
+  }
+
   test("packTokenIds: result independent of input partitioning; every " +
       "token lands exactly once in stream order") {
     val rnd = new scala.util.Random(7)
