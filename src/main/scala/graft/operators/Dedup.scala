@@ -501,10 +501,55 @@ object Dedup {
     * (consumers re-read materialized blocks, not the iteration lineage;
     * blocks are GC-cleaned when the frame is unreferenced). */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
-                          maxIterations: Int = 20): DataFrame = {
+                          maxIterations: Int = 20,
+                          maxLocalEdges: Long = 4000000L): DataFrame = {
     // persist the pair list BEFORE the symmetric union: both union branches
     // otherwise materialize the (expensive) upstream pair pipeline once each
     val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // SMALL-GRAPH fast path: near-dup pair lists are match-sized, not
+    // corpus-sized — on realistic corpora a few thousand edges against
+    // millions of docs — and the distributed loop pays ~0.5 s of
+    // plan-compile + job overhead PER ROUND regardless of graph size
+    // (measured ~3 s for 748 edges at rich16). Under `maxLocalEdges`
+    // (bounded METADATA, the k-means-sums collect class: 4M edges =
+    // ~64 MB driver), collect the edges and run union-find with
+    // min-id canonicals locally — exactly the propagation loop's fixed
+    // point (DedupSpec pins local == distributed on randomized graphs).
+    // Bigger pair lists (boilerplate-heavy corpora) take the
+    // distributed pointer-jumping loop unchanged.
+    val nEdges = p.count()
+    if (nEdges <= maxLocalEdges) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val edges = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min-id root wins: the canonical convention
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val labels = edges.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toSeq.distinct.map(id => (id, find(id)))
+      p.unpersist()
+      val idType = nodes.schema(idCol).dataType
+      return nodes.select(col(idCol))
+        .join(broadcast(labels.toDF(idCol, "__c")
+          .select(col(idCol).cast(idType), col("__c").cast(idType))),
+          Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("__c"), col(idCol)).as("canonical_id"))
+    }
     val sym = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -519,16 +564,19 @@ object Dedup {
       val touched = sym.select(col("src").as(idCol)).distinct()
       val labeled = connectedComponentsFromSym(touched, idCol, sym,
         maxIterations)._1
+      // NO checkpoint on the final join: `labeled` is already an
+      // eagerly-checkpointed leaf (FromSym's contract) and `nodes` is
+      // the caller's source frame, so the composed plan references
+      // nothing the finally below unpersists — consumers replay a
+      // broadcast left join off materialized blocks, and eagerly
+      // materializing the corpus-sized canonical map here would cost a
+      // full extra pass per call (measured ~1.5 s of the 3.4 s cc step
+      // at rich16) for nothing
       nodes.select(col(idCol))
         .join(labeled.withColumnRenamed("canonical_id", "__c"),
           Seq(idCol), "left")
         .select(col(idCol),
           coalesce(col("__c"), col(idCol)).as("canonical_id"))
-        // sever the iteration lineage + the touched/labeled frames'
-        // reference to sym BEFORE the finally unpersists them (the
-        // FromSym result is already checkpointed; this pins the final
-        // join so consumers never re-run it against unpersisted inputs)
-        .localCheckpoint(true)
     } finally { sym.unpersist(); p.unpersist() }
   }
 

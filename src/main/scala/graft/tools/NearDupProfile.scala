@@ -6,69 +6,62 @@ import org.apache.spark.sql.functions._
 
 /** Dev micro-profiler for the corpus pipeline's near_dedup stage
   * (Dedup.dedupClusters at the CorpusPipeline config: 64 hashes,
-  * 32 bands, 3-shingles, threshold 0.5, cap 1000): times each sub-step
-  * in isolation so the r12 constant-cutting work aims at measured cost.
+  * 32 bands, 3-shingles, threshold 0.5, cap 1000). ONE step per JVM —
+  * the r12 lesson: chaining steps in one session contaminates later
+  * timings with accumulated cache/checkpoint state and recomputed
+  * lineage, producing internally inconsistent numbers.
   *
-  * Usage: jrun graft.tools.NearDupProfile <docsDir> */
+  * Usage: jrun graft.tools.NearDupProfile <docsDir> <step>
+  *   step ∈ sets | sigs | members | pairs | verify | cc | full */
 object NearDupProfile {
-  def time[A](label: String)(f: => A): A = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[ndprof] $label%-42s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
-    r
-  }
-
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/repo/scaledata/rich8")
+    val dir = args(0)
+    val step = args(1)
     val (numHashes, bands, shingleN, threshold, cap) = (64, 32, 3, 0.5, 1000)
     val spark = Graft.session("graft-ndprof")
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    println("docs=" + docs.count())
-
+    docs.count()
     // warm up kernels/codegen on a slice
-    Dedup.minhashDedup(docs.limit(2000), "doc_id", "text",
+    Dedup.dedupClusters(docs.limit(2000), "doc_id", "text",
       numHashes, bands, shingleN, threshold, cap).count()
 
-    val sets = Dedup.shingleSets(docs, "doc_id", "text", shingleN)
+    def sets() = Dedup.shingleSets(docs, "doc_id", "text", shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("shingleSets materialize") {
-      println("  shingles=" + sets.selectExpr("sum(size(shset))").collect()(0))
+    val t0 = System.nanoTime()
+    step match {
+      case "sets" =>
+        println("shingles=" + sets().selectExpr("sum(size(shset))").collect()(0))
+      case "sigs" =>
+        val s = sets(); s.count() // cache it OUTSIDE the timing
+        val t1 = System.nanoTime()
+        Dedup.minhashSignaturesFromSets(s, "doc_id", numHashes)
+          .selectExpr("sum(signature[0])").collect()
+        println(f"[ndprof] sigs-only ${(System.nanoTime() - t1) / 1e9}%7.2fs")
+      case "members" =>
+        val s = sets(); s.count()
+        val sigs = Dedup.minhashSignaturesFromSets(s, "doc_id", numHashes)
+        val t1 = System.nanoTime()
+        println("pairs=" + Dedup.lshCandidatePairs(sigs, "doc_id", bands,
+          numHashes, cap).count())
+        println(f"[ndprof] candidates-from-cached-sets ${(System.nanoTime() - t1) / 1e9}%7.2fs")
+      case "full" =>
+        println("pairs=" + Dedup.minhashDedup(docs, "doc_id", "text",
+          numHashes, bands, shingleN, threshold, cap).count())
+      case "cc" =>
+        val pairs = Dedup.minhashDedup(docs, "doc_id", "text",
+          numHashes, bands, shingleN, threshold, cap)
+        pairs.count()
+        val t1 = System.nanoTime()
+        println("comps=" + Dedup.connectedComponents(
+          docs.select(col("doc_id")), "doc_id", pairs).count())
+        println(f"[ndprof] cc-only ${(System.nanoTime() - t1) / 1e9}%7.2fs")
+      case "clusters" =>
+        println("rows=" + Dedup.dedupClusters(docs, "doc_id", "text",
+          numHashes, bands, shingleN, threshold, cap).count())
+      case other => sys.error(s"unknown step $other")
     }
-    val sigs = Dedup.minhashSignaturesFromSets(sets, "doc_id", numHashes)
-    time("signatures (from cached sets)") {
-      sigs.selectExpr("sum(signature[0])").collect()
-    }
-    val buckets = Dedup.bandBuckets(sigs, "doc_id", bands, numHashes)
-    time("bandBuckets (no cap)") { println("  bucketRows=" + buckets.count()) }
-    val capped = buckets
-      .withColumn("__n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("bucket"))))
-      .filter(col("__n") <= cap).drop("__n")
-    time("cap window (sort exchange)") { println("  capped=" + capped.count()) }
-    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", bands, numHashes, cap)
-    time("candidate pairs (full, incl. re-bucket)") {
-      println("  pairs=" + pairs.count())
-    }
-    val verified = Dedup.jaccardForPairsSets(sets, pairs, "doc_id")
-      .filter(col("jaccard") >= threshold)
-    time("verify (pairs x cached sets)") {
-      println("  verified=" + verified.count())
-    }
-    val full = time("FULL minhashDedup") {
-      val p = Dedup.minhashDedup(docs, "doc_id", "text",
-        numHashes, bands, shingleN, threshold, cap)
-      println("  pairs=" + p.count()); p
-    }
-    time("connectedComponents") {
-      println("  comps=" + Dedup.connectedComponents(
-        docs.select(col("doc_id")), "doc_id", full).count())
-    }
-    time("FULL dedupClusters") {
-      println("  rows=" + Dedup.dedupClusters(docs, "doc_id", "text",
-        numHashes, bands, shingleN, threshold, cap).count())
-    }
-    sets.unpersist()
+    println(f"[ndprof] $step TOTAL ${(System.nanoTime() - t0) / 1e9}%7.2fs")
     spark.stop()
   }
 }

@@ -307,6 +307,24 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L)))
   }
 
+  test("connectedComponents: local union-find fast path == distributed " +
+      "pointer-jumping loop on randomized graphs") {
+    val rnd = new scala.util.Random(13)
+    val n = 400L
+    val nodes = (0L until n).toDF("doc_id")
+    // random edges incl. chains and cliques; ~half the nodes untouched
+    val pairs = (0 until 300).map { _ =>
+      val a = rnd.nextLong(n / 2); val b = rnd.nextLong(n / 2)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val dist = Dedup.connectedComponents(nodes, "doc_id", pairs,
+        maxLocalEdges = 0L) // force the distributed loop
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(local == dist, "union-find fast path diverged from the loop")
+  }
+
   test("connectedComponents: 64-node path converges in O(log n) rounds (pointer jumping)") {
     // worst case for plain min-propagation: a single path 0-1-2-...-63
     // needs 63 rounds; path halving must land in ~log2(64) + slack
