@@ -1707,6 +1707,61 @@ object OracleSql {
              string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
            FROM g GROUP BY 1 ORDER BY seq_id"""
       },
+      // q102: q97's packing with per-sequence DOCUMENT BOUNDARIES — the
+      // attention-mask contract: n_docs + each document-piece's 0-based
+      // offset within its sequence, re-derived from the same prefix-sum
+      // coordinates the ids are rebuilt from (piece start =
+      // greatest(doc start, seq_id * B) - seq_id * B).
+      "q102_bpe_pack_boundaries" -> {
+        val mergeVals = merges
+          .map(m => s"(${bpeSqlStr(m.left + m.right)}, ${m.rank})")
+          .mkString(", ")
+        val mergedVocab =
+          if (merges.isEmpty) ""
+          else s"""
+             UNION ALL SELECT v.tok,
+               CAST((SELECT COUNT(*) FROM alpha) + v.rank AS INTEGER) AS id
+             FROM (VALUES $mergeVals) v(tok, rank)"""
+        s"""WITH w AS (SELECT doc_id, $bpeWords AS words FROM documents),
+           tw AS (SELECT doc_id, unnest(words) AS wd,
+               unnest(range(1, len(words) + 1)) AS wpos FROM w),
+           alpha AS (SELECT c,
+               CAST(row_number() OVER (ORDER BY c) - 1 AS INTEGER) AS id
+             FROM (SELECT DISTINCT unnest(string_split(regexp_replace(
+               ${bpeDelim("wd")}, '^\\x01|\\x02$$', '', 'g'),
+               chr(2)||chr(1))) AS c FROM tw)),
+           vocab AS (SELECT c AS tok, id FROM alpha$mergedVocab),
+           enc AS (SELECT doc_id, wpos, string_split(regexp_replace(
+               ${bpeChain(bpeDelim("wd"), merges)}, '^\\x01|\\x02$$', '', 'g'),
+               chr(2)||chr(1)) AS ts FROM tw),
+           tok AS (SELECT doc_id, wpos, unnest(ts) AS tok,
+               unnest(range(1, len(ts) + 1)) AS tpos FROM enc),
+           ti AS (SELECT doc_id, tok, row_number() OVER (
+               PARTITION BY doc_id ORDER BY wpos, tpos) AS pos FROM tok),
+           ids AS (SELECT ti.doc_id, ti.pos, vocab.id
+             FROM ti JOIN vocab ON ti.tok = vocab.tok),
+           dn AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY doc_id),
+           cum AS (SELECT doc_id, n,
+               SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 AS strt FROM dn),
+           g AS (SELECT (c.strt + i.pos - 1) AS gpos, i.id
+             FROM ids i JOIN cum c USING (doc_id)),
+           seqs AS (SELECT CAST(gpos // 8192 AS BIGINT) AS seq_id,
+               CAST(COUNT(*) AS INTEGER) AS n_tokens,
+               string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+             FROM g GROUP BY 1),
+           pieces AS (SELECT doc_id,
+               unnest(range(CAST(strt // 8192 AS BIGINT),
+                 CAST((strt + n - 1) // 8192 + 1 AS BIGINT)))
+                 AS seq_id, strt FROM cum),
+           bounds AS (SELECT seq_id, CAST(COUNT(*) AS INTEGER) AS n_docs,
+               string_agg(CAST(greatest(strt, seq_id * 8192)
+                 - seq_id * 8192 AS VARCHAR), ' '
+                 ORDER BY greatest(strt, seq_id * 8192)) AS doc_starts
+             FROM pieces GROUP BY seq_id)
+           SELECT s.seq_id, s.n_tokens, b.n_docs, b.doc_starts, s.token_ids
+           FROM seqs s JOIN bounds b USING (seq_id) ORDER BY s.seq_id"""
+      },
       // q98: per-source fertility (BPE tokens per word) and compression
       // (word chars per token), myriad-quantized — integer sums first,
       // ONE double multiply/divide/floor at the end, identical operand

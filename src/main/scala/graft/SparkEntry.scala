@@ -1499,6 +1499,32 @@ object SparkEntry {
       .orderBy(col("seq_id"))
   }
 
+  /** q97's packed training file WITH DOCUMENT-BOUNDARY EMISSION — the
+    * columns a trainer needs to build cross-document attention masks
+    * over packed sequences (the T5/LLaMA packing contract: without
+    * per-sequence document offsets, attention bleeds across the
+    * documents that happen to share a sequence). `n_docs` counts the
+    * documents contributing tokens to the sequence; `doc_starts` lists
+    * each document-piece's 0-based offset (a document continuing from
+    * the previous sequence contributes offset 0). Zero extra plan cost
+    * over q97 — the piece rows already carry their global starts, so
+    * boundaries are one more projection of the same per-sequence sorted
+    * collect; the oracle re-derives offsets from the same prefix-sum
+    * coordinates it rebuilds the ids from. */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTable(s, dir)
+    val docs = T(s, dir, "documents")
+    val vocab = Bpe.vocabCached(docs, dir, "text", merges)
+    val ids = docs.select(col("doc_id"),
+      Bpe.tokenIds(col("text"), merges, vocab).as("ids"))
+    Packer.packTokenIds(s, ids, "doc_id", "ids", budgetTokens = 8192L,
+        withBoundaries = true)
+      .select(col("seq_id"), col("n_tokens"), col("n_docs"),
+        array_join(col("doc_starts"), " ").as("doc_starts"),
+        array_join(col("token_ids"), " ").as("token_ids"))
+      .orderBy(col("seq_id"))
+  }
+
   /** q76's perplexity filter RE-DENOMINATED IN BPE TOKENS — the real
     * CCNet shape (KenLM scores sentencepiece TOKENS, not words): the
     * add-one unigram LM is trained over, and each document's
@@ -1734,7 +1760,8 @@ object SparkEntry {
     "q98_bpe_fertility" -> q98 _,
     "q99_bpe_decontaminate" -> q99 _,
     "q100_bpe_byte_fallback" -> q100 _,
-    "q101_bpe_shuffled_pack" -> q101 _
+    "q101_bpe_shuffled_pack" -> q101 _,
+    "q102_bpe_pack_boundaries" -> q102 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -40,9 +40,22 @@ object Packer {
     * sequences in global `idCol` order. Input: `idCol`, `idsCol`
     * (array&lt;int&gt;). Empty documents are dropped (they own no tokens).
     * Output: `seq_id` (0-based), `n_tokens` (= budget except the tail),
-    * `token_ids` (array&lt;int&gt;). */
+    * `token_ids` (array&lt;int&gt;).
+    *
+    * `withBoundaries = true` adds the columns a trainer needs to build
+    * CROSS-DOCUMENT ATTENTION MASKS over packed sequences (the
+    * T5/LLaMA-style packing contract — without them, attention bleeds
+    * across the documents sharing a sequence): `n_docs` (documents with
+    * ≥1 token in this sequence) and `doc_starts` (array&lt;int&gt;, each
+    * document-piece's 0-based offset within the sequence, ascending;
+    * a document CONTINUING from the previous sequence contributes
+    * offset 0 — its continuation is a mask segment like any other).
+    * Zero extra plan cost: the piece rows already carry their global
+    * start, so boundaries are one more projection of the same
+    * per-sequence sorted collect. */
   def packTokenIds(spark: SparkSession, docs: DataFrame, idCol: String,
-                   idsCol: String, budgetTokens: Long): DataFrame = {
+                   idsCol: String, budgetTokens: Long,
+                   withBoundaries: Boolean = false): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     val B = budgetTokens
     val sized = docs
@@ -63,11 +76,21 @@ object Packer {
       .select(col("seq_id"), col("__pfrom"),
         slice(col("__ids"), (col("__pfrom") - col("__start") + 1).cast("int"),
           col("__plen").cast("int")).as("__pids"))
-    pieces.groupBy(col("seq_id"))
-      .agg(flatten(transform(
-          sort_array(collect_list(struct(col("__pfrom"), col("__pids")))),
-          p => p.getField("__pids"))).as("token_ids"))
-      .select(col("seq_id"),
+    val seqs = pieces.groupBy(col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("__pfrom"), col("__pids"))))
+        .as("__ps"))
+    val base = seqs
+      .withColumn("token_ids",
+        flatten(transform(col("__ps"), p => p.getField("__pids"))))
+    if (!withBoundaries)
+      base.select(col("seq_id"),
         size(col("token_ids")).as("n_tokens"), col("token_ids"))
+    else
+      base.select(col("seq_id"),
+        size(col("token_ids")).as("n_tokens"), col("token_ids"),
+        size(col("__ps")).as("n_docs"),
+        transform(col("__ps"),
+          p => (p.getField("__pfrom") - col("seq_id") * B).cast("int"))
+          .as("doc_starts"))
   }
 }

@@ -23,6 +23,27 @@ class PackerSpec extends SparkSpec {
       (2L, 3, Seq(9, 10, 11))))
   }
 
+  test("packTokenIds withBoundaries: per-sequence doc offsets for " +
+      "attention masking — continuations start at 0, tail ragged") {
+    // budget 4; docs a=[1,2,3] b=[4,5] c=[6] e=[7..11]
+    // seq0: a(0) b(3)      -> starts 0,3
+    // seq1: b-cont(0) c(1) e(2) -> starts 0,1,2
+    // seq2: e-cont(0)      -> starts 0
+    val docs = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5)), (3L, Seq(6)),
+      (5L, Seq(7, 8, 9, 10, 11)))
+      .toDF("doc_id", "ids")
+    val got = Packer.packTokenIds(spark, docs, "doc_id", "ids", 4L,
+        withBoundaries = true)
+      .orderBy("seq_id")
+      .select("seq_id", "n_tokens", "n_docs", "doc_starts", "token_ids")
+      .as[(Long, Int, Int, Seq[Int], Seq[Int])].collect().toSeq
+    assert(got == Seq(
+      (0L, 4, 2, Seq(0, 3), Seq(1, 2, 3, 4)),
+      (1L, 4, 3, Seq(0, 1, 2), Seq(5, 6, 7, 8)),
+      (2L, 3, 1, Seq(0), Seq(9, 10, 11))), s"got $got")
+  }
+
   test("packTokenIds: a hash ORDER KEY packs the seeded permutation — " +
       "document blocks reorder, nothing is lost or split differently") {
     // the q101 device: order by md5(seed || id) instead of id. Each
