@@ -69,19 +69,22 @@ out = {
         "stage_slopes_rich16_to_rich32": stage_last_doubling,
         "total_vs_r11": vs_r11,
         "note": (
-            "Fresh JVM per point, final round-12 code, quiet host. "
-            "rich32 (1.6M docs) is the new largest point. Total doubling "
-            "slopes 0.27/0.50/0.66 - every segment sublinear (r11 last "
-            "doubling was 0.985). The three stage rewrites behind it: "
-            "near_dedup (codegen bucket counting + touched-node-only CC), "
-            "span_rewrite (one hash-agg wk exchange + in-array rebuild of "
-            "affected docs), ppl_gate (local-LM zero-shuffle scorer; 66.3 "
-            "-> 12.2 s at rich32). Stage walls at rich32 wobble +-30% "
+            "Fresh JVM per point, FINAL round-12 code (incl. the "
+            "union-find CC fast path), quiet host: rich4/8/16/32 = "
+            "38.4/50.5/77.5/125.4 s vs r11's 72.1/93.7/185.5 - rich16 "
+            "-58%. rich32 (1.6M docs) is the new largest point. Total "
+            "doubling slopes 0.40/0.62/0.69 - every segment sublinear "
+            "(r11 last doubling was 0.985). The stage rewrites behind "
+            "it: near_dedup (single-pass bucket-member aggregation + "
+            "union-find CC on match-sized pair lists), span_rewrite "
+            "(one hash-agg wk exchange + in-array rebuild of affected "
+            "docs), ppl_gate (local-LM zero-shuffle scorer; 66.3 -> "
+            "~12 s at rich32). Stage walls at rich32 wobble +-30% "
             "run-to-run on this time-shared host (span_rewrite seen at "
             "23.2 and 33.7 s under identical code); the standalone "
             "fresh-JVM A/Bs below are the attributable per-operator "
-            "numbers, and the cross-round -53% at rich16 is far above "
-            "the noise floor."),
+            "numbers, and the cross-round deltas are far above the "
+            "noise floor."),
     },
     "standalone_operator_ab": {
         "dedup_clusters_rich8_min_sec": {"r11_code": 24.7, "r12_code": 14.4},
@@ -89,23 +92,30 @@ out = {
                                           "count_plus_semijoin_shape": 19.0},
         "remove_duplicate_spans_rich8_min_sec": {"r11_code": 8.1, "r12_code": 4.0},
         "ppl_gate_rich32_in_pipeline_sec": {"distributed": 66.3, "local_lm": 12.8},
+        "connected_components_union_find": {
+            "cc_step_rich16_sec": {"distributed_loop": 3.1, "union_find": 0.5},
+            "note": (
+                "748 edges across 800k docs: the distributed loop paid "
+                "~0.5 s of plan-compile + job overhead per round "
+                "regardless of graph size; under maxLocalEdges (4M, "
+                "bounded-metadata collect) edges resolve driver-side "
+                "with min-id union-find, pinned == the loop on "
+                "randomized graphs. With it, q53_dedup_clusters at the "
+                "sf0.1 bench dropped 2.06 (r11) -> 1.02 s."),
+        },
         "adversarial_testdata_tradeoff": {
-            "q53_dedup_clusters_sf01_min_sec": {"r11": 2.06, "r12": 2.58},
-            "q69_span_dedup_sf01_min_sec": {"r11": 0.64, "r12": 1.08},
+            "q69_span_dedup_sf01_min_sec": {"r11": 0.64, "r12": 0.84},
             "note": (
                 "The driver testdata documents table is a DEGENERATE "
-                "31-word-vocabulary corpus where nearly every window/"
-                "bucket is duplicated, so the new shapes' 'duplicated "
-                "minority' assumption is false there: the dup-key "
-                "probe frames are corpus-sized and the rebuild touches "
-                "every doc. Conscious tradeoff: <=1 s per query on the "
-                "degenerate fixture bought 1.7-2x on realistic-entropy "
-                "corpora (the 100 TB case). The two collect_list "
-                "variants were A/B'd on the fixture too: the single-"
-                "pass form (shipped) is the faster of the two there "
-                "(2.58 vs 2.93 on q53). Isolation noise on this host "
-                "is +-0.3 s (identical-code reruns of untouched q65/"
-                "q72 moved that much between windows)."),
+                "31-word-vocabulary corpus where nearly every window is "
+                "duplicated, so the span rewrite's 'duplicated minority' "
+                "assumption is false there: the dup-key probe frame is "
+                "corpus-sized. Conscious tradeoff: +0.2 s on q69 on the "
+                "degenerate fixture bought 2x on realistic-entropy "
+                "corpora (the 100 TB case). The dedup-family queries "
+                "that looked regressed mid-round recovered once the "
+                "union-find CC landed (q53 2.06 -> 1.02; q40/q65/q86 "
+                "level or better in the final anchor)."),
         },
         "note": (
             "3 reps per side, fresh JVM, min reported; outputs asserted "
