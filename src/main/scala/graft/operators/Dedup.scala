@@ -133,53 +133,76 @@ object Dedup {
 
   /** LSH banding: signature split into `bands` bands of k/bands rows; docs
     * sharing any band bucket become candidate pairs. Returns distinct
-    * (id_a, id_b) with id_a < id_b.
+    * (id_a, id_b) with id_a < id_b, EAGERLY materialized (the pair set
+    * is match-sized; eager checkpointing is what lets downstream
+    * consumers reuse it without re-running candidate generation — the
+    * [[minhashDedup]] discipline).
     *
-    * Shape (r12): ONE hash-aggregated exchange — buckets collapse to
-    * member lists (`collect_list`), single-member buckets (the vast
-    * majority of a real corpus: docs × bands rows, almost all unique)
-    * die in a `size >= 2` filter without ever being joined or sorted,
-    * and the i<j pair combinations generate INSIDE the surviving rows'
-    * arrays. The previous self-join formulation exchanged AND
-    * sort-merge-sorted the full docs × bands bucket frame twice, plus a
-    * third sorted window exchange for the cap — measured 12.8 s of
-    * rich8's 22 s dedupClusters wall for 748 final pairs; this
-    * aggregation shape does the same work in one exchange and makes the
-    * cap a free `size(members) <= cap` predicate (identical
-    * whole-bucket-drop semantics). Member lists are bounded by the cap
-    * (default 1000 -> at most ~500k pair structs per hot row,
-    * single-digit MB); with the cap DISABLED a pathological all-same
-    * corpus would build one giant list — the cap exists exactly so
-    * production never runs that way (see [[minhashDedup]]'s measured
-    * tradeoff). */
+    * Shape (r12, profiled step-by-step at rich16 — 800k docs, 25.6M
+    * bucket rows, 49.7k colliding):
+    *  1. one pass aggregates (count, min, max) per bucket — FIXED-WIDTH,
+    *     so the whole frame runs in the codegen HashAggregate (~4 s; a
+    *     direct `collect_list` here rode ObjectHashAggregate, whose
+    *     sort-based fallback after a few hundred map entries re-sorted
+    *     all 25.6M rows — measured ~14 s);
+    *  2. the colliding under-cap stats are CHECKPOINTED (match-sized,
+    *     and the exact leaf stats are what lets the membership join
+    *     broadcast — the lazy filter-on-aggregate alternative carries
+    *     the full agg stage's docs x bands estimate, which demoted that
+    *     join to a sort-merge re-exchange of the whole bucket frame);
+    *  3. 2-member buckets (the overwhelming majority of collisions)
+    *     emit their pair DIRECTLY as (min, max) — no membership at all;
+    *  4. only >= 3-member buckets get membership: a second linear
+    *     bucket derivation probed by the broadcast key frame, and the
+    *     object-based `collect_list` only ever sees those rows (pair
+    *     combinations generate inside the sorted member arrays, ids
+    *     distinct within a bucket by construction, lists bounded by the
+    *     cap — default 1000 -> at most ~500k pair structs per hot row).
+    * The bucket frame is deliberately NOT persisted: caching it was
+    * MEASURED slower than the one recompute it saves (columnar
+    * write+read of docs x bands rows vs re-running explode + xxhash64
+    * off the upstream cache). With the cap DISABLED a pathological
+    * all-same corpus still builds one giant member list — the cap
+    * exists exactly so production never runs that way (see
+    * [[minhashDedup]]'s measured tradeoff). */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
                         bands: Int, numHashes: Int,
                         maxBucketSize: Int = 1000): DataFrame = {
     val buckets = bandBuckets(signatures, idCol, bands, numHashes)
-    // ONE hash-aggregated exchange: buckets collapse straight to member
-    // lists; single-member buckets (the realistic-corpus majority) die
-    // in the size filter, over-cap buckets (boilerplate clusters) die
-    // with them. sort_array gives ascending members, so nested i<j
-    // generation emits (id_a < id_b) directly; ids are distinct within
-    // a bucket (one row per (id, band) by construction). The
-    // count-first + semi-join-back variant (detect hot keys with a
-    // codegen long-count agg, collect membership only for them) tied
-    // this shape at realistic entropy (19.0 vs 19.2 s at rich16) and
-    // lost on high-duplication corpora, where "colliding minority" is
-    // false and its second bucket derivation + big broadcast are pure
-    // overhead — so the single-pass form ships.
-    val members = buckets.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col(idCol))).as("__m"))
-      .filter(size(col("__m")) >= 2 &&
+    val stats = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"),
+        min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .filter(col("__n") >= 2 &&
         (if (maxBucketSize == Int.MaxValue) lit(true)
-         else size(col("__m")) <= maxBucketSize))
+         else col("__n") <= maxBucketSize))
+      .localCheckpoint(true)
+    val pairs2 = stats.filter(col("__n") === 2)
+      .select(col("__lo").as("id_a"), col("__hi").as("id_b"))
+    val bigKeys = stats.filter(col("__n") >= 3)
+      .select(col("band"), col("bucket"))
+    // EXPLICIT broadcast, guarded by an exact count (cheap: one scan of
+    // the checkpointed match-sized stats): the checkpoint's LogicalRDD
+    // carries no usable size estimate, so without the hint the planner
+    // assumes worst-case and demotes this probe to a sort-merge join
+    // that re-exchanges AND re-sorts the full docs x bands bucket frame
+    // (measured: 26 s vs 8 s for the whole candidate phase at rich16).
+    // Past the guard (an adversarial all-boilerplate corpus) the plain
+    // join degrades to that shuffle but completes — same policy as
+    // unigramCrossEntropy's vocabulary threshold.
+    val probeKeys =
+      if (bigKeys.count() <= 5000000L) broadcast(bigKeys) else bigKeys
+    val members = buckets.join(probeKeys, Seq("band", "bucket"), "leftsemi")
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("__m"))
     val m = col("__m")
-    members
+    val pairsBig = members
       .select(explode(flatten(transform(sequence(lit(1), size(m) - 1), i =>
         transform(slice(m, i + 1, size(m) - i), b =>
           struct(element_at(m, i).as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+    pairs2.unionByName(pairsBig)
       .distinct()
+      .localCheckpoint(true)
   }
 
   /** The `pairPartitions=0` sizing rule, factored out so the spec can pin

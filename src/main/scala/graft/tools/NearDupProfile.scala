@@ -45,6 +45,64 @@ object NearDupProfile {
         println("pairs=" + Dedup.lshCandidatePairs(sigs, "doc_id", bands,
           numHashes, cap).count())
         println(f"[ndprof] candidates-from-cached-sets ${(System.nanoTime() - t1) / 1e9}%7.2fs")
+      case "countagg" => // exchange+hash-agg floor: groupBy count only
+        val s = sets(); s.count()
+        val sigs = Dedup.minhashSignaturesFromSets(s, "doc_id", numHashes)
+        val t1 = System.nanoTime()
+        println("hot=" + Dedup.bandBuckets(sigs, "doc_id", bands, numHashes)
+          .groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count())
+        println(f"[ndprof] countagg-only ${(System.nanoTime() - t1) / 1e9}%7.2fs")
+      case "foldagg" => // same but single folded long key
+        val s = sets(); s.count()
+        val sigs = Dedup.minhashSignaturesFromSets(s, "doc_id", numHashes)
+        val rows = numHashes / bands
+        val bcols = (0 until bands).map(b =>
+          xxhash64(lit(b), slice(col("signature"), b * rows + 1, rows)))
+        val t1 = System.nanoTime()
+        println("hot=" + sigs
+          .select(col("doc_id"), explode(array(bcols: _*)).as("bk"))
+          .groupBy(col("bk")).agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).count())
+        println(f"[ndprof] foldagg-only ${(System.nanoTime() - t1) / 1e9}%7.2fs")
+      case "membersV2" => // count-first + broadcast semi-join + tiny collect
+        val s = sets(); s.count()
+        val sigs = Dedup.minhashSignaturesFromSets(s, "doc_id", numHashes)
+        val t1 = System.nanoTime()
+        val buckets = Dedup.bandBuckets(sigs, "doc_id", bands, numHashes)
+        val hot = buckets.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= 2 && col("__n") <= cap)
+          .select(col("band"), col("bucket"))
+        val collide = buckets.join(hot, Seq("band", "bucket"), "leftsemi")
+        val members = collide.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("__m"))
+        val m = col("__m")
+        val n = members
+          .select(explode(flatten(transform(sequence(lit(1), size(m) - 1), i =>
+            transform(slice(m, i + 1, size(m) - i), b =>
+              struct(element_at(m, i).as("id_a"), b.as("id_b")))))).as("p"))
+          .select(col("p.id_a"), col("p.id_b")).distinct().count()
+        println("pairs=" + n)
+        println(f"[ndprof] membersV2-only ${(System.nanoTime() - t1) / 1e9}%7.2fs")
+      case "v2steps" =>
+        val s = sets(); s.count()
+        val sigs = Dedup.minhashSignaturesFromSets(s, "doc_id", numHashes)
+        val buckets = Dedup.bandBuckets(sigs, "doc_id", bands, numHashes)
+        def tt[A](l: String)(f: => A): A = {
+          val t1 = System.nanoTime(); val r = f
+          println(f"[ndprof] $l%-28s ${(System.nanoTime() - t1) / 1e9}%7.2fs"); r
+        }
+        val hot = buckets.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") >= 2 && col("__n") <= cap)
+          .select(col("band"), col("bucket"))
+        tt("hot count")(println("  hot=" + hot.count()))
+        val collide = buckets.join(hot, Seq("band", "bucket"), "leftsemi")
+        tt("collide count")(println("  collide=" + collide.count()))
+        val members = collide.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("__m"))
+        tt("members count")(println("  members=" + members.count()))
       case "full" =>
         println("pairs=" + Dedup.minhashDedup(docs, "doc_id", "text",
           numHashes, bands, shingleN, threshold, cap).count())
