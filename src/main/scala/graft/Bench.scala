@@ -81,6 +81,11 @@ object Bench {
       case Some(names) => SparkEntry.benchQueries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.benchQueries
     }
+    // Validate the compact-key invariant against the registry BEFORE any
+    // query executes: failing after the full multi-rep run would throw
+    // away an entire (expensive) run's results (r12 ADVICE).
+    require(queries.iterator.map(_._1.takeWhile(_ != '_')).toSet.size == queries.size,
+      "bench query qNN prefixes must be unique for the compact stdout map")
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
@@ -151,8 +156,6 @@ object Bench {
     // ~4.6 KB against a capture window that holds roughly half that.
     // Compact keys cut each map ~2.4x; the file below keeps full names.
     def short(k: String): String = k.takeWhile(_ != '_')
-    require(results.keysIterator.map(short).toSet.size == results.size,
-      "bench query qNN prefixes must be unique for the compact stdout map")
     val qsShort = results.map { case (k, v) => s"\"" + short(k) + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
     val qminsShort = results.map { case (k, v) => s"\"" + short(k) + "\":" + fmt(v._2) }

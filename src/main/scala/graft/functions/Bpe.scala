@@ -365,6 +365,37 @@ object Bpe {
     m
   }
 
+  /** Load a complete tokenizer artifact (merges + vocab) from `path`,
+    * accepting BOTH on-disk layouts (r12 ADVICE: CorpusPipeline persisted
+    * `$outDir/tokenizer` + `$outDir/tokenizer_vocab` while curateStream
+    * expected `$path/{merges,vocab}`, so pointing one at the other's
+    * output failed at startup):
+    *  - unified (current): `$path/merges` + `$path/vocab`;
+    *  - legacy (pre-r13 CorpusPipeline): merges at `$path` itself, vocab
+    *    at the `${path}_vocab` sibling.
+    * Same loud re-validation as [[loadMerges]]/[[loadVocab]]. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (Seq[Merge], Seq[(String, Int)]) = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "merges")))
+      (loadMerges(spark, s"$path/merges"), loadVocab(spark, s"$path/vocab"))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(path + "_vocab")))
+      (loadMerges(spark, path), loadVocab(spark, path + "_vocab"))
+    else throw new IllegalArgumentException(
+      s"no tokenizer artifact at $path: expected $path/{merges,vocab} " +
+        s"(unified layout) or $path + ${path}_vocab (legacy layout)")
+  }
+
+  /** Persist a complete tokenizer artifact in the unified layout
+    * [[loadTokenizer]] reads first: `$path/merges` + `$path/vocab`. */
+  def saveTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[Merge], vocab: Seq[(String, Int)],
+                    path: String): Unit = {
+    saveMerges(spark, merges, s"$path/merges")
+    saveVocab(spark, vocab, s"$path/vocab")
+  }
+
   /** Persist a token-id vocabulary beside its merge table (same
     * single-file artifact contract as [[saveMerges]]). */
   def saveVocab(spark: org.apache.spark.sql.SparkSession,

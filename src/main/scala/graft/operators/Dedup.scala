@@ -176,21 +176,34 @@ object Dedup {
         (if (maxBucketSize == Int.MaxValue) lit(true)
          else col("__n") <= maxBucketSize))
       .localCheckpoint(true)
-    val pairs2 = stats.filter(col("__n") === 2)
+    // __lo =!= __hi: a duplicate doc id in the signatures frame (a
+    // violated-but-possible input contract) would otherwise emit a
+    // self-pair here, where the old self-join's id_a < id_b silently
+    // excluded it — keep the cheap filter so duplicate-id inputs degrade
+    // the same way as before (r12 ADVICE).
+    val pairs2 = stats.filter(col("__n") === 2 && col("__lo") =!= col("__hi"))
       .select(col("__lo").as("id_a"), col("__hi").as("id_b"))
     val bigKeys = stats.filter(col("__n") >= 3)
       .select(col("band"), col("bucket"))
-    // EXPLICIT broadcast, guarded by an exact count (cheap: one scan of
-    // the checkpointed match-sized stats): the checkpoint's LogicalRDD
-    // carries no usable size estimate, so without the hint the planner
-    // assumes worst-case and demotes this probe to a sort-merge join
-    // that re-exchanges AND re-sorts the full docs x bands bucket frame
-    // (measured: 26 s vs 8 s for the whole candidate phase at rich16).
-    // Past the guard (an adversarial all-boilerplate corpus) the plain
-    // join degrades to that shuffle but completes — same policy as
-    // unigramCrossEntropy's vocabulary threshold.
-    val probeKeys =
-      if (bigKeys.count() <= 5000000L) broadcast(bigKeys) else bigKeys
+    // One aggregate job over the checkpointed match-sized stats sizes the
+    // >=3-member branch: when NO bucket has 3+ members (the common clean
+    // corpus) the whole membership subtree is skipped — its empty join +
+    // object aggregate still schedule real stages otherwise.
+    val nBig = bigKeys.count()
+    if (nBig == 0) return pairs2.distinct().localCheckpoint(true)
+    // EXPLICIT broadcast under a byte-budget-derived bound: ~24 B per
+    // (band, bucket) key row -> 1M rows ≈ 24 MB raw, a few x that as a
+    // driver-built hashed relation — the conventional safe broadcast
+    // ceiling (the old 5M-row guard allowed hundreds of MB replicated to
+    // every executor; r12 ADVICE). The hint exists because the
+    // checkpoint's LogicalRDD carries no usable size estimate, so
+    // without it the planner assumes worst-case and demotes this probe
+    // to a sort-merge join that re-exchanges AND re-sorts the full docs
+    // x bands bucket frame (measured: 26 s vs 8 s for the whole
+    // candidate phase at rich16). Past the guard (an adversarial
+    // all-boilerplate corpus) the plain join degrades to that shuffle
+    // but completes — same policy as unigramCrossEntropy's threshold.
+    val probeKeys = if (nBig <= 1000000L) broadcast(bigKeys) else bigKeys
     val members = buckets.join(probeKeys, Seq("band", "bucket"), "leftsemi")
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("__m"))
@@ -200,6 +213,7 @@ object Dedup {
         transform(slice(m, i + 1, size(m) - i), b =>
           struct(element_at(m, i).as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+      .filter(col("id_a") =!= col("id_b"))
     pairs2.unionByName(pairsBig)
       .distinct()
       .localCheckpoint(true)
@@ -534,14 +548,29 @@ object Dedup {
     // millions of docs — and the distributed loop pays ~0.5 s of
     // plan-compile + job overhead PER ROUND regardless of graph size
     // (measured ~3 s for 748 edges at rich16). Under `maxLocalEdges`
-    // (bounded METADATA, the k-means-sums collect class: 4M edges =
-    // ~64 MB driver), collect the edges and run union-find with
-    // min-id canonicals locally — exactly the propagation loop's fixed
-    // point (DedupSpec pins local == distributed on randomized graphs).
-    // Bigger pair lists (boilerplate-heavy corpora) take the
-    // distributed pointer-jumping loop unchanged.
+    // (bounded METADATA, the k-means-sums collect class: 4M boxed
+    // (Long, Long) tuples ≈ 200-300 MB transient driver heap — well
+    // inside the driver sizing this engine assumes, and freed at method
+    // exit), collect the edges and run union-find with min-id canonicals
+    // locally — exactly the propagation loop's fixed point (DedupSpec
+    // pins local == distributed on randomized graphs). Bigger pair lists
+    // (boilerplate-heavy corpora) take the distributed pointer-jumping
+    // loop unchanged. GATED ON INTEGRAL ID TYPES: the local path rides a
+    // cast to long, which nulls out string ids (an opaque decode crash)
+    // and silently TRUNCATES fractional ids, potentially merging
+    // unrelated docs — non-integral ids take the distributed loop, which
+    // compares ids without conversion (r12 ADVICE).
+    val integralIds = {
+      import org.apache.spark.sql.types._
+      def ok(t: DataType) = t match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      ok(nodes.schema(idCol).dataType) &&
+        ok(p.schema("id_a").dataType) && ok(p.schema("id_b").dataType)
+    }
     val nEdges = p.count()
-    if (nEdges <= maxLocalEdges) {
+    if (nEdges <= maxLocalEdges && integralIds) {
       val spark = nodes.sparkSession
       import spark.implicits._
       val edges = p.select(col("id_a").cast("long"), col("id_b").cast("long"))

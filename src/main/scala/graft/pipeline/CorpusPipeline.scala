@@ -204,8 +204,10 @@ object CorpusPipeline {
     var tokenizerOk = false
     def tokenizerArtifacts(): (Seq[Bpe.Merge], Seq[(String, Int)]) = {
       if (!tokenizerOk) {
-        merges = Bpe.loadMerges(spark, s"$outDir/tokenizer")
-        vocab = Bpe.loadVocab(spark, s"$outDir/tokenizer_vocab")
+        // layout-tolerant: finds this run's unified layout OR a previous
+        // run's legacy pair (r12 ADVICE)
+        val (m, v) = Bpe.loadTokenizer(spark, s"$outDir/tokenizer")
+        merges = m; vocab = v
         tokenizerOk = true
       }
       (merges, vocab)
@@ -221,8 +223,9 @@ object CorpusPipeline {
       // batch — one day-2 code point the training corpus lacked must
       // tokenize as its bytes, not kill the ingest job
       vocab = Bpe.vocabMarkedBytes(in, "text", merges)
-      Bpe.saveMerges(spark, merges, s"$outDir/tokenizer")
-      Bpe.saveVocab(spark, vocab, s"$outDir/tokenizer_vocab")
+      // unified artifact layout ($outDir/tokenizer/{merges,vocab}) — the
+      // same path curateStream's tokenizerPath loads (r12 ADVICE)
+      Bpe.saveTokenizer(spark, merges, vocab, s"$outDir/tokenizer")
       tokenizerOk = true
       merges.size.toLong
     }

@@ -403,8 +403,11 @@ object StreamingIngest {
     // comparable within one artifact version — ship a new artifact at a
     // new path and restart.
     val tokenizer = if (tokenizerPath.isEmpty) None else {
-      val merges = graft.functions.Bpe.loadMerges(spark, s"$tokenizerPath/merges")
-      val vocab = graft.functions.Bpe.loadVocab(spark, s"$tokenizerPath/vocab")
+      // layout-tolerant load: accepts the unified $path/{merges,vocab}
+      // layout AND the legacy CorpusPipeline pair ($path + ${path}_vocab),
+      // so a stream can point straight at a pipeline's outDir/tokenizer
+      // from either era (r12 ADVICE)
+      val (merges, vocab) = graft.functions.Bpe.loadTokenizer(spark, tokenizerPath)
       require(vocab.exists(_._1.startsWith("\u0002")),
         s"tokenizer artifact at $tokenizerPath has a CLOSED vocabulary — " +
           "a stream needs the open byte-fallback layout (vocabMarkedBytes): " +

@@ -136,7 +136,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(summary.forall(_.ok))
 
     // the persisted artifact IS the table trained on s6_clean
-    val merges = Bpe.loadMerges(spark, s"$out/tokenizer")
+    val (merges, _) = Bpe.loadTokenizer(spark, s"$out/tokenizer")
     val s6 = spark.read.parquet(s"$out/s6_clean")
     assert(merges == Bpe.trainMergesLocal(s6, "text", 8, 2L))
     assert(summary.find(_.stage == "tokenizer").get.rows == merges.size.toLong)
@@ -150,7 +150,7 @@ class CorpusPipelineSpec extends SparkSpec {
 
     // the packed training file covers exactly the mixture's MARKED token
     // stream in doc order, full seqLen sequences except the ragged tail
-    val vm = spark.read.parquet(s"$out/tokenizer_vocab")
+    val vm = spark.read.parquet(s"$out/tokenizer/vocab")
       .select("token", "id").as[(String, Int)].collect().toMap
     val expected = s7.orderBy("doc_id")
       .select(col("doc_id"), Bpe.tokensMarked(col("text"), merges).as("ts"))
@@ -202,7 +202,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(summary.map(_.stage).contains("tokenizer"))
     assert(summary.filter(s => Set("mixture", "pack", "pack_ids",
       "shard").contains(s.stage)).forall(_.rows == 0L))
-    val merges = graft.functions.Bpe.loadMerges(spark, s"$out/tokenizer")
+    val merges = graft.functions.Bpe.loadTokenizer(spark, s"$out/tokenizer")._1
     assert(merges.isEmpty)
   }
 
@@ -215,8 +215,7 @@ class CorpusPipelineSpec extends SparkSpec {
       CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
         bpeMerges = 8))
     // the production restart path: a FRESH consumer loads the artifact…
-    val merges = Bpe.loadMerges(spark, s"$out/tokenizer")
-    val vocab = Bpe.loadVocab(spark, s"$out/tokenizer_vocab")
+    val (merges, vocab) = Bpe.loadTokenizer(spark, s"$out/tokenizer")
     // …and day-2 documents carry code points the training corpus lacked
     // (accents, CJK, an astral emoji) — under the open marked layout the
     // batch must encode AND reconstruct, not kill the ingest job
