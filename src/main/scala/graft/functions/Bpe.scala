@@ -83,10 +83,29 @@ object Bpe {
     * [[BpeKernel.words]] and the oracle's word snippet). */
   def words(text: Column): Column = TextFns.tokens(strip(text))
 
+  /** Pretokens of `text` under the FAITHFUL word model — the GPT-2-style
+    * tiling pre-tokenization ([[BpeKernel.pretokens]]): case and
+    * whitespace PRESERVED, a single leading space attaching to the
+    * letter/digit/punctuation run that follows it, every other
+    * whitespace run its own pretoken. Concatenating the array
+    * reconstructs [[strip]](text) exactly — the property that makes the
+    * faithful id stream decodable back to the original text, which the
+    * lowercasing word model is not (r12 verdict: the packed training
+    * file erased case and whitespace). */
+  def pretokens(text: Column): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      BpePretokensExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(text)))
+
+  /** Words of `text` under the selected model. */
+  def words(text: Column, faithful: Boolean): Column =
+    if (faithful) pretokens(text) else words(text)
+
   /** (word, cnt) vocabulary frame — the single corpus-sized job of
     * training. */
-  def wordCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(words(col(textCol))).as("word"))
+  def wordCounts(df: DataFrame, textCol: String,
+                 faithful: Boolean = false): DataFrame =
+    df.select(explode(words(col(textCol), faithful)).as("word"))
       .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
 
   /** DISTRIBUTED-fallback greedy BPE training: `numMerges` rounds of
@@ -100,10 +119,10 @@ object Bpe {
     * O(numMerges × vocab-tokens) — which is fine at tens of merges and
     * days of job overhead at tokenizer-real 30k+. */
   def trainMerges(df: DataFrame, textCol: String, numMerges: Int,
-                  minCount: Long = 2L): Seq[Merge] = {
+                  minCount: Long = 2L, faithful: Boolean = false): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    var vocab = wordCounts(df, textCol)
+    var vocab = wordCounts(df, textCol, faithful)
       .select(col("cnt"),
         regexp_replace(col("word"), "(?s)(.)", SepL + "$1" + SepR).as("sym"))
       .localCheckpoint(true)
@@ -174,10 +193,11 @@ object Bpe {
     * maintenance, so 30k-100k-merge tokenizers train with zero
     * per-round Spark jobs (tools/BpeTrainScale measures it). */
   def trainMergesLocal(df: DataFrame, textCol: String, numMerges: Int,
-                       minCount: Long = 2L): Seq[Merge] = {
+                       minCount: Long = 2L,
+                       faithful: Boolean = false): Seq[Merge] = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
-    val vocab = wordCounts(df, textCol).collect()
+    val vocab = wordCounts(df, textCol, faithful).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     trainMergesOnVocab(vocab, numMerges, minCount)
   }
@@ -296,7 +316,7 @@ object Bpe {
   }
 
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long), Seq[Merge]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Long, Boolean), Seq[Merge]]()
 
   /** [[trainMergesLocal]] memoized per (corpus dir, textCol, numMerges,
     * minCount) for the life of the JVM — the train-once-reuse-everywhere
@@ -304,12 +324,13 @@ object Bpe {
     * testdata dirs); a live lake should train explicitly and version the
     * table. */
   def trainMergesCached(df: DataFrame, dirKey: String, textCol: String,
-                        numMerges: Int, minCount: Long = 2L): Seq[Merge] =
-    cache.computeIfAbsent((dirKey, textCol, numMerges, minCount),
-      _ => trainMergesLocal(df, textCol, numMerges, minCount))
+                        numMerges: Int, minCount: Long = 2L,
+                        faithful: Boolean = false): Seq[Merge] =
+    cache.computeIfAbsent((dirKey, textCol, numMerges, minCount, faithful),
+      _ => trainMergesLocal(df, textCol, numMerges, minCount, faithful))
 
   private val vocabMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Seq[Merge]),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Seq[Merge], Boolean),
       Seq[(String, Int)]]
 
   /** [[vocab]] memoized per (corpus dir, textCol, merge-table VALUE)
@@ -323,10 +344,11 @@ object Bpe {
     * (r11 ADVICE). The tables are KB-sized; full-value keys cost
     * nothing. */
   def vocabCached(df: DataFrame, dirKey: String, textCol: String,
-                  merges: Seq[Merge]): Seq[(String, Int)] =
+                  merges: Seq[Merge],
+                  faithful: Boolean = false): Seq[(String, Int)] =
     vocabMemo.computeIfAbsent(
-      (dirKey, textCol, merges),
-      _ => vocab(df, textCol, merges))
+      (dirKey, textCol, merges, faithful),
+      _ => vocab(df, textCol, merges, faithful))
 
   /** Persist a trained merge table as a parquet artifact — the
     * production contract: train ONCE, version the table, apply it from
@@ -365,35 +387,70 @@ object Bpe {
     m
   }
 
-  /** Load a complete tokenizer artifact (merges + vocab) from `path`,
-    * accepting BOTH on-disk layouts (r12 ADVICE: CorpusPipeline persisted
-    * `$outDir/tokenizer` + `$outDir/tokenizer_vocab` while curateStream
-    * expected `$path/{merges,vocab}`, so pointing one at the other's
-    * output failed at startup):
-    *  - unified (current): `$path/merges` + `$path/vocab`;
+  /** Word-model tags persisted in a tokenizer artifact's meta table —
+    * the encode/decode semantics are NOT recoverable from merges+vocab
+    * alone, so a consumer must be told which model trained the table. */
+  val ModelWordMarked = "word_marked"
+  val ModelFaithful = "faithful"
+
+  /** A loaded tokenizer artifact: merge table, vocabulary, and the word
+    * model it was trained under ([[ModelWordMarked]]/[[ModelFaithful]]). */
+  final case class Tokenizer(merges: Seq[Merge], vocab: Seq[(String, Int)],
+                             model: String) {
+    def faithful: Boolean = model == ModelFaithful
+  }
+
+  /** Load a complete tokenizer artifact (merges + vocab + model tag)
+    * from `path`, accepting BOTH on-disk layouts (r12 ADVICE:
+    * CorpusPipeline persisted `$outDir/tokenizer` + `$outDir/tokenizer_vocab`
+    * while curateStream expected `$path/{merges,vocab}`, so pointing one
+    * at the other's output failed at startup):
+    *  - unified (current): `$path/{merges,vocab,meta}`;
     *  - legacy (pre-r13 CorpusPipeline): merges at `$path` itself, vocab
-    *    at the `${path}_vocab` sibling.
-    * Same loud re-validation as [[loadMerges]]/[[loadVocab]]. */
+    *    at the `${path}_vocab` sibling (always the marked word model —
+    *    the faithful model postdates the layout).
+    * Same loud re-validation as [[loadMerges]]/[[loadVocab]]; an
+    * unrecognized model tag fails loudly (encoding under the wrong word
+    * model silently mis-tokenizes everything). */
   def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
-                    path: String): (Seq[Merge], Seq[(String, Int)]) = {
+                    path: String): Tokenizer = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path, "merges")))
-      (loadMerges(spark, s"$path/merges"), loadVocab(spark, s"$path/vocab"))
-    else if (fs.exists(new org.apache.hadoop.fs.Path(path + "_vocab")))
-      (loadMerges(spark, path), loadVocab(spark, path + "_vocab"))
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "merges"))) {
+      val model =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(path, "meta")))
+          ModelWordMarked // pre-meta unified artifacts were marked-word
+        else {
+          val kv = spark.read.parquet(s"$path/meta")
+            .select(col("key"), col("value")).collect()
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+          kv.getOrElse("model", ModelWordMarked)
+        }
+      require(model == ModelWordMarked || model == ModelFaithful,
+        s"tokenizer artifact at $path carries unknown word model '$model'")
+      Tokenizer(loadMerges(spark, s"$path/merges"),
+        loadVocab(spark, s"$path/vocab"), model)
+    } else if (fs.exists(new org.apache.hadoop.fs.Path(path + "_vocab")))
+      Tokenizer(loadMerges(spark, path), loadVocab(spark, path + "_vocab"),
+        ModelWordMarked)
     else throw new IllegalArgumentException(
       s"no tokenizer artifact at $path: expected $path/{merges,vocab} " +
         s"(unified layout) or $path + ${path}_vocab (legacy layout)")
   }
 
   /** Persist a complete tokenizer artifact in the unified layout
-    * [[loadTokenizer]] reads first: `$path/merges` + `$path/vocab`. */
+    * [[loadTokenizer]] reads first: `$path/{merges,vocab,meta}`. */
   def saveTokenizer(spark: org.apache.spark.sql.SparkSession,
                     merges: Seq[Merge], vocab: Seq[(String, Int)],
-                    path: String): Unit = {
+                    path: String, model: String = ModelWordMarked): Unit = {
+    require(model == ModelWordMarked || model == ModelFaithful,
+      s"unknown word model '$model'")
     saveMerges(spark, merges, s"$path/merges")
     saveVocab(spark, vocab, s"$path/vocab")
+    import spark.implicits._
+    Seq(("model", model), ("format", "1"))
+      .toDF("key", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Persist a token-id vocabulary beside its merge table (same
@@ -426,18 +483,20 @@ object Bpe {
 
   /** Tokenizer-faithful token count of `text` under `merges` (native
     * codegen expression; null text -> 0). */
-  def tokenCount(text: Column, merges: Seq[Merge]): Column =
+  def tokenCount(text: Column, merges: Seq[Merge],
+                 faithful: Boolean = false): Column =
     org.apache.spark.sql.graft.ExprBridge.column(
       BpeTokenCountExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(text),
-        merges.map(m => (m.left, m.right))))
+        merges.map(m => (m.left, m.right)), faithful))
 
   /** BPE tokens of `text` under `merges` (`array<string>`, in order). */
-  def tokens(text: Column, merges: Seq[Merge]): Column =
+  def tokens(text: Column, merges: Seq[Merge],
+             faithful: Boolean = false): Column =
     org.apache.spark.sql.graft.ExprBridge.column(
       BpeTokensExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(text),
-        merges.map(m => (m.left, m.right))))
+        merges.map(m => (m.left, m.right)), faithful))
 
   /** Deterministic token-id vocabulary for `merges` over `df`'s corpus:
     * ids 0..|A|-1 are the corpus ALPHABET — every distinct
@@ -453,9 +512,10 @@ object Bpe {
     * table. Fails loudly if two merges produce the same string (e.g.
     * (a, bc) and (ab, c) both yielding "abc"): such a table would make
     * string-keyed ids ambiguous. */
-  def vocab(df: DataFrame, textCol: String, merges: Seq[Merge]): Seq[(String, Int)] = {
+  def vocab(df: DataFrame, textCol: String, merges: Seq[Merge],
+            faithful: Boolean = false): Seq[(String, Int)] = {
     val alpha = df
-      .select(explode(tokens(col(textCol), Nil)).as("c"))
+      .select(explode(tokens(col(textCol), Nil, faithful)).as("c"))
       .distinct().collect().map(_.getString(0))
       .sortWith(cpCompare(_, _) < 0)
     val toks = alpha.toSeq ++ merges.map(m => m.left + m.right)
@@ -549,6 +609,45 @@ object Bpe {
         org.apache.spark.sql.graft.ExprBridge.expression(text),
         merges.map(m => (m.left, m.right)), vocab, markShift = 0,
         byteBase = byteLayout(vocab)))
+
+  /** Token IDS under the FAITHFUL word model: case- and
+    * whitespace-preserving pretokens ([[pretokens]]), encoded and mapped
+    * through an UNMARKED vocabulary in one kernel call. No word-initial
+    * twin exists — a pretoken carries its own leading space, so the flat
+    * id stream concatenates back to the exact original text (modulo the
+    * documented U+0001/U+0002 strip), byte-fallback runs included. This
+    * is the layout a training file that must reproduce its documents
+    * BYTE-FOR-BYTE stores (the GPT-2 contract; the marked lowercasing
+    * stream only ever round-trips its word model). */
+  def tokenIdsFaithful(text: Column, merges: Seq[Merge],
+                       vocab: Seq[(String, Int)]): Column = {
+    require(vocab.forall(e => !e._1.startsWith(SepL)),
+      "tokenIdsFaithful expects an UNMARKED vocabulary (vocab/vocabBytes " +
+        "derived with faithful = true): the faithful stream has no " +
+        "word-initial twins")
+    org.apache.spark.sql.graft.ExprBridge.column(
+      BpeTokenIdsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(text),
+        merges.map(m => (m.left, m.right)), vocab, markShift = 0,
+        byteBase = byteLayout(vocab), faithful = true))
+  }
+
+  /** Inverse of [[tokenIdsFaithful]] (and of any flat unmarked
+    * [[tokenIds]] stream): pieces concatenate verbatim — no marker, no
+    * space insertion — and UTF-8 byte-fallback runs reassemble.
+    * `decodeIdsFlat(tokenIdsFaithful(text)) == strip(text)` EXACTLY, for
+    * any input under a byte-fallback vocabulary (pinned in BpeSpec).
+    * Under the faithful decode any id outside the vocabulary throws
+    * (artifact corruption) — there is no twin range to misread it as. */
+  def decodeIdsFlat(ids: Column, vocab: Seq[(String, Int)]): Column = {
+    require(vocab.forall(e => !e._1.startsWith(SepL)),
+      "decodeIdsFlat expects an UNMARKED vocabulary")
+    org.apache.spark.sql.graft.ExprBridge.column(
+      BpeDecodeIdsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(ids),
+        vocab, markShift = vocab.size, byteBase = byteLayout(vocab),
+        marked = false))
+  }
 
   // ------------------------------------------------ decodable variants
   //

@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `merges` is a Seq (not Array) so case-class equality — which Catalyst
   * uses for subexpression elimination and plan matching — is structural.
   * Null text -> 0, never null. */
-case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)],
+                             faithful: Boolean = false)
   extends UnaryExpression {
 
   @transient private lazy val ranks = new BpeRanks(merges.toArray)
@@ -36,7 +37,8 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     BpeKernel.tokenCount(
-      if (v == null) null else v.asInstanceOf[UTF8String].toString, ranks)
+      if (v == null) null else v.asInstanceOf[UTF8String].toString, ranks,
+      faithful)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -46,7 +48,7 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
       code = code"""
         ${c.code}
         long ${ev.value} = graft.functions.BpeKernel.tokenCount(
-          ${c.isNull} ? null : ${c.value}.toString(), $ref);
+          ${c.isNull} ? null : ${c.value}.toString(), $ref, $faithful);
       """,
       isNull = FalseLiteral)
   }
@@ -59,7 +61,8 @@ case class BpeTokenCountExpr(child: Expression, merges: Seq[(String, String)])
   * (`array<string>`, word-order preserved) — the materializing form for
   * downstream packing/chunking. Null/blank text -> EMPTY array, never
   * null. */
-case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
+case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)],
+                         faithful: Boolean = false)
   extends UnaryExpression {
 
   @transient private lazy val ranks = new BpeRanks(merges.toArray)
@@ -77,7 +80,8 @@ case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     BpeKernel.tokens(
-      if (v == null) null else v.asInstanceOf[UTF8String].toString, ranks)
+      if (v == null) null else v.asInstanceOf[UTF8String].toString, ranks,
+      faithful)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -88,7 +92,7 @@ case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.functions.BpeKernel.tokens(
-            ${c.isNull} ? null : ${c.value}.toString(), $ref);
+            ${c.isNull} ? null : ${c.value}.toString(), $ref, $faithful);
       """,
       isNull = FalseLiteral)
   }
@@ -110,7 +114,7 @@ case class BpeTokensExpr(child: Expression, merges: Seq[(String, String)])
   * -1 = closed vocabulary, any miss throws. */
 case class BpeTokenIdsExpr(child: Expression, merges: Seq[(String, String)],
                            vocab: Seq[(String, Int)], markShift: Int,
-                           byteBase: Int)
+                           byteBase: Int, faithful: Boolean = false)
   extends UnaryExpression {
 
   @transient private lazy val ranks = new BpeRanks(merges.toArray)
@@ -134,7 +138,7 @@ case class BpeTokenIdsExpr(child: Expression, merges: Seq[(String, String)],
     val v = child.eval(input)
     BpeKernel.tokenIds(
       if (v == null) null else v.asInstanceOf[UTF8String].toString,
-      ranks, vmap, markShift, byteBase)
+      ranks, vmap, markShift, byteBase, faithful)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -146,7 +150,7 @@ case class BpeTokenIdsExpr(child: Expression, merges: Seq[(String, String)],
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.functions.BpeKernel.tokenIds(
-            ${c.isNull} ? null : ${c.value}.toString(), $ref, $vref, $markShift, $byteBase);
+            ${c.isNull} ? null : ${c.value}.toString(), $ref, $vref, $markShift, $byteBase, $faithful);
       """,
       isNull = FalseLiteral)
   }
@@ -163,7 +167,8 @@ case class BpeTokenIdsExpr(child: Expression, merges: Seq[(String, String)],
   * decode) pays GetMapValue's linear scan per token AND cannot
   * reassemble byte runs at all. Null ids -> null. */
 case class BpeDecodeIdsExpr(child: Expression, vocab: Seq[(String, Int)],
-                            markShift: Int, byteBase: Int)
+                            markShift: Int, byteBase: Int,
+                            marked: Boolean = true)
   extends UnaryExpression {
 
   @transient private lazy val rev: Array[String] = {
@@ -187,15 +192,55 @@ case class BpeDecodeIdsExpr(child: Expression, vocab: Seq[(String, Int)],
     if (v == null) null
     else BpeKernel.decodeIds(
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      rev, markShift, byteBase)
+      rev, markShift, byteBase, marked)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val rref = ctx.addReferenceObj("bpeRev", rev, "java.lang.String[]")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.BpeKernel.decodeIds($c, $rref, $markShift, $byteBase);")
+      s"${ev.value} = graft.functions.BpeKernel.decodeIds($c, $rref, $markShift, $byteBase, $marked);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeDecodeIdsExpr =
+    copy(child = newChild)
+}
+
+/** Pretokens of `text` under the FAITHFUL word model
+  * ([[BpeKernel.pretokens]]): the tiling pre-tokenization whose
+  * concatenation reproduces the (U+0001/U+0002-stripped) text exactly.
+  * Used by the faithful trainer's word-count shuffle and the faithful
+  * alphabet derivation; same codegen-reference-free static-call shape as
+  * the other kernels. Null text -> EMPTY array, never null. */
+case class BpePretokensExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bpe_pretokens expects a STRING child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(DataTypes.StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bpe_pretokens"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    BpeKernel.pretokensData(
+      if (v == null) null else v.asInstanceOf[UTF8String].toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.BpeKernel.pretokensData(
+            ${c.isNull} ? null : ${c.value}.toString());
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpePretokensExpr =
     copy(child = newChild)
 }

@@ -127,6 +127,80 @@ object BpeKernel {
 
   private val Ws = "\\s+".r.pattern
 
+  /** Character classes of the FAITHFUL pre-tokenizer, defined on explicit
+    * code-point ranges (never on `\p{L}`-style Unicode categories, whose
+    * tables differ across regex engines and versions — the oracle's RE2
+    * and this scanner must agree on every input):
+    *  - whitespace: the engine-canonical explicit class [ \t\n\x0B\f\r];
+    *  - digits: 0-9;
+    *  - letters: A-Z, a-z, and EVERY code point >= 0x80 (one
+    *    "letter-like" class for all non-ASCII — deterministic and
+    *    engine-portable; splitting non-ASCII punctuation from non-ASCII
+    *    letters would re-introduce the category-table dependency);
+    *  - punctuation: everything else (ASCII punctuation + the C0
+    *    controls that survive the U+0001/U+0002 strip + DEL). */
+  private def wsClass(c: Int): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+  private def clazz(c: Int): Int =
+    if (wsClass(c)) 0
+    else if (c >= '0' && c <= '9') 2
+    else if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || c >= 0x80) 1
+    else 3
+
+  /** FAITHFUL pre-tokenization (the GPT-2 device, lookahead-free): strip
+    * U+0001/U+0002, then split the text into a TILING of pretokens —
+    * their concatenation IS the stripped text, which is what makes the
+    * id stream decodable back to the original bytes (case and whitespace
+    * included), unlike the lowercasing word model. Equivalent to the
+    * leftmost-first regex
+    * {{{ ?[letter]+| ?[0-9]+| ?[punct]+|[ws]+}}}
+    * (classes above): a single space directly followed by a non-ws
+    * character attaches to that character's run (" word", " 123",
+    * " ,."), any other whitespace run is its own pretoken, and every
+    * other maximal same-class run stands alone. BpeSpec pins this
+    * scanner against a literal Java-regex implementation of the pattern;
+    * the oracle replays the same pattern in RE2 (leftmost-first
+    * alternation and greedy quantifiers agree across the two engines on
+    * this lookaround-free pattern). */
+  def pretokens(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c != '\u0001' && c != '\u0002') sb.append(c)
+      i += 1
+    }
+    val s = sb.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = 0
+    val n = s.length
+    while (p < n) {
+      val start = p
+      val c0 = s.codePointAt(p)
+      var runClass = clazz(c0)
+      if (c0 == ' ' && p + 1 < n && !wsClass(s.codePointAt(p + 1))) {
+        // attached leading space: the run class is the FOLLOWING char's
+        runClass = clazz(s.codePointAt(p + 1))
+        p += 1
+      } else if (runClass == 0) {
+        // maximal whitespace run (greedy — includes any space before the
+        // next word, matching the lookahead-free regex)
+        p += Character.charCount(c0)
+        while (p < n && wsClass(s.codePointAt(p))) p += Character.charCount(s.codePointAt(p))
+        out += s.substring(start, p)
+        runClass = -1 // emitted
+      }
+      if (runClass >= 0) {
+        // maximal run of runClass starting at p
+        while (p < n && clazz(s.codePointAt(p)) == runClass)
+          p += Character.charCount(s.codePointAt(p))
+        out += s.substring(start, p)
+      }
+    }
+    out.toArray
+  }
+
   /** Words of `text` under the shared BPE word model. Lowercasing goes
     * through UTF8String — the SAME implementation Spark's `lower()`
     * Column uses — so the kernel can never disagree with the Column-based
@@ -148,9 +222,17 @@ object BpeKernel {
       .filter(_.nonEmpty)
   }
 
+  /** Words of `text` under the selected model: the shared lowercasing
+    * whitespace model, or the FAITHFUL pre-tokenization ([[pretokens]]). */
+  def words(text: String, faithful: Boolean): Array[String] =
+    if (faithful) pretokens(text) else words(text)
+
   /** Total BPE token count of `text` (0 for null/blank). */
-  def tokenCount(text: String, ranks: BpeRanks): Long = {
-    val ws = words(text)
+  def tokenCount(text: String, ranks: BpeRanks): Long =
+    tokenCount(text, ranks, faithful = false)
+
+  def tokenCount(text: String, ranks: BpeRanks, faithful: Boolean): Long = {
+    val ws = words(text, faithful)
     var total = 0L
     var i = 0
     while (i < ws.length) { total += ranks.encode(ws(i)).length; i += 1 }
@@ -181,8 +263,13 @@ object BpeKernel {
     * wiring bug). */
   def tokenIds(text: String, ranks: BpeRanks,
                vocab: java.util.HashMap[String, Integer],
-               markShift: Int, byteBase: Int): ArrayData = {
-    val ws = words(text)
+               markShift: Int, byteBase: Int): ArrayData =
+    tokenIds(text, ranks, vocab, markShift, byteBase, faithful = false)
+
+  def tokenIds(text: String, ranks: BpeRanks,
+               vocab: java.util.HashMap[String, Integer],
+               markShift: Int, byteBase: Int, faithful: Boolean): ArrayData = {
+    val ws = words(text, faithful)
     val buf = new scala.collection.mutable.ArrayBuffer[Int](ws.length * 2)
     var i = 0
     while (i < ws.length) {
@@ -225,7 +312,15 @@ object BpeKernel {
     * one bad row. Ids outside [0, 2*markShift) throw: that is artifact
     * corruption, not data. */
   def decodeIds(ids: ArrayData, rev: Array[String], markShift: Int,
-                byteBase: Int): UTF8String = {
+                byteBase: Int): UTF8String =
+    decodeIds(ids, rev, markShift, byteBase, marked = true)
+
+  /** `marked = false` is the FAITHFUL decode: no word-initial twin range
+    * exists (pretokens carry their own whitespace), so pieces concatenate
+    * verbatim and ANY id >= markShift is artifact corruption — under the
+    * marked decode such an id would silently read as a twin instead. */
+  def decodeIds(ids: ArrayData, rev: Array[String], markShift: Int,
+                byteBase: Int, marked: Boolean): UTF8String = {
     val n = ids.numElements()
     val sb = new java.lang.StringBuilder(n * 4)
     val run = new java.io.ByteArrayOutputStream()
@@ -236,7 +331,7 @@ object BpeKernel {
     var i = 0
     while (i < n) {
       var id = ids.getInt(i)
-      if (id >= markShift && id < 2 * markShift) {
+      if (marked && id >= markShift && id < 2 * markShift) {
         // word-initial twin: flush any byte run, open a new word
         flush()
         if (sb.length > 0) sb.append(' ')
@@ -254,9 +349,23 @@ object BpeKernel {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Pretokens of `text` as Catalyst array data (the faithful word
+    * model's corpus-scan form, for training word counts and alphabet
+    * derivation). */
+  def pretokensData(text: String): ArrayData = {
+    val ps = pretokens(text)
+    val buf = new Array[AnyRef](ps.length)
+    var i = 0
+    while (i < ps.length) { buf(i) = UTF8String.fromString(ps(i)); i += 1 }
+    new GenericArrayData(buf)
+  }
+
   /** All BPE tokens of `text`, in order (empty array for null/blank). */
-  def tokens(text: String, ranks: BpeRanks): ArrayData = {
-    val ws = words(text)
+  def tokens(text: String, ranks: BpeRanks): ArrayData =
+    tokens(text, ranks, faithful = false)
+
+  def tokens(text: String, ranks: BpeRanks, faithful: Boolean): ArrayData = {
+    val ws = words(text, faithful)
     val buf = new scala.collection.mutable.ArrayBuffer[AnyRef](ws.length * 2)
     var i = 0
     while (i < ws.length) {

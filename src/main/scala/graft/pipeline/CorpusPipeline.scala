@@ -76,7 +76,16 @@ object CorpusPipeline {
       // text before a tokenizer exists, and training the tokenizer on
       // pre-curation text would bake noise into the vocabulary.
       bpeMerges: Int = 0,
-      bpeMinCount: Long = 2L)
+      bpeMinCount: Long = 2L,
+      // word model of the trained tokenizer. true (default) = the
+      // FAITHFUL model: case- and whitespace-preserving GPT-2-style
+      // pretokens, UNMARKED open vocabulary — the packed training file
+      // (s8b_packed_ids) decodes back to the EXACT curated document
+      // text, byte for byte (the r12 verdict's fidelity gap: the
+      // lowercasing word model could only ever reproduce a monocase
+      // single-spaced word stream). false = the legacy marked word
+      // model (kept for comparability with the r11/r12 anchors).
+      bpeFaithful: Boolean = true)
 
   /** Runs the full curation sequence over `docs` (doc_id, text, source).
     * `benchmark` is the decontamination reference (any frame with a text
@@ -199,34 +208,40 @@ object CorpusPipeline {
     // per-codepoint counts (r11 ADVICE, medium). When the flag is down,
     // downstream stages RELOAD the persisted artifact from a previous
     // run — the restart path — and fail loudly if none exists.
-    var merges: Seq[Bpe.Merge] = Nil
-    var vocab: Seq[(String, Int)] = Nil
-    var tokenizerOk = false
-    def tokenizerArtifacts(): (Seq[Bpe.Merge], Seq[(String, Int)]) = {
-      if (!tokenizerOk) {
+    var tok: Bpe.Tokenizer = null
+    def tokenizerArtifacts(): Bpe.Tokenizer = {
+      if (tok == null)
         // layout-tolerant: finds this run's unified layout OR a previous
-        // run's legacy pair (r12 ADVICE)
-        val (m, v) = Bpe.loadTokenizer(spark, s"$outDir/tokenizer")
-        merges = m; vocab = v
-        tokenizerOk = true
-      }
-      (merges, vocab)
+        // run's legacy pair (r12 ADVICE); the meta tag says which word
+        // model trained it — encoding under the wrong model would
+        // silently mis-tokenize, so the tag travels with the artifact
+        tok = Bpe.loadTokenizer(spark, s"$outDir/tokenizer")
+      tok
     }
     if (cfg.bpeMerges > 0) stage("tokenizer") {
       val in = read("s6_clean")
-      merges = Bpe.trainMergesLocal(in, "text", cfg.bpeMerges, cfg.bpeMinCount)
-      // the MARKED OPEN vocabulary: every token + its word-initial twin
-      // (the GPT-2 device — the packed training file below must be
-      // decodable back to documents, which the unmarked flat stream is
-      // not) over the byte-fallback layout (ids 0..255 reserved for
-      // UTF-8 bytes), so the PERSISTED artifact can encode any future
-      // batch — one day-2 code point the training corpus lacked must
-      // tokenize as its bytes, not kill the ingest job
-      vocab = Bpe.vocabMarkedBytes(in, "text", merges)
-      // unified artifact layout ($outDir/tokenizer/{merges,vocab}) — the
-      // same path curateStream's tokenizerPath loads (r12 ADVICE)
-      Bpe.saveTokenizer(spark, merges, vocab, s"$outDir/tokenizer")
-      tokenizerOk = true
+      val model =
+        if (cfg.bpeFaithful) Bpe.ModelFaithful else Bpe.ModelWordMarked
+      val merges = Bpe.trainMergesLocal(in, "text", cfg.bpeMerges,
+        cfg.bpeMinCount, faithful = cfg.bpeFaithful)
+      // OPEN vocabulary either way (byte-fallback layout, ids 0..255
+      // reserved for UTF-8 bytes): the PERSISTED artifact must encode
+      // any future batch — one day-2 code point the training corpus
+      // lacked must tokenize as its bytes, not kill the ingest job.
+      //  - faithful: UNMARKED — pretokens carry their own case and
+      //    whitespace, so the flat id stream already decodes to the
+      //    exact text;
+      //  - word model: MARKED (every token + its word-initial twin, the
+      //    GPT-2 device) — without the marker the flat stream is not
+      //    decodable at all.
+      val vocab =
+        if (cfg.bpeFaithful)
+          Bpe.vocabBytesFrom(Bpe.vocab(in, "text", merges, faithful = true))
+        else Bpe.vocabMarkedBytes(in, "text", merges)
+      // unified artifact layout ($outDir/tokenizer/{merges,vocab,meta}) —
+      // the same path curateStream's tokenizerPath loads (r12 ADVICE)
+      Bpe.saveTokenizer(spark, merges, vocab, s"$outDir/tokenizer", model)
+      tok = Bpe.Tokenizer(merges, vocab, model)
       merges.size.toLong
     }
 
@@ -235,10 +250,11 @@ object CorpusPipeline {
       // bpeMerges > 0: the budget below means what a training run means
       // by "tokens" — re-denominate with the in-scan encode expression
       // (artifact reloaded if the tokenizer stage didn't run this run)
-      val in = if (cfg.bpeMerges > 0)
+      val in = if (cfg.bpeMerges > 0) {
+        val t = tokenizerArtifacts()
         in0.withColumn("n_tokens",
-          Bpe.tokenCount(col("text"), tokenizerArtifacts()._1))
-      else in0
+          Bpe.tokenCount(col("text"), t.merges, t.faithful))
+      } else in0
       // equal per-source weights: budget splits evenly across the sources
       // present (the q64 machinery with weight=1 for each)
       val nSources = in.select(col("source")).distinct().count()
@@ -263,17 +279,21 @@ object CorpusPipeline {
     }
 
     if (cfg.bpeMerges > 0) stage("pack_ids") {
-      // the training file itself: s7's documents encoded to MARKED-stream
-      // ids over the tokenizer-stage vocabulary (s7 ⊆ s6, so every symbol
-      // is covered; marked length == unmarked length, so s8_packed's
+      // the training file itself: s7's documents encoded over the
+      // tokenizer-stage vocabulary (s7 ⊆ s6, so every symbol is covered
+      // and the id stream length == tokenCount, so s8_packed's
       // coordinates address this stream exactly) and packed into
-      // seqLen-sized sequences. Decodable by construction:
-      // Bpe.decodeIds over a doc's coordinate slice reconstructs its
-      // word-model text (CorpusPipelineSpec pins it end to end).
+      // seqLen-sized sequences. Decodable by construction — under the
+      // faithful model Bpe.decodeIdsFlat over a doc's coordinate slice
+      // reconstructs the EXACT curated text (case, whitespace, bytes);
+      // under the legacy word model Bpe.decodeIds reconstructs its
+      // word-model text (CorpusPipelineSpec pins both end to end).
       val in = read("s7_mixture")
-      val (m, v) = tokenizerArtifacts()
-      val ids = in.select(col("doc_id"),
-        Bpe.tokenIdsMarked(col("text"), m, v).as("ids"))
+      val t = tokenizerArtifacts()
+      val enc =
+        if (t.faithful) Bpe.tokenIdsFaithful(col("text"), t.merges, t.vocab)
+        else Bpe.tokenIdsMarked(col("text"), t.merges, t.vocab)
+      val ids = in.select(col("doc_id"), enc.as("ids"))
       write(Packer.packTokenIds(spark, ids, "doc_id", "ids",
         cfg.seqLen.toLong), "s8b_packed_ids")
     }

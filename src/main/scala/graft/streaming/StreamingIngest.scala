@@ -225,8 +225,7 @@ object StreamingIngest {
                   minTokens: Long = 10L, minQuality: Double = 0.3,
                   numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3,
                   threshold: Double = 0.5, maxBucketSize: Int = 1000,
-                  tokenizer: Option[(Seq[graft.functions.Bpe.Merge],
-                    Seq[(String, Int)])] = None,
+                  tokenizer: Option[graft.functions.Bpe.Tokenizer] = None,
                   packedIdsPath: String = "", seqLen: Long = 2048L): Unit = {
     import graft.functions.{Bpe, TextFns}
     import graft.operators.Dedup
@@ -239,7 +238,7 @@ object StreamingIngest {
     // exactly where unseen alphabet arrives, and one day-2 code point
     // must tokenize as its UTF-8 bytes, not kill the trigger.
     val nTokens: org.apache.spark.sql.Column = tokenizer match {
-      case Some((merges, _)) => Bpe.tokenCount(col(textCol), merges)
+      case Some(t) => Bpe.tokenCount(col(textCol), t.merges, t.faithful)
       case None => TextFns.tokenCount(col(textCol)).cast("long")
     }
     val scored = batch
@@ -315,11 +314,17 @@ object StreamingIngest {
       // replay. The ragged tail per batch is bounded: < seqLen tokens
       // of padding waste per micro-batch, amortized to nothing at
       // production batch sizes.
-      tokenizer.foreach { case (merges, vocab) =>
+      tokenizer.foreach { t =>
         require(packedIdsPath.nonEmpty,
           "tokenizer mode needs a packedIdsPath for the packed-id sink")
-        val ids = kept.select(col(idCol),
-          Bpe.tokenIdsMarked(col(textCol), merges, vocab).as("ids"))
+        // faithful artifacts emit the flat unmarked stream (decodes to
+        // the EXACT batch text); word-model artifacts emit the marked
+        // stream (decodes to their word model) — the artifact's meta tag
+        // decides, so a consumer can never pair ids with the wrong model
+        val enc =
+          if (t.faithful) Bpe.tokenIdsFaithful(col(textCol), t.merges, t.vocab)
+          else Bpe.tokenIdsMarked(col(textCol), t.merges, t.vocab)
+        val ids = kept.select(col(idCol), enc.as("ids"))
         sink(graft.operators.Packer.packTokenIds(spark, ids, idCol, "ids",
           seqLen), packedIdsPath)
       }
@@ -407,12 +412,13 @@ object StreamingIngest {
       // layout AND the legacy CorpusPipeline pair ($path + ${path}_vocab),
       // so a stream can point straight at a pipeline's outDir/tokenizer
       // from either era (r12 ADVICE)
-      val (merges, vocab) = graft.functions.Bpe.loadTokenizer(spark, tokenizerPath)
-      require(vocab.exists(_._1.startsWith("\u0002")),
+      val t = graft.functions.Bpe.loadTokenizer(spark, tokenizerPath)
+      require(t.vocab.exists(_._1.startsWith("\u0002")),
         s"tokenizer artifact at $tokenizerPath has a CLOSED vocabulary — " +
-          "a stream needs the open byte-fallback layout (vocabMarkedBytes): " +
-          "day-2 batches WILL contain code points the training corpus lacked")
-      Some((merges, vocab))
+          "a stream needs the open byte-fallback layout (vocabBytes / " +
+          "vocabMarkedBytes): day-2 batches WILL contain code points the " +
+          "training corpus lacked")
+      Some(t)
     }
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)

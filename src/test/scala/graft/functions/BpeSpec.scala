@@ -419,4 +419,161 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.trainMergesCached(docs.limit(0), key, "text", 2) // ignored: memo hit
     assert(a == b && a.length == 2)
   }
+
+  // ------------------------------------------------ faithful word model
+
+  /** Literal Java-regex implementation of the faithful pre-tokenizer's
+    * documented pattern — a DIFFERENT implementation (backtracking regex
+    * vs the kernel's hand scanner) pinning the equivalence the oracle's
+    * RE2 replay depends on. */
+  private def refPretokens(text: String): Seq[String] = {
+    val stripped = text.replaceAll("[\u0001\u0002]", "")
+    val pat = java.util.regex.Pattern.compile(
+      " ?[A-Za-z\\x80-\\x{10FFFF}]+| ?[0-9]+" +
+        "| ?[^A-Za-z0-9\\x80-\\x{10FFFF} \\t\\n\\x0B\\f\\r]+" +
+        "|[ \\t\\n\\x0B\\f\\r]+")
+    val m = pat.matcher(stripped)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  private val faithfulAlphabet: Array[String] = Array(
+    "a", "b", "T", "Z", "0", "7", ",", ".", "!", "-",
+    " ", "  ", "\t", "\n", "\r\n", "\u00e9", "\u4e2d",
+    new String(Character.toChars(0x1F600)), "\u0001", "\u0002")
+
+  private def randomFaithfulText(rnd: scala.util.Random, n: Int): String =
+    (0 until n).map(_ => faithfulAlphabet(rnd.nextInt(faithfulAlphabet.length)))
+      .mkString
+
+  test("pretokens: hand-checked split, tiling invariant, and parity with " +
+      "the literal regex reference on randomized mixed text") {
+    assert(BpeKernel.pretokens("Hello, world!  New\nline").toSeq ==
+      Seq("Hello", ",", " world", "!", "  ", "New", "\n", "line"))
+    // attached space only for a SINGLE space directly before a run;
+    // digits and punctuation attach too; other whitespace never does
+    assert(BpeKernel.pretokens("a 12 ,. b\tc").toSeq ==
+      Seq("a", " 12", " ,.", " b", "\t", "c"))
+    // case preserved: "The" and "the" are different pretokens
+    assert(BpeKernel.pretokens("The the THE").toSeq ==
+      Seq("The", " the", " THE"))
+    val rnd = new scala.util.Random(13)
+    (0 until 300).foreach { _ =>
+      val t = randomFaithfulText(rnd, 1 + rnd.nextInt(30))
+      val got = BpeKernel.pretokens(t).toSeq
+      val stripped = t.replaceAll("[\u0001\u0002]", "")
+      assert(got.mkString == stripped, s"tiling broke on ${t.toList}")
+      assert(got == refPretokens(t), s"regex parity broke on ${t.toList}")
+      assert(got.forall(_.nonEmpty))
+    }
+    assert(BpeKernel.pretokens(null).isEmpty)
+    assert(BpeKernel.pretokens("").isEmpty)
+  }
+
+  test("faithful training: case-sensitive vocabulary, pretoken word counts") {
+    val d = Seq((1L, "The cat the cat The Cat"), (2L, "the cat"))
+      .toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(d, "text", faithful = true)
+      .as[(String, Long)].collect().toMap
+    // leading spaces attach; case variants are distinct words
+    assert(wc == Map("The" -> 1L, " cat" -> 3L, " the" -> 1L, " The" -> 1L,
+      " Cat" -> 1L, "the" -> 1L))
+    val merges = Bpe.trainMergesLocal(d, "text", 3, 1L, faithful = true)
+    assert(merges.nonEmpty)
+    // ('a','t') and ('h','e') tie at 4 — "a" < "h" in UTF-8 order wins
+    assert(merges.head == Bpe.Merge(0, "a", "t", 4L))
+    // and the faithful local trainer equals the distributed fallback
+    assert(merges == Bpe.trainMerges(d, "text", 3, 1L, faithful = true))
+  }
+
+  test("FAITHFUL ROUND TRIP: decodeIdsFlat(tokenIdsFaithful(text)) == text " +
+      "EXACTLY — case, whitespace runs, punctuation, digits, unseen code " +
+      "points through the byte fallback — on randomized corpora") {
+    val train = Seq(
+      (1L, "The quick Brown fox\n\njumped over 42 lazy dogs!"),
+      (2L, "Mixed CASE text,  with   double and triple spaces."),
+      (3L, "punctuation-heavy: (a) [b] {c} <d> e=f g&h i|j"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(train, "text", 16, 1L, faithful = true)
+    val vocab = Bpe.vocabBytesFrom(Bpe.vocab(train, "text", merges, faithful = true))
+    // 1) the training corpus itself round-trips byte-for-byte
+    val bad1 = train.select(
+        (Bpe.decodeIdsFlat(Bpe.tokenIdsFaithful(col("text"), merges, vocab), vocab)
+          === col("text")).as("rt"))
+      .filter(!col("rt")).count()
+    assert(bad1 == 0L)
+    // 2) randomized day-2 text (unseen alphabet in all UTF-8 widths,
+    //    tabs/newlines/multi-space, U+0001/U+0002 stripped by contract)
+    val rnd = new scala.util.Random(29)
+    val day2 = (0 until 120).map(i =>
+      (i.toLong, randomFaithfulText(rnd, 1 + rnd.nextInt(40))))
+      .toDF("doc_id", "text")
+    val got = day2.orderBy("doc_id").select(
+      Bpe.decodeIdsFlat(Bpe.tokenIdsFaithful(col("text"), merges, vocab), vocab))
+      .as[String].collect().toSeq
+    val want = day2.orderBy("doc_id")
+      .select(regexp_replace(col("text"), "[\u0001\u0002]", ""))
+      .as[String].collect().toSeq
+    assert(got == want, "faithful round trip diverged on randomized day-2 text")
+    // 3) a closed (no-byte) faithful vocabulary still throws on unseen input
+    val closed = Bpe.vocab(train, "text", merges, faithful = true)
+    val e = intercept[Exception] {
+      Seq(Tuple1("zebra \u00fc")).toDF("text")
+        .select(Bpe.tokenIdsFaithful(col("text"), merges, closed)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not in the")))
+  }
+
+  test("faithful ids/counts agree; decodeIdsFlat rejects out-of-vocabulary " +
+      "ids and marked vocabularies") {
+    val train = Seq((1L, "Seq of Words to train On")).toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(train, "text", 4, 1L, faithful = true)
+    val vocab = Bpe.vocabBytesFrom(Bpe.vocab(train, "text", merges, faithful = true))
+    val row = train.select(
+      size(Bpe.tokens(col("text"), merges, faithful = true)).cast("long").as("nt"),
+      Bpe.tokenCount(col("text"), merges, faithful = true).as("tc"),
+      size(Bpe.tokenIdsFaithful(col("text"), merges, vocab)).cast("long").as("ni"))
+      .as[(Long, Long, Long)].head()
+    assert(row._1 == row._2 && row._2 == row._3)
+    // corrupt id (outside the vocabulary) throws, never mis-decodes
+    val eBad = intercept[Exception] {
+      Seq(Tuple1(Seq(vocab.size + 5))).toDF("ids")
+        .select(Bpe.decodeIdsFlat(col("ids"), vocab)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(eBad).exists(_.contains("outside")))
+    // a marked vocabulary is the WRONG layout for the faithful decode
+    intercept[IllegalArgumentException] {
+      Bpe.decodeIdsFlat(col("ids"), Bpe.vocabMarkedBytes(train, "text", merges))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.tokenIdsFaithful(col("text"), merges,
+        Bpe.vocabMarkedBytes(train, "text", merges))
+    }
+  }
+
+  test("tokenizer artifact meta: model tag round-trips; legacy artifacts " +
+      "default to the marked word model") {
+    val dir = java.nio.file.Files.createTempDirectory("tok_meta").toString
+    val merges = Bpe.trainMergesLocal(docs, "text", 2, 1L, faithful = true)
+    val vocab = Bpe.vocabBytesFrom(Bpe.vocab(docs, "text", merges, faithful = true))
+    Bpe.saveTokenizer(spark, merges, vocab, dir, Bpe.ModelFaithful)
+    val t = Bpe.loadTokenizer(spark, dir)
+    assert(t.model == Bpe.ModelFaithful && t.faithful)
+    assert(t.merges == merges && t.vocab == vocab)
+    // unified layout WITHOUT meta (a pre-r13 artifact) -> word model
+    val dir2 = java.nio.file.Files.createTempDirectory("tok_meta2").toString
+    Bpe.saveMerges(spark, merges, s"$dir2/merges")
+    Bpe.saveVocab(spark, vocab, s"$dir2/vocab")
+    assert(Bpe.loadTokenizer(spark, dir2).model == Bpe.ModelWordMarked)
+    // legacy sibling layout -> word model
+    val dir3 = java.nio.file.Files.createTempDirectory("tok_meta3").toString
+    Bpe.saveMerges(spark, merges, s"$dir3/tokenizer")
+    Bpe.saveVocab(spark, vocab, s"$dir3/tokenizer_vocab")
+    assert(Bpe.loadTokenizer(spark, s"$dir3/tokenizer").model == Bpe.ModelWordMarked)
+  }
 }

@@ -122,10 +122,11 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rejected == Map(4L -> "high_perplexity"))
   }
 
-  test("bpeMerges > 0: tokenizer trained on the decontaminated corpus, " +
-      "budgets re-denominated, packed token-id sequences materialize") {
+  test("bpeMerges > 0 (FAITHFUL default): tokenizer trained on the " +
+      "decontaminated corpus, budgets re-denominated, and the packed " +
+      "training file decodes back to the EXACT curated text") {
     import graft.functions.Bpe
-    import org.apache.spark.sql.functions.{col, concat_ws}
+    import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("corpus_bpe").toString
     val summary = CorpusPipeline.run(spark, docs, benchmark, out,
       CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
@@ -135,27 +136,27 @@ class CorpusPipelineSpec extends SparkSpec {
       "tokenizer", "mixture", "pack", "pack_ids", "shard"))
     assert(summary.forall(_.ok))
 
-    // the persisted artifact IS the table trained on s6_clean
-    val (merges, _) = Bpe.loadTokenizer(spark, s"$out/tokenizer")
+    // the persisted artifact IS the faithful table trained on s6_clean,
+    // tagged with its word model
+    val tok = Bpe.loadTokenizer(spark, s"$out/tokenizer")
+    assert(tok.model == Bpe.ModelFaithful)
+    val merges = tok.merges
     val s6 = spark.read.parquet(s"$out/s6_clean")
-    assert(merges == Bpe.trainMergesLocal(s6, "text", 8, 2L))
+    assert(merges == Bpe.trainMergesLocal(s6, "text", 8, 2L, faithful = true))
     assert(summary.find(_.stage == "tokenizer").get.rows == merges.size.toLong)
 
-    // downstream token accounting is the tokenizer's, not whitespace words
+    // downstream token accounting is the faithful tokenizer's
     val s7 = spark.read.parquet(s"$out/s7_mixture")
     val mismatch = s7
-      .withColumn("bpe", Bpe.tokenCount(col("text"), merges))
+      .withColumn("bpe", Bpe.tokenCount(col("text"), merges, faithful = true))
       .filter(col("bpe") =!= col("n_tokens")).count()
     assert(mismatch == 0, "s7_mixture n_tokens is not BPE-denominated")
 
-    // the packed training file covers exactly the mixture's MARKED token
+    // the packed training file covers exactly the mixture's faithful id
     // stream in doc order, full seqLen sequences except the ragged tail
-    val vm = spark.read.parquet(s"$out/tokenizer/vocab")
-      .select("token", "id").as[(String, Int)].collect().toMap
     val expected = s7.orderBy("doc_id")
-      .select(col("doc_id"), Bpe.tokensMarked(col("text"), merges).as("ts"))
-      .as[(Long, Seq[String])].collect().toSeq
-      .flatMap(_._2).map(vm)
+      .select(Bpe.tokenIdsFaithful(col("text"), merges, tok.vocab))
+      .as[Seq[Int]].collect().toSeq.flatten
     val packed = spark.read.parquet(s"$out/s8b_packed_ids")
       .orderBy("seq_id").select("seq_id", "n_tokens", "token_ids")
       .as[(Long, Int, Seq[Int])].collect().toSeq
@@ -165,13 +166,44 @@ class CorpusPipelineSpec extends SparkSpec {
     }
     assert(packed.map(_._1) == packed.indices.map(_.toLong))
 
-    // THE training-file contract: every document reconstructs from the
-    // packed sequences + s8_packed coordinates alone (marked stream —
-    // same length as unmarked, so the coordinates address it exactly)
+    // THE training-file contract (r12 verdict top task): every document
+    // reconstructs from the packed sequences + s8_packed coordinates
+    // alone, EXACTLY — case, whitespace, punctuation, bytes — not merely
+    // its lowercased word model
     val stream = packed.flatMap(_._3)
-    val rev = vm.map(_.swap)
-    def decode(ids: Seq[Int]): String = ids.map(rev).map(t =>
-      if (t.startsWith("\u0001")) " " + t.drop(1) else t).mkString.trim
+    val exactText = s7.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val coords = spark.read.parquet(s"$out/s8_packed")
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(coords.nonEmpty)
+    val slices = coords.map { case (id, n, cum) =>
+      (id, stream.slice((cum - n).toInt, cum.toInt)) }.toDF("doc_id", "ids")
+    val bad = slices
+      .select(col("doc_id"),
+        Bpe.decodeIdsFlat(col("ids"), tok.vocab).as("got"))
+      .as[(Long, String)].collect()
+      .filter { case (id, got) => got != exactText(id) }
+    assert(bad.isEmpty,
+      s"docs failed EXACT reconstruction: ${bad.take(2).mkString("; ")}")
+  }
+
+  test("bpeFaithful = false: the legacy marked word model still trains, " +
+      "packs, and reconstructs its word-model text") {
+    import graft.functions.Bpe
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val out = Files.createTempDirectory("corpus_bpe_word").toString
+    val summary = CorpusPipeline.run(spark, docs, benchmark, out,
+      CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
+        bpeMerges = 8, bpeFaithful = false))
+    assert(summary.forall(_.ok))
+    val tok = Bpe.loadTokenizer(spark, s"$out/tokenizer")
+    assert(tok.model == Bpe.ModelWordMarked)
+    val s7 = spark.read.parquet(s"$out/s7_mixture")
+    val packed = spark.read.parquet(s"$out/s8b_packed_ids")
+      .orderBy("seq_id").select("token_ids")
+      .as[Seq[Int]].collect().toSeq
+    val stream = packed.flatten
     val wordText = s7.select(col("doc_id"),
         concat_ws(" ", Bpe.words(col("text"))).as("w"))
       .as[(Long, String)].collect().toMap
@@ -179,10 +211,13 @@ class CorpusPipelineSpec extends SparkSpec {
       .select("doc_id", "n_tokens", "cum_tokens")
       .as[(Long, Long, Long)].collect().toSeq
     assert(coords.nonEmpty)
-    coords.foreach { case (id, n, cum) =>
-      val got = decode(stream.slice((cum - n).toInt, cum.toInt))
-      assert(got == wordText(id), s"doc $id failed to reconstruct: '$got'")
-    }
+    val slices = coords.map { case (id, n, cum) =>
+      (id, stream.slice((cum - n).toInt, cum.toInt)) }.toDF("doc_id", "ids")
+    val bad = slices
+      .select(col("doc_id"), Bpe.decodeIds(col("ids"), tok.vocab).as("got"))
+      .as[(Long, String)].collect()
+      .filter { case (id, got) => got != wordText(id) }
+    assert(bad.isEmpty, s"word-model reconstruction failed: ${bad.take(2).mkString("; ")}")
   }
 
   test("fully-rejected corpus: every stage (incl. tokenizer mode) survives " +
@@ -202,7 +237,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(summary.map(_.stage).contains("tokenizer"))
     assert(summary.filter(s => Set("mixture", "pack", "pack_ids",
       "shard").contains(s.stage)).forall(_.rows == 0L))
-    val merges = graft.functions.Bpe.loadTokenizer(spark, s"$out/tokenizer")._1
+    val merges = graft.functions.Bpe.loadTokenizer(spark, s"$out/tokenizer").merges
     assert(merges.isEmpty)
   }
 
@@ -215,20 +250,23 @@ class CorpusPipelineSpec extends SparkSpec {
       CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
         bpeMerges = 8))
     // the production restart path: a FRESH consumer loads the artifact…
-    val (merges, vocab) = Bpe.loadTokenizer(spark, s"$out/tokenizer")
+    val t = Bpe.loadTokenizer(spark, s"$out/tokenizer")
+    assert(t.faithful)
     // …and day-2 documents carry code points the training corpus lacked
-    // (accents, CJK, an astral emoji) — under the open marked layout the
-    // batch must encode AND reconstruct, not kill the ingest job
+    // (accents, CJK, an astral emoji) — under the open faithful layout
+    // the batch must encode AND reconstruct the EXACT text (mixed case,
+    // double spaces included), not kill the ingest job
     val day2 = Seq(
-      (101L, "the quick zèbre jumps über the 中文 river"),
-      (102L, "routine ascii only document"),
-      (103L, "emoji day " + new String(Character.toChars(0x1F600))))
+      (101L, "The quick zèbre JUMPS über the 中文 river"),
+      (102L, "routine ascii  only   document"),
+      (103L, "Emoji day " + new String(Character.toChars(0x1F600))))
       .toDF("doc_id", "text")
     val bad = day2.select(
-        (Bpe.decodeIds(Bpe.tokenIdsMarked(col("text"), merges, vocab), vocab)
-          === concat_ws(" ", Bpe.words(col("text")))).as("rt"))
+        (Bpe.decodeIdsFlat(
+          Bpe.tokenIdsFaithful(col("text"), t.merges, t.vocab), t.vocab)
+          === col("text")).as("rt"))
       .filter(!col("rt")).count()
-    assert(bad == 0L, s"$bad day-2 rows failed the artifact round trip")
+    assert(bad == 0L, s"$bad day-2 rows failed the EXACT artifact round trip")
   }
 
   test("fail-fast: a broken stage aborts with the partial summary intact") {

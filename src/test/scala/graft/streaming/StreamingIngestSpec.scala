@@ -265,7 +265,8 @@ class StreamingIngestSpec extends SparkSpec {
     StreamingIngest.curateBatch(spark, batch2, batchId = 1L,
       "doc_id", "text", indexPath, curatedPath, rejectsPath,
       minTokens = 8L, maxBucketSize = Int.MaxValue,
-      tokenizer = Some((merges, vocab)), packedIdsPath = packedPath,
+      tokenizer = Some(Bpe.Tokenizer(merges, vocab, Bpe.ModelWordMarked)),
+      packedIdsPath = packedPath,
       seqLen = 16L)
     val replayed = spark.read.parquet(packedPath)
       .select("batch_id", "seq_id", "token_ids")
@@ -281,6 +282,53 @@ class StreamingIngestSpec extends SparkSpec {
       .filter(col("batch_id") === 1L)
       .select(concat_ws(" ", Bpe.words(col("text")))).as[String].head,
       s"decoded batch-1 stream diverged: '$decoded'")
+  }
+
+  test("curateStream FAITHFUL tokenizer mode: packed shards decode to the " +
+      "EXACT curated batch text (case, whitespace, day-2 bytes)") {
+    import graft.functions.Bpe
+    val root = Files.createTempDirectory("curate_tok_f")
+    val landing = root.resolve("landing")
+    val (indexPath, curatedPath, rejectsPath, packedPath) =
+      (s"$root/index", s"$root/curated", s"$root/rejects", s"$root/packed")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // offline train-once, FAITHFUL model, unified artifact with meta tag
+    val trainCorpus = Seq(
+      (1L, "The cat chased the Other cat near the heated hearth"),
+      (2L, "the Hat that the cat had was the best hat ever made"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(trainCorpus, "text", 8, 2L, faithful = true)
+    val vocab = Bpe.vocabBytesFrom(
+      Bpe.vocab(trainCorpus, "text", merges, faithful = true))
+    Bpe.saveTokenizer(spark, merges, vocab, s"$root/tok", Bpe.ModelFaithful)
+
+    // one batch with mixed case + a day-2 code point (byte fallback)
+    val d = "The Quick brown FOX likes the caffè and jumps the lazy stream"
+    write(landing, "b1.csv", s"doc_id,text\n1,$d\n")
+    val stream = spark.readStream.schema(docSchema)
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .csv(landing.toString)
+    StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+      indexPath, curatedPath, rejectsPath, s"$root/ckpt",
+      minTokens = 8L, maxBucketSize = Int.MaxValue,
+      tokenizerPath = s"$root/tok", packedIdsPath = packedPath,
+      seqLen = 16L).awaitTermination()
+
+    val curated = spark.read.parquet(curatedPath)
+    assert(curated.count() == 1L)
+    // the shard stream decodes to the EXACT curated text — the faithful
+    // contract, not the word model (text passed cleanText, so compare
+    // against the curated text column)
+    val ids = spark.read.parquet(packedPath)
+      .orderBy("seq_id").select("token_ids")
+      .as[Seq[Int]].collect().toSeq.flatten
+    val decoded = Seq(Tuple1(ids)).toDF("ids")
+      .select(Bpe.decodeIdsFlat(col("ids"), vocab)).as[String].head
+    val exact = curated.select(col("text")).as[String].head
+    assert(decoded == exact, s"faithful shard decode diverged: '$decoded'")
+    assert(exact.contains("The Quick") && exact.contains("caffè"),
+      "fixture lost the case/byte content the test exists to pin")
   }
 
   test("curateStream compactEvery: identical curated/rejects/index rows, fewer index files, replay boundaries intact") {
