@@ -1339,19 +1339,38 @@ object OracleSql {
   // proves chain == greedy). Token count = occurrences of <R>.
 
   @volatile private var bpeMerges: Option[Seq[graft.functions.Bpe.Merge]] = None
+  @volatile private var bpeMergesFaithful: Option[Seq[graft.functions.Bpe.Merge]] = None
 
-  /** Train (or reuse the per-JVM memo of) the merge table for `sfDir` so
-    * the q87-q99 oracle SQL can be generated. Deterministic, so the primed
-    * table equals what the query fns derive from the same dir. */
-  def primeBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+  /** Train (or reuse the per-JVM memo of) the merge tables — word model
+    * AND the faithful pretoken model (q103/q104) — for `sfDir` so the
+    * q87-q104 oracle SQL can be generated. Deterministic, so the primed
+    * tables equal what the query fns derive from the same dir. */
+  def primeBpe(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
     bpeMerges = Some(graft.functions.Bpe.trainMergesCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), sfDir, "text",
       graft.SparkEntry.BpeNumMerges))
+    bpeMergesFaithful = Some(graft.functions.Bpe.trainMergesCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), sfDir, "text",
+      graft.SparkEntry.BpeNumMerges, faithful = true))
+  }
 
   /** Shared DuckDB snippet: words of `text` under the BPE word model
     * (mirrors Bpe.words = TextFns.tokens after stripping U+0001/U+0002). */
   private val bpeWords =
     raw"""list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '[\x01\x02]', '', 'g'))), '$ws+'), x -> length(x) > 0)"""
+
+  /** Shared DuckDB snippet: FAITHFUL pretokens of `text` — the RE2 replay
+    * of BpeKernel.pretokens' documented lookahead-free pattern (explicit
+    * code-point classes; leftmost-first alternation and greedy
+    * quantifiers agree between RE2 and the kernel's scanner — BpeSpec
+    * pins the scanner against a literal Java-regex implementation of the
+    * SAME pattern). The matches TILE the stripped text, so concatenating
+    * them reconstructs it — the property q103's roundtrip column rests
+    * on. */
+  private val bpePretokPattern =
+    raw""" ?[A-Za-z\x80-\x{10FFFF}]+| ?[0-9]+| ?[^A-Za-z0-9\x80-\x{10FFFF} \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+"""
+  private def bpePretoks(textExpr: String): String =
+    s"""regexp_extract_all(regexp_replace($textExpr, '[\\x01\\x02]', '', 'g'), '$bpePretokPattern')"""
 
   private def bpeSqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
@@ -1432,6 +1451,92 @@ object OracleSql {
     ctes.toString
   }
 
+  /** q103/q104: the FAITHFUL-model oracles. Vocabulary layout re-derived
+    * from scratch — byte ids 0..255 reserved, the faithful alphabet
+    * (distinct delimiterized pretoken symbols: case variants, spaces,
+    * newlines all distinct symbols) at 256.. in binary order, merge
+    * products after — and the encode replayed as the same rank-order
+    * replace chain over PRETOKENS instead of lowercased words. q103
+    * additionally emits `roundtrip` = the stripped original text (plus
+    * the shared OovSuffix): the engine side puts its decode(encode(text))
+    * there, so a hash match proves byte-exact reconstruction with the
+    * two sides computed by entirely different machinery. */
+  private def bpeFaithfulEntries(merges: Seq[graft.functions.Bpe.Merge]): Map[String, String] = {
+    val mergeVals =
+      if (merges.isEmpty) ""
+      else merges.map(m => s"(${bpeSqlStr(m.left + m.right)}, ${m.rank})")
+        .mkString(", ")
+    val mergedVocab =
+      if (merges.isEmpty) ""
+      else s"""
+         UNION ALL SELECT v.tok,
+           CAST(256 + (SELECT COUNT(*) FROM alpha) + v.rank AS INTEGER) AS id
+         FROM (VALUES $mergeVals) v(tok, rank)"""
+    val suffix = graft.SparkEntry.OovSuffix.codePoints().toArray
+      .map(cp => s"chr($cp)").mkString(" || ")
+    val alphaCte = s"""tw0 AS (SELECT unnest(${bpePretoks("text")}) AS wd FROM documents),
+       alpha AS (SELECT c,
+           CAST(255 + row_number() OVER (ORDER BY c) AS INTEGER) AS id
+         FROM (SELECT DISTINCT unnest(string_split(regexp_replace(
+           ${bpeDelim("wd")}, '^\\x01|\\x02$$', '', 'g'),
+           chr(2)||chr(1))) AS c FROM tw0)),
+       vocab AS (SELECT c AS tok, id FROM alpha$mergedVocab)"""
+    val encCtes = s"""tw AS (SELECT doc_id, unnest(words) AS wd,
+           unnest(range(1, len(words) + 1)) AS wpos FROM w),
+       enc AS (SELECT doc_id, wpos, string_split(regexp_replace(
+           ${bpeChain(bpeDelim("wd"), merges)}, '^\\x01|\\x02$$', '', 'g'),
+           chr(2)||chr(1)) AS ts FROM tw),
+       tok AS (SELECT doc_id, wpos, unnest(ts) AS tok,
+           unnest(range(1, len(ts) + 1)) AS tpos FROM enc),
+       idl AS (SELECT t.doc_id, t.wpos, t.tpos,
+           CASE WHEN v.id IS NOT NULL THEN [v.id]
+             WHEN unicode(t.tok) < 128 THEN [unicode(t.tok)]
+             WHEN unicode(t.tok) < 2048 THEN
+               [192 + unicode(t.tok) // 64, 128 + unicode(t.tok) % 64]
+             WHEN unicode(t.tok) < 65536 THEN
+               [224 + unicode(t.tok) // 4096,
+                128 + (unicode(t.tok) // 64) % 64,
+                128 + unicode(t.tok) % 64]
+             ELSE
+               [240 + unicode(t.tok) // 262144,
+                128 + (unicode(t.tok) // 4096) % 64,
+                128 + (unicode(t.tok) // 64) % 64,
+                128 + unicode(t.tok) % 64] END AS ids
+         FROM tok t LEFT JOIN vocab v ON t.tok = v.tok),
+       flat AS (SELECT doc_id, wpos, tpos, unnest(ids) AS id,
+           unnest(range(1, len(ids) + 1)) AS bpos FROM idl),
+       ord AS (SELECT doc_id, id, row_number() OVER (
+           PARTITION BY doc_id ORDER BY wpos, tpos, bpos) AS pos FROM flat)"""
+    Map(
+      "q103_bpe_faithful_roundtrip" ->
+        s"""WITH $alphaCte,
+           aug AS (SELECT doc_id, text || $suffix AS text FROM documents),
+           w AS (SELECT doc_id, ${bpePretoks("text")} AS words FROM aug),
+           $encCtes,
+           agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
+               CAST(SUM(CASE WHEN id < 256 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fallback,
+               string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS token_ids
+             FROM ord GROUP BY doc_id)
+           SELECT g.doc_id, a.n_ids, a.n_fallback, a.token_ids,
+             regexp_replace(g.text, '[\\x01\\x02]', '', 'g') AS roundtrip
+           FROM aug g JOIN agg a USING (doc_id) ORDER BY g.doc_id""",
+      "q104_bpe_faithful_pack" ->
+        s"""WITH $alphaCte,
+           w AS (SELECT doc_id, ${bpePretoks("text")} AS words FROM documents),
+           $encCtes,
+           dn AS (SELECT doc_id, COUNT(*) AS n FROM ord GROUP BY doc_id),
+           cum AS (SELECT doc_id,
+               SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 AS strt FROM dn),
+           g AS (SELECT (c.strt + i.pos - 1) AS gpos, i.id
+             FROM ord i JOIN cum c USING (doc_id))
+           SELECT CAST(gpos // 8192 AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS INTEGER) AS n_tokens,
+             string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+           FROM g GROUP BY 1 ORDER BY seq_id""")
+  }
+
   private def bpeEntries: Map[String, String] = bpeMerges match {
     // FAIL LOUDLY un-primed: silently omitting the generated q87-q99
     // oracles would degrade those queries to the driver's weaker
@@ -1450,7 +1555,11 @@ object OracleSql {
       require(merges.map(m => (m.left, m.right)).distinct.size == merges.size,
         "BPE merge table contains a duplicate pair — the replace-chain " +
           "oracle would diverge from the kernel's dict-greedy encode")
-      Map(
+      val fMerges = bpeMergesFaithful.getOrElse(throw new IllegalStateException(
+        "primeBpe trains both tables — faithful table missing"))
+      require(fMerges.map(m => (m.left, m.right)).distinct.size == fMerges.size,
+        "faithful BPE merge table contains a duplicate pair")
+      bpeFaithfulEntries(fMerges) ++ Map(
       "q87_bpe_train" -> bpeTrainSql(merges),
       "q88_bpe_token_count" ->
         s"""WITH w AS (SELECT doc_id, $bpeWords AS words FROM documents)

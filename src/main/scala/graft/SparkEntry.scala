@@ -1210,6 +1210,12 @@ object SparkEntry {
   private def bpeTable(s: SparkSession, dir: String): Seq[Bpe.Merge] =
     Bpe.trainMergesCached(T(s, dir, "documents"), dir, "text", BpeNumMerges)
 
+  /** The FAITHFUL-model twin of [[bpeTable]]: trained on case- and
+    * whitespace-preserving pretokens (q103/q104). Same merge budget. */
+  private def bpeFaithfulTable(s: SparkSession, dir: String): Seq[Bpe.Merge] =
+    Bpe.trainMergesCached(T(s, dir, "documents"), dir, "text", BpeNumMerges,
+      faithful = true)
+
   /** Greedy BPE training on the documents corpus via the PRODUCTION
     * trainer (one distributed word-count shuffle + the driver-local
     * incremental merge loop — Bpe.trainMergesLocal) — the learned merge
@@ -1525,6 +1531,59 @@ object SparkEntry {
       .orderBy(col("seq_id"))
   }
 
+  /** The BYTE-FAITHFUL tokenizer contract, end to end (the r12 verdict's
+    * top task): a FAITHFUL-model tokenizer (case- and whitespace-
+    * preserving GPT-2-style pretokens — [[graft.functions.Bpe.pretokens]])
+    * over the OPEN byte-fallback vocabulary encodes every document with
+    * [[OovSuffix]] appended (all four UTF-8 fallback widths exercised),
+    * and the same row DECODES the ids back — the `roundtrip` column must
+    * equal the exact original text (plus suffix), byte for byte: case,
+    * whitespace runs, punctuation, everything the lowercasing word model
+    * erased. The oracle re-derives the pretokenization (RE2 replay of
+    * the documented lookahead-free pattern), the shifted vocabulary, the
+    * byte ids via pure UTF-8 arithmetic, AND emits the stripped original
+    * text as its `roundtrip` — so a hash match proves
+    * decode(encode(text)) == text with the two sides computed by
+    * entirely different machinery. Same zero-shuffle in-scan shape as
+    * q100. */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFaithfulTable(s, dir)
+    val docs = T(s, dir, "documents")
+    val vocab = Bpe.vocabBytesFrom(
+      Bpe.vocabCached(docs, dir, "text", merges, faithful = true))
+    docs.select(col("doc_id"),
+        concat(col("text"), lit(OovSuffix)).as("__t"))
+      .select(col("doc_id"),
+        Bpe.tokenIdsFaithful(col("__t"), merges, vocab).as("__ids"))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("long").as("n_ids"),
+        size(filter(col("__ids"), i => i < 256)).cast("long").as("n_fallback"),
+        array_join(transform(col("__ids"), i => i.cast("string")), " ")
+          .as("token_ids"),
+        Bpe.decodeIdsFlat(col("__ids"), vocab).as("roundtrip"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q97's packed training file under the FAITHFUL model — the actual
+    * flagship artifact a trainer consumes when the pipeline runs with
+    * bpeFaithful (the default): flat unmarked open-vocabulary ids whose
+    * concatenated stream decodes to the exact corpus text. Same
+    * piece-sliced O(docs+sequences) packer exchange as q97; the oracle
+    * re-derives the pretokens, the byte-shifted id layout and the
+    * prefix-sum coordinates from scratch. */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFaithfulTable(s, dir)
+    val docs = T(s, dir, "documents")
+    val vocab = Bpe.vocabBytesFrom(
+      Bpe.vocabCached(docs, dir, "text", merges, faithful = true))
+    val ids = docs.select(col("doc_id"),
+      Bpe.tokenIdsFaithful(col("text"), merges, vocab).as("ids"))
+    Packer.packTokenIds(s, ids, "doc_id", "ids", budgetTokens = 8192L)
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("token_ids"))
+      .orderBy(col("seq_id"))
+  }
+
   /** q76's perplexity filter RE-DENOMINATED IN BPE TOKENS — the real
     * CCNet shape (KenLM scores sentencepiece TOKENS, not words): the
     * add-one unigram LM is trained over, and each document's
@@ -1761,7 +1820,9 @@ object SparkEntry {
     "q99_bpe_decontaminate" -> q99 _,
     "q100_bpe_byte_fallback" -> q100 _,
     "q101_bpe_shuffled_pack" -> q101 _,
-    "q102_bpe_pack_boundaries" -> q102 _
+    "q102_bpe_pack_boundaries" -> q102 _,
+    "q103_bpe_faithful_roundtrip" -> q103 _,
+    "q104_bpe_faithful_pack" -> q104 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
