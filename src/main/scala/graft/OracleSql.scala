@@ -1310,12 +1310,61 @@ object OracleSql {
   private val staticAll: Map[String, String] =
     base + ("q86_incremental_dedup_indexed" -> base("q65_incremental_dedup"))
 
-  /** Full oracle map. The BPE entries (q87-q99) are GENERATED from the
-    * primed merge table ([[primeBpe]] — Verify primes before dumping);
+  /** q105: the hashed-logistic TRAINER replayed in full — features, then
+    * every epoch's per-doc margins, quantized errors, per-bucket
+    * quantized gradients, and clamped integer updates, unrolled as CTEs
+    * from zero weights (the q87 induction discipline applied to gradient
+    * descent). Constants mirror QualityModel.trainHashedLogistic's
+    * contract verbatim: err6 = floor((sigmoid(4·ws/(n·1000)) − y)·10^6
+    * + 0.5), per-(doc,bucket) term floor(err6·c/n + 0.5), update
+    * floor((G·lrM)·4/(N·10^7) + 0.5), clamp ±1000. */
+  private def qualityTrainSql(bits: Int, epochs: Int, lrM: Long,
+                              seed: String): String = {
+    val nb = 1 << bits
+    val sql = new StringBuilder(
+      s"""WITH f0 AS (SELECT doc_id,
+           CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS y,
+           unnest($toks) AS t FROM documents),
+         feats AS (SELECT doc_id, y,
+             CAST('0x' || substr(md5('$seed:' || t), 1, 8) AS BIGINT) % $nb AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM f0 GROUP BY doc_id, y, b),
+         dn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+           FROM feats GROUP BY doc_id),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM dn),
+         w0 AS (SELECT CAST(unnest(range(0, $nb)) AS BIGINT) AS b,
+           CAST(0 AS BIGINT) AS w)""")
+    (0 until epochs).foreach { k =>
+      sql.append(s""",
+         m$k AS (SELECT f.doc_id, f.y, CAST(SUM(f.c * w.w) AS BIGINT) AS ws
+           FROM feats f JOIN w$k w USING (b) GROUP BY f.doc_id, f.y),
+         e$k AS (SELECT m.doc_id,
+             CAST(floor((1.0 / (1.0 + exp(-4.0 * ws / (n * 1000.0))) - y)
+               * 1000000.0 + 0.5) AS BIGINT) AS err6, d.n
+           FROM m$k m JOIN dn d USING (doc_id)),
+         g$k AS (SELECT f.b, CAST(SUM(CAST(floor(
+               e.err6 * f.c / CAST(e.n AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS g
+           FROM feats f JOIN e$k e USING (doc_id) GROUP BY f.b),
+         w${k + 1} AS (SELECT w.b,
+             GREATEST(CAST(-1000 AS BIGINT), LEAST(CAST(1000 AS BIGINT),
+               w.w - CAST(floor(CAST(COALESCE(g.g, 0) * $lrM AS DOUBLE) * 4.0
+                 / (nn.nd * 10000000.0) + 0.5) AS BIGINT))) AS w
+           FROM w$k w LEFT JOIN g$k g USING (b) CROSS JOIN nn)""")
+    }
+    sql.append(s"""
+         SELECT CAST(b AS INTEGER) AS bucket, CAST(w AS BIGINT) AS weight
+         FROM w$epochs ORDER BY bucket""")
+    sql.toString
+  }
+
+  /** Full oracle map. The BPE entries (q87-q104) are GENERATED from the
+    * primed merge tables ([[primeBpe]] — Verify primes before dumping);
     * un-primed, this THROWS rather than silently omitting them (an
     * omission would quietly downgrade those queries to the driver's
-    * rows-only check). */
-  def all: Map[String, String] = staticAll ++ bpeEntries
+    * rows-only check). q105 is self-contained (the oracle re-derives the
+    * whole training run from the corpus — nothing to prime). */
+  def all: Map[String, String] = staticAll ++ bpeEntries +
+    ("q105_quality_train" -> qualityTrainSql(10, 4, 20000L, "graft-q105"))
 
   // ------------------------------------------------------ BPE (q87-q99)
   //

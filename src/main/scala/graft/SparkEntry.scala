@@ -1584,6 +1584,30 @@ object SparkEntry {
       .orderBy(col("seq_id"))
   }
 
+  /** IN-ENGINE quality-classifier TRAINING under the oracle gate (the
+    * r12 verdict's missing #3): deterministic full-batch logistic GD
+    * over the q75 scorer's own hashed features
+    * ([[graft.operators.QualityModel.trainHashedLogistic]] — per-doc
+    * error and per-bucket gradient integer-quantized before every sum),
+    * labels derived from the data itself (docs containing 'spark'), 4
+    * epochs from zero weights. The oracle re-derives the ENTIRE training
+    * run in DuckDB CTEs — features, every epoch's margins, errors,
+    * gradients and clamped updates — so a hash match on the final
+    * 1024-bucket weight table proves the trainer step for step (the q87
+    * induction discipline applied to gradient descent). QualityModelSpec
+    * separately pins that the trained table, fed to
+    * hashedLinearScoreWeights, separates planted labels. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"),
+      col("text").contains("spark").cast("int").as("label"))
+    val w = QualityModel.trainHashedLogistic(docs, "doc_id", "text", "label",
+      bits = 10, seed = "graft-q105", epochs = 4, lrMyriad = 20000L)
+    w.zipWithIndex.map { case (wt, b) => (b, wt.toLong) }
+      .toSeq.toDF("bucket", "weight")
+      .orderBy(col("bucket"))
+  }
+
   /** q76's perplexity filter RE-DENOMINATED IN BPE TOKENS — the real
     * CCNet shape (KenLM scores sentencepiece TOKENS, not words): the
     * add-one unigram LM is trained over, and each document's
@@ -1822,7 +1846,8 @@ object SparkEntry {
     "q101_bpe_shuffled_pack" -> q101 _,
     "q102_bpe_pack_boundaries" -> q102 _,
     "q103_bpe_faithful_roundtrip" -> q103 _,
-    "q104_bpe_faithful_pack" -> q104 _
+    "q104_bpe_faithful_pack" -> q104 _,
+    "q105_quality_train" -> q105 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

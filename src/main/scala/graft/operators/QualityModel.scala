@@ -101,6 +101,98 @@ object QualityModel {
       when(n > 0, score).as("score"))
   }
 
+  /** IN-ENGINE TRAINER for the hashed linear quality classifier (the r12
+    * verdict's missing piece: scoring existed, but the weights had to
+    * arrive from outside the engine). Deterministic FULL-BATCH logistic
+    * gradient descent over the exact feature/margin/score definitions
+    * [[hashedLinearScore]]/[[hashedLinearScoreWeights]] evaluate — so the
+    * trained table plugs straight into the scorer.
+    *
+    * Model (weights w_b are integers in [-1000, 1000], b = md5 bucket of
+    * a token under `seed`): score(d) = sigmoid(4 · Σ_t w_{b(t)} /
+    * (n_d · 1000)). Loss = mean logistic loss over the labeled frame.
+    * One epoch:
+    *  1. per-doc margin w_sum_d = Σ_b c_{d,b} · w_b — EXACT integer sum;
+    *  2. per-doc error err6_d = ⌊(σ(4·w_sum_d/(n_d·1000)) − y_d)·10^6
+    *     + 0.5⌋ — floating point enters ONCE per doc, immediately
+    *     quantized, identical expression on both engines;
+    *  3. per-bucket gradient G_b = Σ_d ⌊err6_d · c_{d,b}/n_d + 0.5⌋ —
+    *     integer sum of integer-quantized per-(doc,bucket) terms, so the
+    *     shuffle order can never change the result;
+    *  4. driver-side update w_b ← clamp(w_b − ⌊(G_b·lrMyriad)·4 /
+    *     (N·10^7) + 0.5⌋, ±1000) over the collected 2^bits gradient rows.
+    * Every constant above is replayed verbatim by the q105 oracle, which
+    * re-derives the ENTIRE training run (all epochs, from zero weights)
+    * in DuckDB CTEs — a hash match on the final table proves the trainer
+    * step-for-step, the q87 induction discipline applied to GD.
+    *
+    * Full-batch (not per-example SGD) on purpose: SGD's result depends on
+    * example ORDER, which a distributed engine cannot (and should not)
+    * pin cheaply; full-batch GD is order-independent by construction,
+    * embarrassingly parallel, and each epoch costs two aggregates over
+    * the feature frame + one 2^bits-row collect.
+    *
+    * 100 TB: labeled seed frames are SMALL by nature (curated
+    * positives/negatives — the fastText recipe trains on thousands to
+    * millions of examples, not the corpus); the feature frame is
+    * persisted once (one tokenize+hash pass), each epoch reuses it, and
+    * the weight table (≤ 2^21 ints) rides as a plan literal exactly like
+    * the scorer ships it. */
+  def trainHashedLogistic(df: DataFrame, idCol: String, textCol: String,
+                          labelCol: String, bits: Int, seed: String,
+                          epochs: Int, lrMyriad: Long = 20000L): Array[Int] = {
+    require(bits > 0 && bits <= 21, s"bits must be in [1,21], got $bits")
+    require(epochs >= 0 && epochs <= 64, s"epochs must be in [0,64], got $epochs")
+    val nBuckets = 1 << bits
+    val bucket = (t: Column) =>
+      h32(concat(lit(seed), lit(":"), t)) % nBuckets
+    val feats = df
+      .select(col(idCol).as("__d"), col(labelCol).cast("long").as("__y"),
+        explode(TextFns.tokens(col(textCol))).as("__t"))
+      .select(col("__d"), col("__y"), bucket(col("__t")).as("__b"))
+      .groupBy(col("__d"), col("__y"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docN = feats.groupBy(col("__d"))
+      .agg(sum(col("__c")).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nDocs = docN.count()
+      val w = new Array[Int](nBuckets) // zero init — replayable from nothing
+      if (nDocs == 0) return w
+      var e = 0
+      while (e < epochs) {
+        val wLit = typedlit(w)
+        val wsum = feats
+          .groupBy(col("__d"), col("__y"))
+          .agg(sum(col("__c") *
+            element_at(wLit, (col("__b") + 1).cast("int")).cast("long"))
+            .as("__ws"))
+        val err = wsum.join(docN, Seq("__d"))
+          .select(col("__d"),
+            floor((lit(1.0) / (lit(1.0) +
+              exp(lit(-4.0) * col("__ws") / (col("__n") * lit(1000.0))))
+              - col("__y")) * lit(1000000.0) + lit(0.5)).as("__err6"),
+            col("__n"))
+        val grads = feats.join(broadcast(err), Seq("__d"))
+          .groupBy(col("__b"))
+          .agg(sum(floor(col("__err6") * col("__c") /
+            col("__n").cast("double") + lit(0.5))).as("__g"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        var b = 0
+        while (b < nBuckets) {
+          val g = grads.getOrElse(b.toLong, 0L)
+          val delta = math.floor((g * lrMyriad).toDouble * 4.0 /
+            (nDocs * 1.0e7) + 0.5).toLong
+          w(b) = math.max(-1000L, math.min(1000L, w(b) - delta)).toInt
+          b += 1
+        }
+        e += 1
+      }
+      w
+    } finally { docN.unpersist(); feats.unpersist() }
+  }
+
   /** The md5-derived weight table [[hashedLinearScore]] implies, for
     * feeding [[hashedLinearScoreWeights]] in parity tests / as the init
     * of a trained model. */

@@ -162,4 +162,57 @@ class QualityModelSpec extends SparkSpec {
       "rank window must be __pid-partitioned")
     assert(!plan.contains("ntile"), "no global ntile window")
   }
+
+  test("trainHashedLogistic: planted separable labels learn — the trained " +
+      "table fed to hashedLinearScoreWeights separates positives from " +
+      "negatives, including held-out docs; training is deterministic") {
+    import org.apache.spark.sql.functions._
+    val pos = Seq(
+      "excellent wonderful brilliant insightful thorough precise",
+      "wonderful precise writing with excellent thorough analysis",
+      "brilliant insightful and precise excellent arguments throughout",
+      "thorough excellent insightful wonderful brilliant reasoning here")
+    val neg = Seq(
+      "spam junk clickbait garbage noise filler",
+      "garbage filler junk spam with clickbait noise everywhere",
+      "noise clickbait spam filler garbage junk repeated",
+      "junk noise garbage clickbait spam filler nothing else")
+    val train = (pos.map((_, 1)) ++ neg.map((_, 0))).zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "label")
+    val bits = 8
+    val w = QualityModel.trainHashedLogistic(train, "doc_id", "text", "label",
+      bits, "graft-sep", epochs = 20, lrMyriad = 50000L)
+    assert(w.length == (1 << bits))
+    assert(w.exists(_ != 0), "training left all weights zero")
+    // determinism: bit-identical on a re-run (and on a repartitioned input)
+    val w2 = QualityModel.trainHashedLogistic(train.repartition(7), "doc_id",
+      "text", "label", bits, "graft-sep", epochs = 20, lrMyriad = 50000L)
+    assert(w.toSeq == w2.toSeq, "training is partitioning-dependent")
+    // the trained table, consumed by the SCORER, separates the classes —
+    // held-out compositions included
+    val held = Seq(
+      (100L, "a thorough and insightful excellent read", 1),
+      (101L, "pure clickbait junk and filler spam", 0))
+    val all = train.unionByName(held.toDF("doc_id", "text", "label"))
+    val scored = all.select(col("doc_id"), col("label"),
+        QualityModel.hashedLinearScoreWeights(col("text"), bits, "graft-sep", w)
+          .getField("score").as("score"))
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    val posScores = scored.filter(_._1 == 1).map(_._2)
+    val negScores = scored.filter(_._1 == 0).map(_._2)
+    assert(posScores.min > negScores.max,
+      s"trained classifier failed to separate: pos=${posScores.toSeq} neg=${negScores.toSeq}")
+    // and it actually LEARNED something the md5-derived table doesn't have:
+    // the derived table cannot separate these planted classes
+    val dw = QualityModel.derivedWeightTable(bits)
+    val dScored = all.select(col("label"),
+        QualityModel.hashedLinearScoreWeights(col("text"), bits, "graft-sep", dw)
+          .getField("score").as("score"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val dPos = dScored.filter(_._1 == 1).map(_._2)
+    val dNeg = dScored.filter(_._1 == 0).map(_._2)
+    assert(!(dPos.min > dNeg.max),
+      "fixture too easy: even the untrained md5 table separates it")
+  }
 }
