@@ -844,7 +844,8 @@ object Dedup {
     * corpora. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       spanTokens: Int = 8,
-                      hashWindows: Boolean = true): DataFrame = {
+                      hashWindows: Boolean = true,
+                      windowShapeMaxBytes: Long = 16L * 1024 * 1024): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     val k = spanTokens
     val toks = TextFns.tokens(col(textCol))
@@ -861,11 +862,38 @@ object Dedup {
         when(size(toks) >= k, TextFns.shingles(col(textCol), k))
           .otherwise(lit(Array.empty[String]))
     val wins = df.select(col(idCol), explode(windows).as("wk"))
-    val dupKeys = wins.groupBy(col("wk"))
-      .agg(count(lit(1)).as("__occ")).filter(col("__occ") > 1)
-      .select(col("wk"))
-    val perDoc = wins.join(dupKeys, Seq("wk"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    // ADAPTIVE SHAPE (r12 verdict "what's wrong" #3). The r12 rewrite —
+    // aggregate the duplicated-KEY frame, then re-derive the window
+    // stream and probe it through an AQE-broadcast key frame — bought 2x
+    // at scale (rich8 span stage 8.1 -> 4.0 s: the window SORT is the
+    // scale bottleneck and the probe shape never sorts), but it pays the
+    // corpus derivation TWICE, so on a SMALL corpus — where one window
+    // sort costs ~nothing and the derivation dominates — it loses (q69
+    // at the 0.6 MB sf0.1 fixture regressed 0.66 -> 0.94 s; measured
+    // there: an extra probe JOB costs more than it informs, and the
+    // fixture's dup mass is 4.7%, so pruning isn't the issue — size is).
+    // Decide from the input's Catalyst size estimate (file bytes for a
+    // scan; ZERO jobs — the sizedPairPartitions device): small corpora
+    // take the single window-exchange shape, large ones the probe shape.
+    // Both branches compute identical exact counts — only the plan
+    // changes, so the oracle gate covers them interchangeably.
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val perDoc =
+      if (inputBytes > BigInt(windowShapeMaxBytes)) {
+        // dup-minority (the production regime): key aggregate + pruned
+        // re-derivation probe (AQE broadcasts the match-sized key frame)
+        val dupKeys = wins.groupBy(col("wk"))
+          .agg(count(lit(1)).as("__occ")).filter(col("__occ") > 1)
+          .select(col("wk"))
+        wins.join(dupKeys, Seq("wk"))
+          .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+      } else
+        // small corpus: one wk window exchange beats deriving the
+        // windows twice — the sort this shape pays is trivial here
+        wins.withColumn("__occ",
+            count(lit(1)).over(Window.partitionBy(col("wk"))))
+          .filter(col("__occ") > 1)
+          .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
     base.join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_windows"),
         coalesce(col("n_dup"), lit(0L)).cast("int").as("n_dup_windows"),

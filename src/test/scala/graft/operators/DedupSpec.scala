@@ -443,6 +443,19 @@ class DedupSpec extends SparkSpec {
       (3L, 2, 2, 10000)))
   }
 
+  test("duplicatedSpans: both adaptive shapes (probe join vs window " +
+      "exchange) compute identical results") {
+    // windowShapeMaxBytes = 0 forces the large-corpus probe shape;
+    // MaxValue forces the small-corpus window shape — same answers
+    val a = Dedup.duplicatedSpans(docs, "doc_id", "text", spanTokens = 3,
+      hashWindows = true, windowShapeMaxBytes = 0L)
+      .orderBy("doc_id").collect().toSeq
+    val b = Dedup.duplicatedSpans(docs, "doc_id", "text", spanTokens = 3,
+      hashWindows = true, windowShapeMaxBytes = Long.MaxValue)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b, "adaptive branches diverged")
+  }
+
   test("duplicatedSpans: hashed production path equals the portable string path") {
     val s = Dedup.duplicatedSpans(docs, "doc_id", "text",
       spanTokens = 4, hashWindows = false).orderBy("doc_id").collect().toSeq
