@@ -947,16 +947,37 @@ object Dedup {
           .otherwise(lit(Array.empty[String]))
     val wins = df.select(col(idCol), posexplode(windows).as(Seq("pos", "wk")))
     // global frequency + canonical witness (lowest (doc, pos) — "keep
-    // the first") in ONE aggregate; only duplicated keys survive
-    val dupKeys = wins.groupBy(col("wk"))
+    // the first") + the MAX occurrence, in ONE aggregate; only
+    // duplicated keys survive. Carrying max alongside min is the
+    // lshCandidatePairs device (r13): for an occ == 2 key — measured to
+    // be EVERY duplicated window on the rich corpora — (min, max) IS the
+    // (canonical, removed) pair, so the non-canonical occurrence falls
+    // out of the aggregate itself and the previous second corpus-wide
+    // window derivation (a full kernel re-scan probed by the broadcast
+    // key frame) is skipped entirely. Only occ >= 3 keys (when any
+    // exist) still need the re-derivation probe, restricted to that
+    // minority.
+    val stats = wins.groupBy(col("wk"))
       .agg(count(lit(1)).as("__occ"),
-        min(struct(col(idCol), col("pos"))).as("__canon"))
+        min(struct(col(idCol), col("pos"))).as("__canon"),
+        max(struct(col(idCol), col("pos"))).as("__max"))
       .filter(col("__occ") > 1)
-    // non-canonical occurrences of duplicated windows -> per-doc removed
-    // token-index sets (distinct via collect_set; interval overlap is
-    // the norm for runs of duplicated windows)
-    val remIdx = wins.join(dupKeys, Seq("wk"))
-      .filter(struct(col(idCol), col("pos")) =!= col("__canon"))
+      .localCheckpoint(true) // match-sized; also powers the cheap counts
+    val rem2 = stats.filter(col("__occ") === 2)
+      .select(col("__max").getField(idCol).as(idCol),
+        col("__max").getField("pos").as("pos"))
+    val bigKeys = stats.filter(col("__occ") >= 3)
+      .select(col("wk"), col("__canon"))
+    val remOcc =
+      if (bigKeys.count() == 0L) rem2
+      else rem2.unionByName(
+        wins.join(broadcast(bigKeys), Seq("wk"))
+          .filter(struct(col(idCol), col("pos")) =!= col("__canon"))
+          .select(col(idCol), col("pos")))
+    // non-canonical occurrences -> per-doc removed token-index sets
+    // (distinct via collect_set; interval overlap is the norm for runs
+    // of duplicated windows)
+    val remIdx = remOcc
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
       .groupBy(col(idCol))
