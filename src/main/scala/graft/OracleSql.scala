@@ -1146,6 +1146,40 @@ object OracleSql {
            ROUND(exp(CAST(lp_sum AS DOUBLE) / (n_tokens * 1e6)), 4) AS ppl
          FROM d ORDER BY doc_id""",
 
+    // q106: per-doc cross-entropy under the corpus INTERPOLATED BIGRAM
+    // LM: P(cur|prev) = ½(c2+1)/(c1(prev)+V) + ½(c1(cur)+1)/(N+V) over
+    // positions 2..n; -ln P quantized to 1e-6 bigint per position before
+    // the per-doc sum; docs with < 2 tokens omitted. Replays
+    // QualityModel.bigramCrossEntropy (identical left-associated
+    // interpolation arithmetic; generate_series(1,0) = [] covers the
+    // short docs).
+    "q106_bigram_perplexity" ->
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM b),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         g AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM c),
+         p2 AS (SELECT doc_id, pc.p AS p, pc.c AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(p := toks[i], c := toks[i + 1]))) AS pc
+             FROM b)),
+         bg AS (SELECT p, c, COUNT(*) AS bcnt FROM p2 GROUP BY p, c),
+         lp AS (SELECT doc_id,
+             CAST(ROUND(-ln(
+               0.5 * CAST(bcnt + 1 AS DOUBLE) / CAST(pcnt + vocab AS DOUBLE)
+               + 0.5 * CAST(ccnt + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)
+             ) * 1e6) AS BIGINT) AS lp_i
+           FROM p2
+           JOIN (SELECT tok AS p, cnt AS pcnt FROM c) USING (p)
+           JOIN (SELECT tok AS c, cnt AS ccnt FROM c) USING (c)
+           JOIN bg USING (p, c) CROSS JOIN g),
+         d AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+             SUM(lp_i) AS lp_sum FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_terms,
+           ROUND(CAST(lp_sum AS DOUBLE) / (n_terms * 1e6), 6) AS xent,
+           ROUND(exp(CAST(lp_sum AS DOUBLE) / (n_terms * 1e6)), 4) AS ppl
+         FROM d ORDER BY doc_id""",
+
     // q77/q78: DSIR importance weights against the doc_id%7==0 target
     // slice — hashed unigram+bigram buckets (2^10), add-one-smoothed
     // log-likelihood ratio quantized to 1e-6 per bucket, exact integer

@@ -1608,6 +1608,21 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** q76's perplexity filter ONE MARKOV ORDER UP — per-doc cross-entropy
+    * under the corpus-trained interpolated add-one BIGRAM LM (λ=½
+    * Jelinek-Mercer against the unigram), the shape CCNet actually runs:
+    * a unigram bag scores "the the the" as perfectly fluent; any n-gram
+    * model does not. Conditional stream = positions 2..n (docs under 2
+    * tokens omitted). The DuckDB oracle re-derives both count frames,
+    * the interpolation and the 1e-6 quantization; the engine takes the
+    * collected-LM fast path here (Verify corpora are Zipf-tiny), which
+    * [[graft.operators.QualityModelSpec]] pins row-identical to the
+    * distributed three-join plan. */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    QualityModel.bigramCrossEntropy(T(s, dir, "documents"), "doc_id",
+        "text")
+      .orderBy(col("doc_id"))
+
   /** q76's perplexity filter RE-DENOMINATED IN BPE TOKENS — the real
     * CCNet shape (KenLM scores sentencepiece TOKENS, not words): the
     * add-one unigram LM is trained over, and each document's
@@ -1847,7 +1862,8 @@ object SparkEntry {
     "q102_bpe_pack_boundaries" -> q102 _,
     "q103_bpe_faithful_roundtrip" -> q103 _,
     "q104_bpe_faithful_pack" -> q104 _,
-    "q105_quality_train" -> q105 _
+    "q105_quality_train" -> q105 _,
+    "q106_bigram_perplexity" -> q106 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -92,3 +92,102 @@ case class UnigramScoreExpr(child: Expression, lp: Seq[(String, Long)])
   override protected def withNewChildInternal(newChild: Expression): UnigramScoreExpr =
     copy(child = newChild)
 }
+
+/** Static kernel for [[BigramScoreExpr]] — shared by interpreted eval and
+  * generated code. */
+object BigramKernel {
+
+  /** Sum the fixed-point -ln P(t_i | t_{i-1}) terms over one document's
+    * conditional stream (positions 2..n) through two O(1) hash probes per
+    * position. The lp table is keyed (prev -> cur -> lp_i) as a NESTED
+    * map — no separator string, so tokens containing any code point
+    * (including NUL) can never alias a different pair. A miss throws:
+    * the LM's bigram table is derived from the SAME corpus and tokenizer
+    * as the scoring pass, so every scored pair was counted — a miss is a
+    * wiring bug (different tokensOf between passes), never data. Returns
+    * packed (n_terms, lp_sum); documents with < 2 tokens yield (0, 0)
+    * and are filtered by the caller (no conditional evidence). */
+  def score(toks: ArrayData,
+            lp: java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]])
+      : InternalRow = {
+    val n = if (toks == null) 0 else toks.numElements()
+    var sum = 0L
+    var i = 1
+    var prev: String = if (n > 0) toks.getUTF8String(0).toString else null
+    while (i < n) {
+      val cur = toks.getUTF8String(i).toString
+      val inner = lp.get(prev)
+      val v = if (inner == null) null else inner.get(cur)
+      if (v == null) throw new IllegalStateException(
+        s"bigram ('$prev','$cur') not in the ${lp.size}-context bigram LM " +
+          "table — the LM was trained with a different tokensOf than the scorer")
+      sum += v.longValue
+      prev = cur
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (n >= 2) n - 1 else 0, sum))
+  }
+}
+
+/** Native interpolated-bigram-LM scorer: per document, `(n_terms, lp_sum)`
+  * over the conditional stream (positions 2..n) under a driver-collected
+  * (prev, cur) -> lp_i table riding as a codegen reference object — the
+  * zero-shuffle scoring pass of
+  * [[graft.operators.QualityModel.bigramCrossEntropy]] when the distinct
+  * bigram set is Zipf-small enough to collect. The distributed
+  * formulation explodes every corpus position a second time and probes
+  * THREE count frames through joins; here the lp_i values are computed BY
+  * Catalyst on the collected bigram frame (same arithmetic expression as
+  * the distributed path, built by the same function), so the two paths
+  * cannot diverge on floating-point rounding. */
+case class BigramScoreExpr(child: Expression, lp: Seq[((String, String), Long)])
+  extends UnaryExpression {
+
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
+    lp.foreach { case ((p, c), v) =>
+      var inner = m.get(p)
+      if (inner == null) {
+        inner = new java.util.HashMap[String, java.lang.Long]()
+        m.put(p, inner)
+      }
+      inner.put(c, java.lang.Long.valueOf(v))
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"bigram_score expects an ARRAY<STRING> child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_terms", DataTypes.IntegerType, nullable = false),
+    StructField("lp_sum", DataTypes.LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "bigram_score"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    BigramKernel.score(v.asInstanceOf[ArrayData], table)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("bigramLp", table, "java.util.HashMap")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.functions.BigramKernel.score(
+            ${c.isNull} ? null : ${c.value}, $ref);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramScoreExpr =
+    copy(child = newChild)
+}

@@ -310,6 +310,126 @@ object QualityModel {
           .as("ppl"))
   }
 
+  /** Per-document cross-entropy under a corpus-trained INTERPOLATED
+    * BIGRAM LM — one Markov order up from [[unigramCrossEntropy]], the
+    * shape CCNet actually runs (KenLM is an n-gram model, not a unigram
+    * bag: "the the the" is perfectly fluent to a unigram LM and
+    * gibberish to any n-gram model). For each position i ≥ 2:
+    *
+    *   P(t_i | t_{i-1}) = ½·(c₂(t_{i-1},t_i)+1)/(c₁(t_{i-1})+V)
+    *                    + ½·(c₁(t_i)+1)/(N+V)
+    *
+    * — an add-one bigram estimate interpolated (Jelinek-Mercer, fixed
+    * λ=½) with the add-one unigram, so unseen continuations of a seen
+    * context still get calibrated mass. xent(d) = mean over the doc's
+    * n−1 conditional positions of −ln P; documents with < 2 tokens are
+    * omitted (no conditional evidence). Output:
+    * (idCol, n_terms, xent, ppl).
+    *
+    * Determinism: −ln P is quantized to 1e-6 fixed point (bigint) per
+    * position BEFORE the per-doc sum (the object doc's contract); the
+    * interpolation arithmetic is a fixed left-associated expression
+    * (`0.5·(c₂+1)/(c₁p+V) + 0.5·(c₁c+1)/(N+V)` over integer-valued
+    * doubles) that the DuckDB oracle replays verbatim.
+    *
+    * 100 TB: the conditional stream is derived IN the scan (zip_with of
+    * two slices — no second tokenize, no struct explode until the count
+    * aggregate); counts are two map-side-combined hash aggregates
+    * (vocab- and distinct-bigram-bounded — both Zipf-small relative to
+    * corpus positions); scoring joins are all count-frame-sided, so AQE
+    * promotes them to broadcast probes exactly as q76's. LOCAL-LM fast
+    * path: when the distinct bigram set fits `maxLocalBigrams`, the
+    * (prev,cur) → lp_i table is computed BY Catalyst on the collected
+    * count rows (same `lpInterp` expression as the distributed branch —
+    * the paths cannot diverge on rounding) and the scoring pass becomes
+    * ONE zero-shuffle codegen call ([[graft.functions.BigramScoreExpr]]:
+    * two O(1) probes per position, exact integer sum, loud throw on a
+    * tokensOf mismatch). Past the threshold the distributed plan runs
+    * unchanged — degrade, don't die, the unigram discipline. */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                         tokensOf: Column => Column = TextFns.tokens,
+                         maxLocalBigrams: Int = 4000000): DataFrame = {
+    val base = df.select(col(idCol), tokensOf(col(textCol)).as("__toks"))
+    val toksDf = base.select(col(idCol), explode(col("__toks")).as("tok"))
+    val uni = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // conditional stream: (prev, cur) at positions 2..n, derived in-scan
+    val pairsOf = (toksC: Column) =>
+      when(org.apache.spark.sql.functions.size(toksC) >= 2,
+        zip_with(
+          slice(toksC, lit(1), org.apache.spark.sql.functions.size(toksC) - 1),
+          slice(toksC, lit(2), org.apache.spark.sql.functions.size(toksC) - 1),
+          (a, b) => struct(a.as("p"), b.as("c"))))
+    val pairsDf = base
+      .select(col(idCol), explode(pairsOf(col("__toks"))).as("__pc"))
+      .select(col(idCol), col("__pc.p").as("__p"), col("__pc.c").as("__c"))
+    val big = pairsDf.groupBy(col("__p"), col("__c"))
+      .agg(count(lit(1)).as("bcnt"))
+    // lp_i = round(-ln(½(bcnt+1)/(pcnt+V) + ½(ccnt+1)/(N+V)) · 1e6):
+    // ONE expression builder for both branches — bit-parity by construction
+    def lpInterp(bcnt: Column, pcnt: Column, ccnt: Column,
+                 nTotal: Column, vocab: Column): Column =
+      round(-log(
+        lit(0.5) * (bcnt + lit(1)).cast("double") / (pcnt + vocab).cast("double")
+          + lit(0.5) * (ccnt + lit(1)).cast("double") / (nTotal + vocab).cast("double")
+      ) * 1e6).cast("long")
+    def finish(scored: DataFrame): DataFrame =
+      scored.groupBy(col(idCol))
+        .agg(count(lit(1)).cast("int").as("n_terms"),
+          sum(col("lp_i")).as("lp_sum"))
+        .select(col(idCol), col("n_terms"),
+          round(col("lp_sum").cast("double") / (col("n_terms") * 1e6), 6)
+            .as("xent"),
+          round(exp(col("lp_sum").cast("double") / (col("n_terms") * 1e6)), 4)
+            .as("ppl"))
+    if (maxLocalBigrams > 0) {
+      val bRows = big.limit(maxLocalBigrams + 1).collect()
+      if (bRows.length <= maxLocalBigrams) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        // vocab ⊆ bigram endpoints ∪ one-token docs — if bigrams fit,
+        // the unigram frame fits a fortiori
+        val uRows = uni.collect()
+        val cntOf = uRows.iterator
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val nTotal = uRows.iterator.map(_.getLong(1)).sum
+        val vocabN = uRows.length.toLong
+        val lpPairs = bRows.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            cntOf(r.getString(0)), cntOf(r.getString(1))))
+          .toSeq.toDF("__p", "__c", "bcnt", "pcnt", "ccnt")
+          .select(col("__p"), col("__c"),
+            lpInterp(col("bcnt"), col("pcnt"), col("ccnt"),
+              lit(nTotal), lit(vocabN)))
+          .as[(String, String, Long)].collect()
+          .map { case (p, c, v) => ((p, c), v) }.toSeq
+        return df.select(col(idCol),
+            org.apache.spark.sql.graft.ExprBridge.column(
+              graft.functions.BigramScoreExpr(
+                org.apache.spark.sql.graft.ExprBridge.expression(
+                  tokensOf(col(textCol))), lpPairs)).as("__s"))
+          .select(col(idCol), col("__s.n_terms").as("n_terms"),
+            col("__s.lp_sum").as("lp_sum"))
+          .filter(col("n_terms") > 0) // < 2 tokens omitted, as distributed
+          .select(col(idCol), col("n_terms"),
+            round(col("lp_sum").cast("double") / (col("n_terms") * 1e6), 6)
+              .as("xent"),
+            round(exp(col("lp_sum").cast("double") / (col("n_terms") * 1e6)), 4)
+              .as("ppl"))
+      }
+    }
+    val totals = uni.agg(
+      sum(col("cnt")).as("n_total"), count(lit(1)).as("vocab"))
+    val scored = pairsDf
+      .join(uni.select(col("tok").as("__p"), col("cnt").as("pcnt")), Seq("__p"))
+      .join(uni.select(col("tok").as("__c"), col("cnt").as("ccnt")), Seq("__c"))
+      .join(big, Seq("__p", "__c"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        lpInterp(col("bcnt"), col("pcnt"), col("ccnt"),
+          col("n_total"), col("vocab")).as("lp_i"))
+    finish(scored)
+  }
+
   /** CCNet-style perplexity bucketing: every document assigned to one of
     * `nBuckets` equal-population bands (bucket 1 = most fluent /
     * lowest cross-entropy) by its rank under the corpus unigram LM —

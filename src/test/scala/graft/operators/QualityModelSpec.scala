@@ -215,4 +215,69 @@ class QualityModelSpec extends SparkSpec {
     assert(!(dPos.min > dNeg.max),
       "fixture too easy: even the untrained md5 table separates it")
   }
+
+  test("bigramCrossEntropy: hand-checked tiny corpus (one-token docs feed " +
+      "the unigram LM but are omitted from scoring)") {
+    // corpus: "a a b", "b c", "z", "" => unigram a=2 b=2 c=1 z=1, N=6 V=4
+    // bigrams: (a,a)=1 (a,b)=1 (b,c)=1
+    // doc1: P(a|a) = .5*2/6 + .5*3/10;  P(b|a) = same = 0.31666…
+    // doc2: P(c|b) = .5*2/6 + .5*2/10 = 0.26666…
+    val got = QualityModel.bigramCrossEntropy(
+        docs((1L, "a a b"), (2L, "b c"), (3L, "z"), (4L, "")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_terms", "xent", "ppl")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), "docs with < 2 tokens must be omitted")
+    assert(got.map(_._2) == Seq(2, 1))
+    val p1 = 0.5 * 2.0 / 6.0 + 0.5 * 3.0 / 10.0
+    val p2 = 0.5 * 2.0 / 6.0 + 0.5 * 2.0 / 10.0
+    assert(math.abs(got(0)._3 - (-math.log(p1))) < 2e-6,
+      s"doc1 xent ${got(0)._3} != ${-math.log(p1)}")
+    assert(math.abs(got(1)._3 - (-math.log(p2))) < 2e-6,
+      s"doc2 xent ${got(1)._3} != ${-math.log(p2)}")
+    assert(math.abs(got(0)._4 - math.exp(got(0)._3)) < 1e-3)
+  }
+
+  test("bigramCrossEntropy: local native-scorer path == distributed " +
+      "three-join plan, row for row; local scoring pass is zero-shuffle") {
+    val rnd = new scala.util.Random(13)
+    val corpus = docs((1 to 300).map(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(60)}").mkString(" "))): _*)
+    val local = QualityModel.bigramCrossEntropy(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val dist = QualityModel.bigramCrossEntropy(corpus, "doc_id", "text",
+        maxLocalBigrams = 0) // force the distributed branch
+      .orderBy("doc_id").collect().toSeq
+    assert(local == dist, "local bigram-LM path diverged from the distributed plan")
+    val plan = QualityModel.bigramCrossEntropy(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"local bigram-LM scoring pass should be zero-shuffle:\n$plan")
+  }
+
+  test("bigramCrossEntropy: word order matters — a scrambled doc scores " +
+      "higher than the fluent order the corpus repeats, while the unigram " +
+      "LM (order-blind by construction) cannot tell them apart") {
+    val fluent = (1L to 20L).map(i => (i, "alpha beta gamma delta"))
+    val corpus = docs((fluent :+ (21L -> "delta beta alpha gamma")): _*)
+    val bi = QualityModel.bigramCrossEntropy(corpus, "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(bi(21L) > bi(1L),
+      s"bigram LM missed the scramble: ${bi(21L)} !> ${bi(1L)}")
+    val uni = QualityModel.unigramCrossEntropy(corpus, "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(uni(21L) == uni(1L),
+      "fixture broken: unigram xent should be identical for equal bags")
+  }
+
+  test("bigramCrossEntropy: partitioning-independent") {
+    val base = (1L to 200L).map(i => (i, s"tok${i % 17} tok${i % 5} common word"))
+    val a = QualityModel.bigramCrossEntropy(docs(base: _*), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = QualityModel.bigramCrossEntropy(
+        docs(base: _*).repartition(11), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
 }
