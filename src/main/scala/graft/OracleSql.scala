@@ -1353,12 +1353,20 @@ object OracleSql {
     * + 0.5), per-(doc,bucket) term floor(err6·c/n + 0.5), update
     * floor((G·lrM)·4/(N·10^7) + 0.5), clamp ±1000. */
   private def qualityTrainSql(bits: Int, epochs: Int, lrM: Long,
-                              seed: String): String = {
+                              seed: String, ngrams: Int = 1): String = {
     val nb = 1 << bits
+    // feature stream: tokens, plus space-joined word bigrams at ngrams=2
+    // (mirrors QualityModel.featureStream — fastText's -wordNgrams 2)
+    val featExpr =
+      if (ngrams == 1) "toks"
+      else """list_concat(toks, list_transform(
+             generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i + 1]))"""
     val sql = new StringBuilder(
-      s"""WITH f0 AS (SELECT doc_id,
+      s"""WITH d0 AS (SELECT doc_id,
            CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END AS y,
-           unnest($toks) AS t FROM documents),
+           $toks AS toks FROM documents),
+         f0 AS (SELECT doc_id, y, unnest($featExpr) AS t FROM d0),
          feats AS (SELECT doc_id, y,
              CAST('0x' || substr(md5('$seed:' || t), 1, 8) AS BIGINT) % $nb AS b,
              CAST(COUNT(*) AS BIGINT) AS c
@@ -1398,7 +1406,9 @@ object OracleSql {
     * rows-only check). q105 is self-contained (the oracle re-derives the
     * whole training run from the corpus — nothing to prime). */
   def all: Map[String, String] = staticAll ++ bpeEntries +
-    ("q105_quality_train" -> qualityTrainSql(10, 4, 20000L, "graft-q105"))
+    ("q105_quality_train" -> qualityTrainSql(10, 4, 20000L, "graft-q105")) +
+    ("q107_quality_train_bigrams" ->
+      qualityTrainSql(10, 4, 20000L, "graft-q107", ngrams = 2))
 
   // ------------------------------------------------------ BPE (q87-q99)
   //

@@ -1608,6 +1608,28 @@ object SparkEntry {
       .orderBy(col("bucket"))
   }
 
+  /** q105's trainer under fastText's ACTUAL feature recipe — word
+    * bigrams hashed into the same 2^bits bucket space as the unigrams
+    * (`-wordNgrams 2`): the linear model gains phrase signals a bag of
+    * unigrams is blind to. Same deterministic full-batch GD, same
+    * integer quantization at every sum; the oracle unrolls the whole
+    * training run over the EXTENDED feature stream (tokens ∪
+    * space-joined bigrams — collision-free against unigrams since
+    * tokens cannot contain the joining space). QualityModelSpec pins
+    * the capability gap directly: an order-encoded label that unigram
+    * features provably cannot separate, bigram features do. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"),
+      col("text").contains("spark").cast("int").as("label"))
+    val w = QualityModel.trainHashedLogistic(docs, "doc_id", "text", "label",
+      bits = 10, seed = "graft-q107", epochs = 4, lrMyriad = 20000L,
+      wordNgrams = 2)
+    w.zipWithIndex.map { case (wt, b) => (b, wt.toLong) }
+      .toSeq.toDF("bucket", "weight")
+      .orderBy(col("bucket"))
+  }
+
   /** q76's perplexity filter ONE MARKOV ORDER UP — per-doc cross-entropy
     * under the corpus-trained interpolated add-one BIGRAM LM (λ=½
     * Jelinek-Mercer against the unigram), the shape CCNet actually runs:
@@ -1863,7 +1885,8 @@ object SparkEntry {
     "q103_bpe_faithful_roundtrip" -> q103 _,
     "q104_bpe_faithful_pack" -> q104 _,
     "q105_quality_train" -> q105 _,
-    "q106_bigram_perplexity" -> q106 _
+    "q106_bigram_perplexity" -> q106 _,
+    "q107_quality_train_bigrams" -> q107 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

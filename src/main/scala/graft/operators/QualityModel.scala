@@ -46,19 +46,48 @@ object QualityModel {
   private def bucketWeightInt(b: Column): Column =
     h32(concat(lit("w:"), b.cast("string"))) % 2001 - 1000
 
+  /** The hashed feature stream of a document: its tokens, and for
+    * `wordNgrams >= 2` additionally its word BIGRAMS as
+    * space-joined strings — fastText's actual recipe (`-wordNgrams 2`),
+    * which lets the linear model see phrase signals a bag of unigrams is
+    * blind to ("new york" vs "york new" hash to different buckets; the
+    * unigram bags are identical). The bigram string cannot collide with
+    * a unigram feature: tokens are whitespace-split, so no token
+    * contains the joining space. Derived IN the scan (zip_with of two
+    * slices) — still a pure Column expression, no shuffle. */
+  private def featureStream(text: Column, wordNgrams: Int): Column = {
+    require(wordNgrams >= 1 && wordNgrams <= 2,
+      s"wordNgrams must be 1 or 2, got $wordNgrams")
+    val toks = TextFns.tokens(text)
+    if (wordNgrams == 1) toks
+    else {
+      val sz = org.apache.spark.sql.functions.size(toks)
+      val grams = when(sz >= 2,
+        zip_with(slice(toks, lit(1), sz - 1), slice(toks, lit(2), sz - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>"))
+      concat(toks, grams)
+    }
+  }
+
   /** fastText-style hashed linear score of `text` with 2^bits feature
-    * buckets: sigmoid( mean over tokens of w[bucket(token)] / 1000 ).
-    * Returns a struct `(n_tokens, w_sum, score)`; `w_sum` is the exact
-    * integer weight sum (the auditable raw margin), `score` is rounded to
-    * 6 places. Empty docs score NULL (no tokens, no evidence).
+    * buckets: sigmoid( mean over features of w[bucket(feature)] / 1000 ).
+    * Features are tokens, plus word bigrams at `wordNgrams = 2` (the
+    * fastText `-wordNgrams` switch — see [[featureStream]]); `n_tokens`
+    * then counts FEATURES (tokens + bigrams), keeping the score a true
+    * mean. Returns a struct `(n_tokens, w_sum, score)`; `w_sum` is the
+    * exact integer weight sum (the auditable raw margin), `score` is
+    * rounded to 6 places. Empty docs score NULL (no tokens, no
+    * evidence).
     *
-    * 100 TB: a pure Column expression — tokenize, two md5s per token, an
-    * integer `aggregate` — all Catalyst builtins inside the scan's
+    * 100 TB: a pure Column expression — tokenize, two md5s per feature,
+    * an integer `aggregate` — all Catalyst builtins inside the scan's
     * codegen span; no shuffle, no UDF, no state. Scoring cost is linear
     * in corpus tokens and trivially partition-parallel. */
-  def hashedLinearScore(text: Column, bits: Int, seed: String): Column = {
+  def hashedLinearScore(text: Column, bits: Int, seed: String,
+                        wordNgrams: Int = 1): Column = {
     require(bits > 0 && bits <= 30, s"bits must be in [1,30], got $bits")
-    val toks = TextFns.tokens(text)
+    val toks = featureStream(text, wordNgrams)
     val bucket = (t: Column) =>
       h32(concat(lit(seed), lit(":"), t)) % (1 << bits)
     val wSum = aggregate(
@@ -81,10 +110,11 @@ object QualityModel {
     * QualityModelSpec proves it plan- and result-equal to
     * [[hashedLinearScore]] when fed that function's own weight table. */
   def hashedLinearScoreWeights(text: Column, bits: Int, seed: String,
-                               weights: Array[Int]): Column = {
+                               weights: Array[Int],
+                               wordNgrams: Int = 1): Column = {
     require(weights.length == (1 << bits),
       s"need ${1 << bits} weights, got ${weights.length}")
-    val toks = TextFns.tokens(text)
+    val toks = featureStream(text, wordNgrams)
     val wLit = typedlit(weights)
     val bucket = (t: Column) =>
       h32(concat(lit(seed), lit(":"), t)) % (1 << bits)
@@ -140,7 +170,8 @@ object QualityModel {
     * the scorer ships it. */
   def trainHashedLogistic(df: DataFrame, idCol: String, textCol: String,
                           labelCol: String, bits: Int, seed: String,
-                          epochs: Int, lrMyriad: Long = 20000L): Array[Int] = {
+                          epochs: Int, lrMyriad: Long = 20000L,
+                          wordNgrams: Int = 1): Array[Int] = {
     require(bits > 0 && bits <= 21, s"bits must be in [1,21], got $bits")
     require(epochs >= 0 && epochs <= 64, s"epochs must be in [0,64], got $epochs")
     val nBuckets = 1 << bits
@@ -148,7 +179,7 @@ object QualityModel {
       h32(concat(lit(seed), lit(":"), t)) % nBuckets
     val feats = df
       .select(col(idCol).as("__d"), col(labelCol).cast("long").as("__y"),
-        explode(TextFns.tokens(col(textCol))).as("__t"))
+        explode(featureStream(col(textCol), wordNgrams)).as("__t"))
       .select(col("__d"), col("__y"), bucket(col("__t")).as("__b"))
       .groupBy(col("__d"), col("__y"), col("__b"))
       .agg(count(lit(1)).as("__c"))

@@ -216,6 +216,45 @@ class QualityModelSpec extends SparkSpec {
       "fixture too easy: even the untrained md5 table separates it")
   }
 
+  test("wordNgrams=2 features: an order-encoded label that unigram " +
+      "features provably cannot separate, bigram features do") {
+    // every doc is the SAME bag of words; the label is the word ORDER.
+    // With wordNgrams=1 all docs have identical features, so every score
+    // is identical and no weight table can separate them. With
+    // wordNgrams=2 the phrase features differ and training separates.
+    val pos = (0L to 3L).map(i => (i, "good service fast delivery", 1))
+    val neg = (4L to 7L).map(i => (i, "delivery good fast service", 0))
+    val train = (pos ++ neg).toDF("doc_id", "text", "label")
+    val bits = 8
+    val w2 = QualityModel.trainHashedLogistic(train, "doc_id", "text",
+      "label", bits, "graft-ng", epochs = 20, lrMyriad = 50000L,
+      wordNgrams = 2)
+    val scored = train.select(col("label"),
+        QualityModel.hashedLinearScoreWeights(col("text"), bits, "graft-ng",
+          w2, wordNgrams = 2).getField("score").as("s"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val p = scored.filter(_._1 == 1).map(_._2)
+    val n = scored.filter(_._1 == 0).map(_._2)
+    assert(p.min > n.max,
+      s"bigram features failed to separate order classes: pos=${p.toSeq} neg=${n.toSeq}")
+    // the unigram model is STRUCTURALLY blind here: identical bags =>
+    // identical features => one score for all docs, whatever it trains
+    val w1 = QualityModel.trainHashedLogistic(train, "doc_id", "text",
+      "label", bits, "graft-ng", epochs = 20, lrMyriad = 50000L)
+    val s1 = train.select(
+        QualityModel.hashedLinearScoreWeights(col("text"), bits, "graft-ng",
+          w1).getField("score").as("s"))
+      .collect().map(_.getDouble(0)).distinct
+    assert(s1.length == 1, s"unigram scores should be identical: ${s1.toSeq}")
+    // scorer parity: derived-path (trained table through Weights) n_tokens
+    // counts features — tokens + bigrams
+    val nFeats = train.select(
+        QualityModel.hashedLinearScoreWeights(col("text"), bits, "graft-ng",
+          w2, wordNgrams = 2).getField("n_tokens").as("n"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    assert(nFeats == Seq(7), s"4 tokens + 3 bigrams = 7 features: $nFeats")
+  }
+
   test("bigramCrossEntropy: hand-checked tiny corpus (one-token docs feed " +
       "the unigram LM but are omitted from scoring)") {
     // corpus: "a a b", "b c", "z", "" => unigram a=2 b=2 c=1 z=1, N=6 V=4
