@@ -108,10 +108,26 @@ object TextFns {
   /** The characters whose mojibake forms a web corpus actually contains
     * at frequency (the ftfy top offenders): curly quotes, dashes,
     * ellipsis, bullet, accented vowels, no-break space (mapped to plain
-    * space). */
+    * space).
+    *
+    * ORDER IS MATERIAL (anti-cascade invariant): the dashes \u2013 \u2014 come
+    * BEFORE the double quotes \u201C \u201D. The cp1252 garble of \u2013 is "\u00E2\u20AC\u201C"
+    * (its last char IS \u201C, cp1252's 0x93) and of \u2014 is "\u00E2\u20AC\u201D" (last char
+    * \u201D, 0x94) \u2014 so a quote fix's OUTPUT dropped next to a stray "\u00E2\u20AC"
+    * would complete a dash pattern, and a chain that runs the dash fix
+    * LATER would then cascade (fix a pattern no scan of the original
+    * text contains). With dashes first, no fix's output can complete
+    * any pattern that still has a pending pass (outputs \u2013 \u2014 \u00E9 \u2026 appear
+    * in no pattern), and no two patterns can overlap in original text
+    * (no pattern's suffix is another's prefix: patterns start \u00E2/\u00C3/\u00C2,
+    * suffixes never do) \u2014 so the sequential global-replace chain, the
+    * DuckDB oracle's compiled replace chain, and the one-pass
+    * longest-match scanner ([[CleanTextKernel]]) are all EXACTLY the
+    * same function. TextFnsSpec fuzzes the three-way equality with
+    * partial patterns and repaired-output chars in the mix. */
   private val MojibakeTargets: Seq[(Char, String)] = Seq(
-    '\u2019' -> "\u2019", '\u2018' -> "\u2018", '\u201C' -> "\u201C",
-    '\u201D' -> "\u201D", '\u2013' -> "\u2013", '\u2014' -> "\u2014",
+    '\u2019' -> "\u2019", '\u2018' -> "\u2018", '\u2013' -> "\u2013",
+    '\u2014' -> "\u2014", '\u201C' -> "\u201C", '\u201D' -> "\u201D",
     '\u2026' -> "\u2026", '\u2022' -> "\u2022", '\u00E9' -> "\u00E9",
     '\u00E8' -> "\u00E8", '\u00E1' -> "\u00E1", '\u00F3' -> "\u00F3",
     '\u00FC' -> "\u00FC", '\u00A0' -> " ")
@@ -155,9 +171,22 @@ object TextFns {
 
   /** The full text-cleanup pass a scraped corpus gets before scoring:
     * mojibake repair -> control-char strip -> whitespace canonicalization.
-    * Pure codegen'd Column expression — zero exchanges, runs inside the
-    * scan. */
+    * Runs as ONE fused native scan ([[CleanTextExpr]]) — the composed
+    * replace/regexp chain ([[cleanTextComposed]]) is ~40 full string
+    * passes per document and was the bulk of the corpus pipeline's
+    * biggest stage; the kernel is structurally equivalent (prefix-free
+    * fix table, non-interacting replacements — see [[CleanTextKernel]])
+    * and TextFnsSpec pins kernel == chain on randomized garbled corpora.
+    * Zero exchanges either way; the DuckDB oracle replays the composed
+    * chain, so the correctness gate cross-checks the fusion per run. */
   def cleanText(text: Column): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      CleanTextExpr(org.apache.spark.sql.graft.ExprBridge.expression(text)))
+
+  /** The reference composed form of [[cleanText]] — the exact
+    * replace/regexp chain the DuckDB oracle compiles, kept for the
+    * kernel-equivalence spec. */
+  def cleanTextComposed(text: Column): Column =
     normalizeWhitespace(stripControlChars(fixMojibake(text)))
 
   /** Document fingerprint: md5 of the normalized text (content identity for

@@ -98,4 +98,34 @@ class TextFnsSpec extends SparkSpec {
       .select(TextFns.cleanText(col("text")).as("t")).as[String].head()
     assert(once == twice)
   }
+
+  test("cleanText fused kernel == composed replace/regexp chain on " +
+      "randomized garbled corpora (every fix variant, partial patterns, " +
+      "control runs, pathological whitespace, astral chars)") {
+    val rnd = new scala.util.Random(42)
+    // atoms: every garbled pattern, every PREFIX of every pattern (the
+    // partial-match paths), repaired chars (must NOT re-trigger fixes),
+    // controls, whitespace shapes, ASCII words, an astral emoji
+    val patterns = TextFns.MojibakeFixes.map(_._1)
+    val prefixes = patterns.flatMap(p => (1 until p.length).map(p.substring(0, _)))
+    val atoms: IndexedSeq[String] =
+      (patterns ++ prefixes ++ TextFns.MojibakeFixes.map(_._2) ++
+        Seq("word", "x", "", " ", "  ", "\t", "\n", " \n ", "\n\n\n",
+          "\t \n\t", "\u0000", "\u0007", "\u000b", "\u001f", "\u007f",
+          "\r", "\r\n", "\u0085", "\u00a0", "\ufffd",
+          "\ud83d\ude00", "\u2028")).toIndexedSeq
+    val fixtures = Seq(" \n abc \n ", "\tx\t", "\na", "a\n", " a ", "\n",
+        " \n \n \n ", "", "   ") ++
+      (1 to 2000).map(_ => (0 until (1 + rnd.nextInt(12)))
+        .map(_ => atoms(rnd.nextInt(atoms.length))).mkString)
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val got = df.select(col("id"), TextFns.cleanText(col("text")).as("a"),
+        TextFns.cleanTextComposed(col("text")).as("b"))
+      .collect()
+    val bad = got.filter(r => r.getString(1) != r.getString(2))
+    assert(bad.isEmpty, bad.take(3).map(r =>
+      s"id=${r.getLong(0)} kernel=[${r.getString(1)}] chain=[${r.getString(2)}]")
+      .mkString("; "))
+  }
 }
