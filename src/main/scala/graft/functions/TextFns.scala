@@ -17,8 +17,27 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
-  /** Token count (whitespace tokenization). */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Fused one-pass text statistics `(chars, n_tokens, stop_hits,
+    * punct_chars)` — the integer counts behind [[tokenCount]] /
+    * [[qualityScore]], computed by ONE native scan
+    * ([[TextStatsExpr]]) instead of one tokenize/regex pass per
+    * signal. Identical instances in a projection are merged by codegen
+    * subexpression elimination, so evaluating n_tokens AND quality over
+    * the same column still costs one scan. */
+  def textStats(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      TextStatsExpr(org.apache.spark.sql.graft.ExprBridge.expression(text),
+        stopwords))
+
+  /** Token count (whitespace tokenization; fused native scan — the
+    * composed `size(tokens(text))` is [[tokenCountComposed]], spec-pinned
+    * equal). */
+  def tokenCount(text: Column): Column =
+    textStats(text).getField("n_tokens")
+
+  /** Reference composed form of [[tokenCount]] for the equivalence
+    * spec. */
+  def tokenCountComposed(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword-count estimate: letter runs, digit runs, and single
     * punctuation marks counted separately (a cheap, deterministic proxy for
@@ -58,8 +77,30 @@ object TextFns {
   }
 
   /** Composite quality score in [0,1]: rewards mid-range length, presence of
-    * stopwords, low punctuation density. Deterministic and portable. */
+    * stopwords, low punctuation density. Deterministic and portable.
+    * Counts come from the fused [[textStats]] scan; every ratio, clamp
+    * and ROUND is the same Catalyst arithmetic as
+    * [[qualityScoreComposed]] (spec-pinned equal), so the DuckDB oracle
+    * replay is unaffected. */
   def qualityScore(text: Column): Column = {
+    val st = textStats(text)
+    val chars = st.getField("chars")
+    val n = st.getField("n_tokens")
+    val stopRatio = when(n > 0,
+      st.getField("stop_hits").cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val pRatio = when(chars > 0,
+      st.getField("punct_chars").cast("double") / chars.cast("double"))
+      .otherwise(lit(0.0))
+    val lenScore  = least(chars.cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    val punctPen  = greatest(lit(0.0), lit(1.0) - pRatio * 4.0)
+    round((lenScore + stopScore + punctPen) / 3.0, 6)
+  }
+
+  /** Reference composed form of [[qualityScore]] (one tokenize/regex
+    * pass per signal) for the equivalence spec. */
+  def qualityScoreComposed(text: Column): Column = {
     val lenScore  = least(length(text).cast("double") / 500.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
     val punctPen  = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)

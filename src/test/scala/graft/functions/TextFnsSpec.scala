@@ -128,4 +128,45 @@ class TextFnsSpec extends SparkSpec {
       s"id=${r.getLong(0)} kernel=[${r.getString(1)}] chain=[${r.getString(2)}]")
       .mkString("; "))
   }
+
+  test("tokenCount + qualityScore fused kernel == composed forms on " +
+      "randomized unicode corpora (and one scan serves both signals)") {
+    val rnd = new scala.util.Random(7)
+    val atoms = IndexedSeq("the", "The", "THE", "with", "WITH", "a", "It",
+      "word", "hello,", "x!!", "...", "line", "\u00e9clair", "na\u00efve",
+      "\u0386\u03a3", "\u03a3\u03bf\u03c2", "\u212aelvin", "I\u0130",
+      "\ud83d\ude00", "\ud83d\ude00!b", " ", "  ", "\t", "\n", "\u000b",
+      "\f", "\r", "", "123", "[a](b)", "{x;y}", "~`^", "don\u2019t")
+    val fixtures = Seq("", " ", "\t\n", "only punct !!!", "the the the",
+        "\u03a3 \u03a3x x\u03a3") ++
+      (1 to 1500).map(_ => (0 until (1 + rnd.nextInt(14)))
+        .map(_ => atoms(rnd.nextInt(atoms.length))).mkString(
+          if (rnd.nextBoolean()) " " else ""))
+    val df = fixtures.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextFns.tokenCount(col("text")).as("na"),
+        TextFns.tokenCountComposed(col("text")).as("nb"),
+        TextFns.qualityScore(col("text")).as("qa"),
+        TextFns.qualityScoreComposed(col("text")).as("qb"))
+      .collect()
+    val bad = got.filter(r => r.getInt(1) != r.getInt(2) ||
+      r.getDouble(3) != r.getDouble(4))
+    assert(bad.isEmpty, bad.take(3).map(r =>
+      s"id=${r.getLong(0)}: n ${r.getInt(1)} vs ${r.getInt(2)}, " +
+        s"q ${r.getDouble(3)} vs ${r.getDouble(4)}").mkString("; "))
+    // both signals over the same column must plan as ONE kernel call
+    // (codegen subexpression elimination on the identical TextStatsExpr)
+    // repartition first: ConvertToLocalRelation would otherwise evaluate
+    // the projection at optimization time and leave nothing to codegen;
+    // collect() first: an unexecuted AQE plan has no codegen subtrees yet
+    val planned = df.repartition(2)
+      .select(TextFns.tokenCount(col("text")).as("n"),
+        TextFns.qualityScore(col("text")).as("q"))
+    planned.collect()
+    val gen = planned.queryExecution.executedPlan
+    val code = org.apache.spark.sql.execution.debug.codegenString(gen)
+    val calls = "TextStatsKernel\\.stats".r.findAllIn(code).length
+    assert(calls == 1, s"expected 1 fused stats call in codegen, got $calls")
+  }
 }
