@@ -286,6 +286,73 @@ object QualityModel {
     * materialization — the guard job is the count frame itself, which
     * the fallback plan recomputes. `maxLocalVocab = 0` disables the
     * fast path outright. */
+  /** lp_i = round((ln(N + V) - ln(cnt + 1)) * 1e6): integer fixed-point
+    * of -ln P(tok); ln over integer-valued doubles is bit-deterministic.
+    * ONE builder for the local and distributed branches (and
+    * [[withUnigramXent]]) — the paths cannot diverge on rounding. */
+  private def lpOf(cnt: Column, nTotal: Column, vocab: Column): Column =
+    round((log(nTotal.cast("double") + vocab)
+      - log(cnt.cast("double") + 1.0)) * 1e6).cast("long")
+
+  /** The local-LM table behind the r12 fast path: collect the (Zipf-
+    * small) token-count frame and compute tok -> lp_i BY Catalyst on the
+    * collected rows (same [[lpOf]] expression as the distributed
+    * branch). None when the vocabulary exceeds `maxLocalVocab` — callers
+    * fall back to the distributed plan. */
+  private def collectUnigramLp(df: DataFrame, counts: DataFrame,
+                               maxLocalVocab: Int): Option[Seq[(String, Long)]] = {
+    val cRows = counts.limit(maxLocalVocab + 1).collect()
+    if (cRows.length > maxLocalVocab) return None
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nTotal = cRows.iterator.map(_.getLong(1)).sum
+    Some(cRows.iterator.map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.toDF("tok", "cnt")
+      .select(col("tok"),
+        lpOf(col("cnt"), lit(nTotal), lit(cRows.length.toLong)))
+      .as[(String, Long)].collect().toSeq)
+  }
+
+  /** [[unigramCrossEntropy]]'s xent appended as a COLUMN on `df` — no
+    * join. The corpus pipeline's perplexity gate needs every input row
+    * back (kept rows AND rejects, each with its xent), so the
+    * (id, xent) formulation forces a corpus×corpus equi-join just to
+    * re-attach a value that is a pure function of the text column; with
+    * the collected local LM the score is ONE zero-shuffle codegen call
+    * appended in place (the two struct-field reads merge under codegen
+    * subexpression elimination). Token-less documents get NULL (exactly
+    * the left join's null). Past `maxLocalVocab` this degrades to the
+    * join shape (distributed LM), result-identical.
+    *
+    * 100 TB: the stage's exchanges drop from {word-count agg, corpus
+    * re-key for the join ×2 sides} to {word-count agg} — the gate
+    * becomes scan-bound, which is what a filter should be. */
+  def withUnigramXent(df: DataFrame, idCol: String, textCol: String,
+                      outCol: String = "xent",
+                      tokensOf: Column => Column = TextFns.tokens,
+                      maxLocalVocab: Int = 2000000): DataFrame = {
+    if (maxLocalVocab > 0) {
+      val counts = df.select(explode(tokensOf(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val lpLocal = collectUnigramLp(df, counts, maxLocalVocab)
+      if (lpLocal.isDefined) {
+        val s = org.apache.spark.sql.graft.ExprBridge.column(
+          graft.functions.UnigramScoreExpr(
+            org.apache.spark.sql.graft.ExprBridge.expression(
+              tokensOf(col(textCol))), lpLocal.get))
+        return df.withColumn(outCol,
+          when(s.getField("n_tokens") > 0,
+            round(s.getField("lp_sum").cast("double")
+              / (s.getField("n_tokens") * 1e6), 6)))
+      }
+    }
+    df.join(
+      unigramCrossEntropy(df, idCol, textCol, tokensOf = tokensOf,
+          maxLocalVocab = 0)
+        .select(col(idCol), col("xent").as(outCol)),
+      Seq(idCol), "left")
+  }
+
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                           hintSmallVocab: Boolean = false,
                           tokensOf: Column => Column = TextFns.tokens,
@@ -293,27 +360,14 @@ object QualityModel {
     val toksDf = df.select(col(idCol),
         explode(tokensOf(col(textCol))).as("tok"))
     val counts = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    // lp_i = round((ln(N + V) - ln(cnt + 1)) * 1e6): integer fixed-point
-    // of -ln P(tok); ln over integer-valued doubles is bit-deterministic.
-    def lpOf(cnt: Column, nTotal: Column, vocab: Column): Column =
-      round((log(nTotal.cast("double") + vocab)
-        - log(cnt.cast("double") + 1.0)) * 1e6).cast("long")
     if (maxLocalVocab > 0) {
-      val cRows = counts.limit(maxLocalVocab + 1).collect()
-      if (cRows.length <= maxLocalVocab) {
-        val spark = df.sparkSession
-        import spark.implicits._
-        val nTotal = cRows.iterator.map(_.getLong(1)).sum
-        val lpPairs = cRows.iterator.map(r => (r.getString(0), r.getLong(1)))
-          .toSeq.toDF("tok", "cnt")
-          .select(col("tok"),
-            lpOf(col("cnt"), lit(nTotal), lit(cRows.length.toLong)))
-          .as[(String, Long)].collect().toSeq
+      val lpLocal = collectUnigramLp(df, counts, maxLocalVocab)
+      if (lpLocal.isDefined) {
         return df.select(col(idCol),
             org.apache.spark.sql.graft.ExprBridge.column(
               graft.functions.UnigramScoreExpr(
                 org.apache.spark.sql.graft.ExprBridge.expression(
-                  tokensOf(col(textCol))), lpPairs)).as("__s"))
+                  tokensOf(col(textCol))), lpLocal.get)).as("__s"))
           .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
             col("__s.lp_sum").as("lp_sum"))
           .filter(col("n_tokens") > 0) // empty docs omitted, as distributed

@@ -144,17 +144,25 @@ object CorpusPipeline {
     stage("ppl_gate") {
       val in = read("s1_quality")
       // LM trained on the post-quality corpus itself (one word-count
-      // shuffle + a Zipf-small broadcast probe — q76's plan); xent rides
-      // along as an audit column until span_rewrite re-projects.
-      val xent = QualityModel.unigramCrossEntropy(in, "doc_id", "text")
-        .select(col("doc_id"), col("xent"))
-      val gated = in.join(xent, Seq("doc_id"), "left")
+      // shuffle, then the collected local LM scores IN PLACE — no
+      // corpus×corpus join to re-attach xent; see withUnigramXent);
+      // xent rides along as an audit column until span_rewrite
+      // re-projects.
+      val gated = QualityModel.withUnigramXent(in, "doc_id", "text")
         .withColumn("drop_reason",
           when(col("xent") > cfg.maxXent, lit("high_perplexity"))
             .when(col("xent") < cfg.minXent, lit("low_perplexity")))
-      write(gated.filter(col("drop_reason").isNotNull), "rejects_ppl")
-      write(gated.filter(col("drop_reason").isNull)
-        .drop("drop_reason"), "s2_ppl")
+        // persist across the rejects/keep split: predicate pushdown
+        // otherwise substitutes the xent definition into each write's
+        // filter AND projection — 4 scorer evaluations of the corpus
+        // for one gate (measured 43 s vs 15 at rich32). Serialized
+        // blocks, spill-safe; freed before the stage returns.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        write(gated.filter(col("drop_reason").isNotNull), "rejects_ppl")
+        write(gated.filter(col("drop_reason").isNull)
+          .drop("drop_reason"), "s2_ppl")
+      } finally gated.unpersist()
     }
 
     stage("exact_dedup") {

@@ -255,6 +255,35 @@ class QualityModelSpec extends SparkSpec {
     assert(nFeats == Seq(7), s"4 tokens + 3 bigrams = 7 features: $nFeats")
   }
 
+  test("withUnigramXent: inline column == left-join of unigramCrossEntropy " +
+      "(empty docs NULL both ways); local path plans zero exchanges after " +
+      "the count collect") {
+    val rnd = new scala.util.Random(23)
+    val corpus = docs(((1 to 200).map(i => (i.toLong,
+      Seq.fill(rnd.nextInt(30))(s"w${rnd.nextInt(40)}").mkString(" ")))
+      :+ (900L -> "") :+ (901L -> "   ")): _*)
+    val inline = QualityModel.withUnigramXent(corpus, "doc_id", "text")
+      .select("doc_id", "text", "xent")
+      .orderBy("doc_id").collect().toSeq
+    val joined = corpus.join(
+        QualityModel.unigramCrossEntropy(corpus, "doc_id", "text")
+          .select(col("doc_id"), col("xent")), Seq("doc_id"), "left")
+      .select("doc_id", "text", "xent")
+      .orderBy("doc_id").collect().toSeq
+    assert(inline == joined, "inline xent diverged from the join shape")
+    assert(inline.exists(_.isNullAt(2)), "fixture needs token-less docs")
+    // fallback (distributed LM via join) is also result-identical
+    val fallback = QualityModel.withUnigramXent(corpus, "doc_id", "text",
+        maxLocalVocab = 0)
+      .select("doc_id", "text", "xent")
+      .orderBy("doc_id").collect().toSeq
+    assert(inline == fallback)
+    val plan = QualityModel.withUnigramXent(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"inline xent should add zero exchanges:\n$plan")
+  }
+
   test("bigramCrossEntropy: hand-checked tiny corpus (one-token docs feed " +
       "the unigram LM but are omitted from scoring)") {
     // corpus: "a a b", "b c", "z", "" => unigram a=2 b=2 c=1 z=1, N=6 V=4
