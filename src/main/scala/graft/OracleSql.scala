@@ -1627,6 +1627,31 @@ object OracleSql {
            SELECT CAST(gpos // 8192 AS BIGINT) AS seq_id,
              CAST(COUNT(*) AS INTEGER) AS n_tokens,
              string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+           FROM g GROUP BY 1 ORDER BY seq_id""",
+
+      // q108: q104 + a reserved EOS id (256 + |alphabet| + |merges| —
+      // one past the open vocabulary) appended to EVERY document's id
+      // stream (empty docs contribute just their EOS), so per-doc
+      // lengths are n+1 and every coordinate shifts accordingly.
+      "q108_bpe_eos_pack" ->
+        s"""WITH $alphaCte,
+           w AS (SELECT doc_id, ${bpePretoks("text")} AS words FROM documents),
+           $encCtes,
+           dn AS (SELECT d.doc_id, COUNT(i.id) + 1 AS n
+             FROM documents d LEFT JOIN ord i USING (doc_id)
+             GROUP BY d.doc_id),
+           allp AS (SELECT doc_id, id, pos FROM ord
+             UNION ALL SELECT doc_id,
+               CAST(256 + (SELECT COUNT(*) FROM alpha) + ${merges.size}
+                 AS INTEGER) AS id, n AS pos FROM dn),
+           cum AS (SELECT doc_id,
+               SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                 AS strt FROM dn),
+           g AS (SELECT (c.strt + i.pos - 1) AS gpos, i.id
+             FROM allp i JOIN cum c USING (doc_id))
+           SELECT CAST(gpos // 8192 AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS INTEGER) AS n_tokens,
+             string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
            FROM g GROUP BY 1 ORDER BY seq_id""")
   }
 

@@ -1584,6 +1584,32 @@ object SparkEntry {
       .orderBy(col("seq_id"))
   }
 
+  /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
+    * the GPT-2 `<|endoftext|>` device, the piece of the training-file
+    * contract q102's boundary columns approximate from outside: each
+    * document's id stream ends with the reserved id ONE PAST the open
+    * vocabulary (256 + |alphabet| + |merges|), so a trainer that splits
+    * on EOS recovers document boundaries from the token stream itself
+    * and the LM learns to emit end-of-document. Implementation is one
+    * in-scan `concat(ids, [eos])` — the packer's piece-sliced exchange
+    * is unchanged; empty documents still contribute their EOS (a doc is
+    * a doc). The oracle re-derives the id layout, the EOS id and the
+    * shifted prefix-sum coordinates from scratch. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val merges = bpeFaithfulTable(s, dir)
+    val docs = T(s, dir, "documents")
+    val vocab = Bpe.vocabBytesFrom(
+      Bpe.vocabCached(docs, dir, "text", merges, faithful = true))
+    val eosId = vocab.size
+    val ids = docs.select(col("doc_id"),
+      concat(Bpe.tokenIdsFaithful(col("text"), merges, vocab),
+        array(lit(eosId))).as("ids"))
+    Packer.packTokenIds(s, ids, "doc_id", "ids", budgetTokens = 8192L)
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("token_ids"))
+      .orderBy(col("seq_id"))
+  }
+
   /** IN-ENGINE quality-classifier TRAINING under the oracle gate (the
     * r12 verdict's missing #3): deterministic full-batch logistic GD
     * over the q75 scorer's own hashed features
@@ -1886,7 +1912,8 @@ object SparkEntry {
     "q104_bpe_faithful_pack" -> q104 _,
     "q105_quality_train" -> q105 _,
     "q106_bigram_perplexity" -> q106 _,
-    "q107_quality_train_bigrams" -> q107 _
+    "q107_quality_train_bigrams" -> q107 _,
+    "q108_bpe_eos_pack" -> q108 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -431,6 +431,67 @@ object QualityModel {
     * two O(1) probes per position, exact integer sum, loud throw on a
     * tokensOf mismatch). Past the threshold the distributed plan runs
     * unchanged — degrade, don't die, the unigram discipline. */
+  /** lp_i = round(-ln(½(bcnt+1)/(pcnt+V) + ½(ccnt+1)/(N+V)) · 1e6): ONE
+    * expression builder for the local and distributed bigram branches —
+    * bit-parity by construction. */
+  private def lpInterp(bcnt: Column, pcnt: Column, ccnt: Column,
+                       nTotal: Column, vocab: Column): Column =
+    round(-log(
+      lit(0.5) * (bcnt + lit(1)).cast("double") / (pcnt + vocab).cast("double")
+        + lit(0.5) * (ccnt + lit(1)).cast("double") / (nTotal + vocab).cast("double")
+    ) * 1e6).cast("long")
+
+  /** The local bigram-LM table: collect the distinct-bigram count frame
+    * (and the unigram frame — strictly smaller) and compute
+    * (prev, cur) -> lp_i BY Catalyst on the collected rows (same
+    * [[lpInterp]] expression as the distributed branch). None past
+    * `maxLocalBigrams`. */
+  private def collectBigramLpFrames(df: DataFrame, uni: DataFrame,
+                                    big: DataFrame, maxLocalBigrams: Int)
+      : Option[Seq[((String, String), Long)]] = {
+    val bRows = big.limit(maxLocalBigrams + 1).collect()
+    if (bRows.length > maxLocalBigrams) return None
+    val spark = df.sparkSession
+    import spark.implicits._
+    // vocab ⊆ bigram endpoints ∪ one-token docs — if bigrams fit,
+    // the unigram frame fits a fortiori
+    val uRows = uni.collect()
+    val cntOf = uRows.iterator
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = uRows.iterator.map(_.getLong(1)).sum
+    val vocabN = uRows.length.toLong
+    Some(bRows.iterator
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        cntOf(r.getString(0)), cntOf(r.getString(1))))
+      .toSeq.toDF("__p", "__c", "bcnt", "pcnt", "ccnt")
+      .select(col("__p"), col("__c"),
+        lpInterp(col("bcnt"), col("pcnt"), col("ccnt"),
+          lit(nTotal), lit(vocabN)))
+      .as[(String, String, Long)].collect()
+      .map { case (p, c, v) => ((p, c), v) }.toSeq)
+  }
+
+  /** [[collectBigramLpFrames]] with the count frames derived from `df`
+    * (for callers outside [[bigramCrossEntropy]]'s plan, e.g.
+    * [[withBigramXent]]). */
+  private def collectBigramLp(df: DataFrame, textCol: String,
+                              tokensOf: Column => Column,
+                              maxLocalBigrams: Int)
+      : Option[Seq[((String, String), Long)]] = {
+    val base = df.select(tokensOf(col(textCol)).as("__toks"))
+    val uni = base.select(explode(col("__toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val sz = org.apache.spark.sql.functions.size(col("__toks"))
+    val big = base
+      .select(explode(when(sz >= 2,
+        zip_with(slice(col("__toks"), lit(1), sz - 1),
+          slice(col("__toks"), lit(2), sz - 1),
+          (a, b) => struct(a.as("p"), b.as("c"))))).as("__pc"))
+      .select(col("__pc.p").as("__p"), col("__pc.c").as("__c"))
+      .groupBy(col("__p"), col("__c")).agg(count(lit(1)).as("bcnt"))
+    collectBigramLpFrames(df, uni, big, maxLocalBigrams)
+  }
+
   def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                          tokensOf: Column => Column = TextFns.tokens,
                          maxLocalBigrams: Int = 4000000): DataFrame = {
@@ -449,14 +510,6 @@ object QualityModel {
       .select(col(idCol), col("__pc.p").as("__p"), col("__pc.c").as("__c"))
     val big = pairsDf.groupBy(col("__p"), col("__c"))
       .agg(count(lit(1)).as("bcnt"))
-    // lp_i = round(-ln(½(bcnt+1)/(pcnt+V) + ½(ccnt+1)/(N+V)) · 1e6):
-    // ONE expression builder for both branches — bit-parity by construction
-    def lpInterp(bcnt: Column, pcnt: Column, ccnt: Column,
-                 nTotal: Column, vocab: Column): Column =
-      round(-log(
-        lit(0.5) * (bcnt + lit(1)).cast("double") / (pcnt + vocab).cast("double")
-          + lit(0.5) * (ccnt + lit(1)).cast("double") / (nTotal + vocab).cast("double")
-      ) * 1e6).cast("long")
     def finish(scored: DataFrame): DataFrame =
       scored.groupBy(col(idCol))
         .agg(count(lit(1)).cast("int").as("n_terms"),
@@ -467,26 +520,9 @@ object QualityModel {
           round(exp(col("lp_sum").cast("double") / (col("n_terms") * 1e6)), 4)
             .as("ppl"))
     if (maxLocalBigrams > 0) {
-      val bRows = big.limit(maxLocalBigrams + 1).collect()
-      if (bRows.length <= maxLocalBigrams) {
-        val spark = df.sparkSession
-        import spark.implicits._
-        // vocab ⊆ bigram endpoints ∪ one-token docs — if bigrams fit,
-        // the unigram frame fits a fortiori
-        val uRows = uni.collect()
-        val cntOf = uRows.iterator
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
-        val nTotal = uRows.iterator.map(_.getLong(1)).sum
-        val vocabN = uRows.length.toLong
-        val lpPairs = bRows.iterator
-          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
-            cntOf(r.getString(0)), cntOf(r.getString(1))))
-          .toSeq.toDF("__p", "__c", "bcnt", "pcnt", "ccnt")
-          .select(col("__p"), col("__c"),
-            lpInterp(col("bcnt"), col("pcnt"), col("ccnt"),
-              lit(nTotal), lit(vocabN)))
-          .as[(String, String, Long)].collect()
-          .map { case (p, c, v) => ((p, c), v) }.toSeq
+      val lpLocal = collectBigramLpFrames(df, uni, big, maxLocalBigrams)
+      if (lpLocal.isDefined) {
+        val lpPairs = lpLocal.get
         return df.select(col(idCol),
             org.apache.spark.sql.graft.ExprBridge.column(
               graft.functions.BigramScoreExpr(
@@ -513,6 +549,36 @@ object QualityModel {
         lpInterp(col("bcnt"), col("pcnt"), col("ccnt"),
           col("n_total"), col("vocab")).as("lp_i"))
     finish(scored)
+  }
+
+  /** [[bigramCrossEntropy]]'s xent appended as a COLUMN on `df` — the
+    * bigram twin of [[withUnigramXent]] (same no-join rationale).
+    * Documents with < 2 tokens get NULL (no conditional evidence —
+    * exactly the left join's null for rows [[bigramCrossEntropy]]
+    * omits). Past `maxLocalBigrams` degrades to the join shape over the
+    * distributed three-join plan, result-identical. */
+  def withBigramXent(df: DataFrame, idCol: String, textCol: String,
+                     outCol: String = "xent",
+                     tokensOf: Column => Column = TextFns.tokens,
+                     maxLocalBigrams: Int = 4000000): DataFrame = {
+    if (maxLocalBigrams > 0) {
+      val lpLocal = collectBigramLp(df, textCol, tokensOf, maxLocalBigrams)
+      if (lpLocal.isDefined) {
+        val s = org.apache.spark.sql.graft.ExprBridge.column(
+          graft.functions.BigramScoreExpr(
+            org.apache.spark.sql.graft.ExprBridge.expression(
+              tokensOf(col(textCol))), lpLocal.get))
+        return df.withColumn(outCol,
+          when(s.getField("n_terms") > 0,
+            round(s.getField("lp_sum").cast("double")
+              / (s.getField("n_terms") * 1e6), 6)))
+      }
+    }
+    df.join(
+      bigramCrossEntropy(df, idCol, textCol, tokensOf = tokensOf,
+          maxLocalBigrams = 0)
+        .select(col(idCol), col("xent").as(outCol)),
+      Seq(idCol), "left")
   }
 
   /** CCNet-style perplexity bucketing: every document assigned to one of

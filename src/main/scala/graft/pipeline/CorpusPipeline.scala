@@ -59,6 +59,12 @@ object CorpusPipeline {
       // spec corpora pass explicit bands (see CorpusPipelineSpec).
       minXent: Double = 0.0,
       maxXent: Double = 12.0,
+      // LM order for the perplexity gate: 1 = add-one unigram (q76),
+      // 2 = interpolated add-one bigram (q106 — the real CCNet shape:
+      // KenLM is an n-gram model; a unigram bag cannot see degenerate
+      // repetition like "the the the"). Both score through the
+      // collected-local-LM inline column; same xent band applies.
+      pplLmOrder: Int = 1,
       budgetTokens: Long = 1000000L,
       seqLen: Int = 2048,
       shardSize: Long = 100000L,
@@ -148,7 +154,12 @@ object CorpusPipeline {
       // corpus×corpus join to re-attach xent; see withUnigramXent);
       // xent rides along as an audit column until span_rewrite
       // re-projects.
-      val gated = QualityModel.withUnigramXent(in, "doc_id", "text")
+      require(cfg.pplLmOrder == 1 || cfg.pplLmOrder == 2,
+        s"pplLmOrder must be 1 (unigram) or 2 (bigram), got ${cfg.pplLmOrder}")
+      val scored =
+        if (cfg.pplLmOrder == 2) QualityModel.withBigramXent(in, "doc_id", "text")
+        else QualityModel.withUnigramXent(in, "doc_id", "text")
+      val gated = scored
         .withColumn("drop_reason",
           when(col("xent") > cfg.maxXent, lit("high_perplexity"))
             .when(col("xent") < cfg.minXent, lit("low_perplexity")))

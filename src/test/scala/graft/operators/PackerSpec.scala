@@ -105,6 +105,37 @@ class PackerSpec extends SparkSpec {
     }
   }
 
+  test("EOS-separated packing (the q108 contract): splitting the " +
+      "concatenated stream on the reserved id recovers every document's " +
+      "id stream in order, empty docs included") {
+    val eos = 999
+    val docs = Seq(
+      (1L, Seq(5, 6, 7)), (2L, Seq.empty[Int]), (3L, Seq(8)),
+      (4L, Seq(9, 10, 11, 12, 13))).toDF("doc_id", "ids")
+    val withEos = docs.select(col("doc_id"),
+      concat(col("ids"), array(lit(eos))).as("ids"))
+    val packed = Packer.packTokenIds(spark, withEos, "doc_id", "ids",
+        budgetTokens = 4L)
+      .orderBy("seq_id")
+      .select("token_ids").as[Seq[Int]].collect().toSeq
+    val stream = packed.flatten
+    // stream = doc1 ‖ EOS ‖ (empty) EOS ‖ doc3 ‖ EOS ‖ doc4 ‖ EOS
+    assert(stream.count(_ == eos) == 4, "every doc contributes its EOS")
+    assert(stream.last == eos, "stream ends at a document boundary")
+    val segments = {
+      val out = Seq.newBuilder[Seq[Int]]
+      var cur = Vector.empty[Int]
+      stream.foreach { id =>
+        if (id == eos) { out += cur; cur = Vector.empty }
+        else cur :+= id
+      }
+      out.result()
+    }
+    assert(segments == Seq(Seq(5, 6, 7), Seq.empty, Seq(8),
+      Seq(9, 10, 11, 12, 13)),
+      s"EOS-split segments must be the documents in order: $segments")
+  }
+
   test("Bpe.vocab fails loudly on an ambiguous merge table (two merges " +
       "producing the same token string)") {
     import graft.functions.Bpe

@@ -339,6 +339,31 @@ class QualityModelSpec extends SparkSpec {
       "fixture broken: unigram xent should be identical for equal bags")
   }
 
+  test("withBigramXent: inline column == left-join of bigramCrossEntropy " +
+      "(sub-2-token docs NULL both ways); local path zero exchanges; " +
+      "fallback identical") {
+    val rnd = new scala.util.Random(31)
+    val corpus = docs(((1 to 150).map(i => (i.toLong,
+      Seq.fill(rnd.nextInt(25))(s"w${rnd.nextInt(30)}").mkString(" ")))
+      :+ (900L -> "") :+ (901L -> "solo")): _*)
+    val inline = QualityModel.withBigramXent(corpus, "doc_id", "text")
+      .select("doc_id", "text", "xent").orderBy("doc_id").collect().toSeq
+    val joined = corpus.join(
+        QualityModel.bigramCrossEntropy(corpus, "doc_id", "text")
+          .select(col("doc_id"), col("xent")), Seq("doc_id"), "left")
+      .select("doc_id", "text", "xent").orderBy("doc_id").collect().toSeq
+    assert(inline == joined)
+    assert(inline.exists(_.isNullAt(2)), "fixture needs sub-2-token docs")
+    val fallback = QualityModel.withBigramXent(corpus, "doc_id", "text",
+        maxLocalBigrams = 0)
+      .select("doc_id", "text", "xent").orderBy("doc_id").collect().toSeq
+    assert(inline == fallback)
+    val plan = QualityModel.withBigramXent(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"inline bigram xent should add zero exchanges:\n$plan")
+  }
+
   test("bigramCrossEntropy: partitioning-independent") {
     val base = (1L to 200L).map(i => (i, s"tok${i % 17} tok${i % 5} common word"))
     val a = QualityModel.bigramCrossEntropy(docs(base: _*), "doc_id", "text")

@@ -122,6 +122,39 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rejected == Map(4L -> "high_perplexity"))
   }
 
+  test("ppl_gate with pplLmOrder=2: a scrambled doc the unigram LM " +
+      "cannot see (identical word bag) is rejected by the bigram gate") {
+    import graft.operators.QualityModel
+    val fluent = "the model reads the data and writes the result"
+    val scrambled = "result the and model writes data the reads the"
+    val pplDocs = ((1L to 8L).map(i => (i, fluent, "srcA"))
+      :+ (9L, scrambled, "srcB")).toDF("doc_id", "text", "source")
+    val bi = QualityModel.bigramCrossEntropy(pplDocs, "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(bi(9L) > bi(1L), "fixture: bigram xent must separate the scramble")
+    val cut = (bi(9L) + bi(1L)) / 2
+    // unigram xent is IDENTICAL for equal bags — the unigram gate with
+    // this cut keeps everything
+    val uni = QualityModel.unigramCrossEntropy(pplDocs, "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(uni(9L) == uni(1L))
+
+    val out2 = Files.createTempDirectory("corpus_ppl2").toString
+    val s2 = CorpusPipeline.run(spark, pplDocs, benchmark, out2,
+      CorpusPipeline.Config(minTokens = 5L, seqLen = 16, shardSize = 2L,
+        maxXent = cut, pplLmOrder = 2))
+    assert(s2.map(r => r.stage -> r.rows).toMap.apply("ppl_gate") == 8)
+    val rejected = spark.read.parquet(s"$out2/rejects_ppl")
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+    assert(rejected == Map(9L -> "high_perplexity"))
+
+    // the unigram gate is order-blind: whatever cut is chosen, the
+    // scramble and the fluent docs land on the SAME side (their word
+    // bags are identical) — directly on the operator, where the scale
+    // of the cut is irrelevant
+    assert(Seq(1L, 9L).map(uni).distinct.size == 1)
+  }
+
   test("bpeMerges > 0 (FAITHFUL default): tokenizer trained on the " +
       "decontaminated corpus, budgets re-denominated, and the packed " +
       "training file decodes back to the EXACT curated text") {
