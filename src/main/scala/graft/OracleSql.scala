@@ -1180,6 +1180,34 @@ object OracleSql {
            ROUND(exp(CAST(lp_sum AS DOUBLE) / (n_terms * 1e6)), 4) AS ppl
          FROM d ORDER BY doc_id""",
 
+    // q109: FROZEN-LM scoring with OOV smoothing — counts from the
+    // ORIGINAL corpus, scores over text+OovSuffix (four provably-unseen
+    // tokens per row); an unseen token takes the add-one miss mass:
+    // -ln((0+1)/(N+V)) = ln(N+V), i.e. COALESCE(cnt, 0) in the shared
+    // lp formula. Replays QualityModel.trainUnigramLm+frozenScore
+    // (the engine side additionally round-trips the persisted artifact,
+    // which the hash match then verifies too).
+    "q109_frozen_lm_oov" -> {
+      val suffix = graft.SparkEntry.OovSuffix.codePoints().toArray
+        .map(cp => s"chr($cp)").mkString(" || ")
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         g AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM c),
+         aug AS (SELECT doc_id, text || $suffix AS text FROM documents),
+         t2 AS (SELECT doc_id, unnest($toks) AS tok FROM aug),
+         lp AS (SELECT doc_id,
+             CAST(ROUND((ln(CAST(n_total + vocab AS DOUBLE))
+               - ln(CAST(COALESCE(cnt, 0) + 1 AS DOUBLE))) * 1e6) AS BIGINT)
+               AS lp_i
+           FROM t2 LEFT JOIN c USING (tok) CROSS JOIN g),
+         d AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+             SUM(lp_i) AS lp_sum FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           CAST(floor(CAST(lp_sum AS DOUBLE) / n_tokens + 0.5) AS BIGINT)
+             AS xent_micro
+         FROM d ORDER BY doc_id"""
+    },
+
     // q77/q78: DSIR importance weights against the doc_id%7==0 target
     // slice — hashed unigram+bigram buckets (2^10), add-one-smoothed
     // log-likelihood ratio quantized to 1e-6 per bucket, exact integer

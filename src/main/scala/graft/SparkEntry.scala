@@ -1584,6 +1584,37 @@ object SparkEntry {
       .orderBy(col("seq_id"))
   }
 
+  /** FROZEN-LM perplexity scoring with OOV smoothing — the actual CCNet
+    * deployment shape: the unigram LM is trained ONCE on a reference
+    * corpus, persisted, and every future batch scores against the
+    * loaded artifact; unseen tokens take the add-one-smoothed mass
+    * 1/(N+V) instead of killing the job (q100's open-vocabulary
+    * contract, applied to the LM). This query runs the ENTIRE artifact
+    * life cycle — train on `documents`, SAVE, LOAD (validations on),
+    * score every document with [[OovSuffix]] appended so each row
+    * carries four provably-unseen tokens — and the oracle re-derives
+    * the counts from the original corpus and scores the suffixed text
+    * with `COALESCE(cnt, 0)`, so a hash match verifies training,
+    * persistence round trip, the smoothed miss mass and the scoring
+    * arithmetic end to end. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val lm0 = QualityModel.trainUnigramLm(docs, "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_q109_lm").toString
+    QualityModel.saveUnigramLm(s, lm0, path)
+    val lm = QualityModel.loadUnigramLm(s, path)
+    val sc = QualityModel.frozenScore(concat(col("text"), lit(OovSuffix)), lm)
+    // xent in integer MICRO-NATS via floor(x+0.5) — ROUND(double, 6)
+    // crossed engines on a half-boundary at sf0.001 (1-ulp mismatch);
+    // floor of an IEEE-identical division + exact 0.5 cannot
+    docs.select(col("doc_id"), sc.as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_tokens").cast("int").as("n_tokens"),
+        floor(col("__s.lp_sum").cast("double") / col("__s.n_tokens") + lit(0.5))
+          .cast("long").as("xent_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -1913,7 +1944,8 @@ object SparkEntry {
     "q105_quality_train" -> q105 _,
     "q106_bigram_perplexity" -> q106 _,
     "q107_quality_train_bigrams" -> q107 _,
-    "q108_bpe_eos_pack" -> q108 _
+    "q108_bpe_eos_pack" -> q108 _,
+    "q109_frozen_lm_oov" -> q109 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -12,24 +12,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DataTypes, StructField, 
   * and generated code (the [[BpeKernel]] pattern). */
 object UnigramKernel {
 
+  /** Sentinel for [[score]]'s `missLp`: a vocabulary miss THROWS (the
+    * self-scored contract — the LM and the scoring pass derive from the
+    * SAME corpus and tokenizer, so a miss is a wiring bug). Any other
+    * value is the smoothed fixed-point -ln P of an unseen token (the
+    * FROZEN-artifact contract: day-2 text WILL contain new tokens, and
+    * add-one smoothing has exactly 1/(N+V) mass reserved for each). */
+  val MissThrows: Long = Long.MinValue
+
   /** Sum the fixed-point -ln P(tok) terms of one document's token array
-    * through an O(1) hash probe per token. Throws on a token absent from
-    * the table: the LM's vocabulary is derived from the SAME corpus and
-    * tokenizer as the scoring pass, so a miss is a wiring bug (different
-    * tokensOf between passes), never data. Returns packed
+    * through an O(1) hash probe per token. Returns packed
     * (n_tokens, lp_sum) as an InternalRow-compatible struct. */
   def score(toks: ArrayData,
-            lp: java.util.HashMap[String, java.lang.Long]): InternalRow = {
+            lp: java.util.HashMap[String, java.lang.Long],
+            missLp: Long): InternalRow = {
     val n = if (toks == null) 0 else toks.numElements()
     var sum = 0L
     var i = 0
     while (i < n) {
       val t = toks.getUTF8String(i).toString
       val v = lp.get(t)
-      if (v == null) throw new IllegalStateException(
-        s"token '$t' not in the ${lp.size}-entry unigram LM vocabulary — " +
-          "the LM was trained with a different tokensOf than the scorer")
-      sum += v.longValue
+      if (v == null) {
+        if (missLp == MissThrows) throw new IllegalStateException(
+          s"token '$t' not in the ${lp.size}-entry unigram LM vocabulary — " +
+            "the LM was trained with a different tokensOf than the scorer")
+        sum += missLp
+      } else sum += v.longValue
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -49,7 +57,8 @@ object UnigramKernel {
   * computed BY Catalyst on the collected vocabulary frame (same
   * round/log expressions as the distributed path), so the two paths
   * cannot diverge on floating-point rounding. */
-case class UnigramScoreExpr(child: Expression, lp: Seq[(String, Long)])
+case class UnigramScoreExpr(child: Expression, lp: Seq[(String, Long)],
+                            missLp: Long = UnigramKernel.MissThrows)
   extends UnaryExpression {
 
   @transient private lazy val table = {
@@ -73,7 +82,7 @@ case class UnigramScoreExpr(child: Expression, lp: Seq[(String, Long)])
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    UnigramKernel.score(v.asInstanceOf[ArrayData], table)
+    UnigramKernel.score(v.asInstanceOf[ArrayData], table, missLp)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -84,7 +93,7 @@ case class UnigramScoreExpr(child: Expression, lp: Seq[(String, Long)])
         ${c.code}
         org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
           graft.functions.UnigramKernel.score(
-            ${c.isNull} ? null : ${c.value}, $ref);
+            ${c.isNull} ? null : ${c.value}, $ref, ${missLp}L);
       """,
       isNull = FalseLiteral)
   }

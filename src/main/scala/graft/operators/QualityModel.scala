@@ -353,6 +353,112 @@ object QualityModel {
       Seq(idCol), "left")
   }
 
+  /** A FROZEN add-one unigram LM — the artifact CCNet actually scores
+    * with: the LM is trained once on a REFERENCE corpus (Wikipedia, a
+    * curated slice) and every future batch is scored against it, so
+    * unseen tokens are a certainty, not a bug. `lp` is the quantized
+    * -ln P table for seen tokens; `missLp` is the smoothed mass an
+    * unseen token gets — add-one reserves exactly 1/(N+V) for each, so
+    * missLp = round(ln(N+V)·1e6) (the cnt=0 row of the same [[lpOf]]
+    * expression: ln over integer-valued doubles, bit-deterministic).
+    * `unit` is an informational tag of the token unit ("words", "bpe")
+    * so a consumer can detect pairing an artifact with the wrong
+    * tokenizer. */
+  final case class UnigramLm(lp: Seq[(String, Long)], missLp: Long,
+                             nTotal: Long, vocab: Long, unit: String) {
+    require(vocab == lp.size, s"vocab $vocab != lp table size ${lp.size}")
+  }
+
+  /** Train a [[UnigramLm]] on `df` — the whole count frame collects (a
+    * frozen artifact must ship; a reference corpus's vocabulary is
+    * Zipf-bounded, and past `maxLocalVocab` this THROWS with the fix:
+    * sample the reference corpus, which is the CCNet recipe anyway).
+    * lp values (and missLp) are computed BY Catalyst with the same
+    * [[lpOf]] expression as [[unigramCrossEntropy]], so a frozen LM
+    * scoring its own training corpus is bit-identical to the
+    * self-scored operator (spec-pinned). */
+  def trainUnigramLm(df: DataFrame, textCol: String,
+                     tokensOf: Column => Column = TextFns.tokens,
+                     unit: String = "words",
+                     maxLocalVocab: Int = 2000000): UnigramLm = {
+    val counts = df.select(explode(tokensOf(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val cRows = counts.limit(maxLocalVocab + 1).collect()
+    require(cRows.length <= maxLocalVocab,
+      s"vocabulary exceeds maxLocalVocab=$maxLocalVocab — a frozen LM " +
+        "artifact must collect; train on a sampled reference corpus")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nTotal = cRows.iterator.map(_.getLong(1)).sum
+    val vocabN = cRows.length.toLong
+    // the cnt=0 row rides the SAME Catalyst expression — missLp cannot
+    // round differently from the seen-token table
+    val withMiss = (cRows.iterator.map(r => (r.getString(0), r.getLong(1)))
+      ++ Iterator(("", -1L))).toSeq.toDF("tok", "cnt")
+      .select(col("tok"),
+        lpOf(when(col("cnt") >= 0, col("cnt")).otherwise(lit(0L)),
+          lit(nTotal), lit(vocabN)).as("lp"),
+        col("cnt"))
+      .collect()
+    val missLp = withMiss.find(_.getLong(2) == -1L).get.getLong(1)
+    val lp = withMiss.filter(_.getLong(2) >= 0L)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    UnigramLm(lp, missLp, nTotal, vocabN, unit)
+  }
+
+  /** Persist a [[UnigramLm]] as a versioned parquet artifact:
+    * `$path/lm` = (tok, lp), `$path/lm_meta` = one row
+    * (n_total, vocab, miss_lp, unit). lp values are integers — the
+    * artifact is bit-lossless by construction, no recompute at load. */
+  def saveUnigramLm(spark: SparkSession, lm: UnigramLm, path: String): Unit = {
+    import spark.implicits._
+    lm.lp.toDF("tok", "lp").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lm")
+    Seq((lm.nTotal, lm.vocab, lm.missLp, lm.unit))
+      .toDF("n_total", "vocab", "miss_lp", "unit").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lm_meta")
+  }
+
+  /** Load a [[saveUnigramLm]] artifact, re-validating its invariants
+    * loudly (a corrupt LM must fail the job, not mis-score a corpus). */
+  def loadUnigramLm(spark: SparkSession, path: String): UnigramLm = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/lm_meta")
+      .select("n_total", "vocab", "miss_lp", "unit")
+      .as[(Long, Long, Long, String)].collect()
+    require(meta.length == 1, s"LM meta at $path/lm_meta has ${meta.length} rows")
+    val (nTotal, vocab, missLp, unit) = meta.head
+    val lp = spark.read.parquet(s"$path/lm").select("tok", "lp")
+      .as[(String, Long)].collect().toSeq
+    require(lp.size == vocab,
+      s"LM table at $path/lm has ${lp.size} rows, meta says $vocab")
+    require(lp.iterator.map(_._1).toSet.size == lp.size,
+      s"LM table at $path/lm has duplicate tokens")
+    UnigramLm(lp, missLp, nTotal, vocab, unit)
+  }
+
+  /** Score `text` under a FROZEN [[UnigramLm]]: returns the
+    * (n_tokens, lp_sum) struct of the native scorer with unseen tokens
+    * taking the artifact's smoothed mass — one zero-shuffle codegen
+    * call, the day-2 scoring path. `tokensOf` must be the unit the LM
+    * was trained with (check `lm.unit`). */
+  def frozenScore(text: Column, lm: UnigramLm,
+                  tokensOf: Column => Column = TextFns.tokens): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      graft.functions.UnigramScoreExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(tokensOf(text)),
+        lm.lp, lm.missLp))
+
+  /** [[frozenScore]] reduced to the xent value (6-dp, NULL for
+    * token-less docs — the [[withUnigramXent]] contract). */
+  def frozenXent(text: Column, lm: UnigramLm,
+                 tokensOf: Column => Column = TextFns.tokens): Column = {
+    val s = frozenScore(text, lm, tokensOf)
+    when(s.getField("n_tokens") > 0,
+      round(s.getField("lp_sum").cast("double")
+        / (s.getField("n_tokens") * 1e6), 6))
+  }
+
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                           hintSmallVocab: Boolean = false,
                           tokensOf: Column => Column = TextFns.tokens,

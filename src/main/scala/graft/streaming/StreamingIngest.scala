@@ -226,7 +226,10 @@ object StreamingIngest {
                   numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3,
                   threshold: Double = 0.5, maxBucketSize: Int = 1000,
                   tokenizer: Option[graft.functions.Bpe.Tokenizer] = None,
-                  packedIdsPath: String = "", seqLen: Long = 2048L): Unit = {
+                  packedIdsPath: String = "", seqLen: Long = 2048L,
+                  lm: Option[graft.operators.QualityModel.UnigramLm] = None,
+                  minXent: Double = 0.0,
+                  maxXent: Double = Double.MaxValue): Unit = {
     import graft.functions.{Bpe, TextFns}
     import graft.operators.Dedup
     // TOKENIZER MODE (tokenizer = Some(loaded artifact)): n_tokens — and
@@ -241,14 +244,32 @@ object StreamingIngest {
       case Some(t) => Bpe.tokenCount(col(textCol), t.merges, t.faithful)
       case None => TextFns.tokenCount(col(textCol)).cast("long")
     }
-    val scored = batch
+    // FROZEN-LM perplexity gate (lm = Some(loaded artifact)): the stream
+    // scores against a REFERENCE LM trained offline and persisted — the
+    // CCNet deployment shape. Day-2 batches carry unseen tokens by
+    // construction; the artifact's smoothed miss mass (add-one's
+    // 1/(N+V)) prices them instead of killing the trigger. One
+    // zero-shuffle codegen call per batch; NULL xent (token-less doc)
+    // never trips the band, matching the batch pipeline's left-join
+    // null semantics.
+    val base0 = batch
       .withColumn(textCol, TextFns.cleanText(col(textCol)))
       .withColumn("n_tokens", nTokens)
       .withColumn("quality", TextFns.qualityScore(col(textCol)))
-      .withColumn("drop_reason",
-        when(length(col(textCol)) === 0, lit("empty_after_clean"))
-          .when(col("n_tokens") < minTokens, lit("too_short"))
-          .when(col("quality") < minQuality, lit("low_quality")))
+    val base1 = lm match {
+      case Some(m) => base0.withColumn("xent",
+        graft.operators.QualityModel.frozenXent(col(textCol), m))
+      case None => base0 // no LM, no xent column — schema unchanged
+    }
+    val baseReason = when(length(col(textCol)) === 0, lit("empty_after_clean"))
+      .when(col("n_tokens") < minTokens, lit("too_short"))
+      .when(col("quality") < minQuality, lit("low_quality"))
+    val scored = base1.withColumn("drop_reason",
+      if (lm.isDefined)
+        baseReason
+          .when(col("xent") > maxXent, lit("high_perplexity"))
+          .when(col("xent") < minXent, lit("low_perplexity"))
+      else baseReason)
     // the gated batch is consumed four times (signature build, pair gen,
     // kept anti-join, index write) — one persist, released before return
     val passed = scored.filter(col("drop_reason").isNull).drop("drop_reason")
@@ -391,7 +412,10 @@ object StreamingIngest {
                    compactMinFiles: Int = 0,
                    tokenizerPath: String = "",
                    packedIdsPath: String = "",
-                   seqLen: Long = 2048L): StreamingQuery = {
+                   seqLen: Long = 2048L,
+                   lmPath: String = "",
+                   minXent: Double = 0.0,
+                   maxXent: Double = Double.MaxValue): StreamingQuery = {
     // TOKENIZER MODE (tokenizerPath nonempty): the streaming twin of
     // CorpusPipeline(bpeMerges > 0)'s apply side. The tokenizer is
     // trained ONCE, offline (CorpusPipeline's tokenizer stage or an
@@ -420,6 +444,13 @@ object StreamingIngest {
           "training corpus lacked")
       Some(t)
     }
+    // FROZEN-LM MODE (lmPath nonempty): the reference LM loads ONCE at
+    // stream start (loadUnigramLm re-validates row count / duplicate
+    // tokens loudly); each batch gets the perplexity band on top of the
+    // quality gate, with unseen tokens priced by the artifact's
+    // add-one miss mass — day-2 vocabulary can never kill the trigger.
+    val lm = if (lmPath.isEmpty) None
+      else Some(graft.operators.QualityModel.loadUnigramLm(spark, lmPath))
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -433,7 +464,7 @@ object StreamingIngest {
         curateBatch(spark, batch, batchId, idCol, textCol, indexPath,
           curatedPath, rejectsPath, minTokens, minQuality, numHashes,
           bands, shingleN, threshold, maxBucketSize, tokenizer,
-          packedIdsPath, seqLen)
+          packedIdsPath, seqLen, lm, minXent, maxXent)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.maintenance.Compaction.compactPartitionedDir(
             spark, indexPath, compactTargetBytes, minFiles = compactMinFiles)

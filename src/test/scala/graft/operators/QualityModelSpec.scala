@@ -339,6 +339,37 @@ class QualityModelSpec extends SparkSpec {
       "fixture broken: unigram xent should be identical for equal bags")
   }
 
+  test("frozen UnigramLm: self-scoring == unigramCrossEntropy bit for bit; " +
+      "save/load round-trips; unseen tokens take exactly the add-one miss " +
+      "mass") {
+    val rnd = new scala.util.Random(41)
+    val corpus = docs((1 to 120).map(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(20))(s"w${rnd.nextInt(25)}").mkString(" "))): _*)
+    val lm = QualityModel.trainUnigramLm(corpus, "text")
+    // artifact round trip is lossless (integer lp values)
+    val path = java.nio.file.Files.createTempDirectory("lm_rt").toString
+    QualityModel.saveUnigramLm(spark, lm, path)
+    val lm2 = QualityModel.loadUnigramLm(spark, path)
+    assert(lm2.copy(lp = lm2.lp.sortBy(_._1)) == lm.copy(lp = lm.lp.sortBy(_._1)))
+    // frozen self-scoring == the self-scored operator, row for row
+    val frozen = corpus.select(col("doc_id"),
+        QualityModel.frozenXent(col("text"), lm2).as("xent"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    val self = QualityModel.unigramCrossEntropy(corpus, "doc_id", "text")
+      .select("doc_id", "xent").orderBy("doc_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(frozen == self, "frozen LM diverged from the self-scored operator")
+    // unseen tokens: a doc of k unseen tokens scores exactly missLp
+    // (the add-one reserved mass), and never throws
+    val oov = Seq((1L, "zzz9 qqq8 try7")).toDF("doc_id", "text")
+      .select(QualityModel.frozenScore(col("text"), lm2).as("s"))
+      .select("s.n_tokens", "s.lp_sum").as[(Int, Long)].head()
+    assert(oov == ((3, 3L * lm2.missLp)))
+    // and missLp is ln(N+V) quantized — the probability add-one reserves
+    assert(math.abs(lm2.missLp -
+      math.round(math.log((lm2.nTotal + lm2.vocab).toDouble) * 1e6)) <= 1)
+  }
+
   test("withBigramXent: inline column == left-join of bigramCrossEntropy " +
       "(sub-2-token docs NULL both ways); local path zero exchanges; " +
       "fallback identical") {

@@ -181,6 +181,56 @@ class StreamingIngestSpec extends SparkSpec {
       s"replay corrupted the index: ${idx.sorted.toSeq}")
   }
 
+  test("curateStream frozen-LM mode: the reference-LM perplexity band " +
+      "rejects gibberish; unseen day-2 vocabulary is smoothed, never a " +
+      "dead trigger") {
+    import graft.operators.QualityModel
+    val root = Files.createTempDirectory("curate_lm")
+    val landing = root.resolve("landing")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // reference corpus: repeated fluent vocabulary — trained OFFLINE,
+    // persisted, loaded once by the stream
+    val ref = (1L to 30L).map(i =>
+      (i, "the model reads the data and the model writes the data"))
+      .toDF("doc_id", "text")
+    val lm = QualityModel.trainUnigramLm(ref, "text")
+    val lmPath = s"$root/lm_artifact"
+    QualityModel.saveUnigramLm(spark, lm, lmPath)
+
+    // band: gibberish (all unseen tokens at full miss mass) must exceed
+    // it; a fluent doc with a COUPLE of unseen tokens must not
+    val fluentNew = "the model reads the data and writes the summary today"
+    val gibberish = "qzv1 xkw2 bnm3 plo4 wer5 tyu6 asd7 fgh8 jkl9 zxc0 vbn1 mqa2"
+    val xOf = (t: String) => Seq((1L, t)).toDF("doc_id", "text")
+      .select(QualityModel.frozenXent(col("text"), lm)).as[Double].head()
+    val cut = (xOf(gibberish) + xOf(fluentNew)) / 2
+    assert(xOf(gibberish) > cut && xOf(fluentNew) < cut,
+      "fixture: the band must separate gibberish from fluent-with-OOV")
+
+    write(landing, "b1.csv",
+      s"doc_id,text\n1,$fluentNew\n2,$gibberish\n")
+    val stream = spark.readStream.schema(docSchema)
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .csv(landing.toString)
+    StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+      s"$root/index", s"$root/curated", s"$root/rejects", s"$root/ckpt",
+      minTokens = 8L, maxBucketSize = Int.MaxValue,
+      lmPath = lmPath, maxXent = cut)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$root/curated").select("doc_id")
+      .as[Long].collect().toSet == Set(1L),
+      "fluent doc with unseen tokens must survive the frozen-LM gate")
+    assert(spark.read.parquet(s"$root/rejects")
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+      == Map(2L -> "high_perplexity"))
+    // kept docs carry the audit xent column in LM mode
+    val keptXent = spark.read.parquet(s"$root/curated")
+      .select("xent").as[Double].head()
+    assert(math.abs(keptXent - xOf(fluentNew)) < 1e-9)
+  }
+
   test("curateStream tokenizer mode: token-denominated gates, per-batch " +
       "packed marked-id shards, day-2 unseen alphabet, replay idempotent") {
     import graft.functions.{Bpe, TextFns}
