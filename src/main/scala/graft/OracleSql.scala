@@ -640,6 +640,61 @@ object OracleSql {
          FROM comp c JOIN csize s USING (canonical_id)
          ORDER BY c.doc_id""",
 
+    // q110: q53's clusters RELABELED to the best-quality survivor —
+    // per cluster, canonical = argmax(q35 quality) with min-id
+    // tie-break (row_number over (quality DESC, id ASC)). Replays
+    // Dedup.dedupClustersKeepBest(priority = qualityScore).
+    "q110_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id AS id, unnest(list_distinct($shingles3)) AS sh FROM t),
+         sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+         cand AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS cnt
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id),
+         edges AS (
+           SELECT id_a, id_b FROM cand
+           JOIN sizes sa ON sa.id = id_a
+           JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.5),
+         sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                 UNION ALL SELECT id_b, id_a FROM edges),
+         reach(a, b) AS (
+           SELECT a, b FROM sym
+           UNION
+           SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+         comp AS (
+           SELECT d.doc_id,
+             LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS canonical_id
+           FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+           GROUP BY d.doc_id),
+         csize AS (SELECT canonical_id, COUNT(*) AS cluster_size
+                   FROM comp GROUP BY 1),
+         u AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         q AS (SELECT doc_id AS id,
+           ROUND((LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                + LEAST((CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, x -> list_contains(
+                           ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','was','at','by'], x))) AS DOUBLE)
+                         / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END) * 5.0, 1.0)
+                + GREATEST(0.0, 1.0 - (CASE WHEN length(text) > 0
+                    THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                         / CAST(length(text) AS DOUBLE)
+                    ELSE 0.0 END) * 4.0)) / 3.0, 6) AS quality
+           FROM u),
+         ranked AS (SELECT c.doc_id, c.canonical_id,
+             row_number() OVER (PARTITION BY c.canonical_id
+               ORDER BY q.quality DESC, c.doc_id ASC) AS rn
+           FROM comp c JOIN q ON q.id = c.doc_id),
+         best AS (SELECT canonical_id, doc_id AS best_id
+                  FROM ranked WHERE rn = 1)
+         SELECT c.doc_id, b.best_id AS canonical_id, s.cluster_size
+         FROM comp c JOIN best b USING (canonical_id)
+                     JOIN csize s USING (canonical_id)
+         ORDER BY c.doc_id""",
+
     // q54: the capstone corpus filter — language argmax (q36), quality
     // composite (q35), dedup-survivor test (q53's components), first
     // failing gate as drop_reason.

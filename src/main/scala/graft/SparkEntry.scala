@@ -645,6 +645,21 @@ object SparkEntry {
         maxBucketSize = Int.MaxValue)
       .orderBy(col("doc_id"))
 
+  /** q53's near-dup clusters with the SURVIVOR chosen by QUALITY — what
+    * production dedup actually ships: the cluster keeps its best copy
+    * (argmax q35 quality, min-id tie-break), not its smallest id. The
+    * oracle replays the full chain — exact-Jaccard edges, recursive
+    * transitive closure, the quality composite, and a per-cluster
+    * row_number window over (quality DESC, id ASC). Zero corpus
+    * exchanges beyond q53's: members are match-sized, so priorities
+    * arrive by broadcast probe and the best-id map broadcasts back. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClustersKeepBest(T(s, dir, "documents"), "doc_id", "text",
+        priority = graft.functions.TextFns.qualityScore(col("text")),
+        numHashes = 64, bands = 32, shingleN = 3, threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .orderBy(col("doc_id"))
+
   /** Capstone corpus filter — the decision a training-data pipeline ships:
     * keep a document iff it is English (marker argmax), clears the quality
     * floor, AND is its dedup cluster's canonical survivor. Composes the
@@ -1945,7 +1960,8 @@ object SparkEntry {
     "q106_bigram_perplexity" -> q106 _,
     "q107_quality_train_bigrams" -> q107 _,
     "q108_bpe_eos_pack" -> q108 _,
-    "q109_frozen_lm_oov" -> q109 _
+    "q109_frozen_lm_oov" -> q109 _,
+    "q110_dedup_keep_best" -> q110 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

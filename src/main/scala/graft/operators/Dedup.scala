@@ -736,6 +736,46 @@ object Dedup {
         coalesce(col("__sz"), lit(1L)).as("cluster_size"))
   }
 
+  /** [[dedupClusters]] with the SURVIVOR chosen by a PRIORITY column —
+    * what production near-dup actually ships: when a cluster collapses
+    * to one document, you keep the BEST copy (highest quality score,
+    * longest, most recent), not the one with the smallest id. Survivor
+    * per cluster = argmax(priority), ties broken by MIN id (total and
+    * deterministic — priority ties are common when the copies are
+    * near-identical). Output shape is [[dedupClusters]]'s:
+    * (idCol, canonical_id, cluster_size), canonical_id now the best
+    * member; survivors are the rows with canonical_id == id.
+    *
+    * 100 TB: the relabel adds ZERO corpus exchanges on top of
+    * [[dedupClusters]] — non-singleton members are match-sized (pairs-
+    * bounded), so they BROADCAST into one priority-probe scan of `df`,
+    * the argmax is a match-sized aggregate, and the best-id map
+    * broadcasts back onto the cluster frame. */
+  def dedupClustersKeepBest(df: DataFrame, idCol: String, textCol: String,
+                            priority: Column,
+                            numHashes: Int = 64, bands: Int = 32,
+                            shingleN: Int = 3, threshold: Double = 0.5,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val base = dedupClusters(df, idCol, textCol, numHashes, bands, shingleN,
+      threshold, maxBucketSize)
+    val members = base.filter(col("cluster_size") > 1)
+      .select(col(idCol), col("canonical_id"))
+    // corpus scans ONCE; the match-sized member set broadcasts into it
+    val withPrio = df.select(col(idCol), priority.as("__prio"))
+      .join(broadcast(members), Seq(idCol))
+    // argmax(priority) with min-id tie-break as ONE struct-min: the
+    // negated priority orders descending, the id field (its natural
+    // type and ordering) breaks ties ascending
+    val best = withPrio.groupBy(col("canonical_id"))
+      .agg(min(struct((col("__prio") * lit(-1)).as("np"),
+        col(idCol).as("bid"))).as("__b"))
+      .select(col("canonical_id"), col("__b.bid").as("__best_id"))
+    base.join(broadcast(best), Seq("canonical_id"), "left")
+      .select(col(idCol),
+        coalesce(col("__best_id"), col("canonical_id")).as("canonical_id"),
+        col("cluster_size"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word tokens: per bit position, sum +1/-1 weighted

@@ -508,4 +508,39 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(_._1 == 4L).head == ((4L, 4L, 1L)))
     assert(got.length == 6)
   }
+
+  test("dedupClustersKeepBest: the survivor is the max-priority member " +
+      "(NOT the min id), ties break to min id, singletons untouched") {
+    import org.apache.spark.sql.functions._
+    // cluster {1,2,3}: near-identical long docs; doc 3 planted as best
+    val base = "the common shared sentence repeats across these documents " +
+      "with enough overlapping shingles to cluster together every time"
+    val d = Seq(
+      (1L, base, 1.0),
+      (2L, base + " tail", 2.0),
+      (3L, base + " tip", 9.0),   // highest priority — must win
+      (7L, "a completely different singleton document about other things entirely", 5.0),
+      // cluster {8,9}: equal priority — tie-break keeps the MIN id
+      (8L, "entirely separate narrative where sailors navigate stormy oceans " +
+        "guided by constellations and weathered charts drawn long ago", 4.0),
+      (9L, "entirely separate narrative where sailors navigate stormy oceans " +
+        "guided by constellations and weathered charts drawn long ago again", 4.0)
+    ).toDF("doc_id", "text", "prio")
+    val got = Dedup.dedupClustersKeepBest(d, "doc_id", "text",
+        priority = col("prio"), threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 3L, 3L)) && byId(2L) == ((2L, 3L, 3L)) &&
+      byId(3L) == ((3L, 3L, 3L)),
+      s"cluster {1,2,3} must keep max-priority doc 3: $got")
+    assert(byId(7L) == ((7L, 7L, 1L)), "singleton keeps itself")
+    assert(byId(8L) == ((8L, 8L, 2L)) && byId(9L) == ((9L, 8L, 2L)),
+      s"priority tie must keep the min id: $got")
+    // the min-id shape would have kept doc 1 — prove the relabel differs
+    val minId = Dedup.dedupClusters(d, "doc_id", "text", threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .filter(col("doc_id") === 1L).select("canonical_id").as[Long].head()
+    assert(minId == 1L, "fixture broken: min-id canonical should be 1")
+  }
 }
