@@ -551,8 +551,7 @@ object SparkEntry {
     val de = TextFns.langHits(col("text"), "\\b(der|die|das|und|ist)\\b")
     T(s, dir, "documents")
       .select(col("doc_id"), en.as("en_hits"), es.as("es_hits"), de.as("de_hits"),
-        when(en >= es && en >= de, lit("en"))
-          .when(es >= de, lit("es")).otherwise(lit("de")).as("predicted"))
+        TextFns.langPredict(col("text")).as("predicted"))
       .orderBy(col("doc_id"))
   }
 

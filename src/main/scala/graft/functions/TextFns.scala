@@ -113,6 +113,18 @@ object TextFns {
   def langHits(text: Column, markerRegex: String): Column =
     size(regexp_extract_all(lower(text), lit(markerRegex), lit(0)))
 
+  /** The q36 language predictor as one reusable Column: argmax of the
+    * en/es/de marker hits with the q36 tie-break order (en ≥ es ≥ de).
+    * Shared by the q36 query and the corpus pipeline's `langAllow`
+    * gate so the two can never drift. */
+  def langPredict(text: Column): Column = {
+    val en = langHits(text, "\\b(the|a|is|and|of)\\b")
+    val es = langHits(text, "\\b(el|la|de|que|es)\\b")
+    val de = langHits(text, "\\b(der|die|das|und|ist)\\b")
+    when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es")).otherwise(lit("de"))
+  }
+
   /** Canonical normalized form used for fingerprinting: lowercase, collapse
     * internal whitespace, strip leading/trailing. */
   def normalizedText(text: Column): Column =

@@ -38,6 +38,11 @@ object CorpusPipeline {
   final case class Config(
       minTokens: Long = 10L,
       minQuality: Double = 0.3,
+      // language allow-list for the quality stage's marker-argmax gate
+      // (q36's predictor): empty = gate off. Production pipelines filter
+      // to target languages before spending dedup/LM compute on docs
+      // they will not train on.
+      langAllow: Seq[String] = Nil,
       numHashes: Int = 64,
       bands: Int = 32,
       shingleN: Int = 3,
@@ -136,12 +141,23 @@ object CorpusPipeline {
 
     stage("quality") {
       val in = read("s0_clean")
-      val scored = in.select(col("doc_id"), col("text"), col("source"),
+      // langAllow nonempty => the marker-argmax language gate (q36's
+      // predictor, shared via TextFns.langPredict) rides the SAME pass:
+      // docs outside the allow-list drop as wrong_language, kept docs
+      // carry the `lang` audit column. Empty list = gate off, schema
+      // unchanged.
+      val scored0 = in.select(col("doc_id"), col("text"), col("source"),
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextFns.qualityScore(col("text")).as("quality"))
+      val scored =
+        if (cfg.langAllow.isEmpty) scored0
+        else scored0.withColumn("lang", TextFns.langPredict(col("text")))
+      val baseReason = when(col("n_tokens") < cfg.minTokens, lit("too_short"))
+        .when(col("quality") < cfg.minQuality, lit("low_quality"))
       val gated = scored.withColumn("drop_reason",
-        when(col("n_tokens") < cfg.minTokens, lit("too_short"))
-          .when(col("quality") < cfg.minQuality, lit("low_quality")))
+        if (cfg.langAllow.isEmpty) baseReason
+        else baseReason.when(
+          !col("lang").isin(cfg.langAllow.map(lit): _*), lit("wrong_language")))
       write(gated.filter(col("drop_reason").isNotNull), "rejects_quality")
       write(gated.filter(col("drop_reason").isNull)
         .drop("drop_reason"), "s1_quality")

@@ -122,6 +122,36 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(rejected == Map(4L -> "high_perplexity"))
   }
 
+  test("langAllow: the marker-argmax gate drops off-language docs as " +
+      "wrong_language; kept docs carry the lang audit column; empty " +
+      "allow-list leaves the schema untouched") {
+    val langDocs = Seq(
+      (1L, "the model is one of the best and most useful of the tools here", "srcA"),
+      (2L, "el modelo es uno de los mejores y la herramienta que es util aqui", "srcA"),
+      (3L, "der hund und die katze und das pferd ist im haus und der garten", "srcB"),
+      (4L, "the data and the code and the tests are all of the work here", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val out = Files.createTempDirectory("corpus_lang").toString
+    val summary = CorpusPipeline.run(spark, langDocs, benchmark, out,
+      CorpusPipeline.Config(minTokens = 5L, seqLen = 16, shardSize = 2L,
+        langAllow = Seq("en")))
+    assert(summary.map(r => r.stage -> r.rows).toMap.apply("quality") == 2)
+    val rejected = spark.read.parquet(s"$out/rejects_quality")
+      .select("doc_id", "drop_reason", "lang")
+      .as[(Long, String, String)].collect()
+      .map { case (i, r, l) => i -> ((r, l)) }.toMap
+    assert(rejected == Map(2L -> (("wrong_language", "es")),
+      3L -> (("wrong_language", "de"))), s"got $rejected")
+    assert(spark.read.parquet(s"$out/s1_quality")
+      .select("lang").as[String].collect().toSet == Set("en"))
+    // default config: no lang column anywhere
+    val out2 = Files.createTempDirectory("corpus_nolang").toString
+    CorpusPipeline.run(spark, langDocs, benchmark, out2,
+      CorpusPipeline.Config(minTokens = 5L, seqLen = 16, shardSize = 2L))
+    assert(!spark.read.parquet(s"$out2/s1_quality")
+      .columns.contains("lang"))
+  }
+
   test("ppl_gate with pplLmOrder=2: a scrambled doc the unigram LM " +
       "cannot see (identical word bag) is rejected by the bigram gate") {
     import graft.operators.QualityModel
