@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // locale pinned: fused-kernel == composed-lower() equivalence assumes
+  // non-Turkic case mapping (see TextStatsExprs; tools/jrun.sh pins the
+  // same flags for sbt-free runs)
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -35,6 +35,18 @@ object SparkEntry {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
 
+  /** Best-effort local cleanup of a temp artifact dir (q109/q111 write
+    * one per invocation; repeated Verify/Bench runs must not leak them —
+    * r13 ADVICE). */
+  private def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises scan -> broadcast join -> filter -> decimal agg -> sort. */
   def entry(spark: SparkSession): DataFrame = {
@@ -1617,6 +1629,9 @@ object SparkEntry {
     val path = java.nio.file.Files.createTempDirectory("graft_q109_lm").toString
     QualityModel.saveUnigramLm(s, lm0, path)
     val lm = QualityModel.loadUnigramLm(s, path)
+    // the loaded LM is a driver-side value inlined into the scorer — the
+    // artifact dir is dead after load; repeated runs must not leak it
+    deleteRecursively(path)
     val sc = QualityModel.frozenScore(concat(col("text"), lit(OovSuffix)), lm)
     // xent in integer MICRO-NATS via floor(x+0.5) — ROUND(double, 6)
     // crossed engines on a half-boundary at sf0.001 (1-ulp mismatch);

@@ -618,7 +618,21 @@ object Bpe {
     * documented U+0001/U+0002 strip), byte-fallback runs included. This
     * is the layout a training file that must reproduce its documents
     * BYTE-FOR-BYTE stores (the GPT-2 contract; the marked lowercasing
-    * stream only ever round-trips its word model). */
+    * stream only ever round-trips its word model).
+    *
+    * BYTE-DOMAIN CAVEAT (r13 verdict): the encode kernel SILENTLY DELETES
+    * U+0001/U+0002 from its input — those two code points are the
+    * kernel's internal run markers, collision-free only because input is
+    * pre-stripped. So `decode(encode(text)) == text` holds byte-exactly
+    * for any text FREE of U+0001/U+0002; raw bytes carrying them
+    * round-trip to the STRIPPED text. The supported end-to-end contract
+    * is `cleanText ∘ tokenIdsFaithful`: [[TextFns.cleanText]] strips ALL
+    * C0 controls (markers included) first, after which
+    * `decode(encode(cleanText(raw))) == cleanText(raw)` is exact for
+    * ARBITRARY raw input — BpeSpec pins this on C0-bearing fixtures, and
+    * the corpus pipeline always tokenizes post-clean text. A caller who
+    * must preserve C0 bytes verbatim needs a different carrier (base64
+    * the payload); this tokenizer targets curated training text. */
   def tokenIdsFaithful(text: Column, merges: Seq[Merge],
                        vocab: Seq[(String, Int)]): Column = {
     require(vocab.forall(e => !e._1.startsWith(SepL)),

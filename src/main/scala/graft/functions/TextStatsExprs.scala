@@ -41,7 +41,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `[!-/:-@[-`{-~]` — exactly what
   *    `length(text) - length(regexp_replace(text, …, ''))` counts.
   * TextFnsSpec pins fused == composed on randomized corpora (Unicode,
-  * astral, pathological whitespace included). */
+  * astral, pathological whitespace included).
+  *
+  * Locale assumption: the byte-wise ASCII fast path (+32) is
+  * locale-independent, but `UTF8String.toLowerCase` falls back to
+  * default-locale `String.toLowerCase` whenever the string holds any
+  * non-ASCII char — under a tr/az default locale 'I' lowers to dotless
+  * 'ı' in the composed path only, breaking the equivalence. The repo
+  * pins `-Duser.language=en -Duser.country=US` in build.sbt and
+  * tools/jrun.sh; a deployment on a Turkic-locale JVM must do the same
+  * (r13 ADVICE). */
 object TextStatsKernel {
 
   def stats(s: UTF8String, stopLower: java.util.HashSet[String],

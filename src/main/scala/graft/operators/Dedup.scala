@@ -763,10 +763,27 @@ object Dedup {
     // corpus scans ONCE; the match-sized member set broadcasts into it
     val withPrio = df.select(col(idCol), priority.as("__prio"))
       .join(broadcast(members), Seq(idCol))
+    // the negate-and-min trick below needs a NUMERIC priority; a string
+    // priority would otherwise fail deep inside analysis with an
+    // unhelpful binary-op error (r13 verdict)
+    withPrio.schema("__prio").dataType match {
+      case _: org.apache.spark.sql.types.NumericType => ()
+      case other => throw new IllegalArgumentException(
+        s"dedupClustersKeepBest: priority must be numeric (argmax needs " +
+          s"an ordered negatable value), got ${other.catalogString} — " +
+          "cast or rank the column to a numeric score first")
+    }
     // argmax(priority) with min-id tie-break as ONE struct-min: the
     // negated priority orders descending, the id field (its natural
-    // type and ordering) breaks ties ascending
-    val best = withPrio.groupBy(col("canonical_id"))
+    // type and ordering) breaks ties ascending. NULL priorities are
+    // dropped BEFORE the aggregate — a null negates to null, and null
+    // struct fields sort FIRST under min, so a null-priority member
+    // would otherwise silently win its cluster (r13 ADVICE); dropping
+    // it means a null-priority member never wins, and a cluster whose
+    // members are ALL null keeps dedupClusters' min-id canonical via
+    // the left-join coalesce below.
+    val best = withPrio.filter(col("__prio").isNotNull)
+      .groupBy(col("canonical_id"))
       .agg(min(struct((col("__prio") * lit(-1)).as("np"),
         col(idCol).as("bid"))).as("__b"))
       .select(col("canonical_id"), col("__b.bid").as("__best_id"))

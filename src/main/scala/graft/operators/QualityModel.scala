@@ -171,7 +171,8 @@ object QualityModel {
   def trainHashedLogistic(df: DataFrame, idCol: String, textCol: String,
                           labelCol: String, bits: Int, seed: String,
                           epochs: Int, lrMyriad: Long = 20000L,
-                          wordNgrams: Int = 1): Array[Int] = {
+                          wordNgrams: Int = 1,
+                          maxTrainDocs: Long = 2000000L): Array[Int] = {
     require(bits > 0 && bits <= 21, s"bits must be in [1,21], got $bits")
     require(epochs >= 0 && epochs <= 64, s"epochs must be in [0,64], got $epochs")
     val nBuckets = 1 << bits
@@ -189,6 +190,15 @@ object QualityModel {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val nDocs = docN.count()
+      // every epoch BROADCASTS the per-doc error frame back into the
+      // feature frame — correct and cheap for labeled SEED sets (the
+      // fastText recipe: thousands to millions of curated examples),
+      // catastrophic for corpus-sized weak labels. Same loud-failure
+      // policy as trainUnigramLm's maxLocalVocab (r13 verdict).
+      require(nDocs <= maxTrainDocs,
+        s"labeled frame has $nDocs docs > maxTrainDocs=$maxTrainDocs — " +
+          "the per-epoch error broadcast is sized for seed-scale labeled " +
+          "sets; sample the labels (or raise maxTrainDocs knowingly)")
       val w = new Array[Int](nBuckets) // zero init — replayable from nothing
       if (nDocs == 0) return w
       var e = 0
@@ -548,10 +558,13 @@ object QualityModel {
     ) * 1e6).cast("long")
 
   /** The local bigram-LM table: collect the distinct-bigram count frame
-    * (and the unigram frame — strictly smaller) and compute
-    * (prev, cur) -> lp_i BY Catalyst on the collected rows (same
-    * [[lpInterp]] expression as the distributed branch). None past
-    * `maxLocalBigrams`. */
+    * (and the unigram frame) and compute (prev, cur) -> lp_i BY Catalyst
+    * on the collected rows (same [[lpInterp]] expression as the
+    * distributed branch). None past `maxLocalBigrams` — the cap bounds
+    * BOTH collects: "vocab ≤ bigrams" is NOT a theorem (a corpus
+    * dominated by single-token documents grows vocabulary without
+    * growing bigrams), so the unigram frame gets the same limit+check
+    * instead of an unbounded collect (r13 ADVICE). */
   private def collectBigramLpFrames(df: DataFrame, uni: DataFrame,
                                     big: DataFrame, maxLocalBigrams: Int)
       : Option[Seq[((String, String), Long)]] = {
@@ -559,9 +572,8 @@ object QualityModel {
     if (bRows.length > maxLocalBigrams) return None
     val spark = df.sparkSession
     import spark.implicits._
-    // vocab ⊆ bigram endpoints ∪ one-token docs — if bigrams fit,
-    // the unigram frame fits a fortiori
-    val uRows = uni.collect()
+    val uRows = uni.limit(maxLocalBigrams + 1).collect()
+    if (uRows.length > maxLocalBigrams) return None
     val cntOf = uRows.iterator
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val nTotal = uRows.iterator.map(_.getLong(1)).sum

@@ -527,6 +527,35 @@ class BpeSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not in the")))
   }
 
+  test("cleanText ∘ tokenIdsFaithful is byte-exact on RAW C0-bearing input " +
+      "(the supported end-to-end contract for arbitrary bytes): " +
+      "decode(encode(cleanText(raw))) == cleanText(raw) even when raw " +
+      "carries the kernel's own U+0001/U+0002 marker bytes") {
+    val train = Seq(
+      (1L, "The quick Brown fox jumped over 42 lazy dogs!"),
+      (2L, "Mixed CASE text, with double spaces and (punct)."))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMergesLocal(train, "text", 16, 1L, faithful = true)
+    val vocab = Bpe.vocabBytesFrom(Bpe.vocab(train, "text", merges, faithful = true))
+    // raw inputs deliberately carry the marker bytes, other C0 controls,
+    // DEL, and mojibake-adjacent content — everything cleanText handles
+    val raw = Seq(
+      (1L, "has\u0001marker\u0002bytes and NUL\u0000 plus \u0007bell"),
+      (2L, "tab\tand newline\nsurvive; \u0002\u0001 leading run"),
+      (3L, "\u0001\u0002\u0000"), // empties out entirely after clean
+      (4L, "plain text, no controls at all"))
+      .toDF("doc_id", "text")
+    val cleaned = raw.select(col("doc_id"),
+      TextFns.cleanText(col("text")).as("text"))
+    val bad = cleaned.filter(length(col("text")) > 0).select(
+        (Bpe.decodeIdsFlat(
+          Bpe.tokenIdsFaithful(col("text"), merges, vocab), vocab)
+          === col("text")).as("rt"))
+      .filter(!col("rt")).count()
+    assert(bad == 0L,
+      "cleanText∘tokenizeFaithful not byte-exact on C0-bearing raw input")
+  }
+
   test("faithful ids/counts agree; decodeIdsFlat rejects out-of-vocabulary " +
       "ids and marked vocabularies") {
     val train = Seq((1L, "Seq of Words to train On")).toDF("doc_id", "text")

@@ -543,4 +543,41 @@ class DedupSpec extends SparkSpec {
       .filter(col("doc_id") === 1L).select("canonical_id").as[Long].head()
     assert(minId == 1L, "fixture broken: min-id canonical should be 1")
   }
+
+  test("dedupClustersKeepBest: a NULL priority never wins its cluster " +
+      "(r13 ADVICE); an all-null cluster keeps the min-id canonical; a " +
+      "non-numeric priority fails loudly with guidance") {
+    import org.apache.spark.sql.functions._
+    val base = "the common shared sentence repeats across these documents " +
+      "with enough overlapping shingles to cluster together every time"
+    val sail = "entirely separate narrative where sailors navigate stormy " +
+      "oceans guided by constellations and weathered charts drawn long ago"
+    val d = Seq(
+      // cluster {1,2,3}: doc 1 has NULL priority (e.g. qualityScore of a
+      // null text) — under the naive struct-min it would silently win
+      (1L, base, None: Option[Double]),
+      (2L, base + " tail", Some(2.0)),
+      (3L, base + " tip", Some(9.0)),
+      // cluster {8,9}: ALL priorities null -> min-id canonical survives
+      (8L, sail, None: Option[Double]),
+      (9L, sail + " again", None: Option[Double])
+    ).toDF("doc_id", "text", "prio")
+    val got = Dedup.dedupClustersKeepBest(d, "doc_id", "text",
+        priority = col("prio"), threshold = 0.5,
+        maxBucketSize = Int.MaxValue)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == 3L && byId(2L)._2 == 3L && byId(3L)._2 == 3L,
+      s"null-priority doc 1 must not beat doc 3: $got")
+    assert(byId(8L)._2 == 8L && byId(9L)._2 == 8L,
+      s"all-null cluster keeps the min-id canonical: $got")
+    // string priority: loud analysis-time error with guidance, not a
+    // binary-op failure deep inside the plan
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupClustersKeepBest(d.withColumn("p2", lit("high")),
+        "doc_id", "text", priority = col("p2"), threshold = 0.5,
+        maxBucketSize = Int.MaxValue).collect()
+    }
+    assert(e.getMessage.contains("must be numeric"))
+  }
 }

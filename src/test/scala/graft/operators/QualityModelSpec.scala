@@ -349,7 +349,9 @@ class QualityModelSpec extends SparkSpec {
     // artifact round trip is lossless (integer lp values)
     val path = java.nio.file.Files.createTempDirectory("lm_rt").toString
     QualityModel.saveUnigramLm(spark, lm, path)
-    val lm2 = QualityModel.loadUnigramLm(spark, path)
+    val lm2 =
+      try QualityModel.loadUnigramLm(spark, path)
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
     assert(lm2.copy(lp = lm2.lp.sortBy(_._1)) == lm.copy(lp = lm.lp.sortBy(_._1)))
     // frozen self-scoring == the self-scored operator, row for row
     val frozen = corpus.select(col("doc_id"),
