@@ -87,6 +87,13 @@ object Bench {
     require(queries.iterator.map(_._1.takeWhile(_ != '_')).toSet.size == queries.size,
       "bench query qNN prefixes must be unique for the compact stdout map")
 
+    // Pinned host-window control probe BEFORE the warm-up (and again
+    // after the last timing): every bench artifact self-reports whether
+    // it ran in a calm window — see graft.tools.WindowProbe (r13 spent
+    // real effort disentangling a multi-hour host degradation from
+    // phantom regressions; now the artifact carries the answer).
+    val windowBefore = graft.tools.WindowProbe.sample(spark)
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       queries.foreach { case (_, fn) =>
@@ -165,18 +172,22 @@ object Bench {
       else ",\"errors\":" + errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).filter(_ >= 0).sum else 0.0
     val totalMin = if (results.nonEmpty) results.values.map(_._2).filter(_ >= 0).sum else 0.0
+    val windowAfter = graft.tools.WindowProbe.sample(spark)
+    val windowRatio = math.max(windowBefore.worst, windowAfter.worst)
+    val windowJson = graft.tools.WindowProbe.windowJson(windowBefore, windowAfter)
+    val wr = "%.2f".formatLocal(java.util.Locale.ROOT, windowRatio)
     // TWO self-contained stdout lines — minima first, MEDIANS LAST (the
     // headline map sits closest to the end, where a head-side clip of
     // the capture window can't reach it; a tail-side clip still leaves
     // the complete minima line). Each repeats both totals.
-    val medLine = s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps$errJson,"queries":$qsShort}"""
-    val minLine = s"""{"metric":"total_min","value":${fmt(totalMin)},"total":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"queries_min":$qminsShort}"""
+    val medLine = s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps,"window_ratio":$wr$errJson,"queries":$qsShort}"""
+    val minLine = s"""{"metric":"total_min","value":${fmt(totalMin)},"total":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"window_ratio":$wr,"queries_min":$qminsShort}"""
     // The driver parses the bench JSON; sbt decorates stdout with [info]
     // prefixes, so ALSO persist the lines to a file it can read directly
     // — the file keeps FULL query names (the scaling/report tools key on
     // them) plus the same totals.
-    val medLineFull = s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps$errJson,"queries":$qs}"""
-    val minLineFull = s"""{"metric":"total_min","value":${fmt(totalMin)},"total":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"queries_min":$qmins}"""
+    val medLineFull = s"""{"metric":"total","value":${fmt(total)},"total_min":${fmt(totalMin)},"unit":"sec","sf":"$sfDir","reps":$reps,"window":$windowJson$errJson,"queries":$qs}"""
+    val minLineFull = s"""{"metric":"total_min","value":${fmt(totalMin)},"total":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"window_ratio":$wr,"queries_min":$qmins}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), medLineFull + "\n" + minLineFull + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $out failed: ${e.getMessage}") }

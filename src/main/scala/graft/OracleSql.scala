@@ -1263,6 +1263,53 @@ object OracleSql {
          FROM d ORDER BY doc_id"""
     },
 
+    // q111: FROZEN BIGRAM-LM scoring with OOV — both count frames from
+    // the ORIGINAL corpus (q106's interpolation), scores over
+    // text+OovSuffix so every row's conditional stream ends in
+    // provably-unseen pairs; unseen unigrams/bigrams take COALESCE(cnt,0)
+    // in the same add-one interpolation. Replays
+    // QualityModel.trainBigramLm + frozenBigramScore (the engine side
+    // additionally round-trips the persisted two-table artifact, which
+    // the hash match then verifies too).
+    "q111_frozen_bigram_lm" -> {
+      val suffix = graft.SparkEntry.OovSuffix.codePoints().toArray
+        .map(cp => s"chr($cp)").mkString(" || ")
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM b),
+         c AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         g AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM c),
+         p2 AS (SELECT doc_id, pc.p AS p, pc.c AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(p := toks[i], c := toks[i + 1]))) AS pc
+             FROM b)),
+         bg AS (SELECT p, c, COUNT(*) AS bcnt FROM p2 GROUP BY p, c),
+         aug AS (SELECT doc_id, text || $suffix AS text FROM documents),
+         b2 AS (SELECT doc_id, $toks AS toks FROM aug),
+         p3 AS (SELECT doc_id, pc.p AS p, pc.c AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(p := toks[i], c := toks[i + 1]))) AS pc
+             FROM b2)),
+         lp AS (SELECT doc_id,
+             CAST(ROUND(-ln(
+               0.5 * CAST(COALESCE(bcnt, 0) + 1 AS DOUBLE)
+                 / CAST(COALESCE(pcnt, 0) + vocab AS DOUBLE)
+               + 0.5 * CAST(COALESCE(ccnt, 0) + 1 AS DOUBLE)
+                 / CAST(n_total + vocab AS DOUBLE)
+             ) * 1e6) AS BIGINT) AS lp_i
+           FROM p3
+           LEFT JOIN (SELECT tok AS p, cnt AS pcnt FROM c) USING (p)
+           LEFT JOIN (SELECT tok AS c, cnt AS ccnt FROM c) USING (c)
+           LEFT JOIN bg USING (p, c) CROSS JOIN g),
+         d AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+             SUM(lp_i) AS lp_sum FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_terms,
+           CAST(floor(CAST(lp_sum AS DOUBLE) / n_terms + 0.5) AS BIGINT)
+             AS xent_micro
+         FROM d ORDER BY doc_id"""
+    },
+
     // q77/q78: DSIR importance weights against the doc_id%7==0 target
     // slice — hashed unigram+bigram buckets (2^10), add-one-smoothed
     // log-likelihood ratio quantized to 1e-6 per bucket, exact integer

@@ -1644,6 +1644,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q109 ONE MARKOV ORDER UP — the FROZEN interpolated BIGRAM LM
+    * artifact with OOV handling, the artifact CCNet actually deploys
+    * (KenLM is an n-gram model; q109 froze only the unigram bag). Runs
+    * the ENTIRE lifecycle: train the bigram LM on `documents`
+    * ([[QualityModel.trainBigramLm]] — raw count tables, not
+    * precomputed lp: an unseen pair's lp needs three independent
+    * count-0 lookups), SAVE as the versioned two-table artifact, LOAD
+    * (validations on), score every document with [[OovSuffix]] appended
+    * so each row's conditional stream ends in four provably-unseen
+    * pairs. The oracle re-derives both count frames from the original
+    * corpus and scores the suffixed text with COALESCE(cnt, 0) in
+    * q106's interpolation — a hash match verifies training, the
+    * persistence round trip, the count-0 OOV pricing and the scoring
+    * arithmetic end to end (the q109 discipline, one order up).
+    * QualityModelSpec separately pins the frozen kernel bit-identical
+    * to bigramCrossEntropy's local AND distributed paths. */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val lm0 = QualityModel.trainBigramLm(docs, "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_q111_lm").toString
+    QualityModel.saveBigramLm(s, lm0, path)
+    val lm = QualityModel.loadBigramLm(s, path)
+    deleteRecursively(path)
+    val sc = QualityModel.frozenBigramScore(
+      concat(col("text"), lit(OovSuffix)), lm)
+    // micro-nat output via floor(x+0.5) — the q109 cross-engine lesson;
+    // the suffix guarantees >= 3 conditional terms, so the division is
+    // total
+    docs.select(col("doc_id"), sc.as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_terms").cast("int").as("n_terms"),
+        floor(col("__s.lp_sum").cast("double") / col("__s.n_terms") + lit(0.5))
+          .cast("long").as("xent_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -1975,7 +2011,8 @@ object SparkEntry {
     "q107_quality_train_bigrams" -> q107 _,
     "q108_bpe_eos_pack" -> q108 _,
     "q109_frozen_lm_oov" -> q109 _,
-    "q110_dedup_keep_best" -> q110 _
+    "q110_dedup_keep_best" -> q110 _,
+    "q111_frozen_bigram_lm" -> q111 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

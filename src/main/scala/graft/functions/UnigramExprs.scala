@@ -200,3 +200,138 @@ case class BigramScoreExpr(child: Expression, lp: Seq[((String, String), Long)])
   override protected def withNewChildInternal(newChild: Expression): BigramScoreExpr =
     copy(child = newChild)
 }
+
+/** Static kernel for [[FrozenBigramScoreExpr]] — shared by interpreted
+  * eval and generated code. */
+object FrozenBigramKernel {
+
+  /** The per-position fixed-point interpolated-bigram term, computed
+    * from raw COUNTS with EXACTLY QualityModel.lpInterp's arithmetic
+    * (same association order, same Catalyst ROUND semantics —
+    * BigDecimal.valueOf + HALF_UP + truncating long cast — so a frozen
+    * LM scoring its own training corpus is bit-identical to the
+    * self-scored operator; QualityModelSpec pins it, and q106's oracle
+    * match transfers the DuckDB parity). Unseen unigrams/bigrams take
+    * count 0 — add-one interpolation prices any pair, so OOV is a
+    * number, never an exception (the q109 contract, one order up). */
+  def lpInterp(bcnt: Long, pcnt: Long, ccnt: Long,
+               nTotal: Long, vocab: Long): Long = {
+    // mirrors: round(-log(0.5*(b+1)/(p+V) + 0.5*(c+1)/(N+V)) * 1e6)
+    // with Catalyst's left-associated double ops
+    val prob = 0.5 * (bcnt + 1L).toDouble / (pcnt + vocab).toDouble +
+      0.5 * (ccnt + 1L).toDouble / (nTotal + vocab).toDouble
+    val v = -math.log(prob) * 1e6
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+
+  /** Sum the conditional stream's lp terms (positions 2..n) with counts
+    * probed from the frozen tables (0 on miss). Returns packed
+    * (n_terms, lp_sum); < 2 tokens yields (0, 0) — no conditional
+    * evidence, filtered/NULLed by the caller. */
+  def score(toks: ArrayData,
+            uni: java.util.HashMap[String, java.lang.Long],
+            big: java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]],
+            nTotal: Long, vocab: Long): InternalRow = {
+    val n = if (toks == null) 0 else toks.numElements()
+    var sum = 0L
+    var i = 1
+    var prev: String = if (n > 0) toks.getUTF8String(0).toString else null
+    var pcnt: Long = if (prev != null) cntOf(uni, prev) else 0L
+    while (i < n) {
+      val cur = toks.getUTF8String(i).toString
+      val ccnt = cntOf(uni, cur)
+      val inner = big.get(prev)
+      val bv = if (inner == null) null else inner.get(cur)
+      val bcnt = if (bv == null) 0L else bv.longValue
+      sum += lpInterp(bcnt, pcnt, ccnt, nTotal, vocab)
+      prev = cur
+      pcnt = ccnt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (n >= 2) n - 1 else 0, sum))
+  }
+
+  private def cntOf(m: java.util.HashMap[String, java.lang.Long],
+                    t: String): Long = {
+    val v = m.get(t)
+    if (v == null) 0L else v.longValue
+  }
+}
+
+/** Native FROZEN interpolated-bigram-LM scorer: per document,
+  * `(n_terms, lp_sum)` over the conditional stream under a PERSISTED
+  * reference LM's raw count tables — the day-2 scoring path of
+  * [[graft.operators.QualityModel.BigramLm]] (the CCNet deployment
+  * shape one Markov order up from [[UnigramScoreExpr]]'s frozen mode).
+  * Unlike [[BigramScoreExpr]] (self-scored: every pair was counted, a
+  * miss throws), this scorer prices UNSEEN pairs/tokens from the same
+  * add-one interpolation with count 0 — so the lp table cannot be
+  * precomputed (the OOV pair space is unbounded) and each term is
+  * derived from counts in the kernel, with arithmetic pinned to
+  * QualityModel.lpInterp (see [[FrozenBigramKernel.lpInterp]]).
+  * Zero-shuffle: one codegen call per row, count tables ride as
+  * reference objects. */
+case class FrozenBigramScoreExpr(child: Expression,
+                                 uniCnt: Seq[(String, Long)],
+                                 bigCnt: Seq[((String, String), Long)],
+                                 nTotal: Long, vocab: Long)
+  extends UnaryExpression {
+
+  @transient private lazy val uniTable = {
+    val m = new java.util.HashMap[String, java.lang.Long](
+      math.max(16, uniCnt.size * 2))
+    uniCnt.foreach { case (t, c) => m.put(t, java.lang.Long.valueOf(c)) }
+    m
+  }
+  @transient private lazy val bigTable = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
+    bigCnt.foreach { case ((p, c), v) =>
+      var inner = m.get(p)
+      if (inner == null) {
+        inner = new java.util.HashMap[String, java.lang.Long]()
+        m.put(p, inner)
+      }
+      inner.put(c, java.lang.Long.valueOf(v))
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"frozen_bigram_score expects an ARRAY<STRING> child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_terms", DataTypes.IntegerType, nullable = false),
+    StructField("lp_sum", DataTypes.LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "frozen_bigram_score"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    FrozenBigramKernel.score(v.asInstanceOf[ArrayData], uniTable, bigTable,
+      nTotal, vocab)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val uniRef = ctx.addReferenceObj("frozenUniCnt", uniTable, "java.util.HashMap")
+    val bigRef = ctx.addReferenceObj("frozenBigCnt", bigTable, "java.util.HashMap")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.functions.FrozenBigramKernel.score(
+            ${c.isNull} ? null : ${c.value}, $uniRef, $bigRef,
+            ${nTotal}L, ${vocab}L);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FrozenBigramScoreExpr =
+    copy(child = newChild)
+}

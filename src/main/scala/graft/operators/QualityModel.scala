@@ -469,6 +469,153 @@ object QualityModel {
         / (s.getField("n_tokens") * 1e6), 6))
   }
 
+  /** A FROZEN interpolated add-one BIGRAM LM — [[UnigramLm]] one Markov
+    * order up, the shape CCNet actually deploys (KenLM is an n-gram
+    * model: a unigram bag scores "the the the" as perfectly fluent).
+    * Unlike the unigram artifact (which ships precomputed lp values),
+    * this one ships the RAW COUNT TABLES: an unseen (prev, cur) pair's
+    * lp depends on three independent lookups (bcnt, pcnt, ccnt — each 0
+    * on miss), so the OOV lp space cannot be precomputed; the scorer
+    * derives each term from counts with arithmetic pinned to
+    * [[lpInterp]] (see [[graft.functions.FrozenBigramKernel]]).
+    * `uniCnt`/`bigCnt` are the distinct token / adjacent-pair counts of
+    * the reference corpus; `nTotal` = total tokens, `vocab` =
+    * |uniCnt|. */
+  final case class BigramLm(uniCnt: Seq[(String, Long)],
+                            bigCnt: Seq[((String, String), Long)],
+                            nTotal: Long, vocab: Long, unit: String) {
+    require(vocab == uniCnt.size,
+      s"vocab $vocab != unigram table size ${uniCnt.size}")
+  }
+
+  /** Train a [[BigramLm]] on `df`. Like [[trainUnigramLm]] this THROWS
+    * past the caps (a frozen artifact must collect; the CCNet recipe
+    * trains the reference LM on a curated SAMPLE, which is also what
+    * bounds the bigram table — pass the sample in, not the corpus).
+    * One tokenize pass feeds both count frames (the token arrays persist
+    * across the two aggregations). */
+  def trainBigramLm(df: DataFrame, textCol: String,
+                    tokensOf: Column => Column = TextFns.tokens,
+                    unit: String = "words",
+                    maxLocalVocab: Int = 2000000,
+                    maxLocalBigrams: Int = 4000000): BigramLm = {
+    val base = df.select(tokensOf(col(textCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val uni = base.select(explode(col("__toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val uRows = uni.limit(maxLocalVocab + 1).collect()
+      require(uRows.length <= maxLocalVocab,
+        s"vocabulary exceeds maxLocalVocab=$maxLocalVocab — a frozen LM " +
+          "artifact must collect; train on a sampled reference corpus")
+      val sz = org.apache.spark.sql.functions.size(col("__toks"))
+      val big = base
+        .select(explode(when(sz >= 2,
+          zip_with(slice(col("__toks"), lit(1), sz - 1),
+            slice(col("__toks"), lit(2), sz - 1),
+            (a, b) => struct(a.as("p"), b.as("c"))))).as("__pc"))
+        .select(col("__pc.p").as("__p"), col("__pc.c").as("__c"))
+        .groupBy(col("__p"), col("__c")).agg(count(lit(1)).as("bcnt"))
+      val bRows = big.limit(maxLocalBigrams + 1).collect()
+      require(bRows.length <= maxLocalBigrams,
+        s"distinct bigrams exceed maxLocalBigrams=$maxLocalBigrams — a " +
+          "frozen LM artifact must collect; train on a sampled reference " +
+          "corpus (the CCNet recipe)")
+      val uniCnt = uRows.iterator
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val bigCnt = bRows.iterator
+        .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+      BigramLm(uniCnt, bigCnt,
+        nTotal = uniCnt.iterator.map(_._2).sum,
+        vocab = uniCnt.size.toLong, unit = unit)
+    } finally base.unpersist()
+  }
+
+  /** Persist a [[BigramLm]]: `$path/lm_uni` = (tok, cnt), `$path/lm_big`
+    * = (p, c, cnt), `$path/lm_meta` = one row
+    * (n_total, vocab, unit, lm_order=2). Counts are integers — the
+    * artifact is bit-lossless by construction. The meta's `lm_order`
+    * column is what [[loadLm]] keys the layout on (the unigram artifact
+    * predates it and has no such column). */
+  def saveBigramLm(spark: SparkSession, lm: BigramLm, path: String): Unit = {
+    import spark.implicits._
+    lm.uniCnt.toDF("tok", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lm_uni")
+    lm.bigCnt.map { case ((p, c), v) => (p, c, v) }
+      .toDF("p", "c", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lm_big")
+    Seq((lm.nTotal, lm.vocab, lm.unit, 2))
+      .toDF("n_total", "vocab", "unit", "lm_order").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lm_meta")
+  }
+
+  /** Load a [[saveBigramLm]] artifact, re-validating invariants loudly
+    * (the [[loadUnigramLm]] policy). */
+  def loadBigramLm(spark: SparkSession, path: String): BigramLm = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/lm_meta")
+      .select("n_total", "vocab", "unit", "lm_order")
+      .as[(Long, Long, String, Int)].collect()
+    require(meta.length == 1, s"LM meta at $path/lm_meta has ${meta.length} rows")
+    val (nTotal, vocab, unit, order) = meta.head
+    require(order == 2, s"LM at $path has lm_order=$order, expected 2")
+    val uniCnt = spark.read.parquet(s"$path/lm_uni").select("tok", "cnt")
+      .as[(String, Long)].collect().toSeq
+    require(uniCnt.size == vocab,
+      s"LM table at $path/lm_uni has ${uniCnt.size} rows, meta says $vocab")
+    require(uniCnt.iterator.map(_._1).toSet.size == uniCnt.size,
+      s"LM table at $path/lm_uni has duplicate tokens")
+    require(uniCnt.iterator.map(_._2).sum == nTotal,
+      s"LM table at $path/lm_uni sums != meta n_total $nTotal")
+    val bigCnt = spark.read.parquet(s"$path/lm_big").select("p", "c", "cnt")
+      .as[(String, String, Long)].collect()
+      .map { case (p, c, v) => ((p, c), v) }.toSeq
+    require(bigCnt.iterator.map(_._1).toSet.size == bigCnt.size,
+      s"LM table at $path/lm_big has duplicate pairs")
+    BigramLm(uniCnt, bigCnt, nTotal, vocab, unit)
+  }
+
+  /** Layout-detecting load: a [[saveBigramLm]] artifact (meta carries
+    * `lm_order` = 2) loads as Right(BigramLm); anything else takes the
+    * [[loadUnigramLm]] path (the legacy layout has no order column).
+    * The streaming gate points `lmPath` here so one config key accepts
+    * either order. */
+  def loadLm(spark: SparkSession, path: String): Either[UnigramLm, BigramLm] = {
+    val meta = spark.read.parquet(s"$path/lm_meta")
+    if (meta.columns.contains("lm_order")) Right(loadBigramLm(spark, path))
+    else Left(loadUnigramLm(spark, path))
+  }
+
+  /** Score `text` under a FROZEN [[BigramLm]]: (n_terms, lp_sum) over
+    * the conditional stream, unseen tokens/pairs priced from the same
+    * add-one interpolation with count 0 — one zero-shuffle codegen
+    * call, the day-2 scoring path one order up from [[frozenScore]]. */
+  def frozenBigramScore(text: Column, lm: BigramLm,
+                        tokensOf: Column => Column = TextFns.tokens): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      graft.functions.FrozenBigramScoreExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(tokensOf(text)),
+        lm.uniCnt, lm.bigCnt, lm.nTotal, lm.vocab))
+
+  /** [[frozenBigramScore]] reduced to the xent value (6-dp, NULL for
+    * docs with < 2 tokens — the [[withBigramXent]] contract). */
+  def frozenBigramXent(text: Column, lm: BigramLm,
+                       tokensOf: Column => Column = TextFns.tokens): Column = {
+    val s = frozenBigramScore(text, lm, tokensOf)
+    when(s.getField("n_terms") > 0,
+      round(s.getField("lp_sum").cast("double")
+        / (s.getField("n_terms") * 1e6), 6))
+  }
+
+  /** Order-dispatching frozen xent: the one call sites with a
+    * [[loadLm]] result use (streaming gate, pipeline sampled mode). */
+  def frozenXentOf(text: Column, lm: Either[UnigramLm, BigramLm],
+                   tokensOf: Column => Column = TextFns.tokens): Column =
+    lm match {
+      case Left(u)  => frozenXent(text, u, tokensOf)
+      case Right(b) => frozenBigramXent(text, b, tokensOf)
+    }
+
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                           hintSmallVocab: Boolean = false,
                           tokensOf: Column => Column = TextFns.tokens,

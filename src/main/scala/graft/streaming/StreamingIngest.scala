@@ -227,7 +227,8 @@ object StreamingIngest {
                   threshold: Double = 0.5, maxBucketSize: Int = 1000,
                   tokenizer: Option[graft.functions.Bpe.Tokenizer] = None,
                   packedIdsPath: String = "", seqLen: Long = 2048L,
-                  lm: Option[graft.operators.QualityModel.UnigramLm] = None,
+                  lm: Option[Either[graft.operators.QualityModel.UnigramLm,
+                    graft.operators.QualityModel.BigramLm]] = None,
                   minXent: Double = 0.0,
                   maxXent: Double = Double.MaxValue): Unit = {
     import graft.functions.{Bpe, TextFns}
@@ -258,7 +259,7 @@ object StreamingIngest {
       .withColumn("quality", TextFns.qualityScore(col(textCol)))
     val base1 = lm match {
       case Some(m) => base0.withColumn("xent",
-        graft.operators.QualityModel.frozenXent(col(textCol), m))
+        graft.operators.QualityModel.frozenXentOf(col(textCol), m))
       case None => base0 // no LM, no xent column — schema unchanged
     }
     val baseReason = when(length(col(textCol)) === 0, lit("empty_after_clean"))
@@ -445,12 +446,12 @@ object StreamingIngest {
       Some(t)
     }
     // FROZEN-LM MODE (lmPath nonempty): the reference LM loads ONCE at
-    // stream start (loadUnigramLm re-validates row count / duplicate
+    // stream start (loadLm re-validates row counts / duplicate
     // tokens loudly); each batch gets the perplexity band on top of the
     // quality gate, with unseen tokens priced by the artifact's
     // add-one miss mass — day-2 vocabulary can never kill the trigger.
     val lm = if (lmPath.isEmpty) None
-      else Some(graft.operators.QualityModel.loadUnigramLm(spark, lmPath))
+      else Some(graft.operators.QualityModel.loadLm(spark, lmPath))
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -43,6 +43,10 @@ object CorpusScale {
     val docs = all.filter(col("doc_id") % 997 =!= 0)
     val totalChars = raw.selectExpr("sum(n_chars)").head.getLong(0)
 
+    // host-window control probe before/after — the decade artifacts
+    // self-report window quality (see WindowProbe; r13 verdict #6)
+    val windowBefore = WindowProbe.sample(spark)
+
     val t0 = System.nanoTime()
     val results = graft.pipeline.CorpusPipeline.run(spark, docs, benchmark,
       outDir, graft.pipeline.CorpusPipeline.Config(
@@ -54,10 +58,13 @@ object CorpusScale {
     require(results.nonEmpty && results.forall(_.ok),
       s"corpus pipeline not green: ${results.filterNot(_.ok).mkString("; ")}")
 
+    val windowAfter = WindowProbe.sample(spark)
+    val window = WindowProbe.windowJson(windowBefore, windowAfter)
+
     val stages = results.map(r =>
       s""""${r.stage}":{"sec":${r.durationMs / 1000.0},"rows":${r.rows}}""")
       .mkString("{", ",", "}")
-    val line = s"""{"label":"$label","total_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, totalSec)},"stages":$stages}"""
+    val line = s"""{"label":"$label","total_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, totalSec)},"window":$window,"stages":$stages}"""
     args.lift(3).foreach { out =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     }

@@ -372,6 +372,62 @@ class QualityModelSpec extends SparkSpec {
       math.round(math.log((lm2.nTotal + lm2.vocab).toDouble) * 1e6)) <= 1)
   }
 
+  test("frozen BigramLm: self-scoring == bigramCrossEntropy bit for bit " +
+      "(local AND distributed paths); save/load round-trips; unseen " +
+      "pairs/tokens price from count-0 interpolation, never throw") {
+    val rnd = new scala.util.Random(47)
+    val corpus = docs(((1 to 140).map(i => (i.toLong,
+      Seq.fill(2 + rnd.nextInt(18))(s"w${rnd.nextInt(22)}").mkString(" ")))
+      :+ (900L -> "") :+ (901L -> "solo")): _*)
+    val lm = QualityModel.trainBigramLm(corpus, "text")
+    // artifact round trip is lossless (integer counts)
+    val path = java.nio.file.Files.createTempDirectory("bilm_rt").toString
+    QualityModel.saveBigramLm(spark, lm, path)
+    val lm2 =
+      try QualityModel.loadBigramLm(spark, path)
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    assert(lm2.copy(uniCnt = lm2.uniCnt.sortBy(_._1),
+        bigCnt = lm2.bigCnt.sortBy(_._1)) ==
+      lm.copy(uniCnt = lm.uniCnt.sortBy(_._1),
+        bigCnt = lm.bigCnt.sortBy(_._1)))
+    // frozen self-scoring == the self-scored operator, row for row —
+    // against BOTH the collected-local path and the distributed
+    // three-join fallback (the kernel's lpInterp arithmetic is thereby
+    // pinned to Catalyst's on real data)
+    val frozen = corpus.select(col("doc_id"),
+        QualityModel.frozenBigramXent(col("text"), lm2).as("xent"))
+      .orderBy("doc_id").collect().toSeq
+    val selfLocal = corpus.join(
+        QualityModel.bigramCrossEntropy(corpus, "doc_id", "text")
+          .select(col("doc_id"), col("xent")), Seq("doc_id"), "left")
+      .select("doc_id", "xent").orderBy("doc_id").collect().toSeq
+    val selfDist = corpus.join(
+        QualityModel.bigramCrossEntropy(corpus, "doc_id", "text",
+            maxLocalBigrams = 0)
+          .select(col("doc_id"), col("xent")), Seq("doc_id"), "left")
+      .select("doc_id", "xent").orderBy("doc_id").collect().toSeq
+    assert(frozen == selfLocal, "frozen bigram LM diverged from local path")
+    assert(frozen == selfDist, "frozen bigram LM diverged from distributed path")
+    // day-2 OOV: an entirely-unseen pair stream scores finite values
+    // via count-0 interpolation — and matches a hand computation
+    val oov = Seq((1L, "zzz9 qqq8 www7")).toDF("doc_id", "text")
+      .select(QualityModel.frozenBigramScore(col("text"), lm2).as("s"))
+      .select("s.n_terms", "s.lp_sum").as[(Int, Long)].head()
+    val term = graft.functions.FrozenBigramKernel.lpInterp(
+      0L, 0L, 0L, lm2.nTotal, lm2.vocab)
+    assert(oov == ((2, 2L * term)), s"got $oov, want (2, ${2L * term})")
+    // loadLm dispatches on the meta layout: bigram -> Right, legacy
+    // unigram -> Left
+    val p2 = java.nio.file.Files.createTempDirectory("bilm_any").toString
+    try {
+      QualityModel.saveBigramLm(spark, lm, s"$p2/b")
+      QualityModel.saveUnigramLm(spark,
+        QualityModel.trainUnigramLm(corpus, "text"), s"$p2/u")
+      assert(QualityModel.loadLm(spark, s"$p2/b").isRight)
+      assert(QualityModel.loadLm(spark, s"$p2/u").isLeft)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p2))
+  }
+
   test("withBigramXent: inline column == left-join of bigramCrossEntropy " +
       "(sub-2-token docs NULL both ways); local path zero exchanges; " +
       "fallback identical") {

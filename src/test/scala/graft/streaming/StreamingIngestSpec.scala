@@ -231,6 +231,65 @@ class StreamingIngestSpec extends SparkSpec {
     assert(math.abs(keptXent - xOf(fluentNew)) < 1e-9)
   }
 
+  test("curateStream frozen BIGRAM-LM gate (lm_order=2 artifact via the " +
+      "same lmPath): degenerate repetition of a high-frequency token is " +
+      "rejected — the case a unigram bag provably cannot see") {
+    import graft.operators.QualityModel
+    val root = Files.createTempDirectory("curate_bilm")
+    val landing = root.resolve("landing")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    val ref = (1L to 30L).map(i =>
+      (i, "the model reads the data and the model writes the data"))
+      .toDF("doc_id", "text")
+    val bilm = QualityModel.trainBigramLm(ref, "text")
+    val lmPath = s"$root/lm_artifact"
+    QualityModel.saveBigramLm(spark, bilm, lmPath)
+
+    // "data" is a frequent reference token — a unigram LM loves this
+    // doc; its bigram ("data","data") never occurs in the reference.
+    // (λ=½ interpolation bounds the unseen-pair penalty by the unigram
+    // half, so the repeated token must be mid-frequency for the bigram
+    // signal to dominate — exactly the calibration a production band
+    // would do.)
+    val degenerate = "data data data data data data data data data data data data"
+    val fluentNew = "the model reads the data and the model writes the summary"
+    val biOf = (t: String) => Seq((1L, t)).toDF("doc_id", "text")
+      .select(QualityModel.frozenBigramXent(col("text"), bilm))
+      .as[Double].head()
+    val cut = (biOf(degenerate) + biOf(fluentNew)) / 2
+    assert(biOf(degenerate) > cut && biOf(fluentNew) < cut,
+      "fixture: the bigram band must separate repetition from fluent")
+    // the unigram LM on the SAME reference would PASS the degenerate doc
+    // at any band that passes the fluent one — the capability gap
+    val uni = QualityModel.trainUnigramLm(ref, "text")
+    val uniOf = (t: String) => Seq((1L, t)).toDF("doc_id", "text")
+      .select(QualityModel.frozenXent(col("text"), uni)).as[Double].head()
+    assert(uniOf(degenerate) < uniOf(fluentNew),
+      "fixture: unigram must score the degenerate doc MORE fluent")
+
+    write(landing, "b1.csv",
+      s"doc_id,text\n1,$fluentNew\n2,$degenerate\n")
+    val stream = spark.readStream.schema(docSchema)
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .csv(landing.toString)
+    StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+      s"$root/index", s"$root/curated", s"$root/rejects", s"$root/ckpt",
+      minTokens = 8L, maxBucketSize = Int.MaxValue,
+      lmPath = lmPath, maxXent = cut)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$root/curated").select("doc_id")
+      .as[Long].collect().toSet == Set(1L),
+      "fluent doc must survive the frozen bigram gate")
+    assert(spark.read.parquet(s"$root/rejects")
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+      == Map(2L -> "high_perplexity"))
+    val keptXent = spark.read.parquet(s"$root/curated")
+      .select("xent").as[Double].head()
+    assert(math.abs(keptXent - biOf(fluentNew)) < 1e-9)
+  }
+
   test("curateStream tokenizer mode: token-denominated gates, per-batch " +
       "packed marked-id shards, day-2 unseen alphabet, replay idempotent") {
     import graft.functions.{Bpe, TextFns}
