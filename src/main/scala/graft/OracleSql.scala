@@ -1529,6 +1529,86 @@ object OracleSql {
     sql.toString
   }
 
+  /** q112: the TRAINED language-ID replayed in full — teacher labels
+    * (q36's marker argmax), char-3-gram hashed features over lower(text)
+    * into one shared 2^bits bucket space, then THREE independent
+    * one-vs-rest training runs (the qualityTrainSql CTE chain per
+    * language, from zero weights), then the shared-feature scoring
+    * joins and the en ≥ es ≥ de argmax. Mirrors
+    * QualityModel.trainLangId + langScoresTrained constants verbatim. */
+  private def langIdTrainSql(bits: Int, epochs: Int, lrM: Long,
+                             seed: String, charN: Int): String = {
+    val nb = 1 << bits
+    val langs = Seq("en", "es", "de")
+    val grams = s"""list_transform(generate_series(1, length(t) - ${charN - 1}),
+           i -> substr(t, i, $charN))"""
+    val sql = new StringBuilder(
+      s"""WITH d0 AS (SELECT doc_id, lower(text) AS t,
+           CAST(len(regexp_extract_all(lower(text), '\\b(the|a|is|and|of)\\b')) AS INTEGER) AS en_hits,
+           CAST(len(regexp_extract_all(lower(text), '\\b(el|la|de|que|es)\\b')) AS INTEGER) AS es_hits,
+           CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS INTEGER) AS de_hits
+           FROM documents),
+         d1 AS (SELECT doc_id, t,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
+                WHEN es_hits >= de_hits THEN 'es'
+                ELSE 'de' END AS lang FROM d0),
+         f0 AS (SELECT doc_id, lang, unnest($grams) AS g FROM d1),
+         feats AS (SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y_en,
+             CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS y_es,
+             CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS y_de,
+             CAST('0x' || substr(md5('$seed:' || g), 1, 8) AS BIGINT) % $nb AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM f0 GROUP BY doc_id, y_en, y_es, y_de, b),
+         dn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+           FROM feats GROUP BY doc_id),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM dn)""")
+    langs.foreach { l =>
+      sql.append(s""",
+         w${l}0 AS (SELECT CAST(unnest(range(0, $nb)) AS BIGINT) AS b,
+           CAST(0 AS BIGINT) AS w)""")
+      (0 until epochs).foreach { k =>
+        sql.append(s""",
+         m$l$k AS (SELECT f.doc_id, MAX(f.y_$l) AS y,
+             CAST(SUM(f.c * w.w) AS BIGINT) AS ws
+           FROM feats f JOIN w$l$k w USING (b) GROUP BY f.doc_id),
+         e$l$k AS (SELECT m.doc_id,
+             CAST(floor((1.0 / (1.0 + exp(-4.0 * ws / (n * 1000.0))) - y)
+               * 1000000.0 + 0.5) AS BIGINT) AS err6, d.n
+           FROM m$l$k m JOIN dn d USING (doc_id)),
+         g$l$k AS (SELECT f.b, CAST(SUM(CAST(floor(
+               e.err6 * f.c / CAST(e.n AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT) AS g
+           FROM feats f JOIN e$l$k e USING (doc_id) GROUP BY f.b),
+         w$l${k + 1} AS (SELECT w.b,
+             GREATEST(CAST(-1000 AS BIGINT), LEAST(CAST(1000 AS BIGINT),
+               w.w - CAST(floor(CAST(COALESCE(g.g, 0) * $lrM AS DOUBLE) * 4.0
+                 / (nn.nd * 10000000.0) + 0.5) AS BIGINT))) AS w
+           FROM w$l$k w LEFT JOIN g$l$k g USING (b) CROSS JOIN nn)""")
+      }
+    }
+    sql.append(s""",
+         sc AS (SELECT f.doc_id, CAST(SUM(f.c) AS INTEGER) AS n_feats,
+             CAST(SUM(f.c * we.w) AS BIGINT) AS ws_en,
+             CAST(SUM(f.c * ws2.w) AS BIGINT) AS ws_es,
+             CAST(SUM(f.c * wd.w) AS BIGINT) AS ws_de
+           FROM feats f
+           JOIN wen$epochs we USING (b)
+           JOIN wes$epochs ws2 USING (b)
+           JOIN wde$epochs wd USING (b)
+           GROUP BY f.doc_id)
+         SELECT d.doc_id,
+           COALESCE(n_feats, 0) AS n_feats,
+           COALESCE(ws_en, 0) AS ws_en,
+           COALESCE(ws_es, 0) AS ws_es,
+           COALESCE(ws_de, 0) AS ws_de,
+           CASE WHEN COALESCE(ws_en, 0) >= COALESCE(ws_es, 0)
+                 AND COALESCE(ws_en, 0) >= COALESCE(ws_de, 0) THEN 'en'
+                WHEN COALESCE(ws_es, 0) >= COALESCE(ws_de, 0) THEN 'es'
+                ELSE 'de' END AS lang_pred
+         FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""")
+    sql.toString
+  }
+
   /** Full oracle map. The BPE entries (q87-q104) are GENERATED from the
     * primed merge tables ([[primeBpe]] — Verify primes before dumping);
     * un-primed, this THROWS rather than silently omitting them (an
@@ -1538,7 +1618,8 @@ object OracleSql {
   def all: Map[String, String] = staticAll ++ bpeEntries +
     ("q105_quality_train" -> qualityTrainSql(10, 4, 20000L, "graft-q105")) +
     ("q107_quality_train_bigrams" ->
-      qualityTrainSql(10, 4, 20000L, "graft-q107", ngrams = 2))
+      qualityTrainSql(10, 4, 20000L, "graft-q107", ngrams = 2)) +
+    ("q112_lang_id_trained" -> langIdTrainSql(8, 3, 20000L, "graft-q112", 3))
 
   // ------------------------------------------------------ BPE (q87-q99)
   //

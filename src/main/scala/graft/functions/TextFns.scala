@@ -17,6 +17,22 @@ object TextFns {
   def tokens(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
+  /** Overlapping char n-grams of lower(text), whitespace included —
+    * fastText's language-ID feature unit (subword shapes, inflections
+    * and word boundaries that marker-word lists are blind to). Text
+    * shorter than `n` chars -> empty array. Pure Column expression
+    * (sequence + substr inside the scan's codegen span), replayed by
+    * the oracle as DuckDB list_transform(generate_series(...),
+    * substr). */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1 && n <= 8, s"charNgrams n must be in [1,8], got $n")
+    val t = lower(text)
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - lit(n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Fused one-pass text statistics `(chars, n_tokens, stop_hits,
     * punct_chars)` — the integer counts behind [[tokenCount]] /
     * [[qualityScore]], computed by ONE native scan

@@ -260,6 +260,37 @@ object FrozenBigramKernel {
   }
 }
 
+/** The frozen LM's probe tables in executor-ready form. BROADCAST, not
+  * a plan literal: a reference-object table is deserialized once per
+  * TASK (the task binary is per-task state), so a multi-million-entry
+  * bigram table times 32 concurrent local tasks OOMs the JVM — measured
+  * at rich32 (1/32-sample LM ~2.9M bigrams, 92 MiB task binary, 16g heap
+  * dead in stage 92). A broadcast value is fetched and deserialized once
+  * per EXECUTOR and shared read-only by its tasks — the same contract a
+  * 1000-executor cluster needs, exercised in local mode. */
+final case class FrozenBigramTables(
+    uni: java.util.HashMap[String, java.lang.Long],
+    big: java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]])
+
+object FrozenBigramTables {
+  def build(uniCnt: Seq[(String, Long)],
+            bigCnt: Seq[((String, String), Long)]): FrozenBigramTables = {
+    val u = new java.util.HashMap[String, java.lang.Long](
+      math.max(16, uniCnt.size * 2))
+    uniCnt.foreach { case (t, c) => u.put(t, java.lang.Long.valueOf(c)) }
+    val b = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
+    bigCnt.foreach { case ((p, c), v) =>
+      var inner = b.get(p)
+      if (inner == null) {
+        inner = new java.util.HashMap[String, java.lang.Long]()
+        b.put(p, inner)
+      }
+      inner.put(c, java.lang.Long.valueOf(v))
+    }
+    FrozenBigramTables(u, b)
+  }
+}
+
 /** Native FROZEN interpolated-bigram-LM scorer: per document,
   * `(n_terms, lp_sum)` over the conditional stream under a PERSISTED
   * reference LM's raw count tables — the day-2 scoring path of
@@ -274,29 +305,9 @@ object FrozenBigramKernel {
   * Zero-shuffle: one codegen call per row, count tables ride as
   * reference objects. */
 case class FrozenBigramScoreExpr(child: Expression,
-                                 uniCnt: Seq[(String, Long)],
-                                 bigCnt: Seq[((String, String), Long)],
+                                 tables: org.apache.spark.broadcast.Broadcast[FrozenBigramTables],
                                  nTotal: Long, vocab: Long)
   extends UnaryExpression {
-
-  @transient private lazy val uniTable = {
-    val m = new java.util.HashMap[String, java.lang.Long](
-      math.max(16, uniCnt.size * 2))
-    uniCnt.foreach { case (t, c) => m.put(t, java.lang.Long.valueOf(c)) }
-    m
-  }
-  @transient private lazy val bigTable = {
-    val m = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
-    bigCnt.foreach { case ((p, c), v) =>
-      var inner = m.get(p)
-      if (inner == null) {
-        inner = new java.util.HashMap[String, java.lang.Long]()
-        m.put(p, inner)
-      }
-      inner.put(c, java.lang.Long.valueOf(v))
-    }
-    m
-  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -313,20 +324,23 @@ case class FrozenBigramScoreExpr(child: Expression,
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    FrozenBigramKernel.score(v.asInstanceOf[ArrayData], uniTable, bigTable,
+    val t = tables.value
+    FrozenBigramKernel.score(v.asInstanceOf[ArrayData], t.uni, t.big,
       nTotal, vocab)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val uniRef = ctx.addReferenceObj("frozenUniCnt", uniTable, "java.util.HashMap")
-    val bigRef = ctx.addReferenceObj("frozenBigCnt", bigTable, "java.util.HashMap")
+    val ref = ctx.addReferenceObj("frozenLmTables", tables,
+      "org.apache.spark.broadcast.Broadcast")
     ev.copy(
       code = code"""
         ${c.code}
+        graft.functions.FrozenBigramTables ${ev.value}_t =
+          (graft.functions.FrozenBigramTables) $ref.value();
         org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
           graft.functions.FrozenBigramKernel.score(
-            ${c.isNull} ? null : ${c.value}, $uniRef, $bigRef,
+            ${c.isNull} ? null : ${c.value}, ${ev.value}_t.uni(), ${ev.value}_t.big(),
             ${nTotal}L, ${vocab}L);
       """,
       isNull = FalseLiteral)

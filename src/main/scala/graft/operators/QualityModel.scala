@@ -111,10 +111,13 @@ object QualityModel {
     * [[hashedLinearScore]] when fed that function's own weight table. */
   def hashedLinearScoreWeights(text: Column, bits: Int, seed: String,
                                weights: Array[Int],
-                               wordNgrams: Int = 1): Column = {
+                               wordNgrams: Int = 1,
+                               featuresOf: Option[Column => Column] = None)
+      : Column = {
     require(weights.length == (1 << bits),
       s"need ${1 << bits} weights, got ${weights.length}")
-    val toks = featureStream(text, wordNgrams)
+    val toks = featuresOf.map(f => f(text))
+      .getOrElse(featureStream(text, wordNgrams))
     val wLit = typedlit(weights)
     val bucket = (t: Column) =>
       h32(concat(lit(seed), lit(":"), t)) % (1 << bits)
@@ -172,7 +175,9 @@ object QualityModel {
                           labelCol: String, bits: Int, seed: String,
                           epochs: Int, lrMyriad: Long = 20000L,
                           wordNgrams: Int = 1,
-                          maxTrainDocs: Long = 2000000L): Array[Int] = {
+                          maxTrainDocs: Long = 2000000L,
+                          featuresOf: Option[Column => Column] = None)
+      : Array[Int] = {
     require(bits > 0 && bits <= 21, s"bits must be in [1,21], got $bits")
     require(epochs >= 0 && epochs <= 64, s"epochs must be in [0,64], got $epochs")
     val nBuckets = 1 << bits
@@ -180,7 +185,8 @@ object QualityModel {
       h32(concat(lit(seed), lit(":"), t)) % nBuckets
     val feats = df
       .select(col(idCol).as("__d"), col(labelCol).cast("long").as("__y"),
-        explode(featureStream(col(textCol), wordNgrams)).as("__t"))
+        explode(featuresOf.map(f => f(col(textCol)))
+          .getOrElse(featureStream(col(textCol), wordNgrams))).as("__t"))
       .select(col("__d"), col("__y"), bucket(col("__t")).as("__b"))
       .groupBy(col("__d"), col("__y"), col("__b"))
       .agg(count(lit(1)).as("__c"))
@@ -244,6 +250,79 @@ object QualityModel {
         .take(4).map(x => f"${x & 0xff}%02x").mkString
       ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000).toInt
     }
+  }
+
+  /** A TRAINED one-vs-rest hashed char-n-gram language classifier — the
+    * fastText lang-ID shape, replacing the marker-word argmax
+    * ([[graft.functions.TextFns.langPredict]]) with a model that sees
+    * subword shapes, inflections and word boundaries instead of a short
+    * allow-list (a marker-free held-out sentence defeats the marker
+    * predictor by construction; char n-grams generalize —
+    * QualityModelSpec pins that gap). All K classifiers share ONE
+    * feature space (same seed, same bits): scoring hashes each n-gram
+    * once and probes K weight arrays, each riding as a plan literal. */
+  final case class LangIdModel(langs: Seq[String], bits: Int, seed: String,
+                               charN: Int, weights: Map[String, Array[Int]]) {
+    require(langs.nonEmpty && langs.distinct == langs,
+      s"langs must be non-empty and distinct, got $langs")
+    require(weights.keySet == langs.toSet,
+      s"weights keys ${weights.keySet} != langs ${langs.toSet}")
+    weights.foreach { case (l, w) => require(w.length == (1 << bits),
+      s"lang '$l' weight table has ${w.length} buckets, need ${1 << bits}") }
+  }
+
+  /** Train a [[LangIdModel]] on a labeled frame: one
+    * [[trainHashedLogistic]] run per language over shared char-n-gram
+    * features (one-vs-rest, the fastText multiclass recipe at this
+    * scale). Labels come from `langCol` — a curated seed set, or a
+    * weaker teacher to distill (q112 distills the marker-argmax
+    * predictor into a model that then generalizes past the markers).
+    * K × epochs aggregates over the labeled frame; seed-scale by the
+    * same `maxTrainDocs` contract as the quality trainer. */
+  def trainLangId(df: DataFrame, idCol: String, textCol: String,
+                  langCol: String, langs: Seq[String],
+                  bits: Int = 8, seed: String = "langid",
+                  epochs: Int = 4, lrMyriad: Long = 20000L,
+                  charN: Int = 3,
+                  maxTrainDocs: Long = 2000000L): LangIdModel = {
+    val feats = (t: Column) => TextFns.charNgrams(t, charN)
+    val ws = langs.map { l =>
+      l -> trainHashedLogistic(
+        df.select(col(idCol), col(textCol),
+          (col(langCol) === lit(l)).cast("int").as("__y")),
+        idCol, textCol, "__y", bits, seed, epochs, lrMyriad,
+        maxTrainDocs = maxTrainDocs, featuresOf = Some(feats))
+    }.toMap
+    LangIdModel(langs, bits, seed, charN, ws)
+  }
+
+  /** Per-language margin structs (n_tokens = n-gram count, w_sum, score)
+    * of `text` under a [[LangIdModel]] — one entry per lang, in model
+    * order. Callers that need several (the argmax, an audit projection)
+    * should materialize these as columns once; codegen subexpression
+    * elimination merges the shared hashing either way. */
+  def langScoresTrained(text: Column, model: LangIdModel): Seq[(String, Column)] =
+    model.langs.map { l =>
+      l -> hashedLinearScoreWeights(text, model.bits, model.seed,
+        model.weights(l),
+        featuresOf = Some(t => TextFns.charNgrams(t, model.charN)))
+    }
+
+  /** Argmax language of `text` under a trained model, ties broken to the
+    * EARLIEST language in `model.langs` (the [[TextFns.langPredict]]
+    * tie-break convention — en ≥ es ≥ de for the default list). Margins
+    * compare by raw integer w_sum: every classifier scores the same
+    * n-gram count, so the mean ordering IS the sum ordering. */
+  def langPredictTrained(text: Column, model: LangIdModel): Column = {
+    val ss = langScoresTrained(text, model)
+      .map { case (l, s) => l -> s.getField("w_sum") }
+    var result: Column = lit(ss.last._1)
+    ss.zipWithIndex.init.reverse.foreach { case ((l, s), i) =>
+      val cond = ss.drop(i + 1).map { case (_, s2) => s >= s2 }
+        .reduce(_ && _)
+      result = when(cond, lit(l)).otherwise(result)
+    }
+    result
   }
 
   /** Per-document cross-entropy under a corpus-trained add-one-smoothed
@@ -498,7 +577,8 @@ object QualityModel {
                     tokensOf: Column => Column = TextFns.tokens,
                     unit: String = "words",
                     maxLocalVocab: Int = 2000000,
-                    maxLocalBigrams: Int = 4000000): BigramLm = {
+                    maxLocalBigrams: Int = 4000000,
+                    minBigramCount: Long = 1L): BigramLm = {
     val base = df.select(tokensOf(col(textCol)).as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
@@ -516,6 +596,14 @@ object QualityModel {
             (a, b) => struct(a.as("p"), b.as("c"))))).as("__pc"))
         .select(col("__pc.p").as("__p"), col("__pc.c").as("__c"))
         .groupBy(col("__p"), col("__c")).agg(count(lit(1)).as("bcnt"))
+        // KenLM-style count pruning (minBigramCount > 1): singleton
+        // pairs dominate an open-vocabulary bigram table (~90% at the
+        // rich32 1/32-sample) while carrying the least signal; pruning
+        // them shrinks the artifact ~10x. A pruned pair scores as
+        // UNSEEN (count-0 interpolation) — a deliberate, documented
+        // approximation of the exact table, NOT the oracle config
+        // (q111 trains with minBigramCount = 1).
+        .filter(col("bcnt") >= minBigramCount)
       val bRows = big.limit(maxLocalBigrams + 1).collect()
       require(bRows.length <= maxLocalBigrams,
         s"distinct bigrams exceed maxLocalBigrams=$maxLocalBigrams — a " +
@@ -591,11 +679,20 @@ object QualityModel {
     * add-one interpolation with count 0 — one zero-shuffle codegen
     * call, the day-2 scoring path one order up from [[frozenScore]]. */
   def frozenBigramScore(text: Column, lm: BigramLm,
-                        tokensOf: Column => Column = TextFns.tokens): Column =
+                        tokensOf: Column => Column = TextFns.tokens): Column = {
+    // the probe tables BROADCAST (fetched once per executor, shared by
+    // its tasks) instead of riding the plan as a literal — a reference
+    // object deserializes once per TASK, and a multi-million-entry
+    // bigram table × 32 concurrent tasks OOMs the JVM (measured; see
+    // FrozenBigramTables). One broadcast per column construction: build
+    // the column once and reuse it.
+    val bc = SparkSession.active.sparkContext.broadcast(
+      graft.functions.FrozenBigramTables.build(lm.uniCnt, lm.bigCnt))
     org.apache.spark.sql.graft.ExprBridge.column(
       graft.functions.FrozenBigramScoreExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(tokensOf(text)),
-        lm.uniCnt, lm.bigCnt, lm.nTotal, lm.vocab))
+        bc, lm.nTotal, lm.vocab))
+  }
 
   /** [[frozenBigramScore]] reduced to the xent value (6-dp, NULL for
     * docs with < 2 tokens — the [[withBigramXent]] contract). */

@@ -43,6 +43,13 @@ object CorpusPipeline {
       // to target languages before spending dedup/LM compute on docs
       // they will not train on.
       langAllow: Seq[String] = Nil,
+      // None => the marker-argmax predictor (q36) decides `lang`;
+      // Some(model) => the TRAINED char-n-gram classifier (q112,
+      // QualityModel.trainLangId) decides — the fastText-shaped
+      // production gate, trained offline on a labeled seed set and
+      // passed in as a frozen model (weights ride the plan as
+      // literals; the gate stays one zero-shuffle scan either way)
+      langIdModel: Option[graft.operators.QualityModel.LangIdModel] = None,
       numHashes: Int = 64,
       bands: Int = 32,
       shingleN: Int = 3,
@@ -70,6 +77,29 @@ object CorpusPipeline {
       // repetition like "the the the"). Both score through the
       // collected-local-LM inline column; same xent band applies.
       pplLmOrder: Int = 1,
+      // 0 = the gate LM trains on the WHOLE corpus (exact, the oracled
+      // q76/q106 semantics — but the order-2 distinct-bigram frame grows
+      // ~linearly with an open-vocabulary corpus, so self-training the
+      // bigram gate costs a pair-stream exchange per run). > 0 = the
+      // CCNet deployment shape: the LM trains on the deterministic
+      // xxhash64(doc_id) % mod == 0 slice, freezes, and the WHOLE
+      // corpus scores through the zero-shuffle frozen kernel with
+      // count-0 OOV pricing (unigram) / count-0 interpolation (bigram).
+      // O(corpus/mod) training, O(corpus) scoring, no corpus-sized
+      // count-frame exchange — the shape that survives 100 TB. Scores
+      // differ from the self-trained LM's (different training set), so
+      // the xent band should be calibrated per choice; opt-in.
+      pplSampleMod: Int = 0,
+      // KenLM-style count pruning for the sampled-frozen ORDER-2 gate:
+      // bigrams below this count drop from the frozen table and score
+      // as unseen (count-0 interpolation). Singletons are ~90% of an
+      // open-vocabulary sample's bigram table and carry the least
+      // signal — pruning them made the rich32 frozen bigram gate cost
+      // the same as the unigram one (11.3 vs 11.7 s min, vs 21.4
+      // unpruned and 89.7 self-trained exact;
+      // scaling/r14/pplab_rich32.json). Ignored unless
+      // pplSampleMod > 0 and pplLmOrder == 2.
+      pplMinBigramCount: Long = 1L,
       budgetTokens: Long = 1000000L,
       seqLen: Int = 2048,
       shardSize: Long = 100000L,
@@ -141,17 +171,22 @@ object CorpusPipeline {
 
     stage("quality") {
       val in = read("s0_clean")
-      // langAllow nonempty => the marker-argmax language gate (q36's
-      // predictor, shared via TextFns.langPredict) rides the SAME pass:
+      // langAllow nonempty => the language gate rides the SAME pass:
       // docs outside the allow-list drop as wrong_language, kept docs
       // carry the `lang` audit column. Empty list = gate off, schema
-      // unchanged.
+      // unchanged. The predictor is the marker argmax (q36,
+      // TextFns.langPredict) unless cfg.langIdModel supplies the
+      // TRAINED char-n-gram classifier (q112) — same column contract,
+      // same single scan.
       val scored0 = in.select(col("doc_id"), col("text"), col("source"),
         TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextFns.qualityScore(col("text")).as("quality"))
       val scored =
         if (cfg.langAllow.isEmpty) scored0
-        else scored0.withColumn("lang", TextFns.langPredict(col("text")))
+        else scored0.withColumn("lang",
+          cfg.langIdModel
+            .map(m => graft.operators.QualityModel.langPredictTrained(col("text"), m))
+            .getOrElse(TextFns.langPredict(col("text"))))
       val baseReason = when(col("n_tokens") < cfg.minTokens, lit("too_short"))
         .when(col("quality") < cfg.minQuality, lit("low_quality"))
       val gated = scored.withColumn("drop_reason",
@@ -172,8 +207,23 @@ object CorpusPipeline {
       // re-projects.
       require(cfg.pplLmOrder == 1 || cfg.pplLmOrder == 2,
         s"pplLmOrder must be 1 (unigram) or 2 (bigram), got ${cfg.pplLmOrder}")
+      require(cfg.pplSampleMod >= 0,
+        s"pplSampleMod must be >= 0, got ${cfg.pplSampleMod}")
       val scored =
-        if (cfg.pplLmOrder == 2) QualityModel.withBigramXent(in, "doc_id", "text")
+        if (cfg.pplSampleMod > 0) {
+          // sampled-frozen gate (see Config.pplSampleMod): train on the
+          // hash slice, score everything through the frozen kernel
+          val sample = in.filter(
+            pmod(xxhash64(col("doc_id")), lit(cfg.pplSampleMod)) === 0)
+          if (cfg.pplLmOrder == 2)
+            in.withColumn("xent", QualityModel.frozenBigramXent(col("text"),
+              QualityModel.trainBigramLm(sample, "text",
+                minBigramCount = cfg.pplMinBigramCount)))
+          else
+            in.withColumn("xent", QualityModel.frozenXent(col("text"),
+              QualityModel.trainUnigramLm(sample, "text")))
+        }
+        else if (cfg.pplLmOrder == 2) QualityModel.withBigramXent(in, "doc_id", "text")
         else QualityModel.withUnigramXent(in, "doc_id", "text")
       val gated = scored
         .withColumn("drop_reason",

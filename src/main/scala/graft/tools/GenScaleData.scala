@@ -178,6 +178,69 @@ object GenScaleData {
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
+  /** A HEAPS-LAW corpus with real long-tail morphology — the regime the
+    * 31-word/20k-vocab corpora cannot show (r13 verdict #4: the word
+    * model saturates fertility 1.0 on them by whole-variant
+    * memorization, hiding where faithful pre-tokenization wins).
+    * Surface forms = Zipf-ish ROOT (2-4 deterministic syllables from a
+    * fixed inventory, spelled identically at every occurrence) × a
+    * skewed SUFFIX family (-s/-ed/-ing/-ly/-er/-tion/-ness) ×
+    * capitalization (sentence-initial + ~1/9 random Initcap) ×
+    * attached punctuation (~1/9 '.', ~1/13 ',') — hundreds of
+    * thousands of distinct surface forms whose shared STEMS are
+    * exactly what subword merges exist to exploit. Pure hash-stream
+    * Column expressions (same 100 TB contract as the other
+    * generators). */
+  def documentsHeaps(spark: SparkSession, n: Long,
+                     nRoots: Int = 6000): DataFrame = {
+    val onsets = Seq("b", "c", "d", "f", "g", "h", "j", "k", "l", "m",
+      "n", "p", "r", "s", "t", "v", "w", "z", "br", "ch", "cl", "dr",
+      "fl", "gr", "pl", "pr", "sh", "sl", "st", "th", "tr")
+    val nuclei = Seq("a", "e", "i", "o", "u", "ai", "ea", "ie", "oo", "ou")
+    val codas = Seq("", "b", "ck", "d", "g", "l", "m", "n", "nd", "ng",
+      "nt", "p", "r", "rd", "s", "st", "t", "x")
+    def pickC(opts: Seq[String], tag: String, cs: Column*): Column =
+      element_at(array(opts.map(lit): _*),
+        (pm(h(tag, cs: _*), opts.size.toLong) + 1).cast("int"))
+    // root spelling keyed by ROOT ID alone — every occurrence of root r
+    // is the same string
+    def rootStr(r: Column): Column = {
+      val nSyl = (pm(h("hp_ns", r), 3L) + 2).cast("int") // 2-4 syllables
+      array_join(transform(sequence(lit(1), nSyl), k =>
+        concat(pickC(onsets, "hp_on", r, k), pickC(nuclei, "hp_nu", r, k),
+          // inner syllables rarely take a coda (pronounceable stems);
+          // the last one usually does
+          when(k === nSyl, pickC(codas, "hp_co", r, k))
+            .otherwise(when(pm(h("hp_ic", r, k), 3L) === 0,
+              pickC(codas, "hp_co", r, k)).otherwise(lit(""))))), "")
+    }
+    val seed0 = col("id")
+    val len = (pm(h("hp_len", seed0), 50L) + 30).cast("int") // 30-79 words
+    val word = (i: Column) => {
+      // Zipf-ish root: u^3 concentrates mass on low root ids
+      val u = this.u("hp_r", seed0, i)
+      val r = floor(u * u * u * nRoots).cast("long")
+      val sfx = pm(h("hp_sfx", seed0, i), 100L)
+      val suffix = when(sfx < 55, lit("")).when(sfx < 70, lit("s"))
+        .when(sfx < 80, lit("ed")).when(sfx < 88, lit("ing"))
+        .when(sfx < 93, lit("ly")).when(sfx < 97, lit("er"))
+        .when(sfx < 99, lit("tion")).otherwise(lit("ness"))
+      val base = concat(rootStr(r), suffix)
+      val capped = when(i === 1 || pm(h("hp_cap", seed0, i), 9L) === 0,
+        initcap(base)).otherwise(base)
+      val punct = when(pm(h("hp_p", seed0, i), 9L) === 0, lit("."))
+        .when(pm(h("hp_p", seed0, i), 13L) === 0, lit(","))
+        .otherwise(lit(""))
+      concat(capped, punct)
+    }
+    ids(spark, n).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(1), len), word), " ").as("text"),
+      concat(lit("src"), pm(h("hp_src", col("id")), 20L).cast("string"))
+        .as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def embeddings(spark: SparkSession, n: Long): DataFrame =
     ids(spark, n).select(
       col("id").as("vec_id"),
@@ -267,7 +330,21 @@ object GenScaleData {
       .config("spark.ui.enabled", "false")
       .appName("graft-gen-scale-data").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.lift(1).contains("--docs-vocab")) {
+    if (args.lift(1).contains("--heaps")) {
+      // Heaps-law morphology corpus (documents-only): --heaps <nDocs>
+      // writes <outBase>/heaps/documents.parquet
+      val nDoc = args(2).toLong
+      val dir = s"$outBase/heaps"
+      documentsHeaps(spark, nDoc)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val forms = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .select(col("w")).distinct().count()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/_gen_meta.json"),
+        s"""{"generator":"GenScaleData","seed":$Seed,"corpus":"heaps-morphology","n_documents":$nDoc,"n_surface_forms":$forms}\n""")
+      println(s"[gen] documentsHeaps($nDoc) -> $dir (surface forms: $forms)")
+    } else if (args.lift(1).contains("--docs-vocab")) {
       // documents-only generation into a named dir: --docs-vocab <V>
       // writes rich<sf>/ at vocab V, --docs-vocab 0 writes v31-<sf>/ with
       // the testdata-mirror corpus (the labeled adversarial case)

@@ -428,6 +428,37 @@ class QualityModelSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p2))
   }
 
+  test("trainBigramLm minBigramCount: singleton pairs pruned from the " +
+      "artifact (scored as unseen), unigram backoff stays exact") {
+    val corpus = docs(
+      (1L, "a b a b a b"),   // (a,b) x3, (b,a) x2
+      (2L, "c d"))           // (c,d) x1 — the singleton to prune
+    val full = QualityModel.trainBigramLm(corpus, "text")
+    val pruned = QualityModel.trainBigramLm(corpus, "text",
+      minBigramCount = 2L)
+    assert(full.bigCnt.toMap == Map(("a", "b") -> 3L, ("b", "a") -> 2L,
+      ("c", "d") -> 1L))
+    assert(pruned.bigCnt.toMap == Map(("a", "b") -> 3L, ("b", "a") -> 2L))
+    // unigram side identical — pruning touches only the bigram table
+    assert(pruned.uniCnt.sortBy(_._1) == full.uniCnt.sortBy(_._1))
+    assert(pruned.nTotal == full.nTotal && pruned.vocab == full.vocab)
+    // a pruned pair scores exactly as an UNSEEN pair (count-0
+    // interpolation), seen pairs identically to the full table
+    val probe = Seq((1L, "c d"), (2L, "a b")).toDF("doc_id", "text")
+    def scoreWith(lm: QualityModel.BigramLm) = probe
+      .select(col("doc_id"),
+        QualityModel.frozenBigramScore(col("text"), lm).as("s"))
+      .select(col("doc_id"), col("s.lp_sum")).as[(Long, Long)]
+      .collect().toMap
+    val sf = scoreWith(full); val sp = scoreWith(pruned)
+    assert(sp(2L) == sf(2L), "seen pair must score identically")
+    assert(sp(1L) == graft.functions.FrozenBigramKernel.lpInterp(
+      0L, full.uniCnt.toMap.apply("c"), full.uniCnt.toMap.apply("d"),
+      full.nTotal, full.vocab),
+      "pruned pair must take the count-0 interpolation")
+    assert(sp(1L) != sf(1L), "fixture: pruning must actually change c-d")
+  }
+
   test("withBigramXent: inline column == left-join of bigramCrossEntropy " +
       "(sub-2-token docs NULL both ways); local path zero exchanges; " +
       "fallback identical") {
@@ -461,5 +492,86 @@ class QualityModelSpec extends SparkSpec {
         docs(base: _*).repartition(11), "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
+  }
+
+  test("charNgrams: overlapping lowered 3-grams; short text empty; " +
+      "oracle-shaped boundaries") {
+    val got = Seq((1L, "AbCd"), (2L, "ab"), (3L, ""), (4L, "x y"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.TextFns.charNgrams(col("text"), 3).as("g"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(got == Seq(
+      (1L, Seq("abc", "bcd")),
+      (2L, Seq.empty),
+      (3L, Seq.empty),
+      (4L, Seq("x y"))))
+  }
+
+  test("trainLangId beats the marker argmax on HELD-OUT text with no " +
+      "marker words (where the marker predictor degenerates to its " +
+      "tie-break) — the q112 capability gap") {
+    // labeled seed set: varied sentences per language, real inflections
+    val train = Seq(
+      ("en", "the children were running quickly through the winding streets"),
+      ("en", "a bright morning sun is shining over the green hills"),
+      ("en", "reading books and writing letters is a quiet evening pleasure"),
+      ("en", "the weather turned cold and the leaves started falling"),
+      ("en", "travelers walking along the river watched the boats drifting"),
+      ("en", "cooking dinner together brings the whole family happiness"),
+      ("en", "the teacher explained everything slowly and clearly again"),
+      ("en", "singing birds woke the sleeping village early that morning"),
+      ("es", "el perro corre por la calle cada manana muy temprano"),
+      ("es", "las montanas estaban cubiertas de nieve blanca brillante"),
+      ("es", "los ninos cantaban canciones alegres durante la celebracion"),
+      ("es", "la cocina olia a pan recien horneado esta manana"),
+      ("es", "caminando despacio llegamos hasta la orilla del rio"),
+      ("es", "el maestro explicaba la leccion con mucha paciencia"),
+      ("es", "las estrellas brillaban sobre el pueblo dormido anoche"),
+      ("es", "comiendo juntos la familia compartia historias divertidas"),
+      ("de", "der hund lauft schnell durch die engen strassen der stadt"),
+      ("de", "die berge waren mit frischem weissem schnee bedeckt"),
+      ("de", "die kinder sangen frohliche lieder wahrend des festes"),
+      ("de", "die kuche roch heute morgen nach frisch gebackenem brot"),
+      ("de", "langsam gehend erreichten wir das ufer des flusses"),
+      ("de", "der lehrer erklarte die aufgabe mit grosser geduld"),
+      ("de", "die sterne leuchteten gestern nacht uber dem dorf"),
+      ("de", "beim gemeinsamen essen erzahlte die familie geschichten"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val model = QualityModel.trainLangId(train, "doc_id", "text", "lang",
+      Seq("en", "es", "de"), bits = 10, seed = "spec-langid",
+      epochs = 8, charN = 3)
+    // held-out: NO marker words (the|a|is|and|of / el|la|de|que|es /
+    // der|die|das|und|ist) — the marker argmax scores 0 everywhere and
+    // falls to its tie-break ('en'), so it gets exactly the EN rows
+    val heldOut = Seq(
+      ("en", "children playing outside were singing cheerful songs together"),
+      ("en", "travelers watched sailing boats drifting slowly downstream"),
+      ("es", "corriendo rapidamente cruzaron aquellas calles estrechas anoche"),
+      ("es", "cantaban canciones alegres mientras caminaban hacia casa"),
+      ("de", "kinder spielten draussen frohliche lieder zusammen heute"),
+      ("de", "langsam erreichten wanderer gestern jenes kleine dorf"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "truth")
+    val scored = heldOut.select(col("truth"),
+        QualityModel.langPredictTrained(col("text"), model).as("trained"),
+        graft.functions.TextFns.langPredict(col("text")).as("marker"))
+      .collect()
+    val markerHits = scored.count(r => r.getString(2) == r.getString(0))
+    val trainedHits = scored.count(r => r.getString(1) == r.getString(0))
+    // fixture sanity: the marker predictor must indeed see no markers
+    assert(scored.forall(_.getString(2) == "en"),
+      "fixture broken: held-out text must carry no marker words")
+    assert(trainedHits > markerHits,
+      s"trained=$trainedHits must beat marker=$markerHits on held-out " +
+        s"text: ${scored.mkString("; ")}")
+    assert(trainedHits >= 5,
+      s"trained model should get >= 5/6 held-out right, got $trainedHits")
+    // degenerate input: zero features -> all margins 0 -> first lang
+    val empty = Seq((1L, "")).toDF("doc_id", "text")
+      .select(QualityModel.langPredictTrained(col("text"), model))
+      .as[String].head()
+    assert(empty == "en")
   }
 }

@@ -185,6 +185,49 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(Seq(1L, 9L).map(uni).distinct.size == 1)
   }
 
+  test("pplSampleMod > 0: the gate LM trains on the hash slice and the " +
+      "frozen kernel scores everything — OOV docs (unseen by the sample) " +
+      "are priced, gated, and never kill the run; both orders") {
+    import graft.operators.QualityModel
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val common = "the model reads the data and the model writes the data again"
+    val gibberish = "qzv1 xkw2 bnm3 plo4 wer5 tyu6 asd7 fgh8 jkl9 zxc0 vbn1 mqa2"
+    // ids 1..40: common docs (the mod-4 hash slice lands ~10 of them in
+    // the training sample); id 99: hapax gibberish — certainly NOT fully
+    // represented in the sample's vocabulary, so its frozen score rides
+    // the OOV pricing
+    val pplDocs = ((1L to 40L).map(i => (i, common, "srcA"))
+      :+ (99L, gibberish, "srcB")).toDF("doc_id", "text", "source")
+    for (order <- Seq(1, 2)) {
+      val mod = 4
+      val sample = pplDocs.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
+      assert(sample.count() > 0, "fixture: the hash slice must be non-empty")
+      val cut =
+        if (order == 2) {
+          val lm = QualityModel.trainBigramLm(sample, "text")
+          val x = pplDocs.select(col("doc_id"),
+              QualityModel.frozenBigramXent(col("text"), lm).as("x"))
+            .as[(Long, Double)].collect().toMap
+          assert(x(99L) > x(1L)); (x(99L) + x(1L)) / 2
+        } else {
+          val lm = QualityModel.trainUnigramLm(sample, "text")
+          val x = pplDocs.select(col("doc_id"),
+              QualityModel.frozenXent(col("text"), lm).as("x"))
+            .as[(Long, Double)].collect().toMap
+          assert(x(99L) > x(1L)); (x(99L) + x(1L)) / 2
+        }
+      val out = Files.createTempDirectory(s"corpus_pplfz$order").toString
+      val s = CorpusPipeline.run(spark, pplDocs, benchmark, out,
+        CorpusPipeline.Config(minTokens = 5L, seqLen = 16, shardSize = 2L,
+          maxXent = cut, pplLmOrder = order, pplSampleMod = mod))
+      assert(s.map(r => r.stage -> r.rows).toMap.apply("ppl_gate") == 40,
+        s"order=$order")
+      assert(spark.read.parquet(s"$out/rejects_ppl")
+        .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+        == Map(99L -> "high_perplexity"), s"order=$order")
+    }
+  }
+
   test("bpeMerges > 0 (FAITHFUL default): tokenizer trained on the " +
       "decontaminated corpus, budgets re-denominated, and the packed " +
       "training file decodes back to the EXACT curated text") {
