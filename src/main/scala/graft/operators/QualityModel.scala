@@ -184,13 +184,32 @@ object QualityModel {
     val bucket = (t: Column) =>
       h32(concat(lit(seed), lit(":"), t)) % nBuckets
     val feats = df
-      .select(col(idCol).as("__d"), col(labelCol).cast("long").as("__y"),
+      .select(col(idCol).as("__d"),
         explode(featuresOf.map(f => f(col(textCol)))
           .getOrElse(featureStream(col(textCol), wordNgrams))).as("__t"))
-      .select(col("__d"), col("__y"), bucket(col("__t")).as("__b"))
-      .groupBy(col("__d"), col("__y"), col("__b"))
+      .select(col("__d"), bucket(col("__t")).as("__b"))
+      .groupBy(col("__d"), col("__b"))
       .agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = df
+      .select(col(idCol).as("__d"), col(labelCol).cast("long").as("__y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainLogisticOnFeats(feats, labels, bits, epochs, lrMyriad,
+      maxTrainDocs)
+    finally { labels.unpersist(); feats.unpersist() }
+  }
+
+  /** The trainer's epoch loop over a PREPARED feature frame
+    * (`(__d, __b, __c)`, persisted) and per-doc label frame
+    * (`(__d, __y)`). Factored out so [[trainLangId]] can derive the
+    * (dominant) tokenize+hash feature frame ONCE and train its K
+    * one-vs-rest classifiers against K label projections of it —
+    * identical arithmetic to the single-label entry point (the q105
+    * oracle replays it verbatim). */
+  private def trainLogisticOnFeats(feats: DataFrame, labels: DataFrame,
+                                   bits: Int, epochs: Int, lrMyriad: Long,
+                                   maxTrainDocs: Long): Array[Int] = {
+    val nBuckets = 1 << bits
     val docN = feats.groupBy(col("__d"))
       .agg(sum(col("__c")).as("__n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -211,11 +230,11 @@ object QualityModel {
       while (e < epochs) {
         val wLit = typedlit(w)
         val wsum = feats
-          .groupBy(col("__d"), col("__y"))
+          .groupBy(col("__d"))
           .agg(sum(col("__c") *
             element_at(wLit, (col("__b") + 1).cast("int")).cast("long"))
             .as("__ws"))
-        val err = wsum.join(docN, Seq("__d"))
+        val err = wsum.join(docN, Seq("__d")).join(labels, Seq("__d"))
           .select(col("__d"),
             floor((lit(1.0) / (lit(1.0) +
               exp(lit(-4.0) * col("__ws") / (col("__n") * lit(1000.0))))
@@ -237,7 +256,7 @@ object QualityModel {
         e += 1
       }
       w
-    } finally { docN.unpersist(); feats.unpersist() }
+    } finally docN.unpersist()
   }
 
   /** The md5-derived weight table [[hashedLinearScore]] implies, for
@@ -285,15 +304,34 @@ object QualityModel {
                   epochs: Int = 4, lrMyriad: Long = 20000L,
                   charN: Int = 3,
                   maxTrainDocs: Long = 2000000L): LangIdModel = {
-    val feats = (t: Column) => TextFns.charNgrams(t, charN)
-    val ws = langs.map { l =>
-      l -> trainHashedLogistic(
-        df.select(col(idCol), col(textCol),
-          (col(langCol) === lit(l)).cast("int").as("__y")),
-        idCol, textCol, "__y", bits, seed, epochs, lrMyriad,
-        maxTrainDocs = maxTrainDocs, featuresOf = Some(feats))
-    }.toMap
-    LangIdModel(langs, bits, seed, charN, ws)
+    require(bits > 0 && bits <= 21, s"bits must be in [1,21], got $bits")
+    require(epochs >= 0 && epochs <= 64, s"epochs must be in [0,64], got $epochs")
+    val nBuckets = 1 << bits
+    val bucket = (t: Column) =>
+      h32(concat(lit(seed), lit(":"), t)) % nBuckets
+    // the tokenize+hash feature frame is the dominant cost and is
+    // LABEL-INDEPENDENT — derive and persist it ONCE, train the K
+    // one-vs-rest classifiers against K tiny label projections (vs K
+    // full feature derivations; 3x fewer corpus passes at K = 3)
+    val feats = df
+      .select(col(idCol).as("__d"),
+        explode(TextFns.charNgrams(col(textCol), charN)).as("__t"))
+      .select(col("__d"), bucket(col("__t")).as("__b"))
+      .groupBy(col("__d"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val langOf = df
+      .select(col(idCol).as("__d"), col(langCol).as("__lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ws = langs.map { l =>
+        l -> trainLogisticOnFeats(feats,
+          langOf.select(col("__d"),
+            (col("__lang") === lit(l)).cast("long").as("__y")),
+          bits, epochs, lrMyriad, maxTrainDocs)
+      }.toMap
+      LangIdModel(langs, bits, seed, charN, ws)
+    } finally { langOf.unpersist(); feats.unpersist() }
   }
 
   /** Per-language margin structs (n_tokens = n-gram count, w_sum, score)
