@@ -1531,11 +1531,13 @@ object OracleSql {
 
   /** q112: the TRAINED language-ID replayed in full — teacher labels
     * (q36's marker argmax), char-3-gram hashed features over lower(text)
-    * into one shared 2^bits bucket space, then THREE independent
-    * one-vs-rest training runs (the qualityTrainSql CTE chain per
-    * language, from zero weights), then the shared-feature scoring
-    * joins and the en ≥ es ≥ de argmax. Mirrors
-    * QualityModel.trainLangId + langScoresTrained constants verbatim. */
+    * into one shared 2^bits bucket space, TRAINING on the doc_id % 5
+    * seed slice (the realistic labeled-seed shape; also the honest
+    * bench cost), then THREE independent one-vs-rest training runs (the
+    * qualityTrainSql CTE chain per language, from zero weights), then
+    * the shared-feature scoring joins over ALL docs and the
+    * en ≥ es ≥ de argmax. Mirrors QualityModel.trainLangId +
+    * langScoresTrained constants verbatim. */
   private def langIdTrainSql(bits: Int, epochs: Int, lrM: Long,
                              seed: String, charN: Int): String = {
     val nb = 1 << bits
@@ -1552,7 +1554,8 @@ object OracleSql {
            CASE WHEN en_hits >= es_hits AND en_hits >= de_hits THEN 'en'
                 WHEN es_hits >= de_hits THEN 'es'
                 ELSE 'de' END AS lang FROM d0),
-         f0 AS (SELECT doc_id, lang, unnest($grams) AS g FROM d1),
+         f0 AS (SELECT doc_id, lang, unnest($grams) AS g FROM d1
+           WHERE doc_id % 5 = 0),
          feats AS (SELECT doc_id,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y_en,
              CASE WHEN lang = 'es' THEN 1 ELSE 0 END AS y_es,
@@ -1562,7 +1565,12 @@ object OracleSql {
            FROM f0 GROUP BY doc_id, y_en, y_es, y_de, b),
          dn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
            FROM feats GROUP BY doc_id),
-         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM dn)""")
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM dn),
+         fS0 AS (SELECT doc_id, unnest($grams) AS g FROM d1),
+         featsS AS (SELECT doc_id,
+             CAST('0x' || substr(md5('$seed:' || g), 1, 8) AS BIGINT) % $nb AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM fS0 GROUP BY doc_id, b)""")
     langs.foreach { l =>
       sql.append(s""",
          w${l}0 AS (SELECT CAST(unnest(range(0, $nb)) AS BIGINT) AS b,
@@ -1591,7 +1599,7 @@ object OracleSql {
              CAST(SUM(f.c * we.w) AS BIGINT) AS ws_en,
              CAST(SUM(f.c * ws2.w) AS BIGINT) AS ws_es,
              CAST(SUM(f.c * wd.w) AS BIGINT) AS ws_de
-           FROM feats f
+           FROM featsS f
            JOIN wen$epochs we USING (b)
            JOIN wes$epochs ws2 USING (b)
            JOIN wde$epochs wd USING (b)

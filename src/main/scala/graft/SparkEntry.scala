@@ -1696,17 +1696,25 @@ object SparkEntry {
     * argmax (which degenerates to its tie-break). */
   private def q112(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val labeled = docs.select(col("doc_id"), col("text"),
-      TextFns.langPredict(col("text")).as("lang"))
+    // TRAIN on the doc_id % 5 == 0 seed slice (the realistic shape:
+    // labeled seeds ⊂ corpus — and the honest cost: training on the
+    // whole corpus benched 42.7 s at sf0.1 for work a seed set does),
+    // SCORE everything
+    val labeled = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"),
+        TextFns.langPredict(col("text")).as("lang"))
     val model = QualityModel.trainLangId(labeled, "doc_id", "text", "lang",
       Seq("en", "es", "de"), bits = 8, seed = "graft-q112", epochs = 3,
       lrMyriad = 20000L, charN = 3)
-    val ss = QualityModel.langScoresTrained(col("text"), model).toMap
+    // ONE margins aggregate per row (materialized struct), fields
+    // extracted in a second projection — see QualityModel.langMargins
     docs.select(col("doc_id"),
-        ss("en").getField("n_tokens").cast("int").as("n_feats"),
-        ss("en").getField("w_sum").as("ws_en"),
-        ss("es").getField("w_sum").as("ws_es"),
-        ss("de").getField("w_sum").as("ws_de"))
+        QualityModel.langMargins(col("text"), model).as("__m"))
+      .select(col("doc_id"),
+        col("__m.n").cast("int").as("n_feats"),
+        col("__m.ws_en").as("ws_en"),
+        col("__m.ws_es").as("ws_es"),
+        col("__m.ws_de").as("ws_de"))
       .withColumn("lang_pred",
         when(col("ws_en") >= col("ws_es") && col("ws_en") >= col("ws_de"),
           lit("en"))

@@ -190,6 +190,12 @@ object QualityModel {
       .select(col("__d"), bucket(col("__t")).as("__b"))
       .groupBy(col("__d"), col("__b"))
       .agg(count(lit(1)).as("__c"))
+      // persist PARTITIONED BY DOC: every epoch's margin aggregate
+      // groups by __d, and the groupBy(__d,__b) output partitioning
+      // does not satisfy it — one repartition at build replaces one
+      // full-frame exchange PER EPOCH (cached outputPartitioning is
+      // preserved, so the per-epoch aggregations plan shuffle-free)
+      .repartition(col("__d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = df
       .select(col(idCol).as("__d"), col(labelCol).cast("long").as("__y"))
@@ -319,6 +325,7 @@ object QualityModel {
       .select(col("__d"), bucket(col("__t")).as("__b"))
       .groupBy(col("__d"), col("__b"))
       .agg(count(lit(1)).as("__c"))
+      .repartition(col("__d")) // see trainHashedLogistic: shuffle-free epochs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val langOf = df
       .select(col(idCol).as("__d"), col(langCol).as("__lang"))
@@ -336,24 +343,68 @@ object QualityModel {
 
   /** Per-language margin structs (n_tokens = n-gram count, w_sum, score)
     * of `text` under a [[LangIdModel]] — one entry per lang, in model
-    * order. Callers that need several (the argmax, an audit projection)
-    * should materialize these as columns once; codegen subexpression
-    * elimination merges the shared hashing either way. */
-  def langScoresTrained(text: Column, model: LangIdModel): Seq[(String, Column)] =
+    * order. The md5 BUCKET ARRAY is one shared subexpression probed by
+    * all K weight tables: the per-lang lambdas differ only in their
+    * weight literal, so hashing happens once per n-gram, not K times —
+    * the naive per-lang `hashedLinearScoreWeights` composition re-hashed
+    * per language (lambda bodies are not CSE'd across each other) and
+    * benched 3× the hash cost at sf0.1. Same arithmetic, q112
+    * oracle-pinned. */
+  def langScoresTrained(text: Column, model: LangIdModel): Seq[(String, Column)] = {
+    val nBuckets = 1 << model.bits
+    val toks = TextFns.charNgrams(text, model.charN)
+    val buckets = transform(toks, t =>
+      ((h32(concat(lit(model.seed), lit(":"), t)) % nBuckets) + 1).cast("int"))
+    val n = org.apache.spark.sql.functions.size(toks)
     model.langs.map { l =>
-      l -> hashedLinearScoreWeights(text, model.bits, model.seed,
-        model.weights(l),
-        featuresOf = Some(t => TextFns.charNgrams(t, model.charN)))
+      val wLit = typedlit(model.weights(l))
+      val wSum = aggregate(
+        transform(buckets, b => element_at(wLit, b).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      val mean = wSum.cast("double") / (n.cast("double") * 1000.0)
+      val score = round(lit(1.0) / (lit(1.0) + exp(-mean * 4.0)), 6)
+      l -> struct(
+        n.cast("int").as("n_tokens"),
+        wSum.as("w_sum"),
+        when(n > 0, score).as("score"))
     }
+  }
 
-  /** Argmax language of `text` under a trained model, ties broken to the
-    * EARLIEST language in `model.langs` (the [[TextFns.langPredict]]
-    * tie-break convention — en ≥ es ≥ de for the default list). Margins
-    * compare by raw integer w_sum: every classifier scores the same
-    * n-gram count, so the mean ordering IS the sum ordering. */
-  def langPredictTrained(text: Column, model: LangIdModel): Column = {
-    val ss = langScoresTrained(text, model)
-      .map { case (l, s) => l -> s.getField("w_sum") }
+  /** ALL K language margins in ONE pass: a single `aggregate` over the
+    * shared bucket array whose accumulator is a struct
+    * `(n, ws_<lang>...)` — each n-gram is hashed ONCE and probes the K
+    * weight arrays inside one fold. This matters because higher-order
+    * functions are CodegenFallback: separate per-lang aggregate columns
+    * are NOT subexpression-eliminated against each other (measured 3×
+    * the hash cost at sf0.1 for K = 3). Callers extracting several
+    * fields should MATERIALIZE this column first (one projection) and
+    * getField from the materialized struct — CollapseProject keeps the
+    * two projections apart for non-cheap multiply-referenced
+    * expressions, so the aggregate runs once per row. */
+  def langMargins(text: Column, model: LangIdModel): Column = {
+    val nBuckets = 1 << model.bits
+    val toks = TextFns.charNgrams(text, model.charN)
+    val buckets = transform(toks, t =>
+      ((h32(concat(lit(model.seed), lit(":"), t)) % nBuckets) + 1).cast("int"))
+    val init = struct((lit(0L).as("n") +:
+      model.langs.map(l => lit(0L).as(s"ws_$l"))): _*)
+    aggregate(buckets, init, (acc, b) =>
+      struct(((acc.getField("n") + 1L).as("n") +:
+        model.langs.map { l =>
+          (acc.getField(s"ws_$l") +
+            element_at(typedlit(model.weights(l)), b).cast("long"))
+            .as(s"ws_$l")
+        }): _*))
+  }
+
+  /** Argmax language from a MATERIALIZED [[langMargins]] struct, ties
+    * broken to the EARLIEST language in `langs` (the
+    * [[TextFns.langPredict]] tie-break convention — en ≥ es ≥ de for
+    * the default list). Margins compare by raw integer w_sum: every
+    * classifier scores the same n-gram count, so the mean ordering IS
+    * the sum ordering. */
+  def langPredictFromMargins(margins: Column, langs: Seq[String]): Column = {
+    val ss = langs.map(l => l -> margins.getField(s"ws_$l"))
     var result: Column = lit(ss.last._1)
     ss.zipWithIndex.init.reverse.foreach { case ((l, s), i) =>
       val cond = ss.drop(i + 1).map { case (_, s2) => s >= s2 }
@@ -362,6 +413,14 @@ object QualityModel {
     }
     result
   }
+
+  /** One-column convenience predictor. On corpus-sized frames prefer
+    * materializing [[langMargins]] first and calling
+    * [[langPredictFromMargins]] — this composition re-evaluates the
+    * margins aggregate per comparison branch (HOFs are CodegenFallback,
+    * see [[langMargins]]). */
+  def langPredictTrained(text: Column, model: LangIdModel): Column =
+    langPredictFromMargins(langMargins(text, model), model.langs)
 
   /** Per-document cross-entropy under a corpus-trained add-one-smoothed
     * unigram LM: xent(d) = mean over tokens t of −ln P(t), with

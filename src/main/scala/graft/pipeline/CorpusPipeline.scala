@@ -183,10 +183,18 @@ object CorpusPipeline {
         TextFns.qualityScore(col("text")).as("quality"))
       val scored =
         if (cfg.langAllow.isEmpty) scored0
-        else scored0.withColumn("lang",
-          cfg.langIdModel
-            .map(m => graft.operators.QualityModel.langPredictTrained(col("text"), m))
-            .getOrElse(TextFns.langPredict(col("text"))))
+        else cfg.langIdModel match {
+          case Some(m) =>
+            // margins materialize ONCE, then the argmax reads fields —
+            // the HOF-CodegenFallback contract (QualityModel.langMargins)
+            scored0.withColumn("__lm",
+                graft.operators.QualityModel.langMargins(col("text"), m))
+              .withColumn("lang", graft.operators.QualityModel
+                .langPredictFromMargins(col("__lm"), m.langs))
+              .drop("__lm")
+          case None =>
+            scored0.withColumn("lang", TextFns.langPredict(col("text")))
+        }
       val baseReason = when(col("n_tokens") < cfg.minTokens, lit("too_short"))
         .when(col("quality") < cfg.minQuality, lit("low_quality"))
       val gated = scored.withColumn("drop_reason",

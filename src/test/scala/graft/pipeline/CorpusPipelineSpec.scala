@@ -152,6 +152,40 @@ class CorpusPipelineSpec extends SparkSpec {
       .columns.contains("lang"))
   }
 
+  test("langIdModel: the TRAINED char-n-gram predictor drives the " +
+      "language gate (q112's model swapped in via Config) — drops match " +
+      "the trained argmax, audit column carried") {
+    import graft.operators.QualityModel
+    import org.apache.spark.sql.functions.col
+    val langDocs = Seq(
+      (1L, "the model is one of the best and most useful of the tools here", "srcA"),
+      (2L, "el modelo es uno de los mejores y la herramienta que es util aqui", "srcA"),
+      (3L, "der hund und die katze und das pferd ist im haus und der garten", "srcB"),
+      (4L, "the data and the code and the tests are all of the work here", "srcB")
+    ).toDF("doc_id", "text", "source")
+    // distill the marker teacher into the trained model on the same
+    // tiny frame (the q112 shape), then gate WITH the trained model
+    val labeled = langDocs.select(col("doc_id"), col("text"),
+      graft.functions.TextFns.langPredict(col("text")).as("lang"))
+    val model = QualityModel.trainLangId(labeled, "doc_id", "text", "lang",
+      Seq("en", "es", "de"), bits = 8, seed = "spec-gate", epochs = 6,
+      charN = 3)
+    val trained = langDocs.select(col("doc_id"),
+        QualityModel.langPredictTrained(col("text"), model).as("p"))
+      .as[(Long, String)].collect().toMap
+    val out = Files.createTempDirectory("corpus_langid").toString
+    CorpusPipeline.run(spark, langDocs, benchmark, out,
+      CorpusPipeline.Config(minTokens = 5L, seqLen = 16, shardSize = 2L,
+        langAllow = Seq("en"), langIdModel = Some(model)))
+    val kept = spark.read.parquet(s"$out/s1_quality")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val rejected = spark.read.parquet(s"$out/rejects_quality")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert((kept ++ rejected) == trained,
+      s"gate lang must equal the trained argmax: got ${kept ++ rejected}, want $trained")
+    assert(kept.keySet == trained.filter(_._2 == "en").keySet)
+  }
+
   test("ppl_gate with pplLmOrder=2: a scrambled doc the unigram LM " +
       "cannot see (identical word bag) is rejected by the bigram gate") {
     import graft.operators.QualityModel
