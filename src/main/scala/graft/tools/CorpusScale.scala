@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions.col
   * hits), removed from the input so contamination is cross-document.
   *
   * Usage: jrun graft.tools.CorpusScale <sfDir> <outDir> <label>
-  *          [<outJson>] [<bpeMerges>]
+  *          [<outJson>] [<bpeMerges>] [<pplLmOrder>] [<pplSampleMod>]
+  *          [<pplMinBigramCount>]
   * `bpeMerges` > 0 measures the tokenizer-faithful configuration: the
   * tokenizer-training stage, BPE-denominated mixture/pack, and the
   * packed token-id materialization (`pack_ids`) on top of the word
@@ -26,7 +27,8 @@ import org.apache.spark.sql.functions.col
 object CorpusScale {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: CorpusScale <sfDir> <outDir> <label> [<outJson>] [<bpeMerges>]")
+      "usage: CorpusScale <sfDir> <outDir> <label> [<outJson>] [<bpeMerges>] " +
+        "[<pplLmOrder>] [<pplSampleMod>]")
     val Array(sfDir, outDir, label) = args.take(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -53,7 +55,10 @@ object CorpusScale {
         // budget = ~40% of the corpus tokens so the mixture stage does
         // real work at every size (same fraction, any scale)
         budgetTokens = math.max(1L, (totalChars * 2) / 25),
-        bpeMerges = args.lift(4).map(_.toInt).getOrElse(0)))
+        bpeMerges = args.lift(4).map(_.toInt).getOrElse(0),
+        pplLmOrder = args.lift(5).map(_.toInt).getOrElse(1),
+        pplSampleMod = args.lift(6).map(_.toInt).getOrElse(0),
+        pplMinBigramCount = args.lift(7).map(_.toLong).getOrElse(1L)))
     val totalSec = (System.nanoTime() - t0) / 1e9
     require(results.nonEmpty && results.forall(_.ok),
       s"corpus pipeline not green: ${results.filterNot(_.ok).mkString("; ")}")

@@ -330,7 +330,17 @@ object GenScaleData {
       .config("spark.ui.enabled", "false")
       .appName("graft-gen-scale-data").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.lift(1).contains("--heaps")) {
+    if (args.lift(1).contains("--embs")) {
+      // embeddings-only generation (the similarity-family sweep input):
+      // --embs <sf> [<sf2> ...] writes <outBase>/emb<sf>/embeddings.parquet
+      args.drop(2).foreach { sfs =>
+        val n = math.max(500L, (20000L * sfs.toDouble).toLong)
+        val dir = s"$outBase/emb$sfs"
+        embeddings(spark, n)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        println(s"[gen] embeddings($n) -> $dir")
+      }
+    } else if (args.lift(1).contains("--heaps")) {
       // Heaps-law morphology corpus (documents-only): --heaps <nDocs>
       // writes <outBase>/heaps/documents.parquet
       val nDoc = args(2).toLong
