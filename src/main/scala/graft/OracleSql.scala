@@ -1463,7 +1463,118 @@ object OracleSql {
          FROM (SELECT doc_id,
            CAST('0x' || substr(md5('graft-q84:' || CAST(doc_id AS VARCHAR)),
              1, 15) AS BIGINT) % 100 AS b FROM documents)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+
+    // q113: BM25 top-25 for the fixed query {merge, vector, stream} —
+    // non-negative idf (Lucene variant), k1=1.2, b=0.75. Each term's
+    // contribution is quantized (×1e6, BIGINT) BEFORE the cross-term
+    // sum, so double addition order never matters; the arithmetic shape
+    // (association order, literal spellings) mirrors
+    // CorpusStats.bm25TopK exactly. Replays CorpusStats.bm25TopK.
+    "q113_bm25_topk" -> {
+      val terms = Seq("merge", "vector", "stream")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n             ")
+      val dfCols = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      val contribs = terms.indices.map { i =>
+        s"""CAST(ROUND(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+               / (CAST(df$i AS DOUBLE) + 0.5))
+             * ((tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75)
+               + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)"""
+      }.mkString("\n             + ")
+      val hits = terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents),
+         f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             $tfCols
+           FROM b),
+         g AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS BIGINT)) AS sdl,
+             $dfCols FROM f),
+         s AS (SELECT doc_id,
+             CAST(($hits) AS INTEGER) AS n_hits,
+             $contribs AS score_i
+           FROM f CROSS JOIN
+             (SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl, ${terms.indices.map(i => s"df$i").mkString(", ")} FROM g))
+         SELECT doc_id, n_hits, score_i FROM s WHERE score_i > 0
+         ORDER BY score_i DESC, doc_id LIMIT 25"""
+    },
+
+    // q114: interpolated TRIGRAM-LM cross-entropy — q106's recipe one
+    // Markov order up: each position 3..n contributes the fixed-point
+    // -ln of the equal-weight add-one interpolation of trigram, bigram
+    // and unigram evidence. This SQL is the DISTRIBUTED five-join
+    // formulation; the engine answers via the collected-table native
+    // kernel — the hash match proves both paths agree. Replays
+    // QualityModel.trigramCrossEntropy. The reused CTEs are
+    // MATERIALIZED: DuckDB inlines CTEs by default, and five join
+    // inputs each re-deriving the regex-tokenize chain multiplied the
+    // work past any timeout (measured: q106's 3-join shape survives
+    // inlining, this 5-join shape does not; materialized = 0.4 s).
+    "q114_trigram_perplexity" ->
+      s"""WITH b AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM b),
+         c AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         g AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM c),
+         p2 AS (SELECT doc_id, pc.p AS p, pc.c AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(p := toks[i], c := toks[i + 1]))) AS pc
+             FROM b)),
+         bg AS MATERIALIZED (SELECT p, c, COUNT(*) AS bcnt FROM p2 GROUP BY p, c),
+         p3 AS MATERIALIZED (SELECT doc_id, tr.p2 AS p2, tr.p1 AS p1, tr.c AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> struct_pack(p2 := toks[i], p1 := toks[i + 1],
+                 c := toks[i + 2]))) AS tr
+             FROM b)),
+         tg AS MATERIALIZED (SELECT p2, p1, c, COUNT(*) AS tcnt
+           FROM p3 GROUP BY p2, p1, c),
+         lp AS (SELECT doc_id,
+             CAST(ROUND(-ln(
+               (1.0/3) * CAST(tcnt + 1 AS DOUBLE) / CAST(ctxcnt + vocab AS DOUBLE)
+               + (1.0/3) * CAST(bcnt + 1 AS DOUBLE) / CAST(p1cnt + vocab AS DOUBLE)
+               + (1.0/3) * CAST(ccnt + 1 AS DOUBLE) / CAST(n_total + vocab AS DOUBLE)
+             ) * 1e6) AS BIGINT) AS lp_i
+           FROM p3
+           JOIN (SELECT tok AS p1, cnt AS p1cnt FROM c) USING (p1)
+           JOIN (SELECT tok AS c, cnt AS ccnt FROM c) USING (c)
+           JOIN (SELECT p AS p2, c AS p1, bcnt AS ctxcnt FROM bg) USING (p2, p1)
+           JOIN (SELECT p AS p1, c, bcnt FROM bg) USING (p1, c)
+           JOIN tg USING (p2, p1, c) CROSS JOIN g),
+         d AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+             SUM(lp_i) AS lp_sum FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_terms,
+           ROUND(CAST(lp_sum AS DOUBLE) / (n_terms * 1e6), 6) AS xent,
+           ROUND(exp(CAST(lp_sum AS DOUBLE) / (n_terms * 1e6)), 4) AS ppl
+         FROM d ORDER BY doc_id""",
+
+    // q115: exact integer covariance/moment frame over quantized
+    // embeddings — one row per coordinate pair i <= j (1-based) with
+    // count, first moments, raw second moment and the centered
+    // numerator n*s_ij - s_i*s_j. All-integer, so any partitioning of
+    // the engine's aggregate hashes identically. Replays
+    // Pca.embedCovariance.
+    "q115_embed_cov" ->
+      s"""WITH v AS (SELECT ${quantized(1000)} AS q FROM embeddings),
+         e AS (SELECT q, unnest(generate_series(1, len(q))) AS i FROM v),
+         x AS MATERIALIZED (SELECT i, q[i] AS qi, q FROM e),
+         p AS (SELECT i, qi, unnest(generate_series(i, len(q))) AS j, q
+           FROM x),
+         p2 AS (SELECT i, j, qi, q[j] AS qj FROM p),
+         m2 AS MATERIALIZED (SELECT i, j, CAST(SUM(qi * qj) AS BIGINT) AS sij
+           FROM p2 GROUP BY i, j),
+         m1 AS MATERIALIZED (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(qi) AS BIGINT) AS si
+           FROM x GROUP BY i)
+         SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+           n, si, sj, sij, n * sij - si * sj AS cov_num
+         FROM m2 JOIN m1 USING (i)
+         JOIN (SELECT i AS j, si AS sj FROM m1) USING (j)
+         ORDER BY i, j"""
   )
 
   /** q86 shares q65's oracle verbatim: the sidecar-probed
@@ -1623,7 +1734,7 @@ object OracleSql {
     * omission would quietly downgrade those queries to the driver's
     * rows-only check). q105 is self-contained (the oracle re-derives the
     * whole training run from the corpus — nothing to prime). */
-  def all: Map[String, String] = staticAll ++ bpeEntries +
+  def all: Map[String, String] = staticAll ++ bpeEntries ++ pcaEntries +
     ("q105_quality_train" -> qualityTrainSql(10, 4, 20000L, "graft-q105")) +
     ("q107_quality_train_bigrams" ->
       qualityTrainSql(10, 4, 20000L, "graft-q107", ngrams = 2)) +
@@ -1652,6 +1763,34 @@ object OracleSql {
 
   @volatile private var bpeMerges: Option[Seq[graft.functions.Bpe.Merge]] = None
   @volatile private var bpeMergesFaithful: Option[Seq[graft.functions.Bpe.Merge]] = None
+  @volatile private var pcaPlanes: Option[Seq[Array[Long]]] = None
+
+  /** Train (or refresh) the PCA plane constants the q116 oracle embeds —
+    * FROM THE SAME TRAINER the engine query uses (the q43/q44 inlined-
+    * constants discipline: the SQL cannot drift from the engine). Must
+    * run before [[all]], like [[primeBpe]]. */
+  def primePca(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    pcaPlanes = Some(graft.operators.Pca.train(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), "embedding",
+      dim = 64, p = 4, scale = 1000).planes)
+
+  private def pcaEntries: Map[String, String] = pcaPlanes match {
+    // FAIL LOUDLY un-primed — the bpeEntries rationale: a silent
+    // omission would downgrade q116 to the rows-only check.
+    case None => throw new IllegalStateException(
+      "OracleSql.primePca(spark, sfDir) must run before OracleSql.all: " +
+        "the q116 oracle SQL embeds the engine-trained PCA planes and " +
+        "cannot be built without them")
+    case Some(planes) =>
+      val pcCols = planes.zipWithIndex.map { case (pl, k) =>
+        val lst = pl.mkString("[", ",", "]")
+        s"CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * ($lst)[i])) AS BIGINT) AS pc${k + 1}"
+      }.mkString(",\n           ")
+      Map("q116_pca_project" ->
+        s"""SELECT vec_id, $pcCols
+           FROM (SELECT vec_id, ${quantized(1000)} AS q FROM embeddings)
+           ORDER BY vec_id""")
+  }
 
   /** Train (or reuse the per-JVM memo of) the merge tables — word model
     * AND the faithful pretoken model (q103/q104) — for `sfDir` so the

@@ -1723,6 +1723,53 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 ranked retrieval over the corpus for a fixed 3-term query —
+    * the sparse-retrieval primitive (topical slice pulls, classifier
+    * seed sets). Zero wide shuffles: a one-row stats aggregate (N, Σdl,
+    * per-term df) collected to literals, then a pure map feeding
+    * TakeOrderedAndProject. The oracle recomputes N/df/avgdl in SQL and
+    * replays the per-term fixed-point contributions — a hash match
+    * proves idf, the length normalization and the top-K boundary
+    * tie-break end to end. */
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+      queryTerms = Seq("merge", "vector", "stream"), topK = 25)
+
+  /** Interpolated TRIGRAM-LM cross-entropy per document — q106 one
+    * Markov order up (KenLM's deployed filters are n ≥ 3; a bigram LM
+    * cannot see word order beyond adjacency). The engine takes the
+    * zero-shuffle native-kernel path (collected trigram table, lp values
+    * computed by Catalyst); the oracle replays the DISTRIBUTED
+    * five-join formulation in DuckDB — a hash match therefore proves
+    * both paths and their equality at once. */
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    QualityModel.trigramCrossEntropy(T(s, dir, "documents"), "doc_id",
+        "text")
+      .orderBy(col("doc_id"))
+
+  /** Exact integer covariance/moment frame of the embeddings table —
+    * PCA's distributed pass (and a corpus-health artifact in its own
+    * right: coordinate means/variances/correlations). One d(d+1)/2-group
+    * aggregate, integer-exact at any partitioning; the oracle replays
+    * every moment and the centered-covariance numerator bit for bit. */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    Pca.embedCovariance(T(s, dir, "embeddings"), "embedding", scale = 1000)
+
+  /** Top-4 PCA projection of the embeddings table in exact long
+    * arithmetic: train (covariance collect + driver Jacobi + sign
+    * convention + ×1e6 quantization) and project (p native dots against
+    * the inlined literal planes — zero-shuffle scan). The oracle embeds
+    * the plane constants FROM THE SAME TRAINER (the q43/q44 inlined-
+    * constants discipline) and replays the projection; PcaSpec pins the
+    * eigensolver's analytic properties (orthonormality, residual,
+    * variance ordering) that SQL cannot express. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val model = Pca.train(T(s, dir, "embeddings"), "embedding",
+      dim = 64, p = 4, scale = 1000)
+    Pca.projectInt(T(s, dir, "embeddings"), "vec_id", "embedding", model)
+      .orderBy(col("vec_id"))
+  }
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -2056,7 +2103,11 @@ object SparkEntry {
     "q109_frozen_lm_oov" -> q109 _,
     "q110_dedup_keep_best" -> q110 _,
     "q111_frozen_bigram_lm" -> q111 _,
-    "q112_lang_id_trained" -> q112 _
+    "q112_lang_id_trained" -> q112 _,
+    "q113_bm25_topk" -> q113 _,
+    "q114_trigram_perplexity" -> q114 _,
+    "q115_embed_cov" -> q115 _,
+    "q116_pca_project" -> q116 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -349,3 +349,109 @@ case class FrozenBigramScoreExpr(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): FrozenBigramScoreExpr =
     copy(child = newChild)
 }
+
+/** Static kernel for [[TrigramScoreExpr]] — shared by interpreted eval
+  * and generated code. */
+object TrigramKernel {
+
+  /** Sum the fixed-point -ln P(t_i | t_{i-2} t_{i-1}) terms over one
+    * document's order-3 conditional stream (positions 3..n) through one
+    * nested-map probe per position (p2 -> p1 -> c -> lp_i; no separator
+    * string, so tokens containing any code point can never alias a
+    * different triple). A miss throws — the self-scored contract
+    * ([[BigramKernel.score]]'s rationale, one order up). Returns packed
+    * (n_terms, lp_sum); documents with < 3 tokens yield (0, 0) and are
+    * filtered by the caller (no order-3 conditional evidence). */
+  def score(toks: ArrayData,
+            lp: java.util.HashMap[String, java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]])
+      : InternalRow = {
+    val n = if (toks == null) 0 else toks.numElements()
+    var sum = 0L
+    var i = 2
+    var p2: String = if (n > 0) toks.getUTF8String(0).toString else null
+    var p1: String = if (n > 1) toks.getUTF8String(1).toString else null
+    while (i < n) {
+      val cur = toks.getUTF8String(i).toString
+      val m1 = lp.get(p2)
+      val m2 = if (m1 == null) null else m1.get(p1)
+      val v = if (m2 == null) null else m2.get(cur)
+      if (v == null) throw new IllegalStateException(
+        s"trigram ('$p2','$p1','$cur') not in the ${lp.size}-context trigram " +
+          "LM table — the LM was trained with a different tokensOf than the scorer")
+      sum += v.longValue
+      p2 = p1
+      p1 = cur
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (n >= 3) n - 2 else 0, sum))
+  }
+}
+
+/** Native interpolated-trigram-LM scorer: per document, `(n_terms,
+  * lp_sum)` over the order-3 conditional stream (positions 3..n) under a
+  * driver-collected (p2, p1, c) -> lp_i table riding as a codegen
+  * reference object — the zero-shuffle scoring pass of
+  * [[graft.operators.QualityModel.trigramCrossEntropy]] when the distinct
+  * trigram set is Zipf-small enough to collect. The distributed
+  * formulation explodes every corpus position a second time and probes
+  * FIVE count frames through joins; here the lp_i values are computed BY
+  * Catalyst on the collected trigram frame (same arithmetic expression
+  * as the distributed path, built by the same function), so the two
+  * paths cannot diverge on floating-point rounding. */
+case class TrigramScoreExpr(child: Expression,
+                            lp: Seq[((String, String, String), Long)])
+  extends UnaryExpression {
+
+  @transient private lazy val table = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]]()
+    lp.foreach { case ((p2, p1, c), v) =>
+      var m1 = m.get(p2)
+      if (m1 == null) {
+        m1 = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
+        m.put(p2, m1)
+      }
+      var m2 = m1.get(p1)
+      if (m2 == null) {
+        m2 = new java.util.HashMap[String, java.lang.Long]()
+        m1.put(p1, m2)
+      }
+      m2.put(c, java.lang.Long.valueOf(v))
+    }
+    m
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"trigram_score expects an ARRAY<STRING> child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_terms", DataTypes.IntegerType, nullable = false),
+    StructField("lp_sum", DataTypes.LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "trigram_score"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    TrigramKernel.score(v.asInstanceOf[ArrayData], table)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("trigramLp", table, "java.util.HashMap")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.functions.TrigramKernel.score(
+            ${c.isNull} ? null : ${c.value}, $ref);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TrigramScoreExpr =
+    copy(child = newChild)
+}

@@ -103,4 +103,71 @@ object CorpusStats {
     scored.withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k).drop("__r")
   }
+
+  /** BM25 ranked retrieval: the top-`topK` documents for a fixed query
+    * term set under Okapi BM25 (Robertson et al., TREC-3) — the sparse
+    * retrieval primitive a curation stack uses to pull topical slices
+    * ("find the docs about X") and to build seed sets for classifier
+    * training. Output: (idCol, n_hits, score_i), score descending, id
+    * tie-break; only documents matching ≥ 1 query term appear.
+    *
+    * Scoring: score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    * with idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5)) — the
+    * non-negative idf variant (Lucene's choice), so scores are ≥ 0 and
+    * monotone in tf. Determinism: each TERM's contribution is quantized
+    * to fixed-point (×1e6, BIGINT) before the cross-term sum — double
+    * addition order never matters (the q76/q106 discipline).
+    *
+    * 100 TB design: NO explode and NO corpus-keyed shuffle anywhere.
+    * Pass 1 computes per-term tf in the scan (`size(filter(toks, =t))`,
+    * codegen'd) and reduces to ONE row (N, Σdl, df per term) — df of the
+    * |Q| query terms only, never a vocabulary exchange. The collected
+    * stats come back as literals, so pass 2 is a pure map over the scan
+    * feeding TakeOrderedAndProject (per-partition top-K, driver merges
+    * K·parts rows). Wide shuffles: zero. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms,
+      "bm25TopK: queryTerms must be distinct (a duplicate would double-count)")
+    val terms = queryTerms.toIndexedSeq
+    val base = df.select(col(idCol),
+        TextFns.tokens(col(textCol)).as("__toks"))
+      .select(
+        (col(idCol) +: size(col("__toks")).as("__dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === lit(t))).as(s"__tf$i")
+          }): _*)
+    // pass 1: one row — N, Σdl, and df_t for the |Q| query terms
+    val aggCols =
+      count(lit(1)).as("__n") +: sum(col("__dl").cast("long")).as("__sdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val st = base.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val nDocs = st.getLong(0)
+    require(nDocs > 0, "bm25TopK: empty corpus")
+    val avgdl = st.getLong(1).toDouble / nDocs
+    // pass 2: per-term fixed-point contribution, exact long sum, top-K.
+    // tf = 0 contributes exactly 0 (round(idf·0·1e6)), so the blind sum
+    // over all terms is the match-only sum.
+    val contribs = terms.indices.map { i =>
+      val dft = st.getLong(2 + i).toDouble
+      val idf = log(lit(1.0) +
+        (lit(nDocs.toDouble) - lit(dft) + lit(0.5)) / (lit(dft) + lit(0.5)))
+      val tf = col(s"__tf$i").cast("double")
+      val sat = (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__dl").cast("double") / lit(avgdl)))
+      round(idf * sat * 1e6).cast("long")
+    }
+    val hits = terms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    base.select(col(idCol), hits.as("n_hits"),
+        contribs.reduce(_ + _).as("score_i"))
+      .filter(col("score_i") > 0)
+      .orderBy(col("score_i").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+
+/** PCA over an embedding column: exact integer covariance aggregation,
+  * a driver-side Jacobi eigensolver over the collected d×d matrix, and a
+  * zero-shuffle integer projection — the whitening/compaction step
+  * embedding-curation stacks run before semantic dedup or ANN indexing
+  * (SemDeDup-class pipelines sphere/center embeddings first; a top-p
+  * projection cuts index bytes d/p-fold while keeping the variance that
+  * matters).
+  *
+  * Determinism discipline: the covariance is computed in INTEGER
+  * arithmetic over quantized vectors (order-independent — float sums
+  * are shuffle-order-sensitive, the q50 lesson), so the eigensolver's
+  * input is bit-identical on every run/partitioning; Jacobi itself is a
+  * fixed-order sequential double computation on the driver, and the
+  * resulting eigenvectors are re-quantized to integers before any
+  * distributed use. The projection is then exact long arithmetic,
+  * replayable bit-for-bit by an external SQL engine given the same
+  * plane constants (the q43/q44 inlined-constants discipline).
+  *
+  * 100 TB design: the d² work per row happens INSIDE the scan
+  * (map-side hash aggregation reduces every partition to ≤ d(d+1)/2
+  * groups before the only shuffle — d=1024 is 524k groups, still
+  * executor-trivial); the driver holds d², never n. The projection is a
+  * literal-plane map over the scan (no join, no shuffle), same shape as
+  * [[Similarity.ivfTopKInt]]'s inlined-centroid assignment. */
+object Pca {
+
+  /** Exact integer covariance/moment frame of a quantized embedding
+    * column: one row per coordinate pair (i ≤ j, 1-based), with the
+    * count, first moments, raw second moment and the centered-covariance
+    * NUMERATOR cov_num = n·s_ij − s_i·s_j (= n² · cov_pop[i,j] in
+    * quantized units — integer-exact, no mean division anywhere).
+    *
+    * Overflow headroom: |q| ≤ scale·max|x|; cov_num needs
+    * n·Σ|q_i q_j| < 2^63 — at scale=1000 and unit-normed embeddings
+    * that bounds n ≲ 4.6e12 rows, checked by the caller's domain. DuckDB
+    * BIGINT arithmetic errors loudly (never wraps), so the oracle would
+    * catch a silent overflow here too. */
+  def embedCovariance(df: DataFrame, vecCol: String,
+                      scale: Int = 1000): DataFrame = {
+    val base = df.select(VectorFns.quantize(col(vecCol), scale).as("__q"))
+    val m1 = base
+      .select(posexplode(col("__q")).as(Seq("__i0", "qi")))
+      .groupBy(col("__i0"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s"))
+    val m2 = base
+      .select(col("__q"), posexplode(col("__q")).as(Seq("__i0", "qi")))
+      .select(col("__i0"), col("qi"),
+        posexplode(col("__q")).as(Seq("__j0", "qj")))
+      .filter(col("__j0") >= col("__i0"))
+      .groupBy(col("__i0"), col("__j0"))
+      .agg(sum(col("qi") * col("qj")).as("sij"))
+    m2
+      .join(broadcast(m1.select(col("__i0"), col("n"), col("s").as("si"))),
+        Seq("__i0"))
+      .join(broadcast(m1.select(col("__i0").as("__j0"), col("s").as("sj"))),
+        Seq("__j0"))
+      .select((col("__i0") + 1).cast("int").as("i"),
+        (col("__j0") + 1).cast("int").as("j"),
+        col("n"), col("si"), col("sj"), col("sij"),
+        (col("n") * col("sij") - col("si") * col("sj")).as("cov_num"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** A trained PCA basis: `planes(k)(j)` = component k's j-th coordinate,
+    * fixed-point-quantized (×`eigQuant`, HALF_UP) from the unit-norm
+    * eigenvector; `eigenvalues` descending (population covariance units
+    * of the ×`scale` quantized space); `sums(j)` = Σ q_j over the
+    * training corpus (the centering offsets: the centered projection of
+    * component k is (n·pc_k − Σ_j sums(j)·planes(k)(j)) / (n·eigQuant·scale)
+    * — a per-component CONSTANT shift, so distances and neighbor ranks
+    * over raw `pc_k` already match the centered ones exactly). */
+  final case class PcaModel(dim: Int, p: Int, scale: Int, eigQuant: Long,
+                            n: Long, sums: Array[Long],
+                            eigenvalues: Array[Double],
+                            planes: Seq[Array[Long]])
+
+  /** Train a top-`p` PCA basis: run [[embedCovariance]], collect the
+    * d(d+1)/2 moment rows (driver memory is d², independent of corpus
+    * size), Jacobi-diagonalize the population covariance, keep the `p`
+    * leading eigenvectors under a deterministic sign convention (the
+    * largest-|coordinate| entry is made positive; ties take the first
+    * such index), and quantize them for exact integer projection. */
+  def train(df: DataFrame, vecCol: String, dim: Int, p: Int,
+            scale: Int = 1000, eigQuant: Long = 1000000L): PcaModel = {
+    require(dim > 0 && p > 0 && p <= dim, s"need 0 < p <= dim, got p=$p dim=$dim")
+    val rows = embedCovariance(df, vecCol, scale).collect()
+    require(rows.nonEmpty, "Pca.train: empty corpus")
+    val n = rows.head.getLong(2)
+    val sums = new Array[Long](dim)
+    val cov = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
+      require(i < dim && j < dim,
+        s"Pca.train: coordinate ${math.max(i, j) + 1} exceeds dim=$dim")
+      if (i == j) sums(i) = r.getLong(3)
+      val c = r.getLong(6).toDouble / (n.toDouble * n.toDouble)
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // order components by eigenvalue descending, index ascending
+    val order = eigVals.indices.sortBy(k => (-eigVals(k), k)).take(p)
+    val planes = order.map { k =>
+      val v = Array.tabulate(dim)(j => eigVecs(j)(k))
+      // sign convention: largest-|coordinate| entry positive
+      val m = v.indices.maxBy(j => (math.abs(v(j)), -j))
+      val s = if (v(m) < 0) -1.0 else 1.0
+      v.map(x => java.math.BigDecimal.valueOf(x * s * eigQuant)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }
+    PcaModel(dim, p, scale, eigQuant, n, sums,
+      order.map(eigVals(_)).toArray, planes)
+  }
+
+  /** Project every vector onto the model's `p` components in exact long
+    * arithmetic: pc_k = Σ_j q_j · planes(k)(j) (raw, un-centered —
+    * centering is a constant per-component shift, see [[PcaModel]]).
+    * Zero-shuffle: quantize + p native dot products inside the scan's
+    * codegen span against inlined literal planes. */
+  def projectInt(df: DataFrame, idCol: String, vecCol: String,
+                 model: PcaModel): DataFrame = {
+    val q = VectorFns.quantize(col(vecCol), model.scale)
+    val pcs = model.planes.zipWithIndex.map { case (plane, k) =>
+      VectorFns.quantizedDot(q,
+          array(plane.map(lit(_)).toIndexedSeq: _*))
+        .as(s"pc${k + 1}")
+    }
+    df.select((col(idCol) +: pcs): _*)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector-column matrix). Fixed sweep order and a
+    * fixed convergence threshold make it deterministic for a given
+    * input; O(d³) per sweep on the driver (d ≤ a few thousand — the
+    * embedding-dim regime; corpus size never enters). */
+  private[operators] def jacobiEigen(aIn: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = aIn.length
+    val a = Array.tabulate(d, d)((i, j) => aIn(i)(j))
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiagNorm(a)
+    while (off > 1e-14 && sweep < 100) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // t = sign(θ)/(|θ| + √(θ²+1)); θ = 0 takes t = 1 (45° rotation)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiagNorm(a)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  private def offDiagNorm(a: Array[Array[Double]]): Double = {
+    val d = a.length
+    var s = 0.0
+    var i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+}

@@ -1040,6 +1040,152 @@ object QualityModel {
       Seq(idCol), "left")
   }
 
+  /** Fixed-point -ln P_interp(c | p2 p1) at Markov order 3: equal-weight
+    * add-one interpolation of trigram, bigram and unigram evidence —
+    * [[lpInterp]]'s recipe one order up (KenLM's deployed filters are
+    * n-gram models; this is the n=3 rung of that ladder). Same
+    * association order on both engine paths and in the oracle SQL. */
+  private def lpInterp3(tcnt: Column, ctxcnt: Column, bcnt: Column,
+                        pcnt: Column, ccnt: Column,
+                        nTotal: Column, vocab: Column): Column =
+    round(-log(
+      lit(1.0 / 3) * (tcnt + lit(1)).cast("double") / (ctxcnt + vocab).cast("double")
+        + lit(1.0 / 3) * (bcnt + lit(1)).cast("double") / (pcnt + vocab).cast("double")
+        + lit(1.0 / 3) * (ccnt + lit(1)).cast("double") / (nTotal + vocab).cast("double")
+    ) * 1e6).cast("long")
+
+  /** The local trigram-LM table: collect the distinct-trigram count
+    * frame (and the bigram + unigram frames) and compute
+    * (p2, p1, c) -> lp_i BY Catalyst on the collected rows (same
+    * [[lpInterp3]] expression as the distributed branch). None past
+    * `maxLocal` — the cap bounds ALL THREE collects independently
+    * (neither "vocab ≤ bigrams" nor "bigrams ≤ trigrams" is a theorem:
+    * short-document corpora grow the lower-order frames without growing
+    * the higher ones). */
+  private def collectTrigramLpFrames(df: DataFrame, uni: DataFrame,
+                                     big: DataFrame, tri: DataFrame,
+                                     maxLocal: Int)
+      : Option[Seq[((String, String, String), Long)]] = {
+    val tRows = tri.limit(maxLocal + 1).collect()
+    if (tRows.length > maxLocal) return None
+    val bRows = big.limit(maxLocal + 1).collect()
+    if (bRows.length > maxLocal) return None
+    val uRows = uni.limit(maxLocal + 1).collect()
+    if (uRows.length > maxLocal) return None
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cntOf = uRows.iterator
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bcntOf = bRows.iterator
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nTotal = uRows.iterator.map(_.getLong(1)).sum
+    val vocabN = uRows.length.toLong
+    Some(tRows.iterator
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), bcntOf((r.getString(0), r.getString(1))),
+        bcntOf((r.getString(1), r.getString(2))),
+        cntOf(r.getString(1)), cntOf(r.getString(2))))
+      .toSeq.toDF("__p2", "__p1", "__c", "tcnt", "ctxcnt", "bcnt",
+        "pcnt", "ccnt")
+      .select(col("__p2"), col("__p1"), col("__c"),
+        lpInterp3(col("tcnt"), col("ctxcnt"), col("bcnt"), col("pcnt"),
+          col("ccnt"), lit(nTotal), lit(vocabN)))
+      .as[(String, String, String, Long)].collect()
+      .map { case (p2, p1, c, v) => ((p2, p1, c), v) }.toSeq)
+  }
+
+  /** Interpolated TRIGRAM-LM cross-entropy per document — the order-3
+    * rung of the [[unigramCrossEntropy]]/[[bigramCrossEntropy]] ladder
+    * (KenLM's deployed corpus filters run at order ≥ 3; a bigram model
+    * can't see that "a b a c a" and "a c a b a" — identical bigram
+    * MULTISETS — differ in word order). Each position 3..n contributes
+    * -ln of the equal-weight add-one interpolation of trigram, bigram
+    * and unigram evidence, fixed-point-quantized BEFORE the per-doc sum.
+    * Documents with < 3 tokens are omitted (no order-3 conditional
+    * evidence). Output: (idCol, n_terms, xent, ppl).
+    *
+    * 100 TB design: the Zipf-small fast path scores IN PLACE via a
+    * native kernel over the collected trigram table ([[graft.functions.TrigramScoreExpr]]
+    * — lp values computed BY Catalyst on the collected frame, so the two
+    * paths cannot diverge on rounding); past `maxLocalTrigrams` it
+    * degrades to the distributed shape — three count aggregations (all
+    * map-side-combined, keyed by token/pair/triple) and five joins
+    * probing them, result-identical. */
+  def trigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
+                          tokensOf: Column => Column = TextFns.tokens,
+                          maxLocalTrigrams: Int = 4000000): DataFrame = {
+    val base = df.select(col(idCol), tokensOf(col(textCol)).as("__toks"))
+    val uni = base.select(explode(col("__toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val pairsOf = (toksC: Column) => {
+      val n = org.apache.spark.sql.functions.size(toksC)
+      when(n >= 2,
+        zip_with(slice(toksC, lit(1), n - 1), slice(toksC, lit(2), n - 1),
+          (a, b) => struct(a.as("p"), b.as("c"))))
+    }
+    val big = base.select(explode(pairsOf(col("__toks"))).as("__pc"))
+      .select(col("__pc.p").as("__p"), col("__pc.c").as("__c"))
+      .groupBy(col("__p"), col("__c")).agg(count(lit(1)).as("bcnt"))
+    val tripsOf = (toksC: Column) => {
+      val n = org.apache.spark.sql.functions.size(toksC)
+      when(n >= 3, transform(sequence(lit(3), n), i =>
+        struct(element_at(toksC, i - 2).as("p2"),
+          element_at(toksC, i - 1).as("p1"),
+          element_at(toksC, i).as("c"))))
+    }
+    val tripsDf = base
+      .select(col(idCol), explode(tripsOf(col("__toks"))).as("__t"))
+      .select(col(idCol), col("__t.p2").as("__p2"),
+        col("__t.p1").as("__p1"), col("__t.c").as("__c"))
+    val tri = tripsDf.groupBy(col("__p2"), col("__p1"), col("__c"))
+      .agg(count(lit(1)).as("tcnt"))
+    def finish(scored: DataFrame): DataFrame =
+      scored.groupBy(col(idCol))
+        .agg(count(lit(1)).cast("int").as("n_terms"),
+          sum(col("lp_i")).as("lp_sum"))
+        .select(col(idCol), col("n_terms"),
+          round(col("lp_sum").cast("double") / (col("n_terms") * 1e6), 6)
+            .as("xent"),
+          round(exp(col("lp_sum").cast("double") / (col("n_terms") * 1e6)), 4)
+            .as("ppl"))
+    if (maxLocalTrigrams > 0) {
+      val lpLocal = collectTrigramLpFrames(df, uni, big, tri,
+        maxLocalTrigrams)
+      if (lpLocal.isDefined) {
+        return df.select(col(idCol),
+            org.apache.spark.sql.graft.ExprBridge.column(
+              graft.functions.TrigramScoreExpr(
+                org.apache.spark.sql.graft.ExprBridge.expression(
+                  tokensOf(col(textCol))), lpLocal.get)).as("__s"))
+          .select(col(idCol), col("__s.n_terms").as("n_terms"),
+            col("__s.lp_sum").as("lp_sum"))
+          .filter(col("n_terms") > 0) // < 3 tokens omitted, as distributed
+          .select(col(idCol), col("n_terms"),
+            round(col("lp_sum").cast("double") / (col("n_terms") * 1e6), 6)
+              .as("xent"),
+            round(exp(col("lp_sum").cast("double") / (col("n_terms") * 1e6)), 4)
+              .as("ppl"))
+      }
+    }
+    val totals = uni.agg(
+      sum(col("cnt")).as("n_total"), count(lit(1)).as("vocab"))
+    val scored = tripsDf
+      .join(uni.select(col("tok").as("__p1"), col("cnt").as("pcnt")),
+        Seq("__p1"))
+      .join(uni.select(col("tok").as("__c"), col("cnt").as("ccnt")),
+        Seq("__c"))
+      .join(big.select(col("__p").as("__p2"), col("__c").as("__p1"),
+        col("bcnt").as("ctxcnt")), Seq("__p2", "__p1"))
+      .join(big.select(col("__p").as("__p1"), col("__c"),
+        col("bcnt").as("bcnt")), Seq("__p1", "__c"))
+      .join(tri, Seq("__p2", "__p1", "__c"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol),
+        lpInterp3(col("tcnt"), col("ctxcnt"), col("bcnt"), col("pcnt"),
+          col("ccnt"), col("n_total"), col("vocab")).as("lp_i"))
+    finish(scored)
+  }
+
   /** CCNet-style perplexity bucketing: every document assigned to one of
     * `nBuckets` equal-population bands (bucket 1 = most fluent /
     * lowest cross-entropy) by its rank under the corpus unigram LM —

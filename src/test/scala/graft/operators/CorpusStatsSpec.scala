@@ -69,4 +69,61 @@ class CorpusStatsSpec extends SparkSpec {
       .select("tok").as[String].collect().toSeq.sorted
     assert(got == Seq("x", "y")) // tf 2 wins; y-vs-z tie broken by tok
   }
+
+  /** Scala replica of bm25TopK's per-doc score (same association order),
+    * for exact fixed-point checks on hand corpora. */
+  private def bm25Expect(n: Long, avgdl: Double, k1: Double, b: Double,
+                         termStats: Seq[(Long, Long)], dl: Long): Long =
+    termStats.map { case (tf, df) =>
+      val idf = math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+      val sat = (tf.toDouble * (k1 + 1.0)) /
+        (tf.toDouble + k1 * ((1.0 - b) + b * dl.toDouble / avgdl))
+      BigDecimal(idf * sat * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.sum
+
+  test("bm25TopK: exact fixed-point scores, rank order, miss exclusion") {
+    val df = Seq(
+      (1L, "merge merge scan"),        // tf(merge)=2, dl=3
+      (2L, "merge scan scan scan"),    // tf(merge)=1, dl=4
+      (3L, "scan scan scan"),          // no query term -> excluded
+      (4L, "vector merge")             // both terms, shortest doc
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bm25TopK(df, "doc_id", "text",
+        Seq("merge", "vector"), topK = 10)
+      .select("doc_id", "n_hits", "score_i")
+      .as[(Long, Int, Long)].collect().toSeq
+    // corpus stats: N=4, sum dl=12, avgdl=3.0; df(merge)=3, df(vector)=1
+    val avgdl = 12.0 / 4
+    val e1 = bm25Expect(4, avgdl, 1.2, 0.75, Seq((2L, 3L)), 3)
+    val e2 = bm25Expect(4, avgdl, 1.2, 0.75, Seq((1L, 3L)), 4)
+    val e4 = bm25Expect(4, avgdl, 1.2, 0.75, Seq((1L, 3L), (1L, 1L)), 2)
+    assert(got.map(_._1) == Seq(4L, 1L, 2L)) // rare 'vector' dominates
+    assert(got == Seq((4L, 2, e4), (1L, 1, e1), (2L, 1, e2)))
+  }
+
+  test("bm25TopK: length normalization — same tf, shorter doc wins") {
+    val df = Seq(
+      (1L, "merge pad pad pad pad pad pad pad"),
+      (2L, "merge pad")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.bm25TopK(df, "doc_id", "text", Seq("merge"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 1L))
+  }
+
+  test("bm25TopK: topK boundary ties break by id; saturation is monotone") {
+    // three identical docs tie exactly; topK=2 keeps the two smallest ids
+    val ties = Seq((7L, "merge x"), (3L, "merge x"), (5L, "merge x"))
+      .toDF("doc_id", "text")
+    val kept = CorpusStats.bm25TopK(ties, "doc_id", "text", Seq("merge"),
+      topK = 2).select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(3L, 5L))
+    // tf saturates: 10 occurrences < (k1+1)x the single-occurrence score
+    val sat = Seq((1L, ("merge " * 10).trim), (2L, "merge"))
+      .toDF("doc_id", "text")
+    val s = CorpusStats.bm25TopK(sat, "doc_id", "text", Seq("merge"))
+      .select("doc_id", "score_i").as[(Long, Long)].collect().toMap
+    assert(s(1L) > s(2L) && s(1L) < math.ceil(s(2L) * 2.2).toLong)
+  }
 }

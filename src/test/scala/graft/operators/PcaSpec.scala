@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("embedCovariance: exact integer moments on a hand corpus, " +
+      "partitioning-independent") {
+    // 3 vectors of dim 2, scale 10 => q = (10x). cov_num = n*sij - si*sj
+    val df = vecs((1L, Seq(1.0f, 2.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)))
+    val got = Pca.embedCovariance(df, "embedding", scale = 10)
+      .select("i", "j", "n", "si", "sj", "sij", "cov_num")
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect().toSeq
+    // q1=(10,20) q2=(20,0) q3=(0,10): s=(30,30)
+    // s11=100+400+0=500, s12=200+0+0=200, s22=400+0+100=500
+    val expect = Seq(
+      (1, 1, 3L, 30L, 30L, 500L, 3 * 500L - 900L),
+      (1, 2, 3L, 30L, 30L, 200L, 3 * 200L - 900L),
+      (2, 2, 3L, 30L, 30L, 500L, 3 * 500L - 900L))
+    assert(got == expect)
+    val rep = Pca.embedCovariance(df.repartition(7), "embedding", scale = 10)
+      .select("i", "j", "n", "si", "sj", "sij", "cov_num")
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rep == expect, "covariance must be partitioning-independent")
+  }
+
+  test("jacobiEigen: eigenvectors orthonormal, residual ~0, trace kept") {
+    val rnd = new scala.util.Random(7)
+    val d = 12
+    val m = Array.ofDim[Double](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val x = rnd.nextGaussian(); m(i)(j) = x; m(j)(i) = x
+    }
+    val (vals, vecs) = Pca.jacobiEigen(m)
+    // orthonormal columns
+    for (a <- 0 until d; b <- a until d) {
+      val dot = (0 until d).map(k => vecs(k)(a) * vecs(k)(b)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"col $a . col $b = $dot")
+    }
+    // residual ||M v - lambda v||
+    for (k <- 0 until d) {
+      val mv = (0 until d).map(i => (0 until d).map(j => m(i)(j) * vecs(j)(k)).sum)
+      val res = math.sqrt((0 until d)
+        .map(i => math.pow(mv(i) - vals(k) * vecs(i)(k), 2)).sum)
+      assert(res < 1e-9, s"eigenpair $k residual $res")
+    }
+    assert(math.abs(vals.sum - (0 until d).map(i => m(i)(i)).sum) < 1e-9,
+      "similarity transform must preserve the trace")
+  }
+
+  test("train: eigenvalues descending; per-component projected variance " +
+      "matches its eigenvalue; components decorrelated") {
+    val rnd = new scala.util.Random(19)
+    // anisotropic cloud: coordinate k has stddev ~ 1/(k+1)
+    val dim = 6
+    val df = vecs((1 to 400).map(i => (i.toLong,
+      Seq.tabulate(dim)(k => (rnd.nextGaussian() / (k + 1)).toFloat))): _*)
+    val model = Pca.train(df, "embedding", dim = dim, p = dim, scale = 1000)
+    assert(model.eigenvalues.toSeq == model.eigenvalues.sortBy(-_).toSeq)
+    val proj = Pca.projectInt(df, "vec_id", "embedding", model)
+      .drop("vec_id").collect().map(r => Array.tabulate(dim)(r.getLong))
+    val n = proj.length.toDouble
+    for (k <- 0 until dim) {
+      // de-quantize: pc is in (scale * eigQuant) units
+      val xs = proj.map(_(k).toDouble / (model.scale * model.eigQuant))
+      val mean = xs.sum / n
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / n
+      val lambda = model.eigenvalues(k) / (model.scale.toDouble * model.scale)
+      assert(math.abs(v - lambda) < math.max(1e-9, lambda * 1e-3),
+        s"component $k variance $v != eigenvalue $lambda")
+    }
+    // decorrelated: off-diagonal covariance of projections ~ 0
+    for (a <- 0 until dim; b <- a + 1 until dim) {
+      val xa = proj.map(_(a).toDouble / (model.scale * model.eigQuant))
+      val xb = proj.map(_(b).toDouble / (model.scale * model.eigQuant))
+      val (ma, mb) = (xa.sum / n, xb.sum / n)
+      val cov = xa.zip(xb).map { case (x, y) => (x - ma) * (y - mb) }.sum / n
+      val bound = math.sqrt(
+        model.eigenvalues(a) * model.eigenvalues(b)) /
+        (model.scale.toDouble * model.scale)
+      assert(math.abs(cov) < math.max(1e-9, bound * 5e-3),
+        s"components $a,$b correlate: $cov")
+    }
+  }
+
+  test("train: deterministic across runs and partitionings; projection " +
+      "plan is zero-shuffle") {
+    val rnd = new scala.util.Random(23)
+    val df = vecs((1 to 100).map(i => (i.toLong,
+      Seq.fill(8)(rnd.nextGaussian().toFloat))): _*)
+    val m1 = Pca.train(df, "embedding", dim = 8, p = 3, scale = 1000)
+    val m2 = Pca.train(df.repartition(13), "embedding", dim = 8, p = 3,
+      scale = 1000)
+    assert(m1.planes.map(_.toSeq) == m2.planes.map(_.toSeq),
+      "trained planes must not depend on partitioning")
+    assert(m1.sums.toSeq == m2.sums.toSeq && m1.n == m2.n)
+    val plan = Pca.projectInt(df, "vec_id", "embedding", m1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"projection must be a zero-shuffle scan:\n$plan")
+    // sign convention: each plane's largest-|coordinate| entry positive
+    m1.planes.foreach { pl =>
+      val m = pl.indices.maxBy(j => (math.abs(pl(j).toDouble), -j))
+      assert(pl(m) > 0, s"sign convention violated: ${pl.toSeq}")
+    }
+  }
+}

@@ -574,4 +574,62 @@ class QualityModelSpec extends SparkSpec {
       .as[String].head()
     assert(empty == "en")
   }
+
+  test("trigramCrossEntropy: hand-checked tiny corpus (< 3-token docs feed " +
+      "the lower-order frames but are omitted from scoring)") {
+    // corpus: "a a b a", "b c", "z" => unigram a=3 b=2 c=1 z=1, N=7 V=4
+    // bigrams: (a,a)=1 (a,b)=1 (b,a)=1 (b,c)=1
+    // trigrams: (a,a,b)=1 (a,b,a)=1
+    // doc1 pos3: P(b|a a) = (1/3)(2/5) + (1/3)(2/7) + (1/3)(3/11)
+    //      pos4: P(a|a b) = (1/3)(2/5) + (1/3)(2/6) + (1/3)(4/11)
+    val got = QualityModel.trigramCrossEntropy(
+        docs((1L, "a a b a"), (2L, "b c"), (3L, "z")),
+        "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_terms", "xent", "ppl")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L), "docs with < 3 tokens must be omitted")
+    assert(got.map(_._2) == Seq(2))
+    val w = 1.0 / 3
+    val lp1 = -math.log(w * 2.0 / 5 + w * 2.0 / 7 + w * 3.0 / 11)
+    val lp2 = -math.log(w * 2.0 / 5 + w * 2.0 / 6 + w * 4.0 / 11)
+    assert(math.abs(got(0)._3 - (lp1 + lp2) / 2) < 2e-6,
+      s"doc1 xent ${got(0)._3} != ${(lp1 + lp2) / 2}")
+    assert(math.abs(got(0)._4 - math.exp(got(0)._3)) < 1e-3)
+  }
+
+  test("trigramCrossEntropy: local native-scorer path == distributed " +
+      "five-join plan, row for row; local scoring pass is zero-shuffle") {
+    val rnd = new scala.util.Random(17)
+    val corpus = docs((1 to 300).map(i => (i.toLong,
+      Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(60)}").mkString(" "))): _*)
+    val local = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val dist = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
+        maxLocalTrigrams = 0) // force the distributed branch
+      .orderBy("doc_id").collect().toSeq
+    assert(local == dist,
+      "local trigram-LM path diverged from the distributed plan")
+    val plan = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"local trigram-LM scoring pass should be zero-shuffle:\n$plan")
+  }
+
+  test("trigramCrossEntropy: sees word order BEYOND adjacency — two docs " +
+      "with IDENTICAL bigram multisets split at order 3") {
+    // "a b a c a" and "a c a b a" have the same bigram multiset
+    // {ab, ba, ac, ca}; a third doc repeats doc1's (b,a,c) context so
+    // trigram counts favor doc1's order.
+    val corpus = docs(
+      (1L, "a b a c a"), (2L, "a c a b a"), (3L, "b a c"))
+    val bi = QualityModel.bigramCrossEntropy(corpus, "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(bi(1L) == bi(2L),
+      "fixture broken: bigram xent should tie for equal bigram multisets")
+    val tri = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
+      .select("doc_id", "xent").as[(Long, Double)].collect().toMap
+    assert(tri(1L) < tri(2L),
+      s"trigram LM missed the order difference: ${tri(1L)} !< ${tri(2L)}")
+  }
 }
