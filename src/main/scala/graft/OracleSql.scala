@@ -1574,7 +1574,68 @@ object OracleSql {
            n, si, sj, sij, n * sij - si * sj AS cov_num
          FROM m2 JOIN m1 USING (i)
          JOIN (SELECT i AS j, si AS sj FROM m1) USING (j)
-         ORDER BY i, j"""
+         ORDER BY i, j""",
+
+    // q117: FROZEN TRIGRAM-LM scoring with OOV — all three count frames
+    // from the ORIGINAL corpus (q114's interpolation), scores over
+    // text+OovSuffix so every row's order-3 stream ends in provably-
+    // unseen triples; unseen unigrams/pairs/triples take
+    // COALESCE(cnt, 0) in the same add-one interpolation. MATERIALIZED
+    // CTEs (the q114 inlining lesson). Replays
+    // QualityModel.trainTrigramLm + frozenTrigramScore (the engine side
+    // additionally round-trips the persisted artifact, which the hash
+    // match then verifies too).
+    "q117_frozen_trigram_lm" -> {
+      val suffix = graft.SparkEntry.OovSuffix.codePoints().toArray
+        .map(cp => s"chr($cp)").mkString(" || ")
+      s"""WITH b AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+         t AS (SELECT doc_id, unnest(toks) AS tok FROM b),
+         c AS MATERIALIZED (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+         g AS (SELECT SUM(cnt) AS n_total, COUNT(*) AS vocab FROM c),
+         p2 AS (SELECT doc_id, pc.p AS p, pc.c AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> struct_pack(p := toks[i], c := toks[i + 1]))) AS pc
+             FROM b)),
+         bg AS MATERIALIZED (SELECT p, c, COUNT(*) AS bcnt FROM p2 GROUP BY p, c),
+         tr0 AS (SELECT doc_id, tr.p2 AS p2, tr.p1 AS p1, tr.c AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> struct_pack(p2 := toks[i], p1 := toks[i + 1],
+                 c := toks[i + 2]))) AS tr
+             FROM b)),
+         tg AS MATERIALIZED (SELECT p2, p1, c, COUNT(*) AS tcnt
+           FROM tr0 GROUP BY p2, p1, c),
+         aug AS (SELECT doc_id, text || $suffix AS text FROM documents),
+         b2 AS (SELECT doc_id, $toks AS toks FROM aug),
+         s3 AS MATERIALIZED (SELECT doc_id, tr.p2 AS p2, tr.p1 AS p1, tr.c AS c FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> struct_pack(p2 := toks[i], p1 := toks[i + 1],
+                 c := toks[i + 2]))) AS tr
+             FROM b2)),
+         lp AS (SELECT doc_id,
+             CAST(ROUND(-ln(
+               (1.0/3) * CAST(COALESCE(tcnt, 0) + 1 AS DOUBLE)
+                 / CAST(COALESCE(ctxcnt, 0) + vocab AS DOUBLE)
+               + (1.0/3) * CAST(COALESCE(bcnt, 0) + 1 AS DOUBLE)
+                 / CAST(COALESCE(p1cnt, 0) + vocab AS DOUBLE)
+               + (1.0/3) * CAST(COALESCE(ccnt, 0) + 1 AS DOUBLE)
+                 / CAST(n_total + vocab AS DOUBLE)
+             ) * 1e6) AS BIGINT) AS lp_i
+           FROM s3
+           LEFT JOIN (SELECT tok AS p1, cnt AS p1cnt FROM c) USING (p1)
+           LEFT JOIN (SELECT tok AS c, cnt AS ccnt FROM c) USING (c)
+           LEFT JOIN (SELECT p AS p2, c AS p1, bcnt AS ctxcnt FROM bg) USING (p2, p1)
+           LEFT JOIN (SELECT p AS p1, c, bcnt FROM bg) USING (p1, c)
+           LEFT JOIN tg USING (p2, p1, c) CROSS JOIN g),
+         d AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms,
+             SUM(lp_i) AS lp_sum FROM lp GROUP BY doc_id)
+         SELECT doc_id, n_terms,
+           CAST(floor(CAST(lp_sum AS DOUBLE) / n_terms + 0.5) AS BIGINT)
+             AS xent_micro
+         FROM d ORDER BY doc_id"""
+    }
   )
 
   /** q86 shares q65's oracle verbatim: the sidecar-probed

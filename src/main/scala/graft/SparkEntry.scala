@@ -1747,6 +1747,33 @@ object SparkEntry {
         "text")
       .orderBy(col("doc_id"))
 
+  /** FROZEN TRIGRAM-LM lifecycle under the oracle gate — q111 one order
+    * up, completing the KenLM ladder the engine deploys (orders 1/2/3
+    * all train→save→load→score-day-2 with count-0 OOV interpolation).
+    * The oracle re-derives all three count frames from the ORIGINAL
+    * corpus and scores text+OovSuffix through the same interpolation
+    * with COALESCE(cnt, 0) — a hash match proves the artifact
+    * round-trip AND the OOV pricing at order 3. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val lm0 = QualityModel.trainTrigramLm(docs, "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_q117_lm").toString
+    QualityModel.saveTrigramLm(s, lm0, path)
+    val lm = QualityModel.loadTrigramLm(s, path)
+    deleteRecursively(path)
+    val sc = QualityModel.frozenTrigramScore(
+      concat(col("text"), lit(OovSuffix)), lm)
+    // micro-nat output via floor(x+0.5) — the q109/q111 cross-engine
+    // lesson; the suffix guarantees >= 3 tokens, so n_terms >= 1 and
+    // the division is total
+    docs.select(col("doc_id"), sc.as("__s"))
+      .select(col("doc_id"),
+        col("__s.n_terms").cast("int").as("n_terms"),
+        floor(col("__s.lp_sum").cast("double") / col("__s.n_terms") + lit(0.5))
+          .cast("long").as("xent_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact integer covariance/moment frame of the embeddings table —
     * PCA's distributed pass (and a corpus-health artifact in its own
     * right: coordinate means/variances/correlations). One d(d+1)/2-group
@@ -2107,7 +2134,8 @@ object SparkEntry {
     "q113_bm25_topk" -> q113 _,
     "q114_trigram_perplexity" -> q114 _,
     "q115_embed_cov" -> q115 _,
-    "q116_pca_project" -> q116 _
+    "q116_pca_project" -> q116 _,
+    "q117_frozen_trigram_lm" -> q117 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

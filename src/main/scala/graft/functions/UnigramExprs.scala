@@ -455,3 +455,162 @@ case class TrigramScoreExpr(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): TrigramScoreExpr =
     copy(child = newChild)
 }
+
+/** Static kernel for [[FrozenTrigramScoreExpr]] — shared by interpreted
+  * eval and generated code. */
+object FrozenTrigramKernel {
+
+  /** The per-position fixed-point interpolated-trigram term, computed
+    * from raw COUNTS with EXACTLY QualityModel.lpInterp3's arithmetic
+    * (same association order, same Catalyst ROUND semantics — so a
+    * frozen trigram LM scoring its own training corpus is bit-identical
+    * to the self-scored q114 operator; QualityModelSpec pins it).
+    * Unseen unigrams/pairs/triples take count 0 — add-one interpolation
+    * prices any triple, so OOV is a number, never an exception. */
+  def lpInterp3(tcnt: Long, ctxcnt: Long, bcnt: Long, pcnt: Long,
+                ccnt: Long, nTotal: Long, vocab: Long): Long = {
+    // mirrors: round(-log((1/3)(t+1)/(ctx+V) + (1/3)(b+1)/(p+V)
+    //   + (1/3)(c+1)/(N+V)) * 1e6) with Catalyst's left-assoc double ops
+    val w = 1.0 / 3
+    val prob = w * (tcnt + 1L).toDouble / (ctxcnt + vocab).toDouble +
+      w * (bcnt + 1L).toDouble / (pcnt + vocab).toDouble +
+      w * (ccnt + 1L).toDouble / (nTotal + vocab).toDouble
+    val v = -math.log(prob) * 1e6
+    java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+  }
+
+  /** Sum the order-3 conditional stream's lp terms (positions 3..n)
+    * with counts probed from the frozen tables (0 on miss). Returns
+    * packed (n_terms, lp_sum); < 3 tokens yields (0, 0) — no order-3
+    * conditional evidence, NULLed by the caller. */
+  def score(toks: ArrayData,
+            uni: java.util.HashMap[String, java.lang.Long],
+            big: java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]],
+            tri: java.util.HashMap[String, java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]],
+            nTotal: Long, vocab: Long): InternalRow = {
+    val n = if (toks == null) 0 else toks.numElements()
+    var sum = 0L
+    var i = 2
+    var p2: String = if (n > 0) toks.getUTF8String(0).toString else null
+    var p1: String = if (n > 1) toks.getUTF8String(1).toString else null
+    var p1cnt: Long = if (p1 != null) cntOf(uni, p1) else 0L
+    while (i < n) {
+      val cur = toks.getUTF8String(i).toString
+      val ccnt = cntOf(uni, cur)
+      val ctxcnt = cnt2Of(big, p2, p1)
+      val bcnt = cnt2Of(big, p1, cur)
+      val t1 = tri.get(p2)
+      val t2 = if (t1 == null) null else t1.get(p1)
+      val tv = if (t2 == null) null else t2.get(cur)
+      val tcnt = if (tv == null) 0L else tv.longValue
+      sum += lpInterp3(tcnt, ctxcnt, bcnt, p1cnt, ccnt, nTotal, vocab)
+      p2 = p1
+      p1 = cur
+      p1cnt = ccnt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](if (n >= 3) n - 2 else 0, sum))
+  }
+
+  private def cntOf(m: java.util.HashMap[String, java.lang.Long],
+                    t: String): Long = {
+    val v = m.get(t)
+    if (v == null) 0L else v.longValue
+  }
+
+  private def cnt2Of(m: java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]],
+                     p: String, c: String): Long = {
+    val inner = m.get(p)
+    if (inner == null) return 0L
+    val v = inner.get(c)
+    if (v == null) 0L else v.longValue
+  }
+}
+
+/** The frozen trigram LM's probe tables in executor-ready form —
+  * BROADCAST, not a plan literal (the [[FrozenBigramTables]] rationale,
+  * with a strictly bigger table at this order). */
+final case class FrozenTrigramTables(
+    uni: java.util.HashMap[String, java.lang.Long],
+    big: java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]],
+    tri: java.util.HashMap[String, java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]])
+
+object FrozenTrigramTables {
+  def build(uniCnt: Seq[(String, Long)],
+            bigCnt: Seq[((String, String), Long)],
+            triCnt: Seq[((String, String, String), Long)]): FrozenTrigramTables = {
+    val b2 = FrozenBigramTables.build(uniCnt, bigCnt)
+    val t = new java.util.HashMap[String, java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]]()
+    triCnt.foreach { case ((p2, p1, c), v) =>
+      var m1 = t.get(p2)
+      if (m1 == null) {
+        m1 = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
+        t.put(p2, m1)
+      }
+      var m2 = m1.get(p1)
+      if (m2 == null) {
+        m2 = new java.util.HashMap[String, java.lang.Long]()
+        m1.put(p1, m2)
+      }
+      m2.put(c, java.lang.Long.valueOf(v))
+    }
+    FrozenTrigramTables(b2.uni, b2.big, t)
+  }
+}
+
+/** Native FROZEN interpolated-trigram-LM scorer: per document,
+  * `(n_terms, lp_sum)` over the order-3 conditional stream under a
+  * PERSISTED reference LM's raw count tables — the day-2 scoring path
+  * of [[graft.operators.QualityModel.TrigramLm]] (the KenLM deployment
+  * shape one order up from [[FrozenBigramScoreExpr]]). Unseen
+  * tokens/pairs/triples price from the same add-one interpolation with
+  * count 0 (the lp table cannot be precomputed — the OOV triple space
+  * is unbounded). Zero-shuffle: one codegen call per row, tables ride
+  * a broadcast. */
+case class FrozenTrigramScoreExpr(child: Expression,
+                                  tables: org.apache.spark.broadcast.Broadcast[FrozenTrigramTables],
+                                  nTotal: Long, vocab: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"frozen_trigram_score expects an ARRAY<STRING> child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_terms", DataTypes.IntegerType, nullable = false),
+    StructField("lp_sum", DataTypes.LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "frozen_trigram_score"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    val t = tables.value
+    FrozenTrigramKernel.score(v.asInstanceOf[ArrayData], t.uni, t.big,
+      t.tri, nTotal, vocab)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("frozenTriLmTables", tables,
+      "org.apache.spark.broadcast.Broadcast")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        graft.functions.FrozenTrigramTables ${ev.value}_t =
+          (graft.functions.FrozenTrigramTables) $ref.value();
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.functions.FrozenTrigramKernel.score(
+            ${c.isNull} ? null : ${c.value}, ${ev.value}_t.uni(), ${ev.value}_t.big(),
+            ${ev.value}_t.tri(), ${nTotal}L, ${vocab}L);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FrozenTrigramScoreExpr =
+    copy(child = newChild)
+}

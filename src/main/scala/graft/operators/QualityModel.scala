@@ -550,9 +550,16 @@ object QualityModel {
     * `unit` is an informational tag of the token unit ("words", "bpe")
     * so a consumer can detect pairing an artifact with the wrong
     * tokenizer. */
+  /** Common supertype of the frozen n-gram LM artifacts (orders 1–3):
+    * what [[loadLm]] returns and [[frozenXentOf]] dispatches on, so one
+    * `lmPath` config key accepts any persisted order. */
+  sealed trait FrozenLm { def unit: String; def order: Int }
+
   final case class UnigramLm(lp: Seq[(String, Long)], missLp: Long,
-                             nTotal: Long, vocab: Long, unit: String) {
+                             nTotal: Long, vocab: Long, unit: String)
+      extends FrozenLm {
     require(vocab == lp.size, s"vocab $vocab != lp table size ${lp.size}")
+    override def order: Int = 1
   }
 
   /** Train a [[UnigramLm]] on `df` — the whole count frame collects (a
@@ -659,9 +666,28 @@ object QualityModel {
     * |uniCnt|. */
   final case class BigramLm(uniCnt: Seq[(String, Long)],
                             bigCnt: Seq[((String, String), Long)],
-                            nTotal: Long, vocab: Long, unit: String) {
+                            nTotal: Long, vocab: Long, unit: String)
+      extends FrozenLm {
     require(vocab == uniCnt.size,
       s"vocab $vocab != unigram table size ${uniCnt.size}")
+    override def order: Int = 2
+  }
+
+  /** A FROZEN interpolated add-one TRIGRAM LM — [[BigramLm]] one order
+    * up (the KenLM ladder's n=3 rung). Ships RAW COUNT TABLES for the
+    * same reason: an unseen triple's lp depends on five independent
+    * count lookups (tcnt, ctxcnt, bcnt, pcnt, ccnt — each 0 on miss),
+    * so the OOV lp space cannot be precomputed; the scorer derives each
+    * term with arithmetic pinned to [[lpInterp3]] (see
+    * [[graft.functions.FrozenTrigramKernel]]). */
+  final case class TrigramLm(uniCnt: Seq[(String, Long)],
+                             bigCnt: Seq[((String, String), Long)],
+                             triCnt: Seq[((String, String, String), Long)],
+                             nTotal: Long, vocab: Long, unit: String)
+      extends FrozenLm {
+    require(vocab == uniCnt.size,
+      s"vocab $vocab != unigram table size ${uniCnt.size}")
+    override def order: Int = 3
   }
 
   /** Train a [[BigramLm]] on `df`. Like [[trainUnigramLm]] this THROWS
@@ -760,15 +786,135 @@ object QualityModel {
     BigramLm(uniCnt, bigCnt, nTotal, vocab, unit)
   }
 
-  /** Layout-detecting load: a [[saveBigramLm]] artifact (meta carries
-    * `lm_order` = 2) loads as Right(BigramLm); anything else takes the
-    * [[loadUnigramLm]] path (the legacy layout has no order column).
-    * The streaming gate points `lmPath` here so one config key accepts
-    * either order. */
-  def loadLm(spark: SparkSession, path: String): Either[UnigramLm, BigramLm] = {
+  /** Train a [[TrigramLm]] on `df` — [[trainBigramLm]]'s contract one
+    * order up: THROWS past any cap (a frozen artifact must collect;
+    * train on a sampled reference corpus, the CCNet recipe). One
+    * tokenize pass feeds all three count frames. `minTrigramCount` > 1
+    * is the KenLM-style pruning knob at this order (singleton triples
+    * dominate an open-vocabulary trigram table even harder than pairs
+    * do the bigram one); a pruned triple scores as UNSEEN. */
+  def trainTrigramLm(df: DataFrame, textCol: String,
+                     tokensOf: Column => Column = TextFns.tokens,
+                     unit: String = "words",
+                     maxLocalVocab: Int = 2000000,
+                     maxLocalBigrams: Int = 4000000,
+                     maxLocalTrigrams: Int = 4000000,
+                     minTrigramCount: Long = 1L): TrigramLm = {
+    val base = df.select(tokensOf(col(textCol)).as("__toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val uni = base.select(explode(col("__toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val uRows = uni.limit(maxLocalVocab + 1).collect()
+      require(uRows.length <= maxLocalVocab,
+        s"vocabulary exceeds maxLocalVocab=$maxLocalVocab — a frozen LM " +
+          "artifact must collect; train on a sampled reference corpus")
+      val sz = org.apache.spark.sql.functions.size(col("__toks"))
+      val big = base
+        .select(explode(when(sz >= 2,
+          zip_with(slice(col("__toks"), lit(1), sz - 1),
+            slice(col("__toks"), lit(2), sz - 1),
+            (a, b) => struct(a.as("p"), b.as("c"))))).as("__pc"))
+        .select(col("__pc.p").as("__p"), col("__pc.c").as("__c"))
+        .groupBy(col("__p"), col("__c")).agg(count(lit(1)).as("bcnt"))
+      val bRows = big.limit(maxLocalBigrams + 1).collect()
+      require(bRows.length <= maxLocalBigrams,
+        s"distinct bigrams exceed maxLocalBigrams=$maxLocalBigrams — a " +
+          "frozen LM artifact must collect; train on a sampled reference " +
+          "corpus (the CCNet recipe)")
+      val tri = base
+        .select(explode(when(sz >= 3, transform(sequence(lit(3), sz), i =>
+          struct(element_at(col("__toks"), i - 2).as("p2"),
+            element_at(col("__toks"), i - 1).as("p1"),
+            element_at(col("__toks"), i).as("c"))))).as("__t"))
+        .select(col("__t.p2").as("__p2"), col("__t.p1").as("__p1"),
+          col("__t.c").as("__c"))
+        .groupBy(col("__p2"), col("__p1"), col("__c"))
+        .agg(count(lit(1)).as("tcnt"))
+        .filter(col("tcnt") >= minTrigramCount)
+      val tRows = tri.limit(maxLocalTrigrams + 1).collect()
+      require(tRows.length <= maxLocalTrigrams,
+        s"distinct trigrams exceed maxLocalTrigrams=$maxLocalTrigrams — a " +
+          "frozen LM artifact must collect; train on a sampled reference " +
+          "corpus (the CCNet recipe)")
+      val uniCnt = uRows.iterator
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      TrigramLm(uniCnt,
+        bRows.iterator
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq,
+        tRows.iterator
+          .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+            r.getLong(3))).toSeq,
+        nTotal = uniCnt.iterator.map(_._2).sum,
+        vocab = uniCnt.size.toLong, unit = unit)
+    } finally base.unpersist()
+  }
+
+  /** Persist a [[TrigramLm]]: the [[saveBigramLm]] layout plus
+    * `$path/lm_tri` = (p2, p1, c, cnt) and meta `lm_order` = 3. */
+  def saveTrigramLm(spark: SparkSession, lm: TrigramLm, path: String): Unit = {
+    import spark.implicits._
+    lm.uniCnt.toDF("tok", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lm_uni")
+    lm.bigCnt.map { case ((p, c), v) => (p, c, v) }
+      .toDF("p", "c", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lm_big")
+    lm.triCnt.map { case ((p2, p1, c), v) => (p2, p1, c, v) }
+      .toDF("p2", "p1", "c", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lm_tri")
+    Seq((lm.nTotal, lm.vocab, lm.unit, 3))
+      .toDF("n_total", "vocab", "unit", "lm_order").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lm_meta")
+  }
+
+  /** Load a [[saveTrigramLm]] artifact, re-validating invariants loudly
+    * (the [[loadUnigramLm]] policy). */
+  def loadTrigramLm(spark: SparkSession, path: String): TrigramLm = {
+    import spark.implicits._
     val meta = spark.read.parquet(s"$path/lm_meta")
-    if (meta.columns.contains("lm_order")) Right(loadBigramLm(spark, path))
-    else Left(loadUnigramLm(spark, path))
+      .select("n_total", "vocab", "unit", "lm_order")
+      .as[(Long, Long, String, Int)].collect()
+    require(meta.length == 1, s"LM meta at $path/lm_meta has ${meta.length} rows")
+    val (nTotal, vocab, unit, order) = meta.head
+    require(order == 3, s"LM at $path has lm_order=$order, expected 3")
+    val uniCnt = spark.read.parquet(s"$path/lm_uni").select("tok", "cnt")
+      .as[(String, Long)].collect().toSeq
+    require(uniCnt.size == vocab,
+      s"LM table at $path/lm_uni has ${uniCnt.size} rows, meta says $vocab")
+    require(uniCnt.iterator.map(_._1).toSet.size == uniCnt.size,
+      s"LM table at $path/lm_uni has duplicate tokens")
+    require(uniCnt.iterator.map(_._2).sum == nTotal,
+      s"LM table at $path/lm_uni sums != meta n_total $nTotal")
+    val bigCnt = spark.read.parquet(s"$path/lm_big").select("p", "c", "cnt")
+      .as[(String, String, Long)].collect()
+      .map { case (p, c, v) => ((p, c), v) }.toSeq
+    require(bigCnt.iterator.map(_._1).toSet.size == bigCnt.size,
+      s"LM table at $path/lm_big has duplicate pairs")
+    val triCnt = spark.read.parquet(s"$path/lm_tri")
+      .select("p2", "p1", "c", "cnt")
+      .as[(String, String, String, Long)].collect()
+      .map { case (p2, p1, c, v) => ((p2, p1, c), v) }.toSeq
+    require(triCnt.iterator.map(_._1).toSet.size == triCnt.size,
+      s"LM table at $path/lm_tri has duplicate triples")
+    TrigramLm(uniCnt, bigCnt, triCnt, nTotal, vocab, unit)
+  }
+
+  /** Layout-detecting load: meta `lm_order` = 3 → [[TrigramLm]], 2 →
+    * [[BigramLm]]; a meta without the column is the legacy unigram
+    * layout. The streaming gate points `lmPath` here so one config key
+    * accepts any persisted order. */
+  def loadLm(spark: SparkSession, path: String): FrozenLm = {
+    val meta = spark.read.parquet(s"$path/lm_meta")
+    if (!meta.columns.contains("lm_order")) loadUnigramLm(spark, path)
+    else meta.select("lm_order").collect() match {
+      case rows if rows.length == 1 && rows(0).getInt(0) == 3 =>
+        loadTrigramLm(spark, path)
+      case rows if rows.length == 1 && rows(0).getInt(0) == 2 =>
+        loadBigramLm(spark, path)
+      case rows => throw new IllegalStateException(
+        s"LM meta at $path/lm_meta: unsupported lm_order rows " +
+          rows.map(_.toString).mkString(","))
+    }
   }
 
   /** Score `text` under a FROZEN [[BigramLm]]: (n_terms, lp_sum) over
@@ -801,13 +947,41 @@ object QualityModel {
         / (s.getField("n_terms") * 1e6), 6))
   }
 
+  /** Score `text` under a FROZEN [[TrigramLm]]: (n_terms, lp_sum) over
+    * the order-3 conditional stream, unseen tokens/pairs/triples priced
+    * from the same add-one interpolation with count 0 — one zero-shuffle
+    * codegen call. Tables BROADCAST (the [[frozenBigramScore]]
+    * rationale, with a strictly bigger table). */
+  def frozenTrigramScore(text: Column, lm: TrigramLm,
+                         tokensOf: Column => Column = TextFns.tokens): Column = {
+    val bc = SparkSession.active.sparkContext.broadcast(
+      graft.functions.FrozenTrigramTables.build(lm.uniCnt, lm.bigCnt,
+        lm.triCnt))
+    org.apache.spark.sql.graft.ExprBridge.column(
+      graft.functions.FrozenTrigramScoreExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(tokensOf(text)),
+        bc, lm.nTotal, lm.vocab))
+  }
+
+  /** [[frozenTrigramScore]] reduced to the xent value (6-dp, NULL for
+    * docs with < 3 tokens — the [[trigramCrossEntropy]] omission
+    * contract, as a column). */
+  def frozenTrigramXent(text: Column, lm: TrigramLm,
+                        tokensOf: Column => Column = TextFns.tokens): Column = {
+    val s = frozenTrigramScore(text, lm, tokensOf)
+    when(s.getField("n_terms") > 0,
+      round(s.getField("lp_sum").cast("double")
+        / (s.getField("n_terms") * 1e6), 6))
+  }
+
   /** Order-dispatching frozen xent: the one call sites with a
     * [[loadLm]] result use (streaming gate, pipeline sampled mode). */
-  def frozenXentOf(text: Column, lm: Either[UnigramLm, BigramLm],
+  def frozenXentOf(text: Column, lm: FrozenLm,
                    tokensOf: Column => Column = TextFns.tokens): Column =
     lm match {
-      case Left(u)  => frozenXent(text, u, tokensOf)
-      case Right(b) => frozenBigramXent(text, b, tokensOf)
+      case u: UnigramLm => frozenXent(text, u, tokensOf)
+      case b: BigramLm  => frozenBigramXent(text, b, tokensOf)
+      case t: TrigramLm => frozenTrigramXent(text, t, tokensOf)
     }
 
   def unigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,

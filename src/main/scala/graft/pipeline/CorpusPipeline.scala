@@ -76,6 +76,10 @@ object CorpusPipeline {
       // KenLM is an n-gram model; a unigram bag cannot see degenerate
       // repetition like "the the the"). Both score through the
       // collected-local-LM inline column; same xent band applies.
+      // 3 = interpolated add-one trigram (q114/q117), sampled-frozen
+      // mode ONLY (pplSampleMod > 0): the exact self-trained order-3
+      // gate would collect/exchange a distinct-trigram frame that grows
+      // super-linearly on an open-vocabulary corpus.
       pplLmOrder: Int = 1,
       // 0 = the gate LM trains on the WHOLE corpus (exact, the oracled
       // q76/q106 semantics — but the order-2 distinct-bigram frame grows
@@ -98,7 +102,9 @@ object CorpusPipeline {
       // the same as the unigram one (11.3 vs 11.7 s min, vs 21.4
       // unpruned and 89.7 self-trained exact;
       // scaling/r14/pplab_rich32.json). Ignored unless
-      // pplSampleMod > 0 and pplLmOrder == 2.
+      // pplSampleMod > 0 and pplLmOrder >= 2 (at order 3 the same knob
+      // prunes the TRIGRAM table; the bigram/unigram backoff tables
+      // stay exact).
       pplMinBigramCount: Long = 1L,
       budgetTokens: Long = 1000000L,
       seqLen: Int = 2048,
@@ -213,17 +219,28 @@ object CorpusPipeline {
       // corpus×corpus join to re-attach xent; see withUnigramXent);
       // xent rides along as an audit column until span_rewrite
       // re-projects.
-      require(cfg.pplLmOrder == 1 || cfg.pplLmOrder == 2,
-        s"pplLmOrder must be 1 (unigram) or 2 (bigram), got ${cfg.pplLmOrder}")
+      require(cfg.pplLmOrder >= 1 && cfg.pplLmOrder <= 3,
+        s"pplLmOrder must be 1 (unigram), 2 (bigram) or 3 (trigram, " +
+          s"sampled-frozen mode only), got ${cfg.pplLmOrder}")
       require(cfg.pplSampleMod >= 0,
         s"pplSampleMod must be >= 0, got ${cfg.pplSampleMod}")
+      require(cfg.pplLmOrder < 3 || cfg.pplSampleMod > 0,
+        "pplLmOrder=3 requires pplSampleMod > 0: the self-trained exact " +
+          "trigram gate would pay a distinct-TRIGRAM frame that grows " +
+          "super-linearly on an open-vocabulary corpus (the order-2 " +
+          "lesson, worse); the deployment shape is sample-train + frozen " +
+          "scoring (q117)")
       val scored =
         if (cfg.pplSampleMod > 0) {
           // sampled-frozen gate (see Config.pplSampleMod): train on the
           // hash slice, score everything through the frozen kernel
           val sample = in.filter(
             pmod(xxhash64(col("doc_id")), lit(cfg.pplSampleMod)) === 0)
-          if (cfg.pplLmOrder == 2)
+          if (cfg.pplLmOrder == 3)
+            in.withColumn("xent", QualityModel.frozenTrigramXent(col("text"),
+              QualityModel.trainTrigramLm(sample, "text",
+                minTrigramCount = cfg.pplMinBigramCount)))
+          else if (cfg.pplLmOrder == 2)
             in.withColumn("xent", QualityModel.frozenBigramXent(col("text"),
               QualityModel.trainBigramLm(sample, "text",
                 minBigramCount = cfg.pplMinBigramCount)))

@@ -227,8 +227,7 @@ object StreamingIngest {
                   threshold: Double = 0.5, maxBucketSize: Int = 1000,
                   tokenizer: Option[graft.functions.Bpe.Tokenizer] = None,
                   packedIdsPath: String = "", seqLen: Long = 2048L,
-                  lm: Option[Either[graft.operators.QualityModel.UnigramLm,
-                    graft.operators.QualityModel.BigramLm]] = None,
+                  lm: Option[graft.operators.QualityModel.FrozenLm] = None,
                   minXent: Double = 0.0,
                   maxXent: Double = Double.MaxValue): Unit = {
     import graft.functions.{Bpe, TextFns}

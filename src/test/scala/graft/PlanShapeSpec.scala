@@ -240,6 +240,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, s"UDF( in oracle plans of: ${offenders.mkString(", ")}")
   }
 
+  test("q113 BM25: scoring pass is a pure map into TakeOrderedAndProject, " +
+      "zero exchanges") {
+    // the one-row stats aggregate runs (and collects) at build time; the
+    // RETURNED plan must be scan -> project -> filter -> top-K only
+    val plan = executed(
+      SparkEntry.queries("q113_bm25_topk")(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q113 should plan a per-partition top-K:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"q113 scoring pass must be zero-shuffle:\n$plan")
+  }
+
+  test("q115 covariance: moment frames broadcast-join (no corpus-sized " +
+      "sort-merge), partial aggregation map-side") {
+    val plan = executed(
+      SparkEntry.queries("q115_embed_cov")(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"d-row moment frames must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial sum")
+        || plan.contains("HashAggregate"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+
   test("q73 chunker is a pure narrow plan: zero exchanges, payload-pruned scan") {
     val df = graft.operators.Chunker.chunkByTokens(
       T2(dir, "documents"), "doc_id", "text", size = 32, stride = 24)

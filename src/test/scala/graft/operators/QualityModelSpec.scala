@@ -416,16 +416,95 @@ class QualityModelSpec extends SparkSpec {
     val term = graft.functions.FrozenBigramKernel.lpInterp(
       0L, 0L, 0L, lm2.nTotal, lm2.vocab)
     assert(oov == ((2, 2L * term)), s"got $oov, want (2, ${2L * term})")
-    // loadLm dispatches on the meta layout: bigram -> Right, legacy
-    // unigram -> Left
+    // loadLm dispatches on the meta layout: lm_order=2 -> BigramLm,
+    // legacy orderless meta -> UnigramLm
     val p2 = java.nio.file.Files.createTempDirectory("bilm_any").toString
     try {
       QualityModel.saveBigramLm(spark, lm, s"$p2/b")
       QualityModel.saveUnigramLm(spark,
         QualityModel.trainUnigramLm(corpus, "text"), s"$p2/u")
-      assert(QualityModel.loadLm(spark, s"$p2/b").isRight)
-      assert(QualityModel.loadLm(spark, s"$p2/u").isLeft)
+      assert(QualityModel.loadLm(spark, s"$p2/b")
+        .isInstanceOf[QualityModel.BigramLm])
+      assert(QualityModel.loadLm(spark, s"$p2/u")
+        .isInstanceOf[QualityModel.UnigramLm])
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p2))
+  }
+
+  test("frozen TrigramLm: self-scoring == trigramCrossEntropy bit for bit " +
+      "(local AND distributed paths); save/load round-trips; loadLm " +
+      "dispatches order 3; unseen triples price from count-0 interpolation") {
+    val rnd = new scala.util.Random(53)
+    val corpus = docs(((1 to 120).map(i => (i.toLong,
+      Seq.fill(3 + rnd.nextInt(16))(s"w${rnd.nextInt(20)}").mkString(" ")))
+      :+ (900L -> "") :+ (901L -> "solo duo")): _*)
+    val lm = QualityModel.trainTrigramLm(corpus, "text")
+    val path = java.nio.file.Files.createTempDirectory("trilm_rt").toString
+    val lm2 =
+      try {
+        QualityModel.saveTrigramLm(spark, lm, path)
+        val loaded = QualityModel.loadLm(spark, path)
+        assert(loaded.isInstanceOf[QualityModel.TrigramLm],
+          s"loadLm must dispatch lm_order=3, got $loaded")
+        loaded.asInstanceOf[QualityModel.TrigramLm]
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    assert(lm2.copy(uniCnt = lm2.uniCnt.sortBy(_._1),
+        bigCnt = lm2.bigCnt.sortBy(_._1), triCnt = lm2.triCnt.sortBy(_._1)) ==
+      lm.copy(uniCnt = lm.uniCnt.sortBy(_._1),
+        bigCnt = lm.bigCnt.sortBy(_._1), triCnt = lm.triCnt.sortBy(_._1)))
+    val frozen = corpus.select(col("doc_id"),
+        QualityModel.frozenTrigramXent(col("text"), lm2).as("xent"))
+      .orderBy("doc_id").collect().toSeq
+    val selfLocal = corpus.join(
+        QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
+          .select(col("doc_id"), col("xent")), Seq("doc_id"), "left")
+      .select("doc_id", "xent").orderBy("doc_id").collect().toSeq
+    val selfDist = corpus.join(
+        QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
+            maxLocalTrigrams = 0)
+          .select(col("doc_id"), col("xent")), Seq("doc_id"), "left")
+      .select("doc_id", "xent").orderBy("doc_id").collect().toSeq
+    assert(frozen == selfLocal, "frozen trigram LM diverged from local path")
+    assert(frozen == selfDist, "frozen trigram LM diverged from distributed path")
+    // day-2 OOV: an all-unseen stream scores n-2 identical count-0 terms
+    val oov = Seq((1L, "zzz9 qqq8 www7 vvv6")).toDF("doc_id", "text")
+      .select(QualityModel.frozenTrigramScore(col("text"), lm2).as("s"))
+      .select("s.n_terms", "s.lp_sum").as[(Int, Long)].head()
+    val term = graft.functions.FrozenTrigramKernel.lpInterp3(
+      0L, 0L, 0L, 0L, 0L, lm2.nTotal, lm2.vocab)
+    assert(oov == ((2, 2L * term)), s"got $oov, want (2, ${2L * term})")
+    // frozenXentOf dispatches the trait; < 3 tokens -> NULL
+    val short = Seq((1L, "solo duo")).toDF("doc_id", "text")
+      .select(QualityModel.frozenXentOf(col("text"),
+        lm2: QualityModel.FrozenLm).as("xent"))
+      .collect().head
+    assert(short.isNullAt(0), "docs with < 3 tokens must score NULL at order 3")
+  }
+
+  test("trainTrigramLm minTrigramCount: singleton triples pruned from the " +
+      "artifact score as UNSEEN; backoff tables stay exact") {
+    // 'a b c' x3 (kept at min 2), 'x y z' once (pruned)
+    val corpus = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b c"),
+      (4L, "x y z"))
+    val pruned = QualityModel.trainTrigramLm(corpus, "text",
+      minTrigramCount = 2L)
+    assert(pruned.triCnt.map(_._1) == Seq(("a", "b", "c")),
+      s"singleton triple must prune: ${pruned.triCnt}")
+    // bigram/unigram backoff unpruned
+    assert(pruned.bigCnt.size == 4 && pruned.uniCnt.size == 6)
+    val full = QualityModel.trainTrigramLm(corpus, "text")
+    val scoreOf = (lm: QualityModel.TrigramLm, text: String) =>
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(QualityModel.frozenTrigramScore(col("text"), lm).as("s"))
+        .select("s.lp_sum").as[Long].head()
+    // the kept triple scores identically; the pruned one scores as if
+    // its trigram count were 0 (bigram/unigram evidence still applies)
+    assert(scoreOf(pruned, "a b c") == scoreOf(full, "a b c"))
+    val expectPruned = graft.functions.FrozenTrigramKernel.lpInterp3(
+      0L, 1L, 1L, 1L, 1L, full.nTotal, full.vocab)
+    assert(scoreOf(pruned, "x y z") == expectPruned,
+      "pruned triple must score count-0 with exact backoff counts")
+    assert(scoreOf(pruned, "x y z") > scoreOf(full, "x y z"),
+      "pruning must not make a pruned triple MORE probable")
   }
 
   test("trainBigramLm minBigramCount: singleton pairs pruned from the " +

@@ -221,7 +221,7 @@ class CorpusPipelineSpec extends SparkSpec {
 
   test("pplSampleMod > 0: the gate LM trains on the hash slice and the " +
       "frozen kernel scores everything — OOV docs (unseen by the sample) " +
-      "are priced, gated, and never kill the run; both orders") {
+      "are priced, gated, and never kill the run; orders 1, 2 and 3") {
     import graft.operators.QualityModel
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
     val common = "the model reads the data and the model writes the data again"
@@ -232,12 +232,18 @@ class CorpusPipelineSpec extends SparkSpec {
     // the OOV pricing
     val pplDocs = ((1L to 40L).map(i => (i, common, "srcA"))
       :+ (99L, gibberish, "srcB")).toDF("doc_id", "text", "source")
-    for (order <- Seq(1, 2)) {
+    for (order <- Seq(1, 2, 3)) {
       val mod = 4
       val sample = pplDocs.filter(pmod(xxhash64(col("doc_id")), lit(mod)) === 0)
       assert(sample.count() > 0, "fixture: the hash slice must be non-empty")
       val cut =
-        if (order == 2) {
+        if (order == 3) {
+          val lm = QualityModel.trainTrigramLm(sample, "text")
+          val x = pplDocs.select(col("doc_id"),
+              QualityModel.frozenTrigramXent(col("text"), lm).as("x"))
+            .as[(Long, Double)].collect().toMap
+          assert(x(99L) > x(1L)); (x(99L) + x(1L)) / 2
+        } else if (order == 2) {
           val lm = QualityModel.trainBigramLm(sample, "text")
           val x = pplDocs.select(col("doc_id"),
               QualityModel.frozenBigramXent(col("text"), lm).as("x"))
