@@ -1737,11 +1737,11 @@ object SparkEntry {
 
   /** Interpolated TRIGRAM-LM cross-entropy per document — q106 one
     * Markov order up (KenLM's deployed filters are n ≥ 3; a bigram LM
-    * cannot see word order beyond adjacency). The engine takes the
-    * zero-shuffle native-kernel path (collected trigram table, lp values
-    * computed by Catalyst); the oracle replays the DISTRIBUTED
-    * five-join formulation in DuckDB — a hash match therefore proves
-    * both paths and their equality at once. */
+    * cannot see word order beyond adjacency). Runs the DISTRIBUTED
+    * 3-aggregate/5-join plan (measured: the collected-kernel path has no
+    * winning regime at order 3 — tools/TriAB, operator scaladoc), which
+    * the oracle replays in DuckDB; the opt-in native-kernel path is
+    * spec-pinned result-identical. */
   private def q114(s: SparkSession, dir: String): DataFrame =
     QualityModel.trigramCrossEntropy(T(s, dir, "documents"), "doc_id",
         "text")
@@ -2352,6 +2352,30 @@ object SparkEntry {
             thresholdDen = 10, bits = bits,
             seeds = (0 until bands).map(i => 42L + i))
           .orderBy(col("id_a"), col("id_b"))
+      }),
+      // q117 twin: SAMPLE-trained frozen trigram (the deployment shape —
+      // Config.pplSampleMod: whole-corpus order-3 training throws past
+      // the trigram cap on any realistic open-vocabulary corpus; the
+      // oracle keeps the exact whole-corpus config on the bounded
+      // testdata). Same artifact round-trip + OOV-suffixed scoring.
+      "q117_frozen_trigram_lm" -> ((s, dir) => {
+        val docs = T(s, dir, "documents")
+        val sample = docs.filter(
+          pmod(xxhash64(col("doc_id")), lit(16)) === 0)
+        val lm0 = QualityModel.trainTrigramLm(sample, "text")
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q117_bench_lm").toString
+        QualityModel.saveTrigramLm(s, lm0, path)
+        val lm = QualityModel.loadTrigramLm(s, path)
+        deleteRecursively(path)
+        val sc = QualityModel.frozenTrigramScore(
+          concat(col("text"), lit(OovSuffix)), lm)
+        docs.select(col("doc_id"), sc.as("__s"))
+          .select(col("doc_id"),
+            col("__s.n_terms").cast("int").as("n_terms"),
+            floor(col("__s.lp_sum").cast("double") / col("__s.n_terms")
+              + lit(0.5)).cast("long").as("xent_micro"))
+          .orderBy(col("doc_id"))
       }))
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -139,21 +139,10 @@ object BigramKernel {
   }
 }
 
-/** Native interpolated-bigram-LM scorer: per document, `(n_terms, lp_sum)`
-  * over the conditional stream (positions 2..n) under a driver-collected
-  * (prev, cur) -> lp_i table riding as a codegen reference object — the
-  * zero-shuffle scoring pass of
-  * [[graft.operators.QualityModel.bigramCrossEntropy]] when the distinct
-  * bigram set is Zipf-small enough to collect. The distributed
-  * formulation explodes every corpus position a second time and probes
-  * THREE count frames through joins; here the lp_i values are computed BY
-  * Catalyst on the collected bigram frame (same arithmetic expression as
-  * the distributed path, built by the same function), so the two paths
-  * cannot diverge on floating-point rounding. */
-case class BigramScoreExpr(child: Expression, lp: Seq[((String, String), Long)])
-  extends UnaryExpression {
-
-  @transient private lazy val table = {
+/** [[BigramScoreExpr]]'s nested probe table in executor-ready form. */
+object BigramLpTable {
+  def build(lp: Seq[((String, String), Long)])
+      : java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]] = {
     val m = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
     lp.foreach { case ((p, c), v) =>
       var inner = m.get(p)
@@ -165,6 +154,25 @@ case class BigramScoreExpr(child: Expression, lp: Seq[((String, String), Long)])
     }
     m
   }
+}
+
+/** Native interpolated-bigram-LM scorer: per document, `(n_terms, lp_sum)`
+  * over the conditional stream (positions 2..n) under a driver-collected
+  * (prev, cur) -> lp_i table — the zero-shuffle scoring pass of
+  * [[graft.operators.QualityModel.bigramCrossEntropy]] when the distinct
+  * bigram set is Zipf-small enough to collect. The distributed
+  * formulation explodes every corpus position a second time and probes
+  * THREE count frames through joins; here the lp_i values are computed BY
+  * Catalyst on the collected bigram frame (same arithmetic expression as
+  * the distributed path, built by the same function), so the two paths
+  * cannot diverge on floating-point rounding. The table rides a
+  * BROADCAST, not a plan-literal reference object: a reference object
+  * deserializes once per TASK, and the collectable-table cap admits
+  * multi-million-entry tables — exactly the per-task × threads OOM
+  * measured for [[FrozenBigramTables]]. */
+case class BigramScoreExpr(child: Expression,
+                           table: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]])
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -181,18 +189,20 @@ case class BigramScoreExpr(child: Expression, lp: Seq[((String, String), Long)])
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    BigramKernel.score(v.asInstanceOf[ArrayData], table)
+    BigramKernel.score(v.asInstanceOf[ArrayData], table.value)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val ref = ctx.addReferenceObj("bigramLp", table, "java.util.HashMap")
+    val ref = ctx.addReferenceObj("bigramLpBc", table,
+      "org.apache.spark.broadcast.Broadcast")
     ev.copy(
       code = code"""
         ${c.code}
         org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
           graft.functions.BigramKernel.score(
-            ${c.isNull} ? null : ${c.value}, $ref);
+            ${c.isNull} ? null : ${c.value},
+            (java.util.HashMap) $ref.value());
       """,
       isNull = FalseLiteral)
   }
@@ -388,22 +398,10 @@ object TrigramKernel {
   }
 }
 
-/** Native interpolated-trigram-LM scorer: per document, `(n_terms,
-  * lp_sum)` over the order-3 conditional stream (positions 3..n) under a
-  * driver-collected (p2, p1, c) -> lp_i table riding as a codegen
-  * reference object — the zero-shuffle scoring pass of
-  * [[graft.operators.QualityModel.trigramCrossEntropy]] when the distinct
-  * trigram set is Zipf-small enough to collect. The distributed
-  * formulation explodes every corpus position a second time and probes
-  * FIVE count frames through joins; here the lp_i values are computed BY
-  * Catalyst on the collected trigram frame (same arithmetic expression
-  * as the distributed path, built by the same function), so the two
-  * paths cannot diverge on floating-point rounding. */
-case class TrigramScoreExpr(child: Expression,
-                            lp: Seq[((String, String, String), Long)])
-  extends UnaryExpression {
-
-  @transient private lazy val table = {
+/** [[TrigramScoreExpr]]'s nested probe table in executor-ready form. */
+object TrigramLpTable {
+  def build(lp: Seq[((String, String, String), Long)])
+      : java.util.HashMap[String, java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]] = {
     val m = new java.util.HashMap[String, java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]]()
     lp.foreach { case ((p2, p1, c), v) =>
       var m1 = m.get(p2)
@@ -420,6 +418,23 @@ case class TrigramScoreExpr(child: Expression,
     }
     m
   }
+}
+
+/** Native interpolated-trigram-LM scorer: per document, `(n_terms,
+  * lp_sum)` over the order-3 conditional stream (positions 3..n) under a
+  * driver-collected (p2, p1, c) -> lp_i table — the zero-shuffle scoring
+  * pass of [[graft.operators.QualityModel.trigramCrossEntropy]] when the
+  * distinct trigram set is Zipf-small enough to collect. The distributed
+  * formulation explodes every corpus position a second time and probes
+  * FIVE count frames through joins; here the lp_i values are computed BY
+  * Catalyst on the collected trigram frame (same arithmetic expression
+  * as the distributed path, built by the same function), so the two
+  * paths cannot diverge on floating-point rounding. The table rides a
+  * BROADCAST ([[BigramScoreExpr]]'s rationale, with a strictly bigger
+  * table at this order). */
+case class TrigramScoreExpr(child: Expression,
+                            table: org.apache.spark.broadcast.Broadcast[java.util.HashMap[String, java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]]])
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -436,18 +451,20 @@ case class TrigramScoreExpr(child: Expression,
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    TrigramKernel.score(v.asInstanceOf[ArrayData], table)
+    TrigramKernel.score(v.asInstanceOf[ArrayData], table.value)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val ref = ctx.addReferenceObj("trigramLp", table, "java.util.HashMap")
+    val ref = ctx.addReferenceObj("trigramLpBc", table,
+      "org.apache.spark.broadcast.Broadcast")
     ev.copy(
       code = code"""
         ${c.code}
         org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
           graft.functions.TrigramKernel.score(
-            ${c.isNull} ? null : ${c.value}, $ref);
+            ${c.isNull} ? null : ${c.value},
+            (java.util.HashMap) $ref.value());
       """,
       isNull = FalseLiteral)
   }

@@ -1125,9 +1125,16 @@ object QualityModel {
     collectBigramLpFrames(df, uni, big, maxLocalBigrams)
   }
 
+  // Local-path cap default RETUNED from 4M (r14, tools/TriAB measured):
+  // the collected-kernel path wins only while the bigram table is small
+  // (270k tokens: 0.91 s local vs 1.11 distributed) and LOSES 5x once
+  // the table reaches millions (2.9M tokens / ~1.9M bigrams: 29.3 local
+  // vs 5.9 distributed — driver collect + map build + broadcast
+  // dominate). 500k keeps the winning regime and hands the cliff to the
+  // distributed plan.
   def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                          tokensOf: Column => Column = TextFns.tokens,
-                         maxLocalBigrams: Int = 4000000): DataFrame = {
+                         maxLocalBigrams: Int = 500000): DataFrame = {
     val base = df.select(col(idCol), tokensOf(col(textCol)).as("__toks"))
     val toksDf = base.select(col(idCol), explode(col("__toks")).as("tok"))
     val uni = toksDf.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -1155,12 +1162,13 @@ object QualityModel {
     if (maxLocalBigrams > 0) {
       val lpLocal = collectBigramLpFrames(df, uni, big, maxLocalBigrams)
       if (lpLocal.isDefined) {
-        val lpPairs = lpLocal.get
+        val bc = df.sparkSession.sparkContext.broadcast(
+          graft.functions.BigramLpTable.build(lpLocal.get))
         return df.select(col(idCol),
             org.apache.spark.sql.graft.ExprBridge.column(
               graft.functions.BigramScoreExpr(
                 org.apache.spark.sql.graft.ExprBridge.expression(
-                  tokensOf(col(textCol))), lpPairs)).as("__s"))
+                  tokensOf(col(textCol))), bc)).as("__s"))
           .select(col(idCol), col("__s.n_terms").as("n_terms"),
             col("__s.lp_sum").as("lp_sum"))
           .filter(col("n_terms") > 0) // < 2 tokens omitted, as distributed
@@ -1193,14 +1201,16 @@ object QualityModel {
   def withBigramXent(df: DataFrame, idCol: String, textCol: String,
                      outCol: String = "xent",
                      tokensOf: Column => Column = TextFns.tokens,
-                     maxLocalBigrams: Int = 4000000): DataFrame = {
+                     maxLocalBigrams: Int = 500000): DataFrame = {
     if (maxLocalBigrams > 0) {
       val lpLocal = collectBigramLp(df, textCol, tokensOf, maxLocalBigrams)
       if (lpLocal.isDefined) {
+        val bc = df.sparkSession.sparkContext.broadcast(
+          graft.functions.BigramLpTable.build(lpLocal.get))
         val s = org.apache.spark.sql.graft.ExprBridge.column(
           graft.functions.BigramScoreExpr(
             org.apache.spark.sql.graft.ExprBridge.expression(
-              tokensOf(col(textCol))), lpLocal.get))
+              tokensOf(col(textCol))), bc))
         return df.withColumn(outCol,
           when(s.getField("n_terms") > 0,
             round(s.getField("lp_sum").cast("double")
@@ -1278,16 +1288,24 @@ object QualityModel {
     * Documents with < 3 tokens are omitted (no order-3 conditional
     * evidence). Output: (idCol, n_terms, xent, ppl).
     *
-    * 100 TB design: the Zipf-small fast path scores IN PLACE via a
-    * native kernel over the collected trigram table ([[graft.functions.TrigramScoreExpr]]
-    * — lp values computed BY Catalyst on the collected frame, so the two
-    * paths cannot diverge on rounding); past `maxLocalTrigrams` it
-    * degrades to the distributed shape — three count aggregations (all
+    * 100 TB design: the DISTRIBUTED plan is the default
+    * (maxLocalTrigrams = 0) — three count aggregations (all
     * map-side-combined, keyed by token/pair/triple) and five joins
-    * probing them, result-identical. */
+    * probing them. MEASURED (tools/TriAB, local[32]): unlike the
+    * unigram/bigram orders, the collected-table kernel path has NO
+    * winning regime at order 3 — a 3-token context almost never
+    * repeats, so the distinct-trigram table tracks the POSITION count
+    * instead of compressing Zipf-style (270k tokens: 1.34 s distributed
+    * vs 1.50 local; 2.9M tokens: 9.4 vs 53.4 — the driver collect +
+    * nested-map build + broadcast dominates). A positive
+    * `maxLocalTrigrams` opts into the
+    * [[graft.functions.TrigramScoreExpr]] kernel anyway (lp values
+    * computed BY Catalyst on the collected frame, spec-pinned
+    * result-identical) for callers that must avoid exchanges
+    * entirely. */
   def trigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                           tokensOf: Column => Column = TextFns.tokens,
-                          maxLocalTrigrams: Int = 4000000): DataFrame = {
+                          maxLocalTrigrams: Int = 0): DataFrame = {
     val base = df.select(col(idCol), tokensOf(col(textCol)).as("__toks"))
     val uni = base.select(explode(col("__toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -1326,11 +1344,13 @@ object QualityModel {
       val lpLocal = collectTrigramLpFrames(df, uni, big, tri,
         maxLocalTrigrams)
       if (lpLocal.isDefined) {
+        val bc = df.sparkSession.sparkContext.broadcast(
+          graft.functions.TrigramLpTable.build(lpLocal.get))
         return df.select(col(idCol),
             org.apache.spark.sql.graft.ExprBridge.column(
               graft.functions.TrigramScoreExpr(
                 org.apache.spark.sql.graft.ExprBridge.expression(
-                  tokensOf(col(textCol))), lpLocal.get)).as("__s"))
+                  tokensOf(col(textCol))), bc)).as("__s"))
           .select(col(idCol), col("__s.n_terms").as("n_terms"),
             col("__s.lp_sum").as("lp_sum"))
           .filter(col("n_terms") > 0) // < 3 tokens omitted, as distributed

@@ -455,12 +455,12 @@ class QualityModelSpec extends SparkSpec {
         QualityModel.frozenTrigramXent(col("text"), lm2).as("xent"))
       .orderBy("doc_id").collect().toSeq
     val selfLocal = corpus.join(
-        QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
+        QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
+            maxLocalTrigrams = 4000000)
           .select(col("doc_id"), col("xent")), Seq("doc_id"), "left")
       .select("doc_id", "xent").orderBy("doc_id").collect().toSeq
     val selfDist = corpus.join(
-        QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
-            maxLocalTrigrams = 0)
+        QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
           .select(col("doc_id"), col("xent")), Seq("doc_id"), "left")
       .select("doc_id", "xent").orderBy("doc_id").collect().toSeq
     assert(frozen == selfLocal, "frozen trigram LM diverged from local path")
@@ -682,14 +682,19 @@ class QualityModelSpec extends SparkSpec {
     val rnd = new scala.util.Random(17)
     val corpus = docs((1 to 300).map(i => (i.toLong,
       Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(60)}").mkString(" "))): _*)
-    val local = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
+    // the DEFAULT is the distributed plan (measured: the collected
+    // kernel has no winning regime at order 3 — see the operator's
+    // scaladoc); the kernel stays available behind an explicit cap for
+    // exchange-forbidden callers and must stay result-identical
+    val local = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
+        maxLocalTrigrams = 4000000) // opt IN to the collected kernel
       .orderBy("doc_id").collect().toSeq
-    val dist = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
-        maxLocalTrigrams = 0) // force the distributed branch
+    val dist = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
     assert(local == dist,
       "local trigram-LM path diverged from the distributed plan")
-    val plan = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
+    val plan = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
+        maxLocalTrigrams = 4000000)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"local trigram-LM scoring pass should be zero-shuffle:\n$plan")
