@@ -1635,6 +1635,52 @@ object OracleSql {
            CAST(floor(CAST(lp_sum AS DOUBLE) / n_terms + 0.5) AS BIGINT)
              AS xent_micro
          FROM d ORDER BY doc_id"""
+    },
+
+    // q118: BATCHED BM25 — q113's arithmetic over the distinct term set
+    // of SparkEntry.Bm25BatchQueries (ONE shared definition, so the SQL
+    // cannot drift), one row per MATCHING (query, doc), per-qid top-10
+    // via row_number. Replays CorpusStats.bm25TopKQueries.
+    "q118_bm25_batch" -> {
+      val queries = graft.SparkEntry.Bm25BatchQueries
+      val terms = queries.flatMap(_._2).distinct
+      val ti = terms.zipWithIndex.toMap
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n             ")
+      val dfCols = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      def contribSql(i: Int): String =
+        s"""CAST(ROUND(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+               / (CAST(df$i AS DOUBLE) + 0.5))
+             * ((tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75)
+               + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)"""
+      val branches = queries.map { case (qid, ts) =>
+        val idxs = ts.map(ti)
+        val hits = idxs
+          .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        val score = idxs.map(contribSql).mkString("\n             + ")
+        s"""SELECT doc_id, '$qid' AS qid,
+             CAST(($hits) AS INTEGER) AS n_hits,
+             $score AS score_i
+           FROM fx"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents),
+         f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             $tfCols
+           FROM b),
+         g AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS BIGINT)) AS sdl,
+             $dfCols FROM f),
+         fx AS MATERIALIZED (SELECT f.* , gg.* FROM f CROSS JOIN
+           (SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl,
+             ${terms.indices.map(i => s"df$i").mkString(", ")} FROM g) gg),
+         u AS ($branches),
+         r AS (SELECT *, row_number() OVER (PARTITION BY qid
+             ORDER BY score_i DESC, doc_id) AS rn
+           FROM u WHERE score_i > 0)
+         SELECT qid, doc_id, n_hits, score_i FROM r WHERE rn <= 10
+         ORDER BY qid, score_i DESC, doc_id"""
     }
   )
 

@@ -1747,6 +1747,22 @@ object SparkEntry {
         "text")
       .orderBy(col("doc_id"))
 
+  /** BATCHED BM25 — q113's production shape: three queries' top-10 in
+    * ONE corpus scan (distinct-term tf columns shared across queries by
+    * codegen subexpression elimination), match-only explode, one
+    * qid-keyed window. The oracle replays the shared stats, every
+    * query's per-term contributions and the per-qid top-K boundary. */
+  /** q118's query set — one definition shared by the engine query and
+    * the oracle generator (the SQL cannot drift from the engine). */
+  private[graft] val Bm25BatchQueries: Seq[(String, Seq[String])] = Seq(
+    "qa" -> Seq("merge", "vector"),
+    "qb" -> Seq("stream", "scan", "window"),
+    "qc" -> Seq("batch"))
+
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.bm25TopKQueries(T(s, dir, "documents"), "doc_id", "text",
+      queries = Bm25BatchQueries, topK = 10)
+
   /** FROZEN TRIGRAM-LM lifecycle under the oracle gate — q111 one order
     * up, completing the KenLM ladder the engine deploys (orders 1/2/3
     * all train→save→load→score-day-2 with count-0 OOV interpolation).
@@ -2135,7 +2151,8 @@ object SparkEntry {
     "q114_trigram_perplexity" -> q114 _,
     "q115_embed_cov" -> q115 _,
     "q116_pca_project" -> q116 _,
-    "q117_frozen_trigram_lm" -> q117 _
+    "q117_frozen_trigram_lm" -> q117 _,
+    "q118_bm25_batch" -> q118 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

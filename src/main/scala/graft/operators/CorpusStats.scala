@@ -170,4 +170,79 @@ object CorpusStats {
       .orderBy(col("score_i").desc, col(idCol))
       .limit(topK)
   }
+
+  /** BATCHED BM25: per-query top-`topK` for a whole query set in ONE
+    * corpus scan — the production retrieval shape ([[bm25TopK]] runs one
+    * query; a curation stack pulls hundreds of topical slices per pass).
+    * Output: (qid, idCol, n_hits, score_i), ordered (qid, score desc,
+    * id). Same scoring/quantization contract as [[bm25TopK]].
+    *
+    * 100 TB design: pass 1 is the same ONE-ROW stats aggregate, now over
+    * the DISTINCT term set of all queries (each term's tf computed once
+    * in the scan and shared by every query containing it — codegen
+    * subexpression sharing, not |Q| re-tokenizations). Pass 2 emits only
+    * MATCHING (doc, query) pairs (score > 0 filter under the explode —
+    * the inverted-index volume, not |docs|×|queries|), then one
+    * qid-keyed window takes each query's top-K. The only shuffle is
+    * match-sized and query-keyed; a query matching half the corpus makes
+    * a fat partition — at that selectivity per-query [[bm25TopK]] with
+    * its shuffle-free TakeOrdered is the right tool, and this one is for
+    * the many-selective-queries regime. */
+  def bm25TopKQueries(df: DataFrame, idCol: String, textCol: String,
+                      queries: Seq[(String, Seq[String])],
+                      k1: Double = 1.2, b: Double = 0.75,
+                      topK: Int = 10): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKQueries: queries must be non-empty")
+    require(queries.map(_._1).distinct == queries.map(_._1),
+      "bm25TopKQueries: query ids must be distinct")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty && ts.distinct == ts,
+        s"bm25TopKQueries: query '$qid' terms must be non-empty and distinct")
+    }
+    val terms = queries.flatMap(_._2).distinct.toIndexedSeq
+    val termIdx = terms.zipWithIndex.toMap
+    val base = df.select(col(idCol),
+        TextFns.tokens(col(textCol)).as("__toks"))
+      .select(
+        (col(idCol) +: size(col("__toks")).as("__dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === lit(t))).as(s"__tf$i")
+          }): _*)
+    val aggCols =
+      count(lit(1)).as("__n") +: sum(col("__dl").cast("long")).as("__sdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val st = base.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val nDocs = st.getLong(0)
+    require(nDocs > 0, "bm25TopKQueries: empty corpus")
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val contrib = terms.indices.map { i =>
+      val dft = st.getLong(2 + i).toDouble
+      val idf = log(lit(1.0) +
+        (lit(nDocs.toDouble) - lit(dft) + lit(0.5)) / (lit(dft) + lit(0.5)))
+      val tf = col(s"__tf$i").cast("double")
+      val sat = (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__dl").cast("double") / lit(avgdl)))
+      round(idf * sat * 1e6).cast("long")
+    }
+    // one struct per query, exploded to (qid, n_hits, score_i) rows for
+    // MATCHING docs only
+    val perQuery = queries.map { case (qid, ts) =>
+      val idxs = ts.map(termIdx)
+      struct(lit(qid).as("qid"),
+        idxs.map(i => when(col(s"__tf$i") > 0, 1).otherwise(0))
+          .reduce(_ + _).cast("int").as("n_hits"),
+        idxs.map(contrib).reduce(_ + _).as("score_i"))
+    }
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_i").desc, col(idCol))
+    base.select(col(idCol), explode(array(perQuery: _*)).as("__q"))
+      .select(col("__q.qid").as("qid"), col(idCol),
+        col("__q.n_hits").as("n_hits"), col("__q.score_i").as("score_i"))
+      .filter(col("score_i") > 0)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topK).drop("__r")
+      .orderBy(col("qid"), col("score_i").desc, col(idCol))
+  }
 }

@@ -126,4 +126,28 @@ class CorpusStatsSpec extends SparkSpec {
       .select("doc_id", "score_i").as[(Long, Long)].collect().toMap
     assert(s(1L) > s(2L) && s(1L) < math.ceil(s(2L) * 2.2).toLong)
   }
+
+  test("bm25TopKQueries: batched result == per-query bm25TopK, query by " +
+      "query; non-matching docs never appear") {
+    val rnd = new scala.util.Random(31)
+    val words = Seq("merge", "vector", "scan", "pad", "row", "agg")
+    val df = (1 to 80).map(i => (i.toLong,
+      Seq.fill(3 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val queries = Seq("qa" -> Seq("merge", "vector"), "qb" -> Seq("scan"),
+      "qz" -> Seq("nosuchterm"))
+    val batched = CorpusStats.bm25TopKQueries(df, "doc_id", "text",
+        queries, topK = 5)
+      .select("qid", "doc_id", "n_hits", "score_i")
+      .as[(String, Long, Int, Long)].collect().toSeq
+    queries.foreach { case (qid, ts) =>
+      val single = CorpusStats.bm25TopK(df, "doc_id", "text", ts, topK = 5)
+        .select("doc_id", "n_hits", "score_i")
+        .as[(Long, Int, Long)].collect().toSeq
+      val got = batched.filter(_._1 == qid).map(t => (t._2, t._3, t._4))
+      assert(got == single, s"batched != per-query for $qid")
+    }
+    assert(!batched.exists(_._1 == "qz"),
+      "a query matching nothing must contribute zero rows")
+  }
 }
