@@ -1893,10 +1893,48 @@ object OracleSql {
         val lst = pl.mkString("[", ",", "]")
         s"CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * ($lst)[i])) AS BIGINT) AS pc${k + 1}"
       }.mkString(",\n           ")
-      Map("q116_pca_project" ->
-        s"""SELECT vec_id, $pcCols
-           FROM (SELECT vec_id, ${quantized(1000)} AS q FROM embeddings)
-           ORDER BY vec_id""")
+      // q119's 4-dim re-quantized vector: project (exact long), divide by
+      // scale*eigQuant (1e9 — one IEEE division, same shape as the
+      // engine's withProjection), then semDedup's x1000 quantization.
+      val pvList = planes.map { pl =>
+        val lst = pl.mkString("[", ",", "]")
+        s"CAST(ROUND(CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * ($lst)[i])) AS DOUBLE) / 1000000000.0 * 1000) AS BIGINT)"
+      }.mkString("list_value(", ",\n             ", ")")
+      Map(
+        "q116_pca_project" ->
+          s"""SELECT vec_id, $pcCols
+             FROM (SELECT vec_id, ${quantized(1000)} AS q FROM embeddings)
+             ORDER BY vec_id""",
+        // q119: q70's semDedup SQL over the PCA-reduced (p=4) vectors —
+        // projection planes from the SAME trainer (primePca). Replays
+        // Pca.withProjection + Similarity.semDedup.
+        "q119_pca_semdedup" ->
+          s"""WITH e AS (SELECT vec_id, ${quantized(1000)} AS q FROM embeddings),
+             v AS (SELECT vec_id, $pvList AS qv FROM e),
+             cent AS (SELECT vec_id AS cid, qv AS cv FROM v ORDER BY vec_id LIMIT 8),
+             d AS (
+               SELECT v.vec_id, v.qv, cent.cid,
+                 CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+                   i -> (v.qv[i] - cent.cv[i]) * (v.qv[i] - cent.cv[i]))) AS BIGINT) AS d2
+               FROM v, cent),
+             r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+             assign AS (
+               SELECT vec_id, qv, cid AS centroid_id,
+                 CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+               FROM r WHERE rn = 1),
+             s AS (
+               SELECT a.vec_id, b.vec_id AS b_id, a.n2 AS na2, b.n2 AS nb2,
+                 CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                   i -> a.qv[i] * b.qv[i])) AS BIGINT) AS qdot
+               FROM assign a JOIN assign b
+                 ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id),
+             dropped AS (
+               SELECT vec_id, MIN(b_id) AS dup_of FROM s
+               WHERE qdot > 0 AND qdot * qdot * 100 >= 9 * na2 * nb2
+               GROUP BY vec_id)
+             SELECT a.vec_id, a.centroid_id, (dup_of IS NULL) AS kept, dup_of
+             FROM assign a LEFT JOIN dropped USING (vec_id)
+             ORDER BY a.vec_id""")
   }
 
   /** Train (or reuse the per-JVM memo of) the merge tables — word model

@@ -1813,6 +1813,23 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup in PCA-REDUCED space — the composition the PCA op exists
+    * for: project to the top-4 basis (q116's trainer, inlined planes),
+    * hand the reduced vector to q70's semantic-dedup operator unchanged
+    * (same tiled within-cluster self-join, same 192-bit cosine
+    * threshold), at 4/64 of the per-pair dot cost. The oracle replays
+    * projection → re-quantization → the full q70 dedup SQL over the
+    * 4-dim vectors — one hash proves the whole composed path. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val model = Pca.train(e, "embedding", dim = 64, p = 4, scale = 1000)
+    Similarity.semDedup(
+        Pca.withProjection(e, "embedding", model, "pca_vec"),
+        "vec_id", "pca_vec",
+        nCentroids = 8, thresholdNum = 3, thresholdDen = 10, scale = 1000)
+      .orderBy(col("vec_id"))
+  }
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -2152,7 +2169,8 @@ object SparkEntry {
     "q115_embed_cov" -> q115 _,
     "q116_pca_project" -> q116 _,
     "q117_frozen_trigram_lm" -> q117 _,
-    "q118_bm25_batch" -> q118 _
+    "q118_bm25_batch" -> q118 _,
+    "q119_pca_semdedup" -> q119 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

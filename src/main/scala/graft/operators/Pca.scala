@@ -134,6 +134,25 @@ object Pca {
     df.select((col(idCol) +: pcs): _*)
   }
 
+  /** [[projectInt]] as an appended ARRAY column in the original value
+    * scale (pc_int / (scale·eigQuant) ≈ the de-quantized principal
+    * coordinate) — the composition shape: downstream embedding operators
+    * ([[Similarity.semDedup]], ANN indexing) consume the reduced vector
+    * exactly like a raw embedding column, at p/d of the per-pair dot
+    * cost. Values derive from exact long arithmetic followed by one
+    * IEEE division, so an external SQL engine replays them bit-for-bit
+    * from the same plane constants. */
+  def withProjection(df: DataFrame, vecCol: String, model: PcaModel,
+                     outCol: String = "pca_vec"): DataFrame = {
+    val q = VectorFns.quantize(col(vecCol), model.scale)
+    val denom = model.scale.toDouble * model.eigQuant
+    val pcs = model.planes.map { plane =>
+      VectorFns.quantizedDot(q, array(plane.map(lit(_)).toIndexedSeq: _*))
+        .cast("double") / lit(denom)
+    }
+    df.withColumn(outCol, array(pcs: _*))
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
     * (eigenvalues, eigenvector-column matrix). Fixed sweep order and a
     * fixed convergence threshold make it deterministic for a given

@@ -90,6 +90,42 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("withProjection composes with semDedup: near-dups whose noise " +
+      "lives in LOW-VARIANCE dims survive the top-8 reduction exactly") {
+    val rnd = new scala.util.Random(29)
+    val dim = 16
+    // signal lives in dims 0-7 (unit variance, effective dimension high
+    // enough that random-pair cosine stays far below the threshold);
+    // dims 8-15 carry only tiny corpus noise, so the top-8 PCA basis is
+    // the signal subspace
+    def baseVec() = Seq.tabulate(dim)(k =>
+      (if (k < 8) rnd.nextGaussian() else 0.05 * rnd.nextGaussian()).toFloat)
+    val bases = (1 to 60).map(i => (i.toLong * 10, baseVec()))
+    // planted near-dups: copy + noise ONLY in the low-variance dims —
+    // full-dim cosine ~0.9999, and the top-8 projection annihilates the
+    // perturbation almost entirely
+    val dups = bases.take(20).map { case (id, v) =>
+      (id + 1, v.zipWithIndex.map { case (x, k) =>
+        if (k >= 8) x + 0.02f * rnd.nextGaussian().toFloat else x })
+    }
+    val df = vecs((bases ++ dups): _*)
+    def flagged(dd: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      dd.filter(!col("kept")).select("vec_id", "dup_of")
+        .as[(Long, Long)].collect().toMap
+    val full = flagged(Similarity.semDedup(df, "vec_id", "embedding",
+      nCentroids = 1, thresholdNum = 97, thresholdDen = 100))
+    val model = Pca.train(df, "embedding", dim = dim, p = 8, scale = 1000)
+    val proj = flagged(Similarity.semDedup(
+      Pca.withProjection(df, "embedding", model, "pca_vec"),
+      "vec_id", "pca_vec",
+      nCentroids = 1, thresholdNum = 97, thresholdDen = 100))
+    // every planted pair flagged in BOTH spaces, with the planted mate,
+    // and nothing else
+    val want = dups.map(d => d._1 -> (d._1 - 1)).toMap
+    assert(full == want, s"full-dim semDedup: got $full")
+    assert(proj == want, s"PCA-8 semDedup: got $proj")
+  }
+
   test("train: deterministic across runs and partitionings; projection " +
       "plan is zero-shuffle") {
     val rnd = new scala.util.Random(23)
