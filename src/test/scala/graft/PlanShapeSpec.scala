@@ -264,6 +264,18 @@ class PlanShapeSpec extends SparkSpec {
       s"expected map-side partial aggregation:\n$plan")
   }
 
+  test("q118 batched BM25: ONE qid-keyed window exchange; the per-term tf " +
+      "columns never explode to a corpus-x-terms shuffle") {
+    val plan = executed(
+      SparkEntry.queries("q118_bm25_batch")(spark, dir))
+    // exactly one Window (the per-qid top-K) — the scoring itself is a
+    // map + match-only explode feeding it
+    val windows = "(?m)^.*Window ".r.findAllIn(plan).size
+    assert(windows >= 1, s"expected the qid top-K window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"q118 must not join at all (stats ride as literals):\n$plan")
+  }
+
   test("q73 chunker is a pure narrow plan: zero exchanges, payload-pruned scan") {
     val df = graft.operators.Chunker.chunkByTokens(
       T2(dir, "documents"), "doc_id", "text", size = 32, stride = 24)
