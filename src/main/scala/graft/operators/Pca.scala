@@ -79,7 +79,21 @@ object Pca {
   final case class PcaModel(dim: Int, p: Int, scale: Int, eigQuant: Long,
                             n: Long, sums: Array[Long],
                             eigenvalues: Array[Double],
-                            planes: Seq[Array[Long]])
+                            planes: Seq[Array[Long]],
+                            traceVar: Double) {
+    /** Fraction of total (population-covariance trace) variance the
+      * leading `k` components capture — THE precondition check before
+      * reducing with [[projectInt]]/[[withProjection]]: the r14 A/B
+      * (scaling/r14/pca_semdedup_ab.json) measured a 62%-share
+      * reduction over-flagging 39733/40000 in semantic dedup where the
+      * full space flags 229, while a 98%-share reduction agrees 99.9%.
+      * Reduce only when the share justifies p. */
+    def varianceShare(k: Int): Double = {
+      require(k >= 1 && k <= p, s"need 1 <= k <= p=$p, got $k")
+      if (traceVar <= 0.0) 1.0
+      else math.min(1.0, eigenvalues.take(k).sum / traceVar)
+    }
+  }
 
   /** Train a top-`p` PCA basis: run [[embedCovariance]], collect the
     * d(d+1)/2 moment rows (driver memory is d², independent of corpus
@@ -115,7 +129,8 @@ object Pca {
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
     }
     PcaModel(dim, p, scale, eigQuant, n, sums,
-      order.map(eigVals(_)).toArray, planes)
+      order.map(eigVals(_)).toArray, planes,
+      traceVar = (0 until dim).map(i => cov(i)(i)).sum)
   }
 
   /** Project every vector onto the model's `p` components in exact long

@@ -64,6 +64,10 @@ class PcaSpec extends SparkSpec {
       Seq.tabulate(dim)(k => (rnd.nextGaussian() / (k + 1)).toFloat))): _*)
     val model = Pca.train(df, "embedding", dim = dim, p = dim, scale = 1000)
     assert(model.eigenvalues.toSeq == model.eigenvalues.sortBy(-_).toSeq)
+    // the full basis captures the whole trace; the share is monotone
+    assert(math.abs(model.varianceShare(dim) - 1.0) < 1e-9)
+    assert((1 until dim).forall(k =>
+      model.varianceShare(k) <= model.varianceShare(k + 1)))
     val proj = Pca.projectInt(df, "vec_id", "embedding", model)
       .drop("vec_id").collect().map(r => Array.tabulate(dim)(r.getLong))
     val n = proj.length.toDouble
@@ -115,6 +119,10 @@ class PcaSpec extends SparkSpec {
     val full = flagged(Similarity.semDedup(df, "vec_id", "embedding",
       nCentroids = 1, thresholdNum = 97, thresholdDen = 100))
     val model = Pca.train(df, "embedding", dim = dim, p = 8, scale = 1000)
+    // the reduction-soundness precondition the r14 A/B documents: the
+    // top-8 share must justify reducing to 8 (here ~0.998 by fixture)
+    assert(model.varianceShare(8) > 0.97,
+      s"fixture: top-8 share ${model.varianceShare(8)}")
     val proj = flagged(Similarity.semDedup(
       Pca.withProjection(df, "embedding", model, "pca_vec"),
       "vec_id", "pca_vec",
