@@ -1499,7 +1499,7 @@ object OracleSql {
              $contribs AS score_i
            FROM f CROSS JOIN
              (SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl, ${terms.indices.map(i => s"df$i").mkString(", ")} FROM g))
-         SELECT doc_id, n_hits, score_i FROM s WHERE score_i > 0
+         SELECT doc_id, n_hits, score_i FROM s WHERE n_hits > 0
          ORDER BY score_i DESC, doc_id LIMIT 25"""
     },
 
@@ -1678,7 +1678,7 @@ object OracleSql {
          u AS ($branches),
          r AS (SELECT *, row_number() OVER (PARTITION BY qid
              ORDER BY score_i DESC, doc_id) AS rn
-           FROM u WHERE score_i > 0)
+           FROM u WHERE n_hits > 0)
          SELECT qid, doc_id, n_hits, score_i FROM r WHERE rn <= 10
          ORDER BY qid, score_i DESC, doc_id"""
     }

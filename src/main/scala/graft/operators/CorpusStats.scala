@@ -92,10 +92,18 @@ object CorpusStats {
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
-    val nDocs = df.select(col(idCol)).distinct().count()
-    val idfI = round((log(lit(nDocs.toDouble) + 1.0)
+    // corpus size rides the PLAN as a broadcast one-row frame instead of
+    // a separate driver count() action (r14 verdict #4: the eager count
+    // was a redundant full job before the real one). Semantics
+    // unchanged: distinct ids of the INPUT frame, so token-less docs
+    // still count toward N exactly as the q81 oracle's
+    // COUNT(DISTINCT doc_id) does.
+    val nd = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("__nd"))
+    val idfI = round((log(col("__nd").cast("double") + 1.0)
       - log(col("df").cast("double") + 1.0)) * 1e6).cast("long")
     val scored = tf.join(broadcast(dfreq), Seq("tok"))
+      .crossJoin(broadcast(nd))
       .select(col(idCol), col("tok"), col("tf"), col("df"),
         (col("tf") * idfI).as("score_i"))
     val w = Window.partitionBy(col(idCol))
@@ -164,9 +172,14 @@ object CorpusStats {
     val hits = terms.indices
       .map(i => when(col(s"__tf$i") > 0, 1).otherwise(0))
       .reduce(_ + _).cast("int")
+    // match on n_hits, not score: a near-ubiquitous term's quantized
+    // contribution legitimately rounds to 0 at production N (idf ~ 1/2N
+    // falls under the 0.5 micro-unit floor), and "documents matching
+    // >= 1 query term appear" must hold independent of corpus size
+    // (r14 ADVICE)
     base.select(col(idCol), hits.as("n_hits"),
         contribs.reduce(_ + _).as("score_i"))
-      .filter(col("score_i") > 0)
+      .filter(col("n_hits") > 0)
       .orderBy(col("score_i").desc, col(idCol))
       .limit(topK)
   }
@@ -240,7 +253,8 @@ object CorpusStats {
     base.select(col(idCol), explode(array(perQuery: _*)).as("__q"))
       .select(col("__q.qid").as("qid"), col(idCol),
         col("__q.n_hits").as("n_hits"), col("__q.score_i").as("score_i"))
-      .filter(col("score_i") > 0)
+      // n_hits, not score — the bm25TopK rounding-floor rationale
+      .filter(col("n_hits") > 0)
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= topK).drop("__r")
       .orderBy(col("qid"), col("score_i").desc, col(idCol))

@@ -90,7 +90,10 @@ object Pca {
       * Reduce only when the share justifies p. */
     def varianceShare(k: Int): Double = {
       require(k >= 1 && k <= p, s"need 1 <= k <= p=$p, got $k")
-      if (traceVar <= 0.0) 1.0
+      // degenerate spectrum (all-zero/constant corpus) reports share 0,
+      // NOT 1: the precondition gate must fail exactly when the spectrum
+      // carries no information to justify reducing on (r14 ADVICE)
+      if (traceVar <= 0.0) 0.0
       else math.min(1.0, eigenvalues.take(k).sum / traceVar)
     }
   }
@@ -109,14 +112,27 @@ object Pca {
     val n = rows.head.getLong(2)
     val sums = new Array[Long](dim)
     val cov = Array.ofDim[Double](dim, dim)
+    var nDiag = 0
     rows.foreach { r =>
       val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
       require(i < dim && j < dim,
         s"Pca.train: coordinate ${math.max(i, j) + 1} exceeds dim=$dim")
-      if (i == j) sums(i) = r.getLong(3)
+      // RAGGED-INPUT GUARD (r14 verdict #1): every coordinate's count is
+      // the corpus row count iff every vector has exactly `dim` entries.
+      // A short/ragged vector makes some coordinate's n smaller, which
+      // would silently SKEW cov_num = n·s_ij − s_i·s_j instead of
+      // failing — the loud-failure policy (cf. trainTrigramLm's caps).
+      require(r.getLong(2) == n,
+        s"Pca.train: ragged embedding column — coordinate ${i + 1} has " +
+          s"${r.getLong(2)} entries, coordinate 1 has $n; every vector " +
+          s"must carry exactly dim=$dim coordinates")
+      if (i == j) { sums(i) = r.getLong(3); nDiag += 1 }
       val c = r.getLong(6).toDouble / (n.toDouble * n.toDouble)
       cov(i)(j) = c; cov(j)(i) = c
     }
+    require(nDiag == dim,
+      s"Pca.train: embedding column covers $nDiag of dim=$dim " +
+        "coordinates — every vector must carry exactly dim entries")
     val (eigVals, eigVecs) = jacobiEigen(cov)
     // order components by eigenvalue descending, index ascending
     val order = eigVals.indices.sortBy(k => (-eigVals(k), k)).take(p)
@@ -178,9 +194,23 @@ object Pca {
     val d = aIn.length
     val a = Array.tabulate(d, d)((i, j) => aIn(i)(j))
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    // RELATIVE convergence threshold (r14 ADVICE): an absolute 1e-14 is
+    // unreachable when entries sit at ~1e6 (quantized-unit covariance —
+    // the floating-point floor of the off-diagonal norm is ~1e-8 there),
+    // so the solver always burned all 100 sweeps. Scaling by the input's
+    // Frobenius norm keeps the criterion input-deterministic and
+    // magnitude-invariant; typical convergence is 5-10 sweeps.
+    var frob = 0.0
+    var fi = 0
+    while (fi < d) {
+      var fj = 0
+      while (fj < d) { frob += a(fi)(fj) * a(fi)(fj); fj += 1 }
+      fi += 1
+    }
+    val eps = 1e-14 * math.sqrt(frob)
     var sweep = 0
     var off = offDiagNorm(a)
-    while (off > 1e-14 && sweep < 100) {
+    while (off > eps && sweep < 100) {
       var p = 0
       while (p < d - 1) {
         var q = p + 1

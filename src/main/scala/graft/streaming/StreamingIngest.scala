@@ -229,7 +229,10 @@ object StreamingIngest {
                   packedIdsPath: String = "", seqLen: Long = 2048L,
                   lm: Option[graft.operators.QualityModel.FrozenLm] = None,
                   minXent: Double = 0.0,
-                  maxXent: Double = Double.MaxValue): Unit = {
+                  maxXent: Double = Double.MaxValue,
+                  langAllow: Seq[String] = Nil,
+                  langId: Option[graft.operators.QualityModel.LangIdModel]
+                    = None): Unit = {
     import graft.functions.{Bpe, TextFns}
     import graft.operators.Dedup
     // TOKENIZER MODE (tokenizer = Some(loaded artifact)): n_tokens — and
@@ -261,15 +264,40 @@ object StreamingIngest {
         graft.operators.QualityModel.frozenXentOf(col(textCol), m))
       case None => base0 // no LM, no xent column — schema unchanged
     }
+    // LANGUAGE GATE (langAllow nonempty): the CorpusPipeline quality
+    // stage's gate on the stream — docs outside the allow-list drop as
+    // wrong_language, kept docs carry the `lang` audit column. The
+    // predictor is the TRAINED char-n-gram classifier when langId
+    // supplies a loaded artifact (the fastText deployment shape: train
+    // offline, freeze, score day-2 batches through plan-literal
+    // weights — one zero-shuffle scan), else the marker argmax (q36).
+    // Margins materialize ONCE before the argmax reads fields — the
+    // HOF-CodegenFallback contract (QualityModel.langMargins).
+    val base2 =
+      if (langAllow.isEmpty) base1
+      else langId match {
+        case Some(m) =>
+          base1.withColumn("__lmg",
+              graft.operators.QualityModel.langMargins(col(textCol), m))
+            .withColumn("lang", graft.operators.QualityModel
+              .langPredictFromMargins(col("__lmg"), m.langs))
+            .drop("__lmg")
+        case None =>
+          base1.withColumn("lang", TextFns.langPredict(col(textCol)))
+      }
     val baseReason = when(length(col(textCol)) === 0, lit("empty_after_clean"))
       .when(col("n_tokens") < minTokens, lit("too_short"))
       .when(col("quality") < minQuality, lit("low_quality"))
-    val scored = base1.withColumn("drop_reason",
+    val lmReason =
       if (lm.isDefined)
         baseReason
           .when(col("xent") > maxXent, lit("high_perplexity"))
           .when(col("xent") < minXent, lit("low_perplexity"))
-      else baseReason)
+      else baseReason
+    val scored = base2.withColumn("drop_reason",
+      if (langAllow.isEmpty) lmReason
+      else lmReason.when(
+        !col("lang").isin(langAllow.map(lit): _*), lit("wrong_language")))
     // the gated batch is consumed four times (signature build, pair gen,
     // kept anti-join, index write) — one persist, released before return
     val passed = scored.filter(col("drop_reason").isNull).drop("drop_reason")
@@ -415,7 +443,9 @@ object StreamingIngest {
                    seqLen: Long = 2048L,
                    lmPath: String = "",
                    minXent: Double = 0.0,
-                   maxXent: Double = Double.MaxValue): StreamingQuery = {
+                   maxXent: Double = Double.MaxValue,
+                   langAllow: Seq[String] = Nil,
+                   langIdPath: String = ""): StreamingQuery = {
     // TOKENIZER MODE (tokenizerPath nonempty): the streaming twin of
     // CorpusPipeline(bpeMerges > 0)'s apply side. The tokenizer is
     // trained ONCE, offline (CorpusPipeline's tokenizer stage or an
@@ -451,6 +481,25 @@ object StreamingIngest {
     // add-one miss mass — day-2 vocabulary can never kill the trigger.
     val lm = if (lmPath.isEmpty) None
       else Some(graft.operators.QualityModel.loadLm(spark, lmPath))
+    // TRAINED LANG-ID MODE (langIdPath nonempty): the classifier artifact
+    // loads ONCE at stream start (loadLangId re-validates tag, language
+    // order, per-language bucket completeness loudly — a corrupted or
+    // mis-paired artifact fails the stream at startup, never as silent
+    // misclassification mid-run); each batch's language gate then scores
+    // through plan-literal weights, zero per-trigger artifact IO. Only
+    // meaningful with a nonempty langAllow (the gate itself).
+    val langId = if (langIdPath.isEmpty) None
+      else Some(graft.operators.QualityModel.loadLangId(spark, langIdPath))
+    require(langIdPath.isEmpty || langAllow.nonEmpty,
+      "langIdPath without langAllow: the trained model only acts through " +
+        "the language gate — pass the allow-list (or drop the model path)")
+    langId.foreach { m =>
+      val missing = langAllow.filterNot(m.langs.contains)
+      require(missing.isEmpty,
+        s"langAllow contains ${missing.mkString(",")} but the lang-ID " +
+          s"artifact at $langIdPath only scores ${m.langs.mkString(",")} — " +
+          "every allowed language must be one the model can predict")
+    }
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -464,7 +513,7 @@ object StreamingIngest {
         curateBatch(spark, batch, batchId, idCol, textCol, indexPath,
           curatedPath, rejectsPath, minTokens, minQuality, numHashes,
           bands, shingleN, threshold, maxBucketSize, tokenizer,
-          packedIdsPath, seqLen, lm, minXent, maxXent)
+          packedIdsPath, seqLen, lm, minXent, maxXent, langAllow, langId)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.maintenance.Compaction.compactPartitionedDir(
             spark, indexPath, compactTargetBytes, minFiles = compactMinFiles)

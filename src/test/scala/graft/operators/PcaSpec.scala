@@ -134,6 +134,34 @@ class PcaSpec extends SparkSpec {
     assert(proj == want, s"PCA-8 semDedup: got $proj")
   }
 
+  test("train fails LOUDLY on ragged/short vectors (a skewed covariance " +
+      "would silently corrupt every downstream reduction) and on a " +
+      "column that covers fewer coordinates than dim") {
+    // one short vector among dim-4: coordinate 4's count < corpus count
+    val ragged = vecs((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(5f, 6f, 7f)),
+      (3L, Seq(8f, 9f, 10f, 11f)))
+    val e = intercept[IllegalArgumentException] {
+      Pca.train(ragged, "embedding", dim = 4, p = 2, scale = 10)
+    }
+    assert(e.getMessage.contains("ragged"), e.getMessage)
+    // uniformly short vectors: no ragged mismatch, but dim coverage fails
+    val short = vecs((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f)))
+    val e2 = intercept[IllegalArgumentException] {
+      Pca.train(short, "embedding", dim = 3, p = 2, scale = 10)
+    }
+    assert(e2.getMessage.contains("covers"), e2.getMessage)
+  }
+
+  test("varianceShare reports 0 (precondition FAILS) on a degenerate " +
+      "zero-variance corpus — the spectrum carries no information to " +
+      "justify reducing on (r14 ADVICE)") {
+    val df = vecs((1 to 10).map(i => (i.toLong, Seq(0.5f, 0.5f, 0.5f))): _*)
+    val model = Pca.train(df, "embedding", dim = 3, p = 2, scale = 1000)
+    assert(model.traceVar <= 1e-12, s"fixture: traceVar ${model.traceVar}")
+    assert(model.varianceShare(2) == 0.0,
+      "a constant corpus must FAIL the share gate, never pass it as 1.0")
+  }
+
   test("train: deterministic across runs and partitionings; projection " +
       "plan is zero-shuffle") {
     val rnd = new scala.util.Random(23)

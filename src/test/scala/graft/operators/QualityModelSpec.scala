@@ -654,6 +654,56 @@ class QualityModelSpec extends SparkSpec {
     assert(empty == "en")
   }
 
+  test("saveLangId/loadLangId: bit-exact artifact round-trip (language " +
+      "ORDER preserved — the argmax tie-break depends on it) and loud " +
+      "failure on a corrupted or mis-tagged artifact") {
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today", "en"),
+      (1L, "a bright morning sun is shining over the hills", "en"),
+      (2L, "el perro corre por la calle cada manana temprano", "es"),
+      (3L, "las montanas estaban cubiertas de nieve blanca", "es"))
+      .toDF("doc_id", "text", "lang")
+    val model = QualityModel.trainLangId(train, "doc_id", "text", "lang",
+      Seq("en", "es"), bits = 6, seed = "spec-save", epochs = 2, charN = 3)
+    val root = java.nio.file.Files.createTempDirectory("langid_art").toString
+    QualityModel.saveLangId(spark, model, root)
+    val loaded = QualityModel.loadLangId(spark, root)
+    assert(loaded.langs == model.langs, "language order must survive")
+    assert(loaded.bits == model.bits && loaded.seed == model.seed &&
+      loaded.charN == model.charN)
+    model.langs.foreach { l =>
+      assert(java.util.Arrays.equals(loaded.weights(l), model.weights(l)),
+        s"lang '$l' weight table must round-trip bit-exactly")
+    }
+    // the loaded model scores identically (same plan-literal weights)
+    val probe = Seq((1L, "corriendo por aquellas calles estrechas"))
+      .toDF("doc_id", "text")
+    val a = probe.select(QualityModel.langPredictTrained(col("text"), model))
+      .as[String].head()
+    val b = probe.select(QualityModel.langPredictTrained(col("text"), loaded))
+      .as[String].head()
+    assert(a == b)
+    // corrupted: drop one weight row -> per-language completeness fails
+    val w = spark.read.parquet(s"$root/langid_weights")
+    w.filter(!(col("lang") === "en" && col("b") === 0))
+      .write.mode("overwrite").parquet(s"$root/langid_weights_bad")
+    val fs = new java.io.File(s"$root/langid_weights")
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    new java.io.File(s"$root/langid_weights_bad").renameTo(fs)
+    val e1 = intercept[IllegalArgumentException] {
+      QualityModel.loadLangId(spark, root)
+    }
+    assert(e1.getMessage.contains("weight rows"))
+    // mis-tagged meta -> rejected before any weight read
+    Seq((6, "spec-save", 3, 2, "some-other-model"))
+      .toDF("bits", "seed", "char_n", "n_langs", "model_tag")
+      .write.mode("overwrite").parquet(s"$root/langid_meta")
+    val e2 = intercept[IllegalArgumentException] {
+      QualityModel.loadLangId(spark, root)
+    }
+    assert(e2.getMessage.contains("model_tag"))
+  }
+
   test("trigramCrossEntropy: hand-checked tiny corpus (< 3-token docs feed " +
       "the lower-order frames but are omitted from scoring)") {
     // corpus: "a a b a", "b c", "z" => unigram a=3 b=2 c=1 z=1, N=7 V=4

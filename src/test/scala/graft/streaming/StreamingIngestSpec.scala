@@ -290,6 +290,79 @@ class StreamingIngestSpec extends SparkSpec {
     assert(math.abs(keptXent - biOf(fluentNew)) < 1e-9)
   }
 
+  test("curateStream trained lang-ID mode: the persisted classifier " +
+      "artifact loads once at stream start and gates a batch on " +
+      "wrong_language; marker-free text the q36 argmax cannot place is " +
+      "classified correctly (the q112 capability, deployed)") {
+    import graft.operators.QualityModel
+    val root = Files.createTempDirectory("curate_langid")
+    val landing = root.resolve("landing")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    // labeled seed set trained OFFLINE (the QualityModelSpec fixture),
+    // persisted, loaded once by the stream — the fastText deployment shape
+    val train = Seq(
+      ("en", "the children were running quickly through the winding streets"),
+      ("en", "a bright morning sun is shining over the green hills"),
+      ("en", "reading books and writing letters is a quiet evening pleasure"),
+      ("en", "travelers walking along the river watched the boats drifting"),
+      ("es", "el perro corre por la calle cada manana muy temprano"),
+      ("es", "las montanas estaban cubiertas de nieve blanca brillante"),
+      ("es", "los ninos cantaban canciones alegres durante la celebracion"),
+      ("es", "caminando despacio llegamos hasta la orilla del rio"))
+      .zipWithIndex.map { case ((l, t), i) => (i.toLong, t, l) }
+      .toDF("doc_id", "text", "lang")
+    val model = QualityModel.trainLangId(train, "doc_id", "text", "lang",
+      Seq("en", "es"), bits = 10, seed = "spec-stream-langid",
+      epochs = 8, charN = 3)
+    val langIdPath = s"$root/langid_artifact"
+    QualityModel.saveLangId(spark, model, langIdPath)
+
+    // day-2 batch: marker-free Spanish (the q36 argmax sees no marker
+    // words and falls to its 'en' tie-break — fixture-checked) plus
+    // fluent English; allow-list = en only
+    val enDoc = "children playing outside were singing cheerful songs together"
+    val esDoc = "corriendo rapidamente cruzaron aquellas calles estrechas anoche"
+    assert(Seq((1L, esDoc)).toDF("doc_id", "text")
+      .select(graft.functions.TextFns.langPredict(col("text")))
+      .as[String].head() == "en",
+      "fixture: the marker argmax must NOT see the Spanish doc")
+    write(landing, "b1.csv", s"doc_id,text\n1,$enDoc\n2,$esDoc\n")
+    val stream = spark.readStream.schema(docSchema)
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .csv(landing.toString)
+    StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+      s"$root/index", s"$root/curated", s"$root/rejects", s"$root/ckpt",
+      minTokens = 5L, maxBucketSize = Int.MaxValue,
+      langAllow = Seq("en"), langIdPath = langIdPath)
+      .awaitTermination()
+    assert(spark.read.parquet(s"$root/curated").select("doc_id")
+      .as[Long].collect().toSet == Set(1L),
+      "English doc must survive the trained language gate")
+    assert(spark.read.parquet(s"$root/rejects")
+      .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+      == Map(2L -> "wrong_language"),
+      "marker-free Spanish must drop as wrong_language under the TRAINED gate")
+    // kept docs carry the lang audit column
+    assert(spark.read.parquet(s"$root/curated")
+      .select("lang").as[String].head() == "en")
+    // guard: a model path without the gate it acts through is a config bug
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+        s"$root/index2", s"$root/curated2", s"$root/rejects2", s"$root/ckpt2",
+        langIdPath = langIdPath)
+    }
+    assert(e.getMessage.contains("langAllow"))
+    // guard: allow-list outside the model's label space fails at startup
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+        s"$root/index3", s"$root/curated3", s"$root/rejects3", s"$root/ckpt3",
+        langAllow = Seq("en", "fr"), langIdPath = langIdPath)
+    }
+    assert(e2.getMessage.contains("fr"))
+  }
+
   test("curateStream tokenizer mode: token-denominated gates, per-batch " +
       "packed marked-id shards, day-2 unseen alphabet, replay idempotent") {
     import graft.functions.{Bpe, TextFns}
