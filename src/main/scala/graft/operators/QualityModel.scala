@@ -466,18 +466,36 @@ object QualityModel {
     }
   }
 
-  /** ALL K language margins in ONE pass: a single `aggregate` over the
-    * shared bucket array whose accumulator is a struct
-    * `(n, ws_<lang>...)` — each n-gram is hashed ONCE and probes the K
-    * weight arrays inside one fold. This matters because higher-order
-    * functions are CodegenFallback: separate per-lang aggregate columns
-    * are NOT subexpression-eliminated against each other (measured 3×
-    * the hash cost at sf0.1 for K = 3). Callers extracting several
-    * fields should MATERIALIZE this column first (one projection) and
-    * getField from the materialized struct — CollapseProject keeps the
-    * two projections apart for non-cheap multiply-referenced
-    * expressions, so the aggregate runs once per row. */
+  /** ALL K language margins in ONE pass, as a NATIVE compiled scan
+    * ([[graft.functions.LangMarginsExpr]]): slice char-n-gram windows,
+    * hash each ONCE, probe all K weight tables inside one codegen call.
+    * Replaces the `aggregate`-fold composition ([[langMarginsFold]],
+    * kept as the parity reference): higher-order functions are
+    * CodegenFallback AND the fold measurably re-evaluated under the
+    * multi-field q112 bench shape (8.2 s vs 4.3 s for the same scan at
+    * sf0.1) — the native struct is computed exactly once per row no
+    * matter how many fields the caller extracts. Bit-identical output
+    * (integer-only arithmetic, same md5 bucketing — QualityModelSpec
+    * pins kernel == fold on mixed-script text; the q112 oracle hash
+    * pins it cross-engine). Weight tables ride a BROADCAST (fetched
+    * once per executor, the frozen-LM discipline). */
   def langMargins(text: Column, model: LangIdModel): Column = {
+    val bc = SparkSession.active.sparkContext.broadcast(
+      graft.functions.LangIdTables(
+        model.langs.map(model.weights(_)).toArray))
+    org.apache.spark.sql.graft.ExprBridge.column(
+      graft.functions.LangMarginsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(lower(text)),
+        bc, model.langs, model.seed, model.charN, 1 << model.bits))
+  }
+
+  /** The Column-composition margins fold langMargins replaced — one
+    * `aggregate` over the shared bucket array with a struct accumulator
+    * (each n-gram hashed once, probing K weight literals). Kept as the
+    * spec-pinned parity reference for the native kernel; prefer
+    * [[langMargins]] everywhere (HOFs are CodegenFallback and re-evaluate
+    * under multi-field extraction). */
+  private[graft] def langMarginsFold(text: Column, model: LangIdModel): Column = {
     val nBuckets = 1 << model.bits
     val toks = TextFns.charNgrams(text, model.charN)
     val buckets = transform(toks, t =>

@@ -654,6 +654,41 @@ class QualityModelSpec extends SparkSpec {
     assert(empty == "en")
   }
 
+  test("langMargins native kernel == the Column-composition fold it " +
+      "replaced, on multibyte/mixed-script/short/empty/null text (window " +
+      "slicing must step code points exactly like substringSQL; md5 " +
+      "bucketing byte-identical)") {
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog", "en"),
+      (1L, "el perro corre por la calle cada manana", "es"))
+      .toDF("doc_id", "text", "lang")
+    val model = QualityModel.trainLangId(train, "doc_id", "text", "lang",
+      Seq("en", "es"), bits = 7, seed = "spec-native", epochs = 2, charN = 3)
+    val probes = Seq(
+      (1L, "plain ascii words here"),
+      (2L, "Grüße aus München — schöne Straße"),       // 2-byte points
+      (3L, "日本語のテキストと漢字が混ざる"),               // 3-byte points
+      (4L, "mixed 語 ascii ü and 🙂 emoji 🚀 tails"),   // 4-byte points
+      (5L, "AB"),                                      // shorter than charN
+      (6L, ""),                                        // empty
+      (7L, null.asInstanceOf[String]),                 // null
+      (8L, "UPPER Case FOLDS through spark's own lower()"))
+      .toDF("doc_id", "text")
+    val got = probes.select(col("doc_id"),
+        QualityModel.langMargins(col("text"), model).as("m"),
+        QualityModel.langMarginsFold(col("text"), model).as("f"))
+      .select(col("doc_id"),
+        col("m.n"), col("m.ws_en"), col("m.ws_es"),
+        col("f.n"), col("f.ws_en"), col("f.ws_es"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (id, n1, e1, s1, n2, e2, s2) =>
+      assert((n1, e1, s1) == (n2, e2, s2),
+        s"doc $id: native ($n1,$e1,$s1) != fold ($n2,$e2,$s2)")
+    }
+    // fixture sanity: the multibyte rows must actually produce n-grams
+    assert(got.filter(r => r._1 >= 2 && r._1 <= 4).forall(_._2 > 0))
+  }
+
   test("saveLangId/loadLangId: bit-exact artifact round-trip (language " +
       "ORDER preserved — the argmax tie-break depends on it) and loud " +
       "failure on a corrupted or mis-tagged artifact") {
