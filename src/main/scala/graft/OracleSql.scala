@@ -1681,6 +1681,51 @@ object OracleSql {
            FROM u WHERE n_hits > 0)
          SELECT qid, doc_id, n_hits, score_i FROM r WHERE rn <= 10
          ORDER BY qid, score_i DESC, doc_id"""
+    },
+
+    // q120: the persisted BM25 index lifecycle — stats built on the
+    // day-1 slice, incrementally merged with day-2 (N/Σdl/df all add
+    // over disjoint doc sets), then q113's scoring replayed from the
+    // MERGED stats. Structurally mirrors the engine's
+    // train→save→update→load→query path: g1/g2 are the two artifact
+    // states, g the post-update one. Replays CorpusStats.bm25BuildIndex
+    // + bm25UpdateIndex + bm25TopKIndexed.
+    "q120_bm25_index" -> {
+      val terms = Seq("join", "filter", "sort")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n             ")
+      val dfCols = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      val dfMerge = terms.indices.map(i =>
+        s"g1.df$i + g2.df$i AS df$i").mkString(", ")
+      val contribs = terms.indices.map { i =>
+        s"""CAST(ROUND(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+               / (CAST(df$i AS DOUBLE) + 0.5))
+             * ((tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75)
+               + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)"""
+      }.mkString("\n             + ")
+      val hits = terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents),
+         f AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             $tfCols
+           FROM b),
+         g1 AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS BIGINT)) AS sdl,
+             $dfCols FROM f WHERE doc_id % 5 <> 0),
+         g2 AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS BIGINT)) AS sdl,
+             $dfCols FROM f WHERE doc_id % 5 = 0),
+         g AS (SELECT g1.n + g2.n AS n, g1.sdl + g2.sdl AS sdl,
+             $dfMerge FROM g1 CROSS JOIN g2),
+         s AS (SELECT doc_id,
+             CAST(($hits) AS INTEGER) AS n_hits,
+             $contribs AS score_i
+           FROM f CROSS JOIN
+             (SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl, ${terms.indices.map(i => s"df$i").mkString(", ")} FROM g))
+         SELECT doc_id, n_hits, score_i FROM s WHERE n_hits > 0
+         ORDER BY score_i DESC, doc_id LIMIT 25"""
     }
   )
 

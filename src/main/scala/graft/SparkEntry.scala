@@ -1830,6 +1830,35 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** PERSISTED BM25 retrieval-index lifecycle (the frozen-LM deployment
+    * ladder applied to sparse retrieval, r14 verdict #6): build corpus
+    * stats on the day-1 slice, SAVE the artifact, incrementally UPDATE
+    * it with the day-2 batch (N/Σdl add; df is additive over disjoint
+    * doc sets — the exactly-once ingest contract), LOAD, and query the
+    * whole corpus from the loaded stats — no per-call stats aggregate.
+    * The oracle re-derives day-1 and day-2 stats as SEPARATE CTEs and
+    * merges them with the same additive arithmetic, then replays the
+    * q113 scoring from the MERGED stats — a hash match proves the
+    * artifact round-trip, the incremental-update additivity, and that
+    * indexed scoring equals direct scoring when the index covers
+    * exactly the scored corpus. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val day1 = docs.filter(col("doc_id") % 5 =!= 0)
+    val day2 = docs.filter(col("doc_id") % 5 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_q120_bm25").toString
+    CorpusStats.bm25SaveIndex(s,
+      CorpusStats.bm25BuildIndex(day1, "doc_id", "text"), path)
+    CorpusStats.bm25UpdateIndex(s, path, day2, "doc_id", "text")
+    val idx = CorpusStats.bm25LoadIndex(s, path)
+    // bm25TopKIndexed collects its |Q| df rows eagerly, so the artifact
+    // directory is dead once the frame is built
+    val out = CorpusStats.bm25TopKIndexed(docs, "doc_id", "text",
+      queryTerms = Seq("join", "filter", "sort"), idx, topK = 25)
+    deleteRecursively(path)
+    out
+  }
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -2170,7 +2199,8 @@ object SparkEntry {
     "q116_pca_project" -> q116 _,
     "q117_frozen_trigram_lm" -> q117 _,
     "q118_bm25_batch" -> q118 _,
-    "q119_pca_semdedup" -> q119 _
+    "q119_pca_semdedup" -> q119 _,
+    "q120_bm25_index" -> q120 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

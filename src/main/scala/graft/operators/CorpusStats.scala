@@ -259,4 +259,150 @@ object CorpusStats {
       .filter(col("__r") <= topK).drop("__r")
       .orderBy(col("qid"), col("score_i").desc, col(idCol))
   }
+
+  // ---- persisted BM25 retrieval index (the r14 verdict's #6) ----
+
+  /** A PERSISTED BM25 corpus-statistics artifact: `nDocs`/`sumDl` plus
+    * the full-vocabulary document-frequency FRAME (never driver-collected
+    * — Zipf-small relative to the corpus but still vocab-sized; a query
+    * filters it down to its |Q| terms and collects |Q| rows). The frozen-
+    * LM deployment ladder applied to sparse retrieval: [[bm25TopK]]
+    * recomputes (N, Σdl, df) with a full corpus aggregate on EVERY call,
+    * which a curation stack pays hundreds of times per day over the same
+    * corpus — this artifact is computed once per ingest batch
+    * (incrementally — [[bm25UpdateIndex]]) and reused by every query. */
+  final case class Bm25Index(nDocs: Long, sumDl: Long, df: DataFrame)
+
+  /** Corpus statistics of `df` as a [[Bm25Index]]: one word-count-shaped
+    * aggregation (per-doc DISTINCT terms exploded → df per term, with
+    * map-side partial aggregation) plus a one-row (N, Σdl) reduce.
+    * Token unit is [[TextFns.tokens]], matching [[bm25TopK]]. */
+  def bm25BuildIndex(df: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val base = df.select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__dl"),
+        array_distinct(col("__toks")).as("__terms"))
+    val meta = base.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sdl"))
+      .collect()(0)
+    val dfFrame = base.select(explode(col("__terms")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    Bm25Index(meta.getLong(0), if (meta.isNullAt(1)) 0L else meta.getLong(1),
+      dfFrame)
+  }
+
+  /** Persist a [[Bm25Index]]: `$path/bm25_df` = (tok, df) and
+    * `$path/bm25_meta` = one row (n_docs, sum_dl, model_tag). Counts are
+    * integers — bit-lossless, the frozen-LM artifact discipline. */
+  def bm25SaveIndex(spark: SparkSession, index: Bm25Index, path: String): Unit = {
+    import spark.implicits._
+    index.df.select(col("tok"), col("df"))
+      .write.mode("overwrite").parquet(s"$path/bm25_df")
+    Seq((index.nDocs, index.sumDl, "bm25-v1"))
+      .toDF("n_docs", "sum_dl", "model_tag").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/bm25_meta")
+  }
+
+  /** Load a [[bm25SaveIndex]] artifact, re-validating loudly (the
+    * loadUnigramLm policy): tag, meta arity, df domain. The df frame
+    * loads LAZILY — only queries' term rows are ever collected. */
+  def bm25LoadIndex(spark: SparkSession, path: String): Bm25Index = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/bm25_meta")
+      .select("n_docs", "sum_dl", "model_tag")
+      .as[(Long, Long, String)].collect()
+    require(meta.length == 1,
+      s"BM25 meta at $path/bm25_meta has ${meta.length} rows")
+    val (n, sdl, tag) = meta.head
+    require(tag == "bm25-v1",
+      s"BM25 artifact at $path has model_tag '$tag', expected 'bm25-v1'")
+    require(n >= 0 && sdl >= 0,
+      s"BM25 artifact at $path has negative stats (n=$n, sum_dl=$sdl)")
+    Bm25Index(n, sdl, spark.read.parquet(s"$path/bm25_df"))
+  }
+
+  /** INCREMENTAL index update for batch ingest: merge a batch of NEW
+    * documents into the persisted artifact — N and Σdl add, and df is
+    * additive over DISJOINT document sets (the precondition: `batch`
+    * must contain only docs not already counted; re-ingesting a doc
+    * would double-count its terms, so route replays through the
+    * curation layer's exactly-once machinery first). O(batch) work plus
+    * one vocab-sized merge aggregation; the df table is swapped through
+    * a staging directory so a crash mid-write can never leave a
+    * half-merged artifact behind the meta's back (meta writes LAST —
+    * a stale-df + old-meta artifact is just the pre-update state). */
+  def bm25UpdateIndex(spark: SparkSession, path: String, batch: DataFrame,
+                      idCol: String, textCol: String): Bm25Index = {
+    val cur = bm25LoadIndex(spark, path)
+    val inc = bm25BuildIndex(batch, idCol, textCol)
+    val merged = cur.df.unionByName(inc.df)
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dfDir = new org.apache.hadoop.fs.Path(s"$path/bm25_df")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/bm25_df.staging")
+    val old = new org.apache.hadoop.fs.Path(s"$path/bm25_df.old")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(old, true)
+    require(fs.rename(dfDir, old), s"BM25 update: cannot stage out $dfDir")
+    require(fs.rename(staging, dfDir), s"BM25 update: cannot swap in $staging")
+    fs.delete(old, true)
+    import spark.implicits._
+    val out = Bm25Index(cur.nDocs + inc.nDocs, cur.sumDl + inc.sumDl,
+      spark.read.parquet(dfDir.toString))
+    Seq((out.nDocs, out.sumDl, "bm25-v1"))
+      .toDF("n_docs", "sum_dl", "model_tag").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/bm25_meta")
+    out
+  }
+
+  /** [[bm25TopK]] scored from a PERSISTED index instead of a per-call
+    * stats aggregate: the |Q| query terms' df values come from the
+    * artifact's df frame (|Q| collected rows), N/avgdl from its meta —
+    * the only corpus pass left is the scoring scan itself (per-term tf
+    * in-scan, fixed-point contributions, TakeOrdered; zero wide
+    * shuffles, the q113 plan shape). A term absent from the artifact
+    * scores with df = 0 (idf = ln(1 + (N+0.5)/0.5)) — day-2 query
+    * vocabulary never fails the call. Scoring arithmetic is pinned to
+    * [[bm25TopK]]'s: same quantization, same tie-break, same n_hits
+    * match filter — when the index was built from exactly the scored
+    * corpus, the results are identical (the q120 oracle proves it). */
+  def bm25TopKIndexed(df: DataFrame, idCol: String, textCol: String,
+                      queryTerms: Seq[String], index: Bm25Index,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      topK: Int = 10): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopKIndexed: queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms,
+      "bm25TopKIndexed: queryTerms must be distinct")
+    require(index.nDocs > 0, "bm25TopKIndexed: empty index")
+    val terms = queryTerms.toIndexedSeq
+    val dfOf = index.df.filter(col("tok").isin(terms: _*))
+      .select(col("tok"), col("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = index.nDocs
+    val avgdl = index.sumDl.toDouble / nDocs
+    val base = df.select(col(idCol),
+        TextFns.tokens(col(textCol)).as("__toks"))
+      .select(
+        (col(idCol) +: size(col("__toks")).as("__dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(col("__toks"), x => x === lit(t))).as(s"__tf$i")
+          }): _*)
+    val contribs = terms.indices.map { i =>
+      val dft = dfOf.getOrElse(terms(i), 0L).toDouble
+      val idf = log(lit(1.0) +
+        (lit(nDocs.toDouble) - lit(dft) + lit(0.5)) / (lit(dft) + lit(0.5)))
+      val tf = col(s"__tf$i").cast("double")
+      val sat = (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__dl").cast("double") / lit(avgdl)))
+      round(idf * sat * 1e6).cast("long")
+    }
+    val hits = terms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1).otherwise(0))
+      .reduce(_ + _).cast("int")
+    base.select(col(idCol), hits.as("n_hits"),
+        contribs.reduce(_ + _).as("score_i"))
+      .filter(col("n_hits") > 0)
+      .orderBy(col("score_i").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -1,15 +1,17 @@
 package graft.pipeline
 
 import graft.functions.{Bpe, TextFns}
-import graft.operators.{Dedup, Mixture, Packer, PrefixSum, QualityModel, Sharding}
+import graft.operators.{Dedup, Mixture, Packer, Pca, PrefixSum, QualityModel, Sharding, Similarity}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The training-corpus counterpart of [[DailyPipeline]]: one driver program
   * chaining the engine's LLM-data operators into the standard curation
   * sequence — text cleanup → quality gate → perplexity gate → exact dedup
-  * → near-dup clustering → substring rewrite → benchmark decontamination
-  * → mixture sampling → sequence packing → shard layout — with the same
+  * → near-dup clustering → (optional) embedding-space semantic dedup,
+  * full-dim or share-guarded PCA-reduced → substring rewrite → benchmark
+  * decontamination → mixture sampling → sequence packing → shard layout
+  * — with the same
   * per-stage [[DailyPipeline.StageResult]] summary contract (rows out +
   * wall-clock, failures recorded, fail-fast propagation). With
   * `bpeMerges > 0` the run additionally trains a BPE tokenizer on the
@@ -55,6 +57,38 @@ object CorpusPipeline {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       maxBucketSize: Int = 1000,
+      // SEMANTIC dedup stage (0 = off): embedding-space near-dup removal
+      // (q70's SemDeDup operator) after the MinHash stage — MinHash sees
+      // shared SURFACE n-grams, SemDeDup sees paraphrases and
+      // re-renderings that share no shingles. Needs the `embeddings`
+      // frame passed to run(); docs without a vector pass through
+      // un-deduped (they cannot be compared, and dropping them for
+      // missing metadata would be a silent corpus hole).
+      semCentroids: Int = 0,
+      semThresholdNum: Int = 3,
+      semThresholdDen: Int = 10,
+      // true = the PRODUCTION clustering config (q70's bench twin):
+      // k-means++ init + converged Lloyd iterations before the tiled
+      // self-join, so cluster occupancy is balanced and pair volume
+      // tracks true neighborhoods. false = deterministic seed centroids
+      // (the q70 oracle config — replayable in SQL, but skewed clusters
+      // at scale make the within-cluster self-join the bottleneck).
+      semConverge: Boolean = false,
+      embedScale: Int = 1000,
+      // pcaP > 0 = run semantic dedup in PCA-REDUCED space (the q119
+      // composition): train on the stage's own live vectors, project,
+      // dedup over p dims at p/dim of the per-pair dot cost. GUARDED by
+      // the measured soundness precondition: varianceShare(pcaP) must
+      // reach pcaMinShare or the stage FAILS LOUDLY — the r14 A/B
+      // (scaling/r14/pca_semdedup_ab.json) measured a 62%-share
+      // reduction over-flagging 39733/40000 where the full space flags
+      // 229, while a 98%-share reduction agrees 99.94%. embedDim must
+      // state the vector width when pcaP > 0 (the trainer's covariance
+      // is allocated dim², and a ragged column fails loudly inside
+      // Pca.train).
+      pcaP: Int = 0,
+      pcaMinShare: Double = 0.9,
+      embedDim: Int = 0,
       spanTokens: Int = 8,
       // decontamination n-gram length: deliberately LONGER than the
       // dedup shingles — contamination means verbatim leakage of eval
@@ -140,7 +174,17 @@ object CorpusPipeline {
     * `outDir`. */
   def run(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
           outDir: String, cfg: Config = Config(),
-          failFast: Boolean = true): Seq[StageResult] = {
+          failFast: Boolean = true,
+          embeddings: Option[DataFrame] = None): Seq[StageResult] = {
+    require(cfg.semCentroids == 0 || embeddings.nonEmpty,
+      "semCentroids > 0 turns the semantic-dedup stage on, which needs " +
+        "the embeddings frame (doc_id, embedding) passed to run()")
+    require(cfg.pcaP == 0 || cfg.semCentroids > 0,
+      "pcaP > 0 only acts through the semantic-dedup stage — set " +
+        "semCentroids > 0 (or drop pcaP)")
+    require(cfg.pcaP == 0 || cfg.embedDim >= cfg.pcaP,
+      s"pcaP=${cfg.pcaP} needs embedDim >= pcaP stating the vector " +
+        s"width, got embedDim=${cfg.embedDim}")
     val results = Seq.newBuilder[StageResult]
 
     def stage(name: String)(body: => Long): Unit = {
@@ -283,8 +327,69 @@ object CorpusPipeline {
         .select(col("doc_id")), Seq("doc_id"), "left_semi"), "s4_neardup")
     }
 
-    stage("span_rewrite") {
+    if (cfg.semCentroids > 0) stage("sem_dedup") {
       val in = read("s4_neardup")
+      // only the docs still alive carry into the index; docs WITHOUT an
+      // embedding pass through (no vector = no comparison, and dropping
+      // for missing metadata would be a silent corpus hole — their count
+      // is auditable as in-rows minus index rows)
+      val live = embeddings.get.select(col("doc_id"), col("embedding"))
+        .join(in.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val (vecCol, indexed) =
+        if (cfg.pcaP > 0) {
+          // materialize the live frame ONCE: the trainer's covariance
+          // reads it twice (both moment frames) and the projection a
+          // third time — re-paying the semi-join under a 4096-way
+          // coordinate-pair explode each time (measured ~2 s of the
+          // stage at the 80k A/B point)
+          write(live, "s4b_sem_live")
+          val liveP = read("s4b_sem_live")
+          val model = Pca.train(liveP, "embedding", cfg.embedDim, cfg.pcaP,
+            cfg.embedScale)
+          val share = model.varianceShare(cfg.pcaP)
+          // the measured failure mode is catastrophic over-flagging, so
+          // an insufficient spectrum is a HARD stop, not a warning
+          require(share >= cfg.pcaMinShare,
+            f"PCA-${cfg.pcaP} captures only $share%.4f of the embedding " +
+              f"variance < pcaMinShare=${cfg.pcaMinShare}%.4f — reducing " +
+              "here over-flags catastrophically (the r14 A/B: 62%% share " +
+              "flagged 39733/40000 where the full space flags 229); raise " +
+              "pcaP, or run the full space (pcaP = 0)")
+          ("pca_vec", Pca.withProjection(liveP, "embedding", model, "pca_vec")
+            .select(col("doc_id"), col("pca_vec")))
+        } else ("embedding", live)
+      // MATERIALIZE the (projected) index once — the q119 lesson: the
+      // projection expression riding un-materialized through semDedup's
+      // k-means iterations measured 8x recompute amplification. A stage
+      // boundary write is the pipeline-native materialization
+      // (restartable + auditable like every other stage artifact).
+      write(indexed, "s4b_sem_index")
+      val index = read("s4b_sem_index")
+      val centroids =
+        if (!cfg.semConverge) None
+        else {
+          val init = graft.operators.KMeansInt.kmeansPlusPlusInit(index,
+            "doc_id", vecCol, cfg.semCentroids, scale = cfg.embedScale)
+          Some(graft.operators.KMeansInt.converge(index, "doc_id", vecCol,
+            init, scale = cfg.embedScale, maxIters = 8)._1)
+        }
+      val flagged = Similarity.semDedup(index, "doc_id",
+          vecCol, nCentroids = cfg.semCentroids,
+          thresholdNum = cfg.semThresholdNum,
+          thresholdDen = cfg.semThresholdDen, scale = cfg.embedScale,
+          centroids = centroids)
+        .filter(!col("kept")).select(col("doc_id"), col("dup_of"))
+      write(in.join(flagged.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .withColumn("drop_reason", lit("semantic_duplicate")),
+        "rejects_semdedup")
+      write(in.join(flagged.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+        "s4c_semdedup")
+    }
+    // span_rewrite consumes the semantic stage's output when it ran
+    val afterNearDup = if (cfg.semCentroids > 0) "s4c_semdedup" else "s4_neardup"
+
+    stage("span_rewrite") {
+      val in = read(afterNearDup)
       val rewritten = Dedup.removeDuplicateSpans(in, "doc_id", "text",
           cfg.spanTokens, hashWindows = true)
         .select(col("doc_id"), col("kept_text").as("text"),

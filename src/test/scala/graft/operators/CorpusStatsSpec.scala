@@ -152,6 +152,57 @@ class CorpusStatsSpec extends SparkSpec {
     assert(s(1L) > s(2L) && s(1L) < math.ceil(s(2L) * 2.2).toLong)
   }
 
+  test("BM25 persisted index: save/load round-trip re-validates loudly; " +
+      "incremental update over a disjoint day-2 batch equals a full " +
+      "rebuild; indexed scoring == per-call bm25TopK when the index " +
+      "covers the scored corpus; unseen query terms score at df=0") {
+    val day1 = Seq((1L, "merge merge scan"), (2L, "merge scan scan scan"),
+      (3L, "scan scan scan")).toDF("doc_id", "text")
+    val day2 = Seq((4L, "vector merge"), (5L, "pad pad vector"))
+      .toDF("doc_id", "text")
+    val all = day1.unionByName(day2)
+    val root = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+
+    CorpusStats.bm25SaveIndex(spark,
+      CorpusStats.bm25BuildIndex(day1, "doc_id", "text"), root)
+    val updated = CorpusStats.bm25UpdateIndex(spark, root, day2,
+      "doc_id", "text")
+    val rebuilt = CorpusStats.bm25BuildIndex(all, "doc_id", "text")
+    assert(updated.nDocs == rebuilt.nDocs && updated.sumDl == rebuilt.sumDl)
+    val mergedDf = updated.df.orderBy("tok")
+      .as[(String, Long)].collect().toSeq
+    val rebuiltDf = rebuilt.df.orderBy("tok")
+      .as[(String, Long)].collect().toSeq
+    assert(mergedDf == rebuiltDf,
+      s"incremental df table must equal a full rebuild: $mergedDf vs $rebuiltDf")
+
+    // the loaded artifact scores identically to the per-call path
+    val loaded = CorpusStats.bm25LoadIndex(spark, root)
+    assert(loaded.nDocs == rebuilt.nDocs && loaded.sumDl == rebuilt.sumDl)
+    val direct = CorpusStats.bm25TopK(all, "doc_id", "text",
+        Seq("merge", "vector"), topK = 10)
+      .as[(Long, Int, Long)].collect().toSeq
+    val indexed = CorpusStats.bm25TopKIndexed(all, "doc_id", "text",
+        Seq("merge", "vector"), loaded, topK = 10)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(indexed == direct,
+      s"indexed scoring must equal direct: $indexed vs $direct")
+
+    // day-2 query vocabulary: unseen term scores at df=0, never fails
+    val unseen = CorpusStats.bm25TopKIndexed(all, "doc_id", "text",
+        Seq("zebra", "merge"), loaded, topK = 10)
+      .select("doc_id", "n_hits").as[(Long, Int)].collect().toMap
+    assert(unseen.keySet == Set(1L, 2L, 4L)) // only 'merge' matches
+
+    // corrupted meta tag rejected at load
+    Seq((5L, 99L, "not-bm25")).toDF("n_docs", "sum_dl", "model_tag")
+      .write.mode("overwrite").parquet(s"$root/bm25_meta")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.bm25LoadIndex(spark, root)
+    }
+    assert(e.getMessage.contains("model_tag"))
+  }
+
   test("bm25TopKQueries: batched result == per-query bm25TopK, query by " +
       "query; non-matching docs never appear") {
     val rnd = new scala.util.Random(31)

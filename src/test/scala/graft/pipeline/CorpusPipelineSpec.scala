@@ -90,6 +90,81 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(shards.map(_._3) == expectedOrder)
   }
 
+  test("sem_dedup stage: embedding-space paraphrases drop as " +
+      "semantic_duplicate (keep-lowest), docs WITHOUT a vector pass " +
+      "through; the PCA-reduced path flags the same set when the " +
+      "variance share justifies p; an insufficient spectrum FAILS LOUDLY") {
+    import org.apache.spark.sql.functions.col
+    // signal lives in dims 0-1; dims 2-7 carry tiny per-doc noise, so
+    // the top-2 PCA basis is the signal subspace (share ~0.999).
+    // 9 is a near-copy of 4 IN EMBEDDING SPACE (texts share no shingles
+    // — exactly what MinHash cannot see); 8 has NO embedding.
+    def vec(a: Double, b: Double, seed: Int): Seq[Float] =
+      (Seq(a, b) ++ Seq.tabulate(6)(k => 0.01 * ((seed + k) % 5 - 2))).map(_.toFloat)
+    val embeddings = Seq(
+      (1L, vec(1.0, 0.0, 1)),
+      (4L, vec(0.0, 1.0, 2)),
+      (5L, vec(0.7, -0.7, 3)),
+      (9L, vec(0.02, 0.999, 4))).toDF("doc_id", "embedding")
+
+    def runWith(cfg: CorpusPipeline.Config): (Seq[DailyPipeline.StageResult], String) = {
+      val out = Files.createTempDirectory("corpus_sem").toString
+      (CorpusPipeline.run(spark, docs, benchmark, out, cfg,
+        embeddings = Some(embeddings)), out)
+    }
+    val base = CorpusPipeline.Config(minTokens = 8L, seqLen = 16,
+      shardSize = 2L, semCentroids = 1,
+      semThresholdNum = 97, semThresholdDen = 100)
+
+    for (cfg <- Seq(base, base.copy(pcaP = 2, embedDim = 8, pcaMinShare = 0.9))) {
+      val (summary, out) = runWith(cfg)
+      assert(summary.map(_.stage) == Seq("clean", "quality", "ppl_gate",
+        "exact_dedup", "near_dedup", "sem_dedup", "span_rewrite",
+        "decontaminate", "mixture", "pack", "shard"))
+      assert(summary.forall(_.ok))
+      val rows = summary.map(r => r.stage -> r.rows).toMap
+      assert(rows("near_dedup") == 5)
+      assert(rows("sem_dedup") == 4,
+        s"pcaP=${cfg.pcaP}: sem_dedup kept ${rows("sem_dedup")}") // -9
+      assert(spark.read.parquet(s"$out/rejects_semdedup")
+        .select("doc_id", "drop_reason").as[(Long, String)].collect().toMap
+        == Map(9L -> "semantic_duplicate"),
+        s"pcaP=${cfg.pcaP}: 9 must yield to its lower-id embedding twin 4")
+      // 8 has no embedding: passes sem_dedup, drops at decontaminate
+      assert(rows("decontaminate") == 3)
+      assert(spark.read.parquet(s"$out/s6_clean").select("doc_id")
+        .as[Long].collect().toSet == Set(1L, 4L, 5L))
+      // the stage's index artifact carries the dedup space it ran in
+      val idxCols = spark.read.parquet(s"$out/s4b_sem_index").columns.toSet
+      assert(idxCols ==
+        Set("doc_id", if (cfg.pcaP > 0) "pca_vec" else "embedding"))
+    }
+
+    // GUARD: four simplex-corner vectors have three EQUAL nonzero
+    // eigenvalues — top-2 share = 2/3 < 0.9 — and the stage must refuse
+    // to reduce (the r14 A/B's catastrophic over-flagging regime)
+    val simplex = Seq(1L, 4L, 5L, 9L).zipWithIndex.map { case (id, k) =>
+      (id, Seq.tabulate(8)(j => if (j == k) 1.0f else 0.0f))
+    }.toDF("doc_id", "embedding")
+    val out2 = Files.createTempDirectory("corpus_sem_bad").toString
+    val e = intercept[DailyPipeline.PipelineFailedException] {
+      CorpusPipeline.run(spark, docs, benchmark, out2,
+        base.copy(pcaP = 2, embedDim = 8),
+        embeddings = Some(simplex))
+    }
+    assert(e.getCause.getMessage.contains("variance"),
+      s"got: ${e.getCause.getMessage}")
+    // config sanity guards
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.run(spark, docs, benchmark, out2, base)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.run(spark, docs, benchmark, out2,
+        CorpusPipeline.Config(pcaP = 2, embedDim = 8),
+        embeddings = Some(embeddings))
+    }
+  }
+
   test("ppl_gate: hapax-noise docs exceed the xent band and are rejected with a reason") {
     import graft.operators.QualityModel
     // a corpus whose vocabulary repeats heavily, plus one doc of pure
