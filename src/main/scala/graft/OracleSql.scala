@@ -410,6 +410,28 @@ object OracleSql {
          WHERE CAST(cnt AS DOUBLE) / CAST(sa.sz + sb.sz - cnt AS DOUBLE) >= 0.2
          ORDER BY id_a, id_b""",
 
+    // q122: containment (one-sided overlap coefficient) pairs — q39's
+    // shingle replay with the integer threshold predicate
+    // inter·den >= num·min(szA,szB), so the boundary is float-free on
+    // both engines. Replays Dedup.containmentPairs.
+    "q122_containment_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id AS id, unnest(list_distinct($shingles3)) AS sh FROM t),
+         sizes AS (SELECT id, CAST(COUNT(*) AS INTEGER) AS sz FROM sh GROUP BY id),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS cnt
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id)
+         SELECT id_a, id_b, CAST(cnt AS BIGINT) AS inter,
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6)
+             AS containment
+         FROM pairs
+         JOIN sizes sa ON sa.id = id_a
+         JOIN sizes sb ON sb.id = id_b
+         WHERE cnt * 10 >= 5 * LEAST(sa.sz, sb.sz)
+         ORDER BY id_a, id_b""",
+
     // q40: the LSH-candidate + exact-verify output provably equals the full
     // exact-Jaccard pair set at threshold 0.5 (recall == 1 on this corpus,
     // see object Scaladoc) — the oracle computes that set directly.
@@ -1726,6 +1748,127 @@ object OracleSql {
              (SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl, ${terms.indices.map(i => s"df$i").mkString(", ")} FROM g))
          SELECT doc_id, n_hits, score_i FROM s WHERE n_hits > 0
          ORDER BY score_i DESC, doc_id LIMIT 25"""
+    },
+
+    // q123: more-like-this — the seed doc's top-3 tf·idf terms (q81
+    // arithmetic, (score desc, tok) ties) become the BM25 query,
+    // scored in the JOIN-GENERIC shape (per-(doc,term) contribution
+    // rows summed per doc): the engine's unrolled per-term columns sum
+    // zero contributions that the join simply omits — same sum, and
+    // the hash match proves it. Replays CorpusStats.moreLikeThis.
+    "q123_more_like_this" ->
+      s"""WITH b AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+         seed AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT unnest(toks) AS tok FROM b WHERE doc_id = 42)
+           GROUP BY tok),
+         nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+         ex AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM
+           (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM b)),
+         dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM ex
+           WHERE tok IN (SELECT tok FROM seed) GROUP BY tok),
+         ranked AS (SELECT tok, row_number() OVER (ORDER BY
+             tf * CAST(ROUND((ln(CAST(n AS DOUBLE) + 1.0)
+               - ln(CAST(df AS DOUBLE) + 1.0)) * 1e6) AS BIGINT) DESC,
+             tok) AS rn
+           FROM seed JOIN dfq USING (tok) CROSS JOIN nd),
+         q AS (SELECT tok FROM ranked WHERE rn <= 3),
+         f AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM b),
+         g AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS BIGINT)) AS sdl FROM f),
+         bdf AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS bm_df
+           FROM ex JOIN q USING (tok) GROUP BY tok),
+         tfq AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM b) JOIN q USING (tok)
+           GROUP BY doc_id, tok),
+         contrib AS (SELECT doc_id,
+             CAST(ROUND(ln(1.0 + (CAST(n AS DOUBLE) - bm_df + 0.5)
+               / (bm_df + 0.5))
+             * ((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75)
+               + 0.75 * dl / avgdl))) * 1e6) AS BIGINT) AS c
+           FROM tfq JOIN bdf USING (tok) JOIN f USING (doc_id)
+           CROSS JOIN (SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl FROM g)),
+         s AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits,
+             CAST(SUM(c) AS BIGINT) AS score_i
+           FROM contrib GROUP BY doc_id)
+         SELECT doc_id, n_hits, score_i FROM s WHERE n_hits > 0
+         ORDER BY score_i DESC, doc_id LIMIT 15""",
+
+    // q124: per-source corpus health — the q34/q35 per-doc signal
+    // replay, quality quantized ×1e6 BEFORE the per-source sum (double
+    // sums across groups are order-sensitive; integer sums are not),
+    // grouped by source. Replays CorpusStats.sourceHealth.
+    "q124_source_health" ->
+      s"""WITH t AS (SELECT source, text, $toks AS toks FROM documents),
+         u AS (SELECT source,
+             CAST(len(toks) AS BIGINT) AS ntok,
+             CAST(length(text) AS BIGINT) AS nchars,
+             CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks, x -> list_contains(
+                      ['the','a','an','and','or','of','to','in','is','it','for','on','with','as','was','at','by'], x))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE)
+               ELSE 0.0 END AS swr,
+             CASE WHEN length(text) > 0
+               THEN CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)
+               ELSE 0.0 END AS pr
+           FROM t),
+         q AS (SELECT source, ntok, nchars,
+             CAST(FLOOR(ROUND((LEAST(CAST(nchars AS DOUBLE) / 500.0, 1.0)
+                  + LEAST(swr * 5.0, 1.0)
+                  + GREATEST(0.0, 1.0 - pr * 4.0)) / 3.0, 6) * 1e6 + 0.5)
+               AS BIGINT) AS q6
+           FROM u)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(nchars) AS BIGINT) AS n_chars,
+           CAST(SUM(q6) AS BIGINT) AS quality_q6_sum,
+           MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens
+         FROM q GROUP BY source ORDER BY source""",
+
+    // q121: word-n-gram repetition signals — per-doc GROUP BYs over
+    // space-joined n-grams replay the native kernel's per-row hash maps
+    // exactly: gram identity = array_to_string(gram, ' ') (tokens are
+    // whitespace-split so the join is injective), gram_chars = the
+    // joined gram's code-point length, top = MAX(cnt)/MAX(cnt·chars),
+    // dup = SUM(cnt·chars) where cnt >= 2. All integers — no floats to
+    // diverge. Replays TextFns.repetitionStats.
+    "q121_repetition_stats" -> {
+      def gramCte(n: Int): String =
+        s"""g$n AS (SELECT doc_id, array_to_string(g, ' ') AS gram FROM (
+             SELECT doc_id, unnest(list_transform(
+               generate_series(1, len(toks) - ${n - 1}),
+               i -> list_slice(toks, i, i + ${n - 1}))) AS g
+             FROM b WHERE len(toks) >= $n)),
+         c$n AS (SELECT doc_id, gram, COUNT(*) AS cnt
+           FROM g$n GROUP BY doc_id, gram)"""
+      val topCtes = Seq(2, 3, 4).map(n =>
+        s"""t$n AS (SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top${n}_cnt,
+             CAST(MAX(cnt * length(gram)) AS BIGINT) AS top${n}_chars
+           FROM c$n GROUP BY doc_id)""").mkString(",\n         ")
+      val dupCtes = Seq(5, 10).map(n =>
+        s"""d$n AS (SELECT doc_id, CAST(SUM(cnt * length(gram)) AS BIGINT) AS dup${n}_chars
+           FROM c$n WHERE cnt >= 2 GROUP BY doc_id)""").mkString(",\n         ")
+      s"""WITH b AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+         base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+               AS BIGINT) AS n_word_chars
+           FROM b),
+         ${Seq(2, 3, 4, 5, 10).map(gramCte).mkString(",\n         ")},
+         $topCtes,
+         $dupCtes
+         SELECT base.doc_id, n_words, n_word_chars,
+           COALESCE(top2_cnt, 0) AS top2_cnt,
+           COALESCE(top2_chars, 0) AS top2_chars,
+           COALESCE(top3_cnt, 0) AS top3_cnt,
+           COALESCE(top3_chars, 0) AS top3_chars,
+           COALESCE(top4_cnt, 0) AS top4_cnt,
+           COALESCE(top4_chars, 0) AS top4_chars,
+           COALESCE(dup5_chars, 0) AS dup5_chars,
+           COALESCE(dup10_chars, 0) AS dup10_chars
+         FROM base
+         LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+         LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+         LEFT JOIN d10 USING (doc_id)
+         ORDER BY doc_id"""
     }
   )
 

@@ -1859,6 +1859,70 @@ object SparkEntry {
     out
   }
 
+  /** Word-n-gram repetition signals per document — the Gopher-class
+    * repetitive-text quality gate (top-n-gram character coverage for
+    * n = 2..4, duplicated-n-gram coverage for n = 5/10), computed by ONE
+    * native compiled pass per row with per-doc hash maps
+    * ([[graft.functions.RepetitionStatsExpr]]) — zero exchanges, where
+    * the Column-level equivalent is five corpus-keyed explode+groupBy
+    * shuffles. Every output is an exact integer (numerators and
+    * denominators separately; fractions are the consumer's division),
+    * so the oracle replays the per-doc n-gram GROUP BYs bit-for-bit
+    * in SQL — a hash match proves window slicing, space-joined gram
+    * identity, code-point char counting and the max/dup aggregations
+    * end to end. */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), TextFns.repetitionStats(col("text")).as("__r"))
+      .select(col("doc_id"),
+        col("__r.n_words").as("n_words"),
+        col("__r.n_word_chars").as("n_word_chars"),
+        col("__r.top2_cnt").as("top2_cnt"),
+        col("__r.top2_chars").as("top2_chars"),
+        col("__r.top3_cnt").as("top3_cnt"),
+        col("__r.top3_chars").as("top3_chars"),
+        col("__r.top4_cnt").as("top4_cnt"),
+        col("__r.top4_chars").as("top4_chars"),
+        col("__r.dup5_chars").as("dup5_chars"),
+        col("__r.dup10_chars").as("dup10_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Shingle CONTAINMENT pairs — the one-sided overlap coefficient
+    * C(A,B) = |A∩B| / min(|A|,|B|), catching sub-document duplication
+    * (a short doc embedded verbatim in a long one) that symmetric
+    * Jaccard is blind to: J ≤ min/max vanishes as sizes diverge while C
+    * stays 1. Oracle-portable config (cap disabled, like q39); the
+    * integer threshold compare (inter·den ≥ num·min) means boundary
+    * pairs can never flip on float rounding, and the oracle replays the
+    * same integer predicate. */
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, thresholdNum = 5, thresholdDen = 10,
+        maxPostings = Int.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** MORE-LIKE-THIS retrieval — query-by-document: doc 42's top-3
+    * tf·idf terms (the q81 arithmetic) become the BM25 query (the q113
+    * arithmetic), composing the keyword extractor with ranked retrieval
+    * into the "expand a topical seed set from an exemplar" primitive.
+    * The oracle re-derives the seed's term ranking AND the join-shaped
+    * BM25 scoring from scratch in SQL — a hash match proves term
+    * selection (boundary ties included) and that the join-shaped
+    * scoring replay equals the engine's unrolled-column blind sum
+    * (zero contributions omitted vs added — same sum). */
+  private def q123(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.moreLikeThis(T(s, dir, "documents"), "doc_id", "text",
+      seedId = 42L, nTerms = 3, topK = 15)
+
+  /** Per-source corpus health — doc/token/char counts, token extremes
+    * and quantized quality mass per source, one source-keyed aggregate
+    * over the fused per-doc signal kernels. The oracle re-derives the
+    * same per-doc signals (the q34/q35 replay) and the same integer
+    * quantize-then-sum, grouped by source. */
+  private def q124(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceHealth(T(s, dir, "documents"), "source", "text")
+      .orderBy(col("source"))
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -2200,7 +2264,11 @@ object SparkEntry {
     "q117_frozen_trigram_lm" -> q117 _,
     "q118_bm25_batch" -> q118 _,
     "q119_pca_semdedup" -> q119 _,
-    "q120_bm25_index" -> q120 _
+    "q120_bm25_index" -> q120 _,
+    "q121_repetition_stats" -> q121 _,
+    "q122_containment_pairs" -> q122 _,
+    "q123_more_like_this" -> q123 _,
+    "q124_source_health" -> q124 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -2238,6 +2306,12 @@ object SparkEntry {
       "q41_dedup_simhash" -> ((s, dir) =>
         Dedup.simhashNearDups(T(s, dir, "documents"), "doc_id", "text",
             maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))),
+      // q122 twin: production hot-shingle cap (the oracled config
+      // disables it for replay exactness, like q39)
+      "q122_containment_pairs" -> ((s, dir) =>
+        Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
+            shingleN = 3, thresholdNum = 5, thresholdDen = 10)
           .orderBy(col("id_a"), col("id_b"))),
       // q69/q72 twins: hashed window keys (8-byte frequency exchange; the
       // oracled configs carry window STRINGS so DuckDB can replay them)

@@ -45,6 +45,18 @@ object TextFns {
       TextStatsExpr(org.apache.spark.sql.graft.ExprBridge.expression(text),
         stopwords))
 
+  /** Word-n-gram repetition signals (Gopher-class repetitive-text
+    * quality gate): top-n-gram character coverage for n = 2..4 and
+    * duplicated-n-gram coverage for n = 5/10, all exact integers, ONE
+    * native pass per row with per-doc hash maps — the Column-level
+    * equivalent is an explode + corpus-keyed groupBy PER n (five corpus
+    * shuffles for per-row arithmetic). See [[RepetitionKernel]] for the
+    * field contract. */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      RepetitionStatsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(tokens(text))))
+
   /** Token count (whitespace tokenization; fused native scan — the
     * composed `size(tokens(text))` is [[tokenCountComposed]], spec-pinned
     * equal). */

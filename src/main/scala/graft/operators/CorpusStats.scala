@@ -260,6 +260,80 @@ object CorpusStats {
       .orderBy(col("qid"), col("score_i").desc, col(idCol))
   }
 
+  /** Per-source corpus health report — the "know your corpus BY source"
+    * aggregate every curation run prints next to its drop counts: doc /
+    * token / char counts, token-length extremes, and the quality-score
+    * mass per source (Σ per-doc quality quantized ×1e6 BEFORE the sum —
+    * summing raw doubles across a shuffle is order-sensitive, the q50
+    * lesson; mean = quality_q6_sum / n_docs / 1e6 at the consumer).
+    * One zero-join scan (per-doc signals are the fused q34/q35 kernels)
+    * into a source-keyed groupBy — ~tens of groups, map-side combined,
+    * bytes bounded by sources × partitions. */
+  def sourceHealth(df: DataFrame, srcCol: String, textCol: String): DataFrame =
+    df.select(col(srcCol).as("source"),
+        TextFns.tokenCount(col(textCol)).cast("long").as("__ntok"),
+        length(col(textCol)).cast("long").as("__nchars"),
+        floor(TextFns.qualityScore(col(textCol)) * 1e6 + 0.5).as("__q6"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nchars")).as("n_chars"),
+        sum(col("__q6")).as("quality_q6_sum"),
+        min(col("__ntok")).as("min_tokens"),
+        max(col("__ntok")).as("max_tokens"))
+
+  /** MORE-LIKE-THIS retrieval: the BM25 top-K for a query DERIVED from a
+    * seed document — its `nTerms` highest-tf·idf tokens (the q81
+    * arithmetic: idf = ln((N+1)/(df+1)) quantized ×1e6, ties
+    * (score desc, tok)). The "find documents like this one" primitive a
+    * curation stack uses to expand topical seed sets from exemplars.
+    *
+    * 100 TB design: NOT a corpus-wide tf-idf pass — df is computed for
+    * the SEED'S OWN TERMS only (one corpus scan whose distinct-(doc,tok)
+    * aggregation is semi-join-bounded to the seed vocabulary), the
+    * seed-term ranking happens on a seed-sized frame, and the final
+    * scoring is [[bm25TopK]]'s zero-wide-shuffle scan. `maxSeedTerms`
+    * bounds the semi-join probe loudly (a pathological megadoc's
+    * vocabulary is not a query). */
+  def moreLikeThis(df: DataFrame, idCol: String, textCol: String,
+                   seedId: Long, nTerms: Int = 3, k1: Double = 1.2,
+                   b: Double = 0.75, topK: Int = 10,
+                   maxSeedTerms: Int = 10000): DataFrame = {
+    require(nTerms > 0, s"moreLikeThis: nTerms must be > 0, got $nTerms")
+    val seedTf = df.filter(col(idCol) === seedId)
+      .select(explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .limit(maxSeedTerms + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(seedTf.nonEmpty,
+      s"moreLikeThis: seed doc $seedId has no tokens (or does not exist)")
+    require(seedTf.length <= maxSeedTerms,
+      s"moreLikeThis: seed doc $seedId has > $maxSeedTerms distinct " +
+        "terms — a megadoc's vocabulary is not a query; raise " +
+        "maxSeedTerms knowingly or pre-truncate the seed")
+    val seedToks = seedTf.map(_._1).toSeq
+    // df for the seed's terms only + the tf-idf N (distinct input ids,
+    // the q81 semantics), one scan + one seed-bounded aggregation
+    val dfq = df.select(col(idCol),
+        explode(array_distinct(TextFns.tokens(col(textCol)))).as("tok"))
+      .filter(col("tok").isin(seedToks: _*))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nd = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("__nd"))
+    val idfI = round((log(col("__nd").cast("double") + 1.0)
+      - log(col("df").cast("double") + 1.0)) * 1e6).cast("long")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val seedFrame = seedTf.toSeq.toDF("tok", "tf")
+    val terms = seedFrame.join(dfq, Seq("tok"))
+      .crossJoin(broadcast(nd))
+      .select(col("tok"), (col("tf") * idfI).as("score_i"))
+      .orderBy(col("score_i").desc, col("tok"))
+      .limit(nTerms)
+      .collect().map(_.getString(0)).toSeq
+    bm25TopK(df, idCol, textCol, terms, k1, b, topK)
+  }
+
   // ---- persisted BM25 retrieval index (the r14 verdict's #6) ----
 
   /** A PERSISTED BM25 corpus-statistics artifact: `nDocs`/`sumDl` plus
@@ -352,6 +426,68 @@ object CorpusStats {
       .toDF("n_docs", "sum_dl", "model_tag").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/bm25_meta")
     out
+  }
+
+  /** STREAMING-native BM25 index layout: per-batch df/meta PARTITIONS
+    * (`$path/bm25_df_parts` and `$path/bm25_meta_parts`, partitioned by
+    * batch_id, dynamic partition overwrite) instead of the
+    * read-modify-write swap of [[bm25UpdateIndex]] — a replayed
+    * micro-batch rewrites ONLY its own partition, so the
+    * exactly-once-on-replay contract of
+    * [[graft.streaming.StreamingIngest.curateBatch]] extends to the
+    * retrieval index for free (an aggregate artifact cannot be made
+    * replay-safe by overwrite; per-batch partitions can). Appends are
+    * O(batch); [[bm25LoadParts]] pays one vocab-sized merge aggregation
+    * at load, which a query stack does once per session, and
+    * [[graft.maintenance.Compaction.compactPartitionedDir]] keeps the
+    * partition listings flat on the ingest loop's schedule. */
+  def bm25AppendBatch(spark: SparkSession, path: String, batch: DataFrame,
+                      idCol: String, textCol: String, batchId: Long): Unit = {
+    import spark.implicits._
+    val inc = bm25BuildIndex(batch, idCol, textCol)
+    inc.df.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$path/bm25_df_parts")
+    Seq((inc.nDocs, inc.sumDl, "bm25-v1", batchId))
+      .toDF("n_docs", "sum_dl", "model_tag", "batch_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$path/bm25_meta_parts")
+  }
+
+  /** Load a [[bm25AppendBatch]] artifact: per-batch metas sum to
+    * (N, Σdl) and the df partitions merge by term. An index with no
+    * batches yet (or only fully-rejected ones) loads as the EMPTY index
+    * rather than crashing on a fileless directory — day one of a
+    * production loop. */
+  def bm25LoadParts(spark: SparkSession, path: String): Bm25Index = {
+    import spark.implicits._
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/bm25_meta_parts")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean = {
+      if (!fs.exists(p)) return false
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        if (it.next().getPath.getName.startsWith("part-")) return true
+      }
+      false
+    }
+    if (!hasData(metaPath))
+      return Bm25Index(0L, 0L,
+        Seq.empty[(String, Long)].toDF("tok", "df"))
+    val metas = spark.read.parquet(metaPath.toString)
+      .select("n_docs", "sum_dl", "model_tag")
+      .as[(Long, Long, String)].collect()
+    metas.foreach { case (_, _, tag) => require(tag == "bm25-v1",
+      s"BM25 batch artifact at $path has model_tag '$tag'") }
+    val dfPath = new org.apache.hadoop.fs.Path(s"$path/bm25_df_parts")
+    val df =
+      if (hasData(dfPath))
+        spark.read.parquet(dfPath.toString)
+          .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      else Seq.empty[(String, Long)].toDF("tok", "df")
+    Bm25Index(metas.map(_._1).sum, metas.map(_._2).sum, df)
   }
 
   /** [[bm25TopK]] scored from a PERSISTED index instead of a per-call

@@ -307,6 +307,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs: threshold on
+    * C(A,B) = |A∩B| / min(|A|,|B|) over shingle sets — the one-sided
+    * overlap coefficient, catching SUB-DOCUMENT duplication that
+    * symmetric Jaccard is blind to by construction: a 50-shingle quote
+    * embedded verbatim in a 5000-shingle page has Jaccard ≈ 0.01 but
+    * containment 1.0 (J ≤ min/max vanishes as sizes diverge; C does
+    * not). The curation use is quote/boilerplate audit and
+    * strict-superset detection before span rewrite.
+    *
+    * Same single-exchange inverted-index shape as [[jaccardPairs]]
+    * (posting rows carry their doc's set size; one explode, one sized
+    * exchange reused by both self-join sides, map-side-combined pair
+    * counts; `maxPostings` caps hot shingles identically). The
+    * threshold compares in INTEGERS — `inter·den ≥ num·min(szA,szB)` —
+    * so boundary pairs can never flip on float rounding (the semDedup
+    * discipline); the reported `containment` is one rounded division at
+    * the end. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, thresholdNum: Int = 8,
+                       thresholdDen: Int = 10, maxPostings: Int = 1000,
+                       pairPartitions: Int = 0): DataFrame = {
+    require(thresholdDen > 0 && thresholdNum >= 0,
+      s"need thresholdDen > 0, thresholdNum >= 0; got $thresholdNum/$thresholdDen")
+    val p = if (pairPartitions > 0) pairPartitions else sizedPairPartitions(df)
+    val sets = shingleSets(df, idCol, textCol, shingleN)
+    val sh = sets.select(col(idCol).as("__id"), size(col("shset")).as("sz"),
+      explode(col("shset")).as("sh"))
+      .repartition(p, col("sh"))
+    val capped =
+      if (maxPostings == Int.MaxValue) sh
+      else sh
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__n") <= maxPostings).drop("__n")
+    capped.select(col("sh"), col("__id").as("id_a"), col("sz").as("sz_a"))
+      .join(capped.select(col("sh"), col("__id").as("id_b"), col("sz").as("sz_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b").agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * thresholdDen >=
+        least(col("sz_a"), col("sz_b")) * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("sz_a"), col("sz_b"),
+        round(col("inter").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double"), 6).as("containment"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: signatures -> banded candidates ->
     * exact-Jaccard verification -> pairs >= threshold.
     *

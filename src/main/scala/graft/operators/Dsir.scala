@@ -108,23 +108,41 @@ object Dsir {
                         textCol: String, bits: Int = 16,
                         seed: String = "dsir"): DataFrame = {
     require(bits > 0 && bits <= 20, s"bits must be in [1,20], got $bits")
-    val lt = lambdaTable(raw, target, textCol, bits, seed)
-    val feats = raw.select(col(idCol),
-      explode(featureBuckets(col(textCol), bits, seed)).as("bucket"))
+    // the lambda table is ≤ 2^20 longs by the bits bound — collect it
+    // DENSE and score through the native broadcast-probe kernel in ONE
+    // zero-shuffle scan. The former shape exploded every raw feature,
+    // joined the table and re-aggregated doc-keyed — a full corpus
+    // exchange for per-row arithmetic (the r15 HashedProbeExpr sweep).
+    // Equivalence: every raw feature's bucket IS in the table (the
+    // full-outer join saw raw's own counts), so the inner join never
+    // dropped a feature and n_feats/w_sum are identical; absent buckets
+    // (target-only misses never probed by raw docs) fill 0 harmlessly.
+    val dense = new Array[Long](1 << bits)
+    lambdaTable(raw, target, textCol, bits, seed).collect().foreach { r =>
+      dense(r.getLong(0).toInt) = r.getLong(1)
+    }
+    val bc = raw.sparkSession.sparkContext.broadcast(dense)
+    val s = org.apache.spark.sql.graft.ExprBridge.column(
+      graft.functions.HashedProbeExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(
+          graft.functions.TextFns.tokens(col(textCol))),
+        bc, seed, 1 << bits, bigrams = true))
     // u in (0,1) from the top 60 bits of md5(id) (never 0 or 1 exactly);
     // g = -ln(-ln u) is standard Gumbel. 2^60 stays in signed-64.
     val u = (conv(substring(md5(concat(lit(seed), lit(":g:"),
         col(idCol).cast("string"))), 1, 15), 16, 10).cast("double") + 0.5) /
       lit(1152921504606846976.0) // 2^60
     val g = -log(-log(u))
-    feats.join(broadcast(lt), Seq("bucket"))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("n_feats"),
-        sum(col("lambda_i")).as("w_sum"))
-      .select(col(idCol), col("n_feats"), col("w_sum"),
-        round(col("w_sum").cast("double") / 1e6, 6).as("w"),
-        round(g, 6).as("gumbel"),
-        round(col("w_sum").cast("double") / 1e6 + round(g, 6), 6)
+    raw.select(col(idCol), s.as("__s"), round(g, 6).as("__g"))
+      // empty documents are OMITTED (no features, no evidence) — the
+      // explode+groupBy shape's row-omission contract preserved
+      .filter(col("__s.n_feats") > 0)
+      .select(col(idCol),
+        col("__s.n_feats").cast("int").as("n_feats"),
+        col("__s.sum").as("w_sum"),
+        round(col("__s.sum").cast("double") / 1e6, 6).as("w"),
+        col("__g").as("gumbel"),
+        round(col("__s.sum").cast("double") / 1e6 + col("__g"), 6)
           .as("score"))
   }
 

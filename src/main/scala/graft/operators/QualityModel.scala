@@ -87,6 +87,25 @@ object QualityModel {
   def hashedLinearScore(text: Column, bits: Int, seed: String,
                         wordNgrams: Int = 1): Column = {
     require(bits > 0 && bits <= 30, s"bits must be in [1,30], got $bits")
+    require(bits <= 21,
+      s"native probe table is dense (2^bits longs broadcast); bits=$bits " +
+        "> 21 — use hashedLinearScoreFold for sparse md5-derived weights")
+    // the md5-derived table is PRECOMPUTED (derivedWeightTable) and
+    // probed by the native kernel — one md5 per feature instead of two,
+    // no HOF fold (see hashedScoreStruct). Bit-identical to the fold
+    // (QualityModelSpec pins it; the q75 oracle hash pins it cross-engine).
+    hashedScoreStruct(text, seed, 1 << bits, wordNgrams == 2,
+      derivedWeightTable(bits).map(_.toLong))
+  }
+
+  /** The Column-composition fold [[hashedLinearScore]] replaced — kept
+    * as the spec-pinned parity reference for the native kernel (HOFs are
+    * CodegenFallback and re-evaluate under multi-field extraction, the
+    * q112 lesson; and the fold pays TWO md5s per feature where the
+    * kernel probes a precomputed table with one). */
+  private[graft] def hashedLinearScoreFold(text: Column, bits: Int, seed: String,
+                                           wordNgrams: Int = 1): Column = {
+    require(bits > 0 && bits <= 30, s"bits must be in [1,30], got $bits")
     val toks = featureStream(text, wordNgrams)
     val bucket = (t: Column) =>
       h32(concat(lit(seed), lit(":"), t)) % (1 << bits)
@@ -94,6 +113,29 @@ object QualityModel {
       transform(toks, t => bucketWeightInt(bucket(t))),
       lit(0L), (acc, x) => acc + x)
     val n = org.apache.spark.sql.functions.size(toks)
+    val mean = wSum.cast("double") / (n.cast("double") * 1000.0)
+    val score = round(lit(1.0) / (lit(1.0) + exp(-mean * 4.0)), 6)
+    struct(
+      n.cast("int").as("n_tokens"),
+      wSum.as("w_sum"),
+      when(n > 0, score).as("score"))
+  }
+
+  /** Shared kernel-probe scorer: (n_tokens, w_sum, score) from one
+    * native [[graft.functions.HashedProbeExpr]] pass (tokens + word
+    * bigrams when `bigrams`, one md5 each, broadcast-table probe, exact
+    * long sum) with the sigmoid/rounding arithmetic of the fold applied
+    * OUTSIDE the kernel — integer-only inside, so the two paths cannot
+    * diverge. */
+  private def hashedScoreStruct(text: Column, seed: String, nBuckets: Int,
+                                bigrams: Boolean, table: Array[Long]): Column = {
+    val bc = SparkSession.active.sparkContext.broadcast(table)
+    val s = org.apache.spark.sql.graft.ExprBridge.column(
+      graft.functions.HashedProbeExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(TextFns.tokens(text)),
+        bc, seed, nBuckets, bigrams))
+    val n = s.getField("n_feats")
+    val wSum = s.getField("sum")
     val mean = wSum.cast("double") / (n.cast("double") * 1000.0)
     val score = round(lit(1.0) / (lit(1.0) + exp(-mean * 4.0)), 6)
     struct(
@@ -116,22 +158,31 @@ object QualityModel {
       : Column = {
     require(weights.length == (1 << bits),
       s"need ${1 << bits} weights, got ${weights.length}")
-    val toks = featuresOf.map(f => f(text))
-      .getOrElse(featureStream(text, wordNgrams))
-    val wLit = typedlit(weights)
-    val bucket = (t: Column) =>
-      h32(concat(lit(seed), lit(":"), t)) % (1 << bits)
-    val wSum = aggregate(
-      transform(toks, t => element_at(wLit, (bucket(t) + 1).cast("int"))
-        .cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val n = org.apache.spark.sql.functions.size(toks)
-    val mean = wSum.cast("double") / (n.cast("double") * 1000.0)
-    val score = round(lit(1.0) / (lit(1.0) + exp(-mean * 4.0)), 6)
-    struct(
-      n.cast("int").as("n_tokens"),
-      wSum.as("w_sum"),
-      when(n > 0, score).as("score"))
+    featuresOf match {
+      // default word/bigram features: the native kernel probe (one md5
+      // per feature, broadcast table, no HOF fold)
+      case None =>
+        hashedScoreStruct(text, seed, 1 << bits, wordNgrams == 2,
+          weights.map(_.toLong))
+      // custom featurization (e.g. BPE-piece features): the Column fold
+      // — the kernel's tokenize+bigram shape cannot express it
+      case Some(f) =>
+        val toks = f(text)
+        val wLit = typedlit(weights)
+        val bucket = (t: Column) =>
+          h32(concat(lit(seed), lit(":"), t)) % (1 << bits)
+        val wSum = aggregate(
+          transform(toks, t => element_at(wLit, (bucket(t) + 1).cast("int"))
+            .cast("long")),
+          lit(0L), (acc, x) => acc + x)
+        val n = org.apache.spark.sql.functions.size(toks)
+        val mean = wSum.cast("double") / (n.cast("double") * 1000.0)
+        val score = round(lit(1.0) / (lit(1.0) + exp(-mean * 4.0)), 6)
+        struct(
+          n.cast("int").as("n_tokens"),
+          wSum.as("w_sum"),
+          when(n > 0, score).as("score"))
+    }
   }
 
   /** IN-ENGINE TRAINER for the hashed linear quality classifier (the r12

@@ -232,7 +232,8 @@ object StreamingIngest {
                   maxXent: Double = Double.MaxValue,
                   langAllow: Seq[String] = Nil,
                   langId: Option[graft.operators.QualityModel.LangIdModel]
-                    = None): Unit = {
+                    = None,
+                  bm25IndexPath: String = ""): Unit = {
     import graft.functions.{Bpe, TextFns}
     import graft.operators.Dedup
     // TOKENIZER MODE (tokenizer = Some(loaded artifact)): n_tokens — and
@@ -352,6 +353,15 @@ object StreamingIngest {
           .partitionBy("batch_id").parquet(path)
 
       sink(kept, curatedPath)
+      // BM25 INDEX MODE (bm25IndexPath nonempty): the batch's KEPT docs
+      // append to the streaming retrieval index as their own batch_id
+      // partition (CorpusStats.bm25AppendBatch) — O(batch) stats, and a
+      // replayed batch rewrites only its own partition, so the index
+      // inherits this loop's exactly-once contract. Only curated docs
+      // enter: retrieval should never surface what curation dropped.
+      if (bm25IndexPath.nonEmpty)
+        graft.operators.CorpusStats.bm25AppendBatch(spark, bm25IndexPath,
+          kept, idCol, textCol, batchId)
       // Tokenizer mode: the micro-batch's training-file shard — each
       // batch packs ITS OWN kept docs' marked token ids into seqLen
       // sequences (seq_id restarts per batch; the global key is
@@ -445,7 +455,8 @@ object StreamingIngest {
                    minXent: Double = 0.0,
                    maxXent: Double = Double.MaxValue,
                    langAllow: Seq[String] = Nil,
-                   langIdPath: String = ""): StreamingQuery = {
+                   langIdPath: String = "",
+                   bm25IndexPath: String = ""): StreamingQuery = {
     // TOKENIZER MODE (tokenizerPath nonempty): the streaming twin of
     // CorpusPipeline(bpeMerges > 0)'s apply side. The tokenizer is
     // trained ONCE, offline (CorpusPipeline's tokenizer stage or an
@@ -509,17 +520,35 @@ object StreamingIngest {
           graft.maintenance.Compaction.recoverPartitionedDir(spark, indexPath)
           graft.maintenance.Compaction.recoverPartitionedDir(
             spark, bucketsPath(indexPath))
+          if (bm25IndexPath.nonEmpty) {
+            graft.maintenance.Compaction.recoverPartitionedDir(
+              spark, s"$bm25IndexPath/bm25_df_parts")
+            graft.maintenance.Compaction.recoverPartitionedDir(
+              spark, s"$bm25IndexPath/bm25_meta_parts")
+          }
         }
         curateBatch(spark, batch, batchId, idCol, textCol, indexPath,
           curatedPath, rejectsPath, minTokens, minQuality, numHashes,
           bands, shingleN, threshold, maxBucketSize, tokenizer,
-          packedIdsPath, seqLen, lm, minXent, maxXent, langAllow, langId)
+          packedIdsPath, seqLen, lm, minXent, maxXent, langAllow, langId,
+          bm25IndexPath)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.maintenance.Compaction.compactPartitionedDir(
             spark, indexPath, compactTargetBytes, minFiles = compactMinFiles)
           graft.maintenance.Compaction.compactPartitionedDir(
             spark, bucketsPath(indexPath), compactTargetBytes,
             minFiles = compactMinFiles)
+          // the BM25 parts dirs accumulate one partition per batch just
+          // like the near-dup index — same cadence, same replay story
+          // (per-partition rewrite under dynamic overwrite)
+          if (bm25IndexPath.nonEmpty) {
+            graft.maintenance.Compaction.compactPartitionedDir(
+              spark, s"$bm25IndexPath/bm25_df_parts", compactTargetBytes,
+              minFiles = compactMinFiles)
+            graft.maintenance.Compaction.compactPartitionedDir(
+              spark, s"$bm25IndexPath/bm25_meta_parts", compactTargetBytes,
+              minFiles = compactMinFiles)
+          }
           ()
         }
       }

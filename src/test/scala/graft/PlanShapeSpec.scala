@@ -538,21 +538,20 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected string-window machinery in the hashed twin:\n$plan")
   }
 
-  test("q77 DSIR: lambda table broadcasts to the scoring join (raw corpus never re-shuffles on bucket)") {
+  test("q77 DSIR: dense-table kernel scoring is zero-join, zero keyed " +
+      "exchange (the lambda table collects at build time — r15; the " +
+      "former shape exploded the corpus into a lambda join + doc groupBy)") {
+    // the lambda-table word-count builds run at query BUILD time (two
+    // bucket-keyed partial-aggregated jobs, bytes bounded by buckets ×
+    // partitions) and collect ≤ 2^bits rows; the plan that REMAINS is a
+    // pure scan + hashed_probe projection — the q76 local-LM shape
     val plan = executed(SparkEntry.queries("q77_dsir_weights")(spark, dir))
-    assert(plan.contains("BroadcastHashJoin"),
-      s"lambda probe not broadcast:\n$plan")
-    // per-doc weight sums partial-aggregate map-side; bucket-keyed
-    // exchanges exist only inside the lambda-table WORD-COUNT builds
-    // (bytes bounded by buckets x partitions after partial agg), never
-    // under the scoring join's streamed side
-    assert(plan.contains("partial_sum(lambda_i"),
-      s"doc weight sum not map-side combined:\n$plan")
-    // exactly one merge join in the whole plan: the 2^bits-row full-outer
-    // lambda merge. A second one would mean the corpus-side probe
-    // degraded from broadcast to shuffle.
-    val smj = "SortMergeJoin".r.findAllIn(plan).length
-    assert(smj <= 1, s"scoring join shuffled the corpus on bucket:\n$plan")
+    assert(plan.contains("hashed_probe"),
+      s"native probe kernel missing from the scoring plan:\n$plan")
+    assert(!plan.contains("Join"), s"kernel scoring path should not join:\n$plan")
+    // the only exchange is the presentation sort's range partition
+    assert(!plan.contains("hashpartitioning"),
+      s"kernel scoring pass should have no keyed exchange:\n$plan")
   }
 
   test("q78 DSIR resample plans as TakeOrdered, not a global sort") {

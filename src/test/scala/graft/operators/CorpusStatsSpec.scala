@@ -203,6 +203,68 @@ class CorpusStatsSpec extends SparkSpec {
     assert(e.getMessage.contains("model_tag"))
   }
 
+  test("moreLikeThis: the seed's top tf-idf terms drive BM25 — equal to " +
+      "bm25TopK with the hand-derived query; corpus-wide terms never " +
+      "picked; loud failure on a missing seed or a megadoc") {
+    val df = Seq(
+      (1L, "quantum flux quantum shared stuff"), // seed: quantum tf2, flux tf1
+      (2L, "quantum theory shared and more shared padding here"),
+      (3L, "flux capacitor shared text"),
+      (4L, "unrelated shared content entirely")
+    ).toDF("doc_id", "text")
+    // seed terms by tf*idf: 'shared' has idf ln(5/5)=0 -> score 0;
+    // quantum (tf2, df2), flux (tf1, df2), stuff (tf1, df1 - higher idf)
+    // idf_i: quantum/flux = round((ln5-ln3)*1e6), stuff = round((ln5-ln2)*1e6)
+    // scores: quantum 2*510826=1021652 > stuff 916291 > flux 510826
+    val got = CorpusStats.moreLikeThis(df, "doc_id", "text",
+        seedId = 1L, nTerms = 2, topK = 10)
+      .as[(Long, Int, Long)].collect().toSeq
+    val expect = CorpusStats.bm25TopK(df, "doc_id", "text",
+        Seq("quantum", "stuff"), topK = 10)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got == expect, s"got $got, expect $expect")
+    assert(got.map(_._1).toSet == Set(1L, 2L),
+      s"only docs matching quantum/stuff qualify: $got")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.moreLikeThis(df, "doc_id", "text", seedId = 99L)
+    }
+    assert(e.getMessage.contains("no tokens"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStats.moreLikeThis(df, "doc_id", "text", seedId = 1L,
+        maxSeedTerms = 2)
+    }
+    assert(e2.getMessage.contains("maxSeedTerms"))
+  }
+
+  test("BM25 streaming layout: per-batch partitions load-merge to the " +
+      "full rebuild; re-appending a batch (replay) is idempotent; an " +
+      "empty index loads as empty, not a crash") {
+    val b0 = Seq((1L, "merge merge scan"), (2L, "merge scan scan scan"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((3L, "scan scan scan"), (4L, "vector merge"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("bm25_parts").toString
+    // day-one load before any batch: empty index, no fileless-dir crash
+    val empty = CorpusStats.bm25LoadParts(spark, root)
+    assert(empty.nDocs == 0L && empty.df.count() == 0L)
+    CorpusStats.bm25AppendBatch(spark, root, b0, "doc_id", "text", 0L)
+    CorpusStats.bm25AppendBatch(spark, root, b1, "doc_id", "text", 1L)
+    def snapshot(): (Long, Long, Seq[(String, Long)]) = {
+      val idx = CorpusStats.bm25LoadParts(spark, root)
+      (idx.nDocs, idx.sumDl,
+        idx.df.orderBy("tok").as[(String, Long)].collect().toSeq)
+    }
+    val s1 = snapshot()
+    val rebuilt = CorpusStats.bm25BuildIndex(b0.unionByName(b1),
+      "doc_id", "text")
+    assert(s1._1 == rebuilt.nDocs && s1._2 == rebuilt.sumDl)
+    assert(s1._3 == rebuilt.df.orderBy("tok")
+      .as[(String, Long)].collect().toSeq)
+    // replay batch 1: dynamic overwrite rewrites only its partition
+    CorpusStats.bm25AppendBatch(spark, root, b1, "doc_id", "text", 1L)
+    assert(snapshot() == s1, "a replayed batch must leave the index unchanged")
+  }
+
   test("bm25TopKQueries: batched result == per-query bm25TopK, query by " +
       "query; non-matching docs never appear") {
     val rnd = new scala.util.Random(31)

@@ -88,6 +88,44 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(j01 - bruteJaccard(texts(0L), texts(1L))) < 1e-6)
   }
 
+  test("containmentPairs flags a verbatim-embedded quote Jaccard is " +
+      "blind to; integer threshold boundary exact; cap suppresses hot " +
+      "shingles only") {
+    // doc 2 = a short passage; doc 1 = a long page EMBEDDING it verbatim;
+    // doc 3 = unrelated filler of similar length to 1
+    val quote = "alpha beta gamma delta epsilon zeta eta theta"
+    val page = s"intro words before the passage $quote and a long tail " +
+      "of unrelated trailing filler content extending the page much " +
+      "further with many distinct tokens one two three four five six"
+    val corp = Seq((1L, page), (2L, quote),
+      (3L, "totally different content about other topics entirely with " +
+        "plenty of words to match the page length roughly seven eight"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(corp, "doc_id", "text",
+        shingleN = 3, thresholdNum = 9, thresholdDen = 10,
+        maxPostings = Int.MaxValue)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont.map(t => (t._1, t._2)) == Seq((1L, 2L)),
+      s"only the embedded quote qualifies: $cont")
+    assert(cont.head._3 == 1.0,
+      s"verbatim embedding must have containment 1.0: $cont")
+    // Jaccard at the same 0.9 bar finds NOTHING (inter/union is tiny)
+    assert(Dedup.jaccardPairs(corp, "doc_id", "text", 3, 0.9, Int.MaxValue)
+      .count() == 0L)
+    // integer boundary: sets sized 4 and 8 sharing exactly 2 shingles ->
+    // containment exactly 2/4; the 5/10 threshold keeps it, 6/10 drops it
+    val boundary = Seq(
+      (10L, "a b c d e f"),          // 4 shingles: abc bcd cde def
+      (11L, "a b c d x y z w v u")). // 8 shingles, shares abc bcd
+      toDF("doc_id", "text")
+    def at(num: Int) = Dedup.containmentPairs(boundary, "doc_id", "text",
+      shingleN = 3, thresholdNum = num, thresholdDen = 10,
+      maxPostings = Int.MaxValue).count()
+    assert(at(5) == 1L && at(6) == 0L,
+      "the inter*den >= num*min boundary must be exact")
+  }
+
   test("incrementalNearDups == full-corpus run restricted to pairs touching the batch") {
     // richer corpus: planted near-dup pairs that straddle the batch/index
     // split (odd/even ids), live only in the batch, and live only in the

@@ -26,6 +26,26 @@ class QualityModelSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hashedLinearScore native kernel == the Column-composition fold " +
+      "it replaced (unigram and bigram features, multibyte, empty)") {
+    val df = docs((1L, "the quick brown fox"), (2L, "lorem ipsum dolor"),
+      (3L, ""), (4L, "the the the"), (5L, "Grüße aus München 日本語"))
+    for (ng <- Seq(1, 2)) {
+      val got = df.select(col("doc_id"),
+          QualityModel.hashedLinearScore(col("text"), 10, "s-par", ng).as("k"),
+          QualityModel.hashedLinearScoreFold(col("text"), 10, "s-par", ng).as("f"))
+        .select(col("doc_id"),
+          col("k.n_tokens"), col("k.w_sum"), col("k.score"),
+          col("f.n_tokens"), col("f.w_sum"), col("f.score"))
+        .as[(Long, Int, Long, Option[Double], Int, Long, Option[Double])]
+        .collect()
+      got.foreach { case (id, n1, w1, s1, n2, w2, s2) =>
+        assert((n1, w1, s1) == ((n2, w2, s2)),
+          s"ngrams=$ng doc $id: kernel ($n1,$w1,$s1) != fold ($n2,$w2,$s2)")
+      }
+    }
+  }
+
   test("hashedLinearScore: empty doc scores NULL, weights bounded, " +
       "score in (0,1)") {
     val got = docs((1L, ""), (2L, "alpha beta gamma delta"))

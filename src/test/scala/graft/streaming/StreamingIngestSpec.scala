@@ -363,6 +363,49 @@ class StreamingIngestSpec extends SparkSpec {
     assert(e2.getMessage.contains("fr"))
   }
 
+  test("curateStream BM25-index mode: the streaming retrieval index " +
+      "holds exactly the KEPT docs (rejects never enter), equals a full " +
+      "rebuild over the curated lake, and a replayed batch leaves it " +
+      "unchanged") {
+    import graft.operators.CorpusStats
+    val root = Files.createTempDirectory("curate_bm25")
+    val landing = root.resolve("landing")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val keptText = "a perfectly ordinary document about merge and scan work"
+    write(landing, "b1.csv",
+      s"doc_id,text\n1,$keptText\n2,too short\n")
+    val stream = spark.readStream.schema(docSchema)
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .csv(landing.toString)
+    val idxPath = s"$root/bm25"
+    StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+      s"$root/index", s"$root/curated", s"$root/rejects", s"$root/ckpt",
+      minTokens = 5L, maxBucketSize = Int.MaxValue,
+      bm25IndexPath = idxPath)
+      .awaitTermination()
+    val idx = CorpusStats.bm25LoadParts(spark, idxPath)
+    assert(idx.nDocs == 1L, "only the kept doc enters the retrieval index")
+    val curated = spark.read.parquet(s"$root/curated")
+      .select("doc_id", "text")
+    val rebuilt = CorpusStats.bm25BuildIndex(curated, "doc_id", "text")
+    assert(idx.sumDl == rebuilt.sumDl)
+    assert(idx.df.orderBy("tok").as[(String, Long)].collect().toSeq ==
+      rebuilt.df.orderBy("tok").as[(String, Long)].collect().toSeq)
+    // the loaded index serves queries over the curated lake
+    val hits = CorpusStats.bm25TopKIndexed(curated, "doc_id", "text",
+      Seq("merge"), idx, topK = 5).select("doc_id").as[Long].collect().toSeq
+    assert(hits == Seq(1L))
+    // replay batch 0 directly (the post-crash path): index unchanged
+    val batch = Seq((1L, keptText), (2L, "too short")).toDF("doc_id", "text")
+    StreamingIngest.curateBatch(spark, batch, batchId = 0L,
+      "doc_id", "text", s"$root/index", s"$root/curated", s"$root/rejects",
+      minTokens = 5L, maxBucketSize = Int.MaxValue,
+      bm25IndexPath = idxPath)
+    val replayed = CorpusStats.bm25LoadParts(spark, idxPath)
+    assert(replayed.nDocs == 1L && replayed.sumDl == idx.sumDl)
+  }
+
   test("curateStream tokenizer mode: token-denominated gates, per-batch " +
       "packed marked-id shards, day-2 unseen alphabet, replay idempotent") {
     import graft.functions.{Bpe, TextFns}
