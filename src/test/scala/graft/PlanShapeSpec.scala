@@ -538,6 +538,28 @@ class PlanShapeSpec extends SparkSpec {
       s"unexpected string-window machinery in the hashed twin:\n$plan")
   }
 
+  test("q121 repetition stats: one kernel scan, zero keyed exchange " +
+      "(the Column equivalent is five corpus-keyed explode+groupBys)") {
+    val plan = executed(SparkEntry.queries("q121_repetition_stats")(spark, dir))
+    assert(plan.contains("repetition_stats"),
+      s"native repetition kernel missing:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"per-doc signals should never shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"per-doc signals should not join:\n$plan")
+  }
+
+  test("q124 source health: fused kernel scan into ONE source-keyed " +
+      "aggregate with map-side partials") {
+    val plan = executed(SparkEntry.queries("q124_source_health")(spark, dir))
+    assert(plan.contains("text_stats"),
+      s"fused per-doc signal kernel missing:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"source aggregate not map-side combined:\n$plan")
+    assert(!plan.contains("Join"), s"health report should not join:\n$plan")
+    val keyed = "hashpartitioning\\(source".r.findAllIn(plan).length
+    assert(keyed == 1, s"expected exactly 1 source-keyed exchange, got $keyed:\n$plan")
+  }
+
   test("q77 DSIR: dense-table kernel scoring is zero-join, zero keyed " +
       "exchange (the lambda table collects at build time — r15; the " +
       "former shape exploded the corpus into a lambda join + doc groupBy)") {
