@@ -1824,6 +1824,36 @@ object OracleSql {
            MIN(ntok) AS min_tokens, MAX(ntok) AS max_tokens
          FROM q GROUP BY source ORDER BY source""",
 
+    // q125: char-level Shannon entropy — per-(doc,char) GROUP BY, each
+    // distinct char's term quantized with the IDENTICAL expression
+    // (k·(ln n − ln k)/n · 1e6, floored at +0.5) before the integer
+    // sum, so char iteration order can never matter. Replays
+    // TextFns.charEntropy.
+    "q125_char_entropy" ->
+      """WITH c AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text)),
+               i -> substring(text, i, 1))) AS ch
+           FROM documents),
+         k AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS k
+           FROM c GROUP BY doc_id, ch),
+         n AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct
+           FROM k GROUP BY doc_id),
+         e AS (SELECT k.doc_id,
+             CAST(SUM(CAST(FLOOR(CAST(k AS DOUBLE)
+               * (ln(CAST(n AS DOUBLE)) - ln(CAST(k AS DOUBLE)))
+               / CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS entropy_q6
+           FROM k JOIN n ON k.doc_id = n.doc_id GROUP BY k.doc_id)
+         SELECT d.doc_id,
+           COALESCE(n.n, 0) AS n_chars,
+           COALESCE(n.n_distinct, 0) AS n_distinct,
+           COALESCE(e.entropy_q6, 0) AS entropy_q6
+         FROM documents d
+         LEFT JOIN n ON n.doc_id = d.doc_id
+         LEFT JOIN e ON e.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+
     // q121: word-n-gram repetition signals — per-doc GROUP BYs over
     // space-joined n-grams replay the native kernel's per-row hash maps
     // exactly: gram identity = array_to_string(gram, ' ') (tokens are

@@ -1923,6 +1923,23 @@ object SparkEntry {
     CorpusStats.sourceHealth(T(s, dir, "documents"), "source", "text")
       .orderBy(col("source"))
 
+  /** Character-level Shannon entropy per document (fixed-point
+    * micro-nats) — the gibberish/binary quality signal: random
+    * base64/hex blobs sit near the max, degenerate repetition near
+    * zero, natural language in a stable mid band. One native pass per
+    * row; per-(distinct-char) terms are quantized BEFORE the sum (the
+    * q76 LM discipline), so the oracle replays the identical per-term
+    * expression from a per-(doc,char) GROUP BY and the integer sums
+    * must match bit-for-bit. */
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .select(col("doc_id"), TextFns.charEntropy(col("text")).as("__e"))
+      .select(col("doc_id"),
+        col("__e.n_chars").as("n_chars"),
+        col("__e.n_distinct").as("n_distinct"),
+        col("__e.entropy_q6").as("entropy_q6"))
+      .orderBy(col("doc_id"))
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -2268,7 +2285,8 @@ object SparkEntry {
     "q121_repetition_stats" -> q121 _,
     "q122_containment_pairs" -> q122 _,
     "q123_more_like_this" -> q123 _,
-    "q124_source_health" -> q124 _
+    "q124_source_health" -> q124 _,
+    "q125_char_entropy" -> q125 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

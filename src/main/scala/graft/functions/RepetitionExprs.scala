@@ -151,3 +151,96 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
     copy(child = newChild)
 }
+
+/** Static kernel for [[CharEntropyExpr]]. Per-TERM quantization before
+  * the sum (the q76 LM discipline): each distinct code point c with
+  * count k contributes floor(k·(ln n − ln k)/n · 1e6 + 0.5) — an exact
+  * integer, summed over the (unordered) distinct-char set, so the
+  * result is partitioning- and iteration-order-independent, and the
+  * SQL replay computes the IDENTICAL per-term expression from its
+  * per-(doc,char) GROUP BY. ln is StrictMath.log — the same fdlibm
+  * Catalyst's own `log()` binds to, carrying the established empirical
+  * parity with DuckDB's ln at 1e-6 quantization (every LM oracle rides
+  * it). */
+object CharEntropyKernel {
+
+  /** (n_chars, n_distinct, entropy_q6) of one string — code-point
+    * counts over the RAW text (entropy is a binary/gibberish signal;
+    * casefolding would blunt it). Null/empty → (0, 0, 0). */
+  def entropy(text: org.apache.spark.unsafe.types.UTF8String): InternalRow = {
+    var n = 0L
+    var distinct = 0L
+    var eq6 = 0L
+    if (text != null) {
+      val s = text.toString
+      val counts = new java.util.HashMap[Integer, java.lang.Long](64)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val prev = counts.get(cp)
+        counts.put(cp, if (prev == null) 1L else prev + 1L)
+        n += 1
+        i += Character.charCount(cp)
+      }
+      distinct = counts.size.toLong
+      if (n > 0) {
+        val lnN = java.lang.StrictMath.log(n.toDouble)
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val k = it.next().longValue
+          val term = k.toDouble * (lnN - java.lang.StrictMath.log(k.toDouble)) /
+            n.toDouble * 1e6
+          eq6 += math.floor(term + 0.5).toLong
+        }
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct, eq6))
+  }
+}
+
+/** Native per-document character-level Shannon entropy (fixed-point
+  * micro-nats) — the gibberish/binary/encoding-junk quality signal that
+  * complements the token-level gates: random base64 and hex blobs have
+  * near-maximal char entropy, degenerate repetition near-zero, natural
+  * language a stable mid band. ONE compiled pass per row with a per-doc
+  * code-point histogram; the Column equivalent is a per-char explode +
+  * corpus-keyed groupBy (a corpus shuffle for per-row arithmetic —
+  * the q121 argument at character granularity). */
+case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_entropy expects a STRING child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", DataTypes.LongType, nullable = false),
+    StructField("n_distinct", DataTypes.LongType, nullable = false),
+    StructField("entropy_q6", DataTypes.LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "char_entropy"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    CharEntropyKernel.entropy(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.functions.CharEntropyKernel.entropy(
+            ${c.isNull} ? null : ${c.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
+    copy(child = newChild)
+}

@@ -57,6 +57,14 @@ object TextFns {
       RepetitionStatsExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(tokens(text))))
 
+  /** Per-document character-level Shannon entropy in fixed-point
+    * micro-nats, (n_chars, n_distinct, entropy_q6) — the
+    * gibberish/binary signal; one native pass per row (see
+    * [[CharEntropyKernel]] for the per-term quantization contract). */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      CharEntropyExpr(org.apache.spark.sql.graft.ExprBridge.expression(text)))
+
   /** Token count (whitespace tokenization; fused native scan — the
     * composed `size(tokens(text))` is [[tokenCountComposed]], spec-pinned
     * equal). */

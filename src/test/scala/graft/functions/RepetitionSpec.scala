@@ -53,6 +53,39 @@ class RepetitionSpec extends SparkSpec {
     assert(n == 0L)
   }
 
+  test("charEntropy: hand-checked terms, code-point counting (emoji), " +
+      "degenerate/uniform/empty/null cases") {
+    def eOf(text: String): (Long, Long, Long) =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(TextFns.charEntropy(col("text")).as("e"))
+        .select("e.n_chars", "e.n_distinct", "e.entropy_q6")
+        .as[(Long, Long, Long)].head()
+    def term(k: Long, n: Long): Long =
+      math.floor(k.toDouble * (java.lang.StrictMath.log(n.toDouble)
+        - java.lang.StrictMath.log(k.toDouble)) / n.toDouble * 1e6 + 0.5).toLong
+    // "aab": a=2, b=1, n=3
+    assert(eOf("aab") == ((3L, 2L, term(2, 3) + term(1, 3))))
+    // emoji count as ONE code point each: same histogram as "aab"
+    assert(eOf("🙂🙂a") ==
+      ((3L, 2L, term(2, 3) + term(1, 3))))
+    // degenerate repetition: zero entropy
+    assert(eOf("aaaaaa") == ((6L, 1L, 0L)))
+    // uniform 4 distinct: ~ln(4) micro-nats
+    val (_, _, u) = eOf("abcd")
+    assert(math.abs(u - math.round(math.log(4.0) * 1e6)) <= 4, s"u=$u")
+    assert(eOf("") == ((0L, 0L, 0L)))
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(TextFns.charEntropy(col("text")).as("e"))
+      .select("e.n_chars").as[Long].head()
+    assert(n == 0L)
+    // the quality-signal ordering the gate relies on: random-looking hex
+    // blob > natural text > degenerate repetition (entropy per char)
+    val blob = eOf("f3a9c1e07b2d8456f3a9")
+    val nat = eOf("the cat sat on the mat")
+    def perChar(t: (Long, Long, Long)): Double = t._3.toDouble / t._1
+    assert(perChar(blob) > perChar(nat) && perChar(nat) > 0.0)
+  }
+
   test("repetitionStats: top coverage is MAX over grams of cnt*chars, " +
       "which can come from a longer less-frequent gram") {
     // 'aaaa bbbb' x2 (cov 2*9=18) beats 'x y' x3 (cov 3*3=9)
