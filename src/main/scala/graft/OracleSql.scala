@@ -1899,7 +1899,52 @@ object OracleSql {
          LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
          LEFT JOIN d10 USING (doc_id)
          ORDER BY doc_id"""
-    }
+    },
+
+    // q130: the q123 more-like-this replay, re-parameterized for the
+    // INDEXED engine path (seed 7, 4 terms, top-20): the engine scores
+    // from a Bm25Index's persisted statistics (nDocs = corpus row
+    // count, df from the artifact frame) and ranks seed terms
+    // driver-side — this oracle re-derives everything from the corpus
+    // directly, so the hash match proves the indexed path equals the
+    // direct derivation bit-for-bit. N is COUNT(*) (the index counts
+    // rows at build; doc_id is unique in `documents`, so q123's
+    // COUNT(DISTINCT) is the same number by construction).
+    "q130_mlt_indexed" ->
+      s"""WITH b AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+         seed AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT unnest(toks) AS tok FROM b WHERE doc_id = 7)
+           GROUP BY tok),
+         nd AS (SELECT COUNT(*) AS n FROM documents),
+         ex AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM
+           (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM b)),
+         dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM ex
+           WHERE tok IN (SELECT tok FROM seed) GROUP BY tok),
+         ranked AS (SELECT tok, row_number() OVER (ORDER BY
+             tf * CAST(ROUND((ln(CAST(n AS DOUBLE) + 1.0)
+               - ln(CAST(df AS DOUBLE) + 1.0)) * 1e6) AS BIGINT) DESC,
+             tok) AS rn
+           FROM seed JOIN dfq USING (tok) CROSS JOIN nd),
+         q AS (SELECT tok FROM ranked WHERE rn <= 4),
+         f AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM b),
+         g AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS BIGINT)) AS sdl FROM f),
+         bdf AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS bm_df
+           FROM ex JOIN q USING (tok) GROUP BY tok),
+         tfq AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM b) JOIN q USING (tok)
+           GROUP BY doc_id, tok),
+         contrib AS (SELECT doc_id,
+             CAST(ROUND(ln(1.0 + (CAST(n AS DOUBLE) - bm_df + 0.5)
+               / (bm_df + 0.5))
+             * ((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75)
+               + 0.75 * dl / avgdl))) * 1e6) AS BIGINT) AS c
+           FROM tfq JOIN bdf USING (tok) JOIN f USING (doc_id)
+           CROSS JOIN (SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl FROM g)),
+         s AS (SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_hits,
+             CAST(SUM(c) AS BIGINT) AS score_i
+           FROM contrib GROUP BY doc_id)
+         SELECT doc_id, n_hits, score_i FROM s WHERE n_hits > 0
+         ORDER BY score_i DESC, doc_id LIMIT 20"""
   )
 
   /** q86 shares q65's oracle verbatim: the sidecar-probed

@@ -1940,6 +1940,24 @@ object SparkEntry {
         col("__e.entropy_q6").as("entropy_q6"))
       .orderBy(col("doc_id"))
 
+  /** q123's more-like-this scored FROM A PERSISTED INDEX's statistics
+    * (the r15 verdict's #8): `moreLikeThisIndexed` takes a [[CorpusStats.Bm25Index]]
+    * and reuses its nDocs for the tf·idf N and its df frame for the
+    * seed terms' document frequencies — the direct path's per-call
+    * corpus `distinct()` and corpus-scan df aggregation are GONE; the
+    * only corpus passes left are the seed-doc tf scan and the final
+    * scoring scan. Term ranking runs driver-side over the seed's own
+    * vocabulary with the identical integer arithmetic, so the oracle
+    * (the q123 replay re-parameterized) proves the indexed path equals
+    * the direct derivation bit-for-bit when the index covers the
+    * queried corpus. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val idx = CorpusStats.bm25BuildIndex(docs, "doc_id", "text")
+    CorpusStats.moreLikeThisIndexed(docs, "doc_id", "text",
+      seedId = 7L, idx, nTerms = 4, topK = 20)
+  }
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -2286,7 +2304,8 @@ object SparkEntry {
     "q122_containment_pairs" -> q122 _,
     "q123_more_like_this" -> q123 _,
     "q124_source_health" -> q124 _,
-    "q125_char_entropy" -> q125 _
+    "q125_char_entropy" -> q125 _,
+    "q130_mlt_indexed" -> q130 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -334,6 +334,52 @@ object CorpusStats {
     bm25TopK(df, idCol, textCol, terms, k1, b, topK)
   }
 
+  /** [[moreLikeThis]] from a PERSISTED [[Bm25Index]] (r15 verdict #8):
+    * the direct path pays a corpus-wide `distinct()` for N and a
+    * corpus-scan df aggregation per call — but when an artifact exists,
+    * its `nDocs` IS that N and its df frame already holds every seed
+    * term's df. This overload leaves exactly TWO corpus passes in the
+    * plan: the seed-doc tf scan and the final scoring scan
+    * ([[bm25TopKIndexed]]'s shape); term ranking runs driver-side over
+    * the seed's own vocabulary (≤ `maxSeedTerms` rows, loud guard) with
+    * the SAME integer arithmetic as the direct path — idf quantized
+    * ×1e6 HALF_UP (Spark `round` on a non-negative double), score
+    * = tf · idf_i, ties (score desc, tok) — so when the index covers
+    * exactly the queried corpus of unique-id docs, results are
+    * IDENTICAL to [[moreLikeThis]] (spec- and oracle-pinned). */
+  def moreLikeThisIndexed(df: DataFrame, idCol: String, textCol: String,
+                          seedId: Long, index: Bm25Index, nTerms: Int = 3,
+                          k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+                          maxSeedTerms: Int = 10000): DataFrame = {
+    require(nTerms > 0, s"moreLikeThisIndexed: nTerms must be > 0, got $nTerms")
+    require(index.nDocs > 0, "moreLikeThisIndexed: empty index")
+    val seedTf = df.filter(col(idCol) === seedId)
+      .select(explode(TextFns.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .limit(maxSeedTerms + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(seedTf.nonEmpty,
+      s"moreLikeThisIndexed: seed doc $seedId has no tokens (or does not exist)")
+    require(seedTf.length <= maxSeedTerms,
+      s"moreLikeThisIndexed: seed doc $seedId has > $maxSeedTerms distinct " +
+        "terms — a megadoc's vocabulary is not a query; raise " +
+        "maxSeedTerms knowingly or pre-truncate the seed")
+    val seedToks = seedTf.map(_._1).toSeq
+    // df from the ARTIFACT — |seed vocab| rows off the index frame, no
+    // corpus aggregation
+    val dfOf = index.df.filter(col("tok").isin(seedToks: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lnN1 = math.log(index.nDocs.toDouble + 1.0)
+    def idfI(dft: Long): Long =
+      BigDecimal((lnN1 - math.log(dft.toDouble + 1.0)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+    val terms = seedTf.toSeq
+      .map { case (tok, tf) => (tok, tf * idfI(dfOf.getOrElse(tok, 0L))) }
+      .sortBy { case (tok, score) => (-score, tok) }
+      .take(nTerms).map(_._1)
+    bm25TopKIndexed(df, idCol, textCol, terms, index, k1, b, topK)
+  }
+
   // ---- persisted BM25 retrieval index (the r14 verdict's #6) ----
 
   /** A PERSISTED BM25 corpus-statistics artifact: `nDocs`/`sumDl` plus
@@ -344,8 +390,147 @@ object CorpusStats {
     * recomputes (N, Σdl, df) with a full corpus aggregate on EVERY call,
     * which a curation stack pays hundreds of times per day over the same
     * corpus — this artifact is computed once per ingest batch
-    * (incrementally — [[bm25UpdateIndex]]) and reused by every query. */
+    * (incrementally — [[bm25UpdateIndex]]) and reused by every query.
+    *
+    * ON-DISK LAYOUT (r15 verdict #1 — the durability contract): the
+    * artifact is VERSIONED as one unit. Each write lands a complete
+    * `$path/v=<n>/` directory — `bm25_df` first, `bm25_meta` LAST — and
+    * readers pick the newest version whose meta exists; a version with
+    * no meta is by construction an interrupted write and is skipped (and
+    * pruned by [[bm25Recover]]). There is no in-place rename of a live
+    * directory anywhere, so no crash point can publish a half-merged
+    * df/meta pair or a missing-df window: either the new meta landed
+    * (version complete, atomically visible) or it didn't (readers still
+    * see the previous version untouched). The meta additionally carries
+    * the df frame's row count + content fingerprint, re-validated at
+    * load, and the set of ingested batch ids so a replayed
+    * [[bm25UpdateIndex]] is a loud no-op instead of a silent df
+    * double-count. */
   final case class Bm25Index(nDocs: Long, sumDl: Long, df: DataFrame)
+
+  /** Meta row of one artifact version (internal): stats + df
+    * fingerprint + the ingested-batch ledger. */
+  private final case class Bm25Meta(nDocs: Long, sumDl: Long, vocab: Long,
+                                    dfFp: Long, batchIds: Seq[Long])
+
+  private val Bm25Tag = "bm25-v2"
+
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private def hFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Order-independent exact fingerprint of a (tok, df) frame:
+    * (row count, XOR of xxhash64(tok, df)). XOR is commutative,
+    * associative and overflow-free, so the aggregate is bit-stable
+    * under any partitioning; rows are unique by `tok`, so pairs can
+    * never self-cancel. */
+  private def dfFingerprint(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)).as("n"),
+        coalesce(expr("bit_xor(xxhash64(tok, df))"), lit(0L)).as("fp"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Version dirs under `path`, as (versionNo, hadoopPath), any state. */
+  private def bm25Versions(spark: SparkSession, path: String)
+      : Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = hPath(path)
+    val fs = hFs(spark, root)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.collect {
+      case st if st.isDirectory && st.getPath.getName.matches("v=\\d+") =>
+        (st.getPath.getName.drop(2).toLong, st.getPath)
+    }
+  }
+
+  /** True iff the dir holds at least one parquet part file — an empty
+    * or half-created dir (crash between mkdir and commit) is "absent". */
+  private def hasParquet(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Boolean = {
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      if (it.next().getPath.getName.startsWith("part-")) return true
+    }
+    false
+  }
+
+  /** Read + validate one version's meta. Loud on corruption (wrong tag,
+    * arity, negative stats) — a READABLE meta is a completed write, so
+    * anything malformed inside it is damage, not a crash artifact. */
+  private def readMeta(spark: SparkSession,
+                       vDir: org.apache.hadoop.fs.Path): Bm25Meta = {
+    val rows = spark.read.parquet(s"$vDir/bm25_meta")
+      .select(col("n_docs"), col("sum_dl"), col("model_tag"), col("vocab"),
+        col("df_fp"), col("batch_ids"))
+      .collect()
+    require(rows.length == 1,
+      s"BM25 meta at $vDir/bm25_meta has ${rows.length} rows, expected 1")
+    val r = rows.head
+    require(r.getString(2) == Bm25Tag,
+      s"BM25 artifact at $vDir has model_tag '${r.getString(2)}', " +
+        s"expected '$Bm25Tag'")
+    require(r.getLong(0) >= 0 && r.getLong(1) >= 0,
+      s"BM25 artifact at $vDir has negative stats " +
+        s"(n=${r.getLong(0)}, sum_dl=${r.getLong(1)})")
+    Bm25Meta(r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+      r.getSeq[Long](5))
+  }
+
+  /** Newest COMPLETE version (meta present), else None. Incomplete
+    * higher versions — crash leftovers with df but no meta — are
+    * skipped, never trusted. */
+  private def latestComplete(spark: SparkSession, path: String)
+      : Option[(Long, org.apache.hadoop.fs.Path, Bm25Meta)] = {
+    val fs = hFs(spark, hPath(path))
+    bm25Versions(spark, path).sortBy(-_._1).collectFirst {
+      case (n, p) if hasParquet(fs, new org.apache.hadoop.fs.Path(p, "bm25_meta")) =>
+        (n, p, readMeta(spark, p))
+    }
+  }
+
+  /** Land a new version as one unit: df FIRST, meta (with the df
+    * fingerprint measured from what was actually written) LAST, then
+    * best-effort prune of all older/incomplete versions. A crash at any
+    * point before the meta commit leaves the previous version as the
+    * newest complete one; a crash during pruning leaves extra complete
+    * versions that readers ignore (newest wins) and the next write
+    * prunes. */
+  private def writeVersion(spark: SparkSession, path: String,
+                           dfFrame: DataFrame, nDocs: Long, sumDl: Long,
+                           batchIds: Seq[Long]): Bm25Index = {
+    import spark.implicits._
+    val next = bm25Versions(spark, path).map(_._1).foldLeft(-1L)(math.max) + 1
+    val vDir = s"$path/v=$next"
+    dfFrame.select(col("tok"), col("df").cast("long").as("df"))
+      .write.mode("overwrite").parquet(s"$vDir/bm25_df")
+    val written = spark.read.parquet(s"$vDir/bm25_df")
+    val (vocab, fp) = dfFingerprint(written)
+    Seq((nDocs, sumDl, Bm25Tag, vocab, fp, batchIds))
+      .toDF("n_docs", "sum_dl", "model_tag", "vocab", "df_fp", "batch_ids")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$vDir/bm25_meta") // meta commits the version
+    val fs = hFs(spark, hPath(path))
+    bm25Versions(spark, path).filter(_._1 != next)
+      .foreach { case (_, p) => fs.delete(p, true) }
+    Bm25Index(nDocs, sumDl, written)
+  }
+
+  /** Recovery/compaction routine for a versioned BM25 artifact (the
+    * Compaction.recoverPartitionedDir discipline, run by
+    * [[bm25UpdateIndex]] at every entry and safe to run any time):
+    * deletes version dirs with no committed meta (interrupted writes)
+    * and all complete versions older than the newest (prune leftovers
+    * from a crash mid-prune). Returns the surviving version number, or
+    * -1 if the artifact has no complete version. */
+  def bm25Recover(spark: SparkSession, path: String): Long = {
+    val fs = hFs(spark, hPath(path))
+    val keep = latestComplete(spark, path).map(_._1).getOrElse(-1L)
+    bm25Versions(spark, path).filter(_._1 != keep)
+      .foreach { case (_, p) => fs.delete(p, true) }
+    keep
+  }
 
   /** Corpus statistics of `df` as a [[Bm25Index]]: one word-count-shaped
     * aggregation (per-doc DISTINCT terms exploded → df per term, with
@@ -363,69 +548,79 @@ object CorpusStats {
       dfFrame)
   }
 
-  /** Persist a [[Bm25Index]]: `$path/bm25_df` = (tok, df) and
-    * `$path/bm25_meta` = one row (n_docs, sum_dl, model_tag). Counts are
-    * integers — bit-lossless, the frozen-LM artifact discipline. */
+  /** Persist a [[Bm25Index]] as a fresh artifact version under `path`
+    * (df first, meta LAST — see the [[Bm25Index]] layout contract).
+    * Counts are integers — bit-lossless, the frozen-LM artifact
+    * discipline; the meta records the written df's fingerprint. */
   def bm25SaveIndex(spark: SparkSession, index: Bm25Index, path: String): Unit = {
-    import spark.implicits._
-    index.df.select(col("tok"), col("df"))
-      .write.mode("overwrite").parquet(s"$path/bm25_df")
-    Seq((index.nDocs, index.sumDl, "bm25-v1"))
-      .toDF("n_docs", "sum_dl", "model_tag").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/bm25_meta")
+    writeVersion(spark, path, index.df, index.nDocs, index.sumDl,
+      batchIds = Seq.empty)
+    ()
   }
 
-  /** Load a [[bm25SaveIndex]] artifact, re-validating loudly (the
-    * loadUnigramLm policy): tag, meta arity, df domain. The df frame
-    * loads LAZILY — only queries' term rows are ever collected. */
-  def bm25LoadIndex(spark: SparkSession, path: String): Bm25Index = {
-    import spark.implicits._
-    val meta = spark.read.parquet(s"$path/bm25_meta")
-      .select("n_docs", "sum_dl", "model_tag")
-      .as[(Long, Long, String)].collect()
-    require(meta.length == 1,
-      s"BM25 meta at $path/bm25_meta has ${meta.length} rows")
-    val (n, sdl, tag) = meta.head
-    require(tag == "bm25-v1",
-      s"BM25 artifact at $path has model_tag '$tag', expected 'bm25-v1'")
-    require(n >= 0 && sdl >= 0,
-      s"BM25 artifact at $path has negative stats (n=$n, sum_dl=$sdl)")
-    Bm25Index(n, sdl, spark.read.parquet(s"$path/bm25_df"))
+  /** Load the newest COMPLETE version of a persisted artifact,
+    * re-validating loudly (the loadUnigramLm policy): tag, meta arity,
+    * stats domain, and — `validate = true` (default) — the df frame's
+    * row count + content fingerprint against the meta's record, so a
+    * damaged or hand-edited df can never silently misprice idf. The
+    * fingerprint check is one vocab-sized aggregate, paid once per
+    * session; pass `validate = false` only on a hot path that re-loads
+    * an artifact it just wrote. */
+  def bm25LoadIndex(spark: SparkSession, path: String,
+                    validate: Boolean = true): Bm25Index = {
+    val (_, vDir, meta) = latestComplete(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"BM25 artifact at $path has no complete version " +
+          "(run bm25Recover to prune interrupted writes, or rebuild)"))
+    val df = spark.read.parquet(s"$vDir/bm25_df")
+    if (validate) {
+      val (vocab, fp) = dfFingerprint(df)
+      require(vocab == meta.vocab && fp == meta.dfFp,
+        s"BM25 artifact at $vDir is inconsistent: df has $vocab terms / " +
+          s"fingerprint $fp but meta recorded ${meta.vocab} / ${meta.dfFp} " +
+          "— the df frame was modified behind the meta's back")
+    }
+    Bm25Index(meta.nDocs, meta.sumDl, df)
   }
 
   /** INCREMENTAL index update for batch ingest: merge a batch of NEW
     * documents into the persisted artifact — N and Σdl add, and df is
-    * additive over DISJOINT document sets (the precondition: `batch`
-    * must contain only docs not already counted; re-ingesting a doc
-    * would double-count its terms, so route replays through the
-    * curation layer's exactly-once machinery first). O(batch) work plus
-    * one vocab-sized merge aggregation; the df table is swapped through
-    * a staging directory so a crash mid-write can never leave a
-    * half-merged artifact behind the meta's back (meta writes LAST —
-    * a stale-df + old-meta artifact is just the pre-update state). */
+    * additive over DISJOINT document sets. The disjointness
+    * precondition is GUARDED, not trusted: pass the ingest `batchId`
+    * and a replay of an already-merged batch is a no-op returning the
+    * current index (the meta keeps the ingested-batch ledger), so
+    * at-least-once delivery upstream can never double-count df.
+    * Calling without a batchId (default -1) keeps the caller
+    * responsible for disjointness — document-level dedup belongs to
+    * the curation layer's exactly-once machinery.
+    *
+    * Durability: runs [[bm25Recover]] first (prunes interrupted
+    * writes), then lands the merged df + meta as one new version —
+    * a crash at ANY point leaves the previous version as the newest
+    * complete one, never a half-merged pair or a missing df
+    * (crash-injection spec'd at each boundary in CorpusStatsSpec).
+    * O(batch) stats work plus one vocab-sized merge aggregation. */
   def bm25UpdateIndex(spark: SparkSession, path: String, batch: DataFrame,
-                      idCol: String, textCol: String): Bm25Index = {
-    val cur = bm25LoadIndex(spark, path)
+                      idCol: String, textCol: String,
+                      batchId: Long = -1L): Bm25Index = {
+    bm25Recover(spark, path)
+    val (_, vDir, meta) = latestComplete(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"BM25 artifact at $path has no complete version to update"))
+    if (batchId >= 0 && meta.batchIds.contains(batchId)) {
+      // replayed batch: the ledger says it is already merged — loud
+      // no-op (the parts layout's dynamic-overwrite idempotence,
+      // expressed for the merged layout)
+      return Bm25Index(meta.nDocs, meta.sumDl,
+        spark.read.parquet(s"$vDir/bm25_df"))
+    }
+    val cur = spark.read.parquet(s"$vDir/bm25_df")
     val inc = bm25BuildIndex(batch, idCol, textCol)
-    val merged = cur.df.unionByName(inc.df)
+    val merged = cur.unionByName(inc.df)
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dfDir = new org.apache.hadoop.fs.Path(s"$path/bm25_df")
-    val staging = new org.apache.hadoop.fs.Path(s"$path/bm25_df.staging")
-    val old = new org.apache.hadoop.fs.Path(s"$path/bm25_df.old")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(old, true)
-    require(fs.rename(dfDir, old), s"BM25 update: cannot stage out $dfDir")
-    require(fs.rename(staging, dfDir), s"BM25 update: cannot swap in $staging")
-    fs.delete(old, true)
-    import spark.implicits._
-    val out = Bm25Index(cur.nDocs + inc.nDocs, cur.sumDl + inc.sumDl,
-      spark.read.parquet(dfDir.toString))
-    Seq((out.nDocs, out.sumDl, "bm25-v1"))
-      .toDF("n_docs", "sum_dl", "model_tag").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/bm25_meta")
-    out
+    writeVersion(spark, path, merged, meta.nDocs + inc.nDocs,
+      meta.sumDl + inc.sumDl,
+      if (batchId >= 0) meta.batchIds :+ batchId else meta.batchIds)
   }
 
   /** STREAMING-native BM25 index layout: per-batch df/meta PARTITIONS

@@ -194,13 +194,130 @@ class CorpusStatsSpec extends SparkSpec {
       .select("doc_id", "n_hits").as[(Long, Int)].collect().toMap
     assert(unseen.keySet == Set(1L, 2L, 4L)) // only 'merge' matches
 
-    // corrupted meta tag rejected at load
-    Seq((5L, 99L, "not-bm25")).toDF("n_docs", "sum_dl", "model_tag")
-      .write.mode("overwrite").parquet(s"$root/bm25_meta")
+    // corrupted meta tag in the live version rejected at load
+    val liveV = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.drop(2).toLong).max
+    Seq((5L, 99L, "not-bm25", 1L, 0L, Seq.empty[Long]))
+      .toDF("n_docs", "sum_dl", "model_tag", "vocab", "df_fp", "batch_ids")
+      .write.mode("overwrite").parquet(s"$root/v=$liveV/bm25_meta")
     val e = intercept[IllegalArgumentException] {
       CorpusStats.bm25LoadIndex(spark, root)
     }
     assert(e.getMessage.contains("model_tag"))
+  }
+
+  test("BM25 versioned artifact survives a crash at every update " +
+      "boundary: df-without-meta falls back to the pre-update version " +
+      "and recovers; two complete versions resolve to the newest; a " +
+      "tampered df frame fails the fingerprint check; a replayed " +
+      "batchId is a no-op, never a df double-count") {
+    val day1 = Seq((1L, "merge merge scan"), (2L, "merge scan scan scan"))
+      .toDF("doc_id", "text")
+    val day2 = Seq((3L, "vector merge"), (4L, "pad pad vector"))
+      .toDF("doc_id", "text")
+    val all = day1.unionByName(day2)
+    def dfRows(i: CorpusStats.Bm25Index): Seq[(String, Long)] =
+      i.df.orderBy("tok").as[(String, Long)].collect().toSeq
+    val rebuilt1 = CorpusStats.bm25BuildIndex(day1, "doc_id", "text")
+    val rebuiltAll = CorpusStats.bm25BuildIndex(all, "doc_id", "text")
+
+    // crash point 1: merged df landed, meta did NOT (the r15 verdict's
+    // missing-artifact window). On disk: v=0 complete, v=1 df-only.
+    val r1 = java.nio.file.Files.createTempDirectory("bm25_crash1").toString
+    CorpusStats.bm25SaveIndex(spark,
+      CorpusStats.bm25BuildIndex(day1, "doc_id", "text"), r1)
+    rebuiltAll.df.write.parquet(s"$r1/v=1/bm25_df") // simulated interrupt
+    val afterCrash1 = CorpusStats.bm25LoadIndex(spark, r1)
+    assert(afterCrash1.nDocs == rebuilt1.nDocs &&
+      afterCrash1.sumDl == rebuilt1.sumDl &&
+      dfRows(afterCrash1) == dfRows(rebuilt1),
+      "an interrupted update must leave the pre-update state visible")
+    assert(CorpusStats.bm25Recover(spark, r1) == 0L)
+    assert(!new java.io.File(s"$r1/v=1").exists(),
+      "recover must prune the interrupted version")
+    // the retried update then completes and equals a full rebuild
+    val retried = CorpusStats.bm25UpdateIndex(spark, r1, day2,
+      "doc_id", "text")
+    assert(retried.nDocs == rebuiltAll.nDocs &&
+      dfRows(retried) == dfRows(rebuiltAll))
+
+    // crash point 2: meta landed, prune did not — two COMPLETE
+    // versions; readers must take the newest and recover must keep it.
+    val r2 = java.nio.file.Files.createTempDirectory("bm25_crash2").toString
+    val r2b = java.nio.file.Files.createTempDirectory("bm25_crash2b").toString
+    CorpusStats.bm25SaveIndex(spark,
+      CorpusStats.bm25BuildIndex(day1, "doc_id", "text"), r2)
+    CorpusStats.bm25SaveIndex(spark, rebuiltAll, r2b)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$r2b/v=0"),
+      java.nio.file.Paths.get(s"$r2/v=1"))
+    val afterCrash2 = CorpusStats.bm25LoadIndex(spark, r2)
+    assert(afterCrash2.nDocs == rebuiltAll.nDocs &&
+      dfRows(afterCrash2) == dfRows(rebuiltAll),
+      "with two complete versions the newest must win")
+    assert(CorpusStats.bm25Recover(spark, r2) == 1L)
+    assert(!new java.io.File(s"$r2/v=0").exists())
+
+    // tampered df behind a committed meta: fingerprint check is loud
+    val r3 = java.nio.file.Files.createTempDirectory("bm25_tamper").toString
+    CorpusStats.bm25SaveIndex(spark, rebuilt1, r3)
+    Seq(("zzz", 99L)).toDF("tok", "df")
+      .write.mode("overwrite").parquet(s"$r3/v=0/bm25_df")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.bm25LoadIndex(spark, r3)
+    }
+    assert(e.getMessage.contains("inconsistent"))
+
+    // replayed batchId: the ledger makes at-least-once delivery safe
+    val r4 = java.nio.file.Files.createTempDirectory("bm25_replay").toString
+    CorpusStats.bm25SaveIndex(spark, rebuilt1, r4)
+    val once = CorpusStats.bm25UpdateIndex(spark, r4, day2,
+      "doc_id", "text", batchId = 7L)
+    val twice = CorpusStats.bm25UpdateIndex(spark, r4, day2,
+      "doc_id", "text", batchId = 7L)
+    assert(twice.nDocs == once.nDocs && twice.sumDl == once.sumDl &&
+      dfRows(twice) == dfRows(once),
+      "a replayed batch must be a no-op, not a df double-count")
+    assert(dfRows(twice) == dfRows(rebuiltAll))
+
+    // an artifact with NO complete version fails loudly at load
+    val r5 = java.nio.file.Files.createTempDirectory("bm25_none").toString
+    rebuilt1.df.write.parquet(s"$r5/v=0/bm25_df")
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStats.bm25LoadIndex(spark, r5)
+    }
+    assert(e2.getMessage.contains("no complete version"))
+    Seq(r1, r2, r2b, r3, r4, r5).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
+  test("moreLikeThisIndexed == moreLikeThis when the artifact covers " +
+      "the corpus; zero corpus-stats jobs beyond the seed scan") {
+    val df = Seq(
+      (1L, "quantum flux quantum shared stuff"),
+      (2L, "quantum theory shared and more shared padding here"),
+      (3L, "flux capacitor shared text"),
+      (4L, "unrelated shared content entirely")
+    ).toDF("doc_id", "text")
+    val idx = CorpusStats.bm25BuildIndex(df, "doc_id", "text")
+    val direct = CorpusStats.moreLikeThis(df, "doc_id", "text",
+        seedId = 1L, nTerms = 2, topK = 10)
+      .as[(Long, Int, Long)].collect().toSeq
+    val indexed = CorpusStats.moreLikeThisIndexed(df, "doc_id", "text",
+        seedId = 1L, idx, nTerms = 2, topK = 10)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(indexed == direct, s"indexed $indexed vs direct $direct")
+    // loud failures match the direct path's contract
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.moreLikeThisIndexed(df, "doc_id", "text", 99L, idx)
+    }
+    assert(e.getMessage.contains("no tokens"))
+    val e2 = intercept[IllegalArgumentException] {
+      CorpusStats.moreLikeThisIndexed(df, "doc_id", "text", 1L, idx,
+        maxSeedTerms = 2)
+    }
+    assert(e2.getMessage.contains("maxSeedTerms"))
   }
 
   test("moreLikeThis: the seed's top tf-idf terms drive BM25 — equal to " +
