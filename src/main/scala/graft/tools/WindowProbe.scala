@@ -30,9 +30,15 @@ object WindowProbe {
 
   /** Calm-window reference seconds for [[cpuProbeSec]] /
     * [[sparkProbeSec]] on the build host (median of interleaved calm
-    * runs, committed r14). A different host must re-pin these. */
+    * runs, committed r14) and [[memProbeSec]] (committed r16 — the mem
+    * leg could not be measured in the r14 pin window retroactively, so
+    * its ref is CROSS-CALIBRATED: the r16 pin window's calm floor read
+    * 0.77 on the cpu-leg ratio and 0.42 s on the mem leg, giving
+    * 0.42/0.77 ≈ 0.55 so that a given ratio means the same degradation
+    * level on every leg). A different host must re-pin these. */
   val RefCpuSec = 0.92
   val RefSparkSec = 0.78
+  val RefMemSec = 0.55
 
   /** Sink for probe results — written so the JIT cannot eliminate the
     * hash loop as dead code. Never read for its value. */
@@ -76,13 +82,71 @@ object WindowProbe {
     (System.nanoTime() - t0) / 1e9
   }
 
-  final case class Sample(cpuSec: Double, sparkSec: Double) {
+  /** 1 GiB src + 1 GiB dst copy buffers (128 Mi longs each — two
+    * orders of magnitude past any LLC on this host class), built once
+    * (lazy); construction faults every page, so the timed passes never
+    * measure first-touch cost. */
+  private val MemN = 1 << 27
+  private val MemThreads = 16
+  private lazy val memBufs: (Array[Long], Array[Long]) = {
+    val src = new Array[Long](MemN)
+    var i = 0
+    while (i < MemN) { src(i) = i * 31L; i += 1 }
+    val dst = new Array[Long](MemN)
+    System.arraycopy(src, 0, dst, 0, MemN)
+    (src, dst)
+  }
+
+  /** Fixed-work MEMORY-BOUND probe (r15 verdict #2 — the recorded
+    * probe blind spot: the CPU and Spark legs are compute-bound and
+    * read "calm" while memory-bound phases ran 10-15% slow). 16
+    * threads copy their private slices of the 1 GiB buffer pair, 24
+    * passes — ~48 GiB of read+RFO+write bus traffic whose wall-time is
+    * the host's AGGREGATE DRAM bandwidth, which co-tenant memory
+    * traffic strictly subtracts from: exactly the contention mode the
+    * compute legs cannot see. Design measured against two rejected
+    * alternatives on this host: a single-thread dependent-load walk
+    * (±15% rep spread — noise swallows a 10% signal) and a
+    * single-thread stream (tight, but INVERTS under contention:
+    * co-tenant activity raises the otherwise idle-clocked uncore, so
+    * our stream got FASTER under a 6-thread hog — a saturating
+    * multi-thread probe keeps the uncore busy by itself and stays
+    * monotone; scaling/r16/memprobe_demo.json holds the measurements).
+    * An untimed pass first absorbs JIT warm-up, mirroring
+    * [[sparkProbeSec]]'s discipline. */
+  def memProbeSec(): Double = {
+    val (src, dst) = memBufs
+    val slice = MemN / MemThreads
+    def runPasses(passes: Int): Unit = {
+      val th = (0 until MemThreads).map { t =>
+        val lo = slice * t
+        val x = new Thread(() => {
+          var p = 0
+          while (p < passes) {
+            System.arraycopy(src, lo, dst, lo, slice)
+            p += 1
+          }
+        })
+        x.start(); x
+      }
+      th.foreach(_.join())
+    }
+    runPasses(4) // untimed warm-up: same shape, 1/6 of the work
+    val t0 = System.nanoTime()
+    runPasses(24)
+    sink = dst(MemN - 1)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  final case class Sample(cpuSec: Double, sparkSec: Double, memSec: Double) {
     def cpuRatio: Double = cpuSec / RefCpuSec
     def sparkRatio: Double = sparkSec / RefSparkSec
-    def worst: Double = math.max(cpuRatio, sparkRatio)
+    def memRatio: Double = memSec / RefMemSec
+    def worst: Double = math.max(math.max(cpuRatio, sparkRatio), memRatio)
     def json: String =
       f"""{"cpu_sec":$cpuSec%.3f,"spark_sec":$sparkSec%.3f,""" +
-        f""""cpu_ratio":$cpuRatio%.2f,"spark_ratio":$sparkRatio%.2f}"""
+        f""""mem_sec":$memSec%.3f,"cpu_ratio":$cpuRatio%.2f,""" +
+        f""""spark_ratio":$sparkRatio%.2f,"mem_ratio":$memRatio%.2f}"""
   }
 
   /** One window sample = MIN of two runs per probe: the floor is the
@@ -90,16 +154,18 @@ object WindowProbe {
     * and min-of-2 halves scheduler jitter without tripling probe cost. */
   def sample(spark: SparkSession): Sample =
     Sample(math.min(cpuProbeSec(), cpuProbeSec()),
-      math.min(sparkProbeSec(spark), sparkProbeSec(spark)))
+      math.min(sparkProbeSec(spark), sparkProbeSec(spark)),
+      math.min(memProbeSec(), memProbeSec()))
 
   /** The (before, after) pair as one JSON object string, with the
-    * headline `ratio` = worst of the four component ratios — the
+    * headline `ratio` = worst of the six component ratios — the
     * conservative read (a window that degraded at EITHER end taints
     * cross-run attribution). */
   def windowJson(before: Sample, after: Sample): String = {
     val ratio = math.max(before.worst, after.worst)
     f"""{"ratio":$ratio%.2f,"before":${before.json},"after":${after.json},""" +
-      f""""ref_cpu_sec":$RefCpuSec%.2f,"ref_spark_sec":$RefSparkSec%.2f}"""
+      f""""ref_cpu_sec":$RefCpuSec%.2f,"ref_spark_sec":$RefSparkSec%.2f,""" +
+      f""""ref_mem_sec":$RefMemSec%.2f}"""
   }
 
   /** Standalone: print N probe samples (default 5) — check the window
