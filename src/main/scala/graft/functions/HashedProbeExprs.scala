@@ -72,7 +72,15 @@ object HashedProbeKernel {
   * explode + lambda-table join + per-doc groupBy (a full corpus
   * exchange for what is per-row arithmetic against a ≤ 2^20-entry
   * table). The table rides a BROADCAST — fetched once per executor,
-  * never deserialized per task (the FrozenBigramTables OOM lesson). */
+  * never deserialized per task (the FrozenBigramTables OOM lesson).
+  *
+  * NULL-INPUT CONTRACT (r15 ADVICE, intentional divergence from the
+  * fold it replaced): a null text/array scores as an EMPTY document —
+  * (n_feats = 0, sum = 0), and the consumer's `when(n > 0, …)` guard
+  * yields a null score — where the Column fold propagated NULL into
+  * w_sum and legacy `size(null) = -1` into n_tokens. "No evidence" is
+  * one state, not two: downstream count/threshold logic treats absent
+  * and empty text identically (QualityModelSpec pins both behaviors). */
 case class HashedProbeExpr(child: Expression,
                            table: org.apache.spark.broadcast.Broadcast[Array[Long]],
                            seed: String, nBuckets: Int, bigrams: Boolean)

@@ -38,6 +38,40 @@ object QualityModel {
   private def h32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Broadcast memo for kernel weight tables, keyed by table/model
+    * INSTANCE (weak keys — entries die with the model object, and the
+    * ContextCleaner reclaims the broadcast). Before r16 every Column
+    * construction broadcast a fresh copy — in a long-running stream
+    * the per-micro-batch language gate accumulated one K×2^bits table
+    * per batch (r15 ADVICE). Entries are re-made if the owning
+    * SparkContext changed (test suites stop/start sessions; a broadcast
+    * from a stopped context is unusable). */
+  private val bcCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef,
+      (org.apache.spark.SparkContext, org.apache.spark.broadcast.Broadcast[_])]())
+
+  private def cachedBroadcast[T: scala.reflect.ClassTag](
+      key: AnyRef, make: => T): org.apache.spark.broadcast.Broadcast[T] = {
+    val sc = SparkSession.active.sparkContext
+    bcCache.synchronized {
+      bcCache.get(key) match {
+        case (owner, bc) if (owner eq sc) && !sc.isStopped =>
+          bc.asInstanceOf[org.apache.spark.broadcast.Broadcast[T]]
+        case _ =>
+          val bc = sc.broadcast(make)
+          bcCache.put(key, (sc, bc))
+          bc
+      }
+    }
+  }
+
+  /** Memo of [[derivedWeightTable]] as longs per `bits` — a stable
+    * key/table instance so [[hashedLinearScore]]'s repeated Column
+    * constructions share one broadcast (fresh arrays per call would
+    * defeat the instance-keyed [[bcCache]]). */
+  private val derivedLongTables =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Long]]
+
   /** Integer weight of feature bucket `b` in [-1000, 1000]: derived from
     * md5 of the bucket id so the oracle can replay it. A TRAINED model
     * replaces this with a literal weight array — see
@@ -87,15 +121,21 @@ object QualityModel {
   def hashedLinearScore(text: Column, bits: Int, seed: String,
                         wordNgrams: Int = 1): Column = {
     require(bits > 0 && bits <= 30, s"bits must be in [1,30], got $bits")
-    require(bits <= 21,
-      s"native probe table is dense (2^bits longs broadcast); bits=$bits " +
-        "> 21 — use hashedLinearScoreFold for sparse md5-derived weights")
-    // the md5-derived table is PRECOMPUTED (derivedWeightTable) and
-    // probed by the native kernel — one md5 per feature instead of two,
-    // no HOF fold (see hashedScoreStruct). Bit-identical to the fold
+    // bits <= 21: the md5-derived table is PRECOMPUTED (derivedWeightTable)
+    // and probed by the native kernel — one md5 per feature instead of
+    // two, no HOF fold (see hashedScoreStruct). Bit-identical to the fold
     // (QualityModelSpec pins it; the q75 oracle hash pins it cross-engine).
-    hashedScoreStruct(text, seed, 1 << bits, wordNgrams == 2,
-      derivedWeightTable(bits).map(_.toLong))
+    // bits > 21: a dense 2^bits-long table is too large to precompute/
+    // broadcast — fall back to the fold, which derives each bucket's
+    // weight from md5 in-expression (same arithmetic, no table at all).
+    // Automatic, not an error: the documented [1,30] domain holds on
+    // every path (r15 ADVICE — the old require pointed callers at a
+    // private method).
+    if (bits <= 21) {
+      val table = derivedLongTables.getOrElseUpdate(bits,
+        derivedWeightTable(bits).map(_.toLong))
+      hashedScoreStruct(text, seed, 1 << bits, wordNgrams == 2, table, table)
+    } else hashedLinearScoreFold(text, bits, seed, wordNgrams)
   }
 
   /** The Column-composition fold [[hashedLinearScore]] replaced — kept
@@ -128,8 +168,9 @@ object QualityModel {
     * OUTSIDE the kernel — integer-only inside, so the two paths cannot
     * diverge. */
   private def hashedScoreStruct(text: Column, seed: String, nBuckets: Int,
-                                bigrams: Boolean, table: Array[Long]): Column = {
-    val bc = SparkSession.active.sparkContext.broadcast(table)
+                                bigrams: Boolean, key: AnyRef,
+                                table: => Array[Long]): Column = {
+    val bc = cachedBroadcast(key, table)
     val s = org.apache.spark.sql.graft.ExprBridge.column(
       graft.functions.HashedProbeExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(TextFns.tokens(text)),
@@ -160,10 +201,12 @@ object QualityModel {
       s"need ${1 << bits} weights, got ${weights.length}")
     featuresOf match {
       // default word/bigram features: the native kernel probe (one md5
-      // per feature, broadcast table, no HOF fold)
+      // per feature, broadcast table, no HOF fold). Broadcast keyed by
+      // the caller's weights INSTANCE: a loaded model scores every
+      // micro-batch through one broadcast, not one per batch.
       case None =>
         hashedScoreStruct(text, seed, 1 << bits, wordNgrams == 2,
-          weights.map(_.toLong))
+          weights, weights.map(_.toLong))
       // custom featurization (e.g. BPE-piece features): the Column fold
       // — the kernel's tokenize+bigram shape cannot express it
       case Some(f) =>
@@ -213,15 +256,18 @@ object QualityModel {
     * Full-batch (not per-example SGD) on purpose: SGD's result depends on
     * example ORDER, which a distributed engine cannot (and should not)
     * pin cheaply; full-batch GD is order-independent by construction,
-    * embarrassingly parallel, and each epoch costs two aggregates over
-    * the feature frame + one 2^bits-row collect.
+    * embarrassingly parallel, and each epoch costs ONE job — a margin+
+    * error scan over the packed per-doc frame feeding the bucket-keyed
+    * gradient aggregate + one ≤ 2^bits-row collect.
     *
     * 100 TB: labeled seed frames are SMALL by nature (curated
     * positives/negatives — the fastText recipe trains on thousands to
-    * millions of examples, not the corpus); the feature frame is
-    * persisted once (one tokenize+hash pass), each epoch reuses it, and
-    * the weight table (≤ 2^21 ints) rides as a plan literal exactly like
-    * the scorer ships it. */
+    * millions of examples, not the corpus); the doc-keyed feature frame
+    * is persisted once (one tokenize+hash pass), each epoch reuses it,
+    * and the epoch's weight tables ride ONE broadcast probed by the
+    * native [[graft.functions.BucketDotExpr]] kernel — fetched once per
+    * executor, never deserialized per task (the FrozenBigramTables
+    * lesson, applied to the trainer by the r15 verdict's #3). */
   def trainHashedLogistic(df: DataFrame, idCol: String, textCol: String,
                           labelCol: String, bits: Int, seed: String,
                           epochs: Int, lrMyriad: Long = 20000L,
@@ -234,6 +280,8 @@ object QualityModel {
     val nBuckets = 1 << bits
     val bucket = (t: Column) =>
       h32(concat(lit(seed), lit(":"), t)) % nBuckets
+    // read ONCE at the doc-frame build inside the epoch loop (which
+    // persists the packed per-doc frame) — no separate persist needed
     val feats = df
       .select(col(idCol).as("__d"),
         explode(featuresOf.map(f => f(col(textCol)))
@@ -241,19 +289,10 @@ object QualityModel {
       .select(col("__d"), bucket(col("__t")).as("__b"))
       .groupBy(col("__d"), col("__b"))
       .agg(count(lit(1)).as("__c"))
-      // persist PARTITIONED BY DOC: every epoch's margin aggregate
-      // groups by __d, and the groupBy(__d,__b) output partitioning
-      // does not satisfy it — one repartition at build replaces one
-      // full-frame exchange PER EPOCH (cached outputPartitioning is
-      // preserved, so the per-epoch aggregations plan shuffle-free)
-      .repartition(col("__d"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = df
       .select(col(idCol).as("__d"), col(labelCol).cast("long").as("__y"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try trainLogisticOnFeats(feats, labels, bits, epochs, lrMyriad,
+    trainLogisticOnFeats(feats, labels, bits, epochs, lrMyriad,
       maxTrainDocs)
-    finally { labels.unpersist(); feats.unpersist() }
   }
 
   /** The trainer's epoch loop over a PREPARED feature frame
@@ -288,47 +327,67 @@ object QualityModel {
                                         maxTrainDocs: Long): Seq[Array[Int]] = {
     val nBuckets = 1 << bits
     val ks = 0 until k
-    val docN = feats.groupBy(col("__d"))
-      .agg(sum(col("__c")).as("__n"))
+    val sc = feats.sparkSession.sparkContext
+    // ONE doc-keyed frame built up front — per-doc feature count, the
+    // packed (bucket, count) pairs, and the K labels. An epoch is then
+    // ONE job: a pure scan computes every doc's K margins (the native
+    // [[graft.functions.BucketDotExpr]] probe over the pairs — exact
+    // long multiply-adds, order-free) and its K quantized errors
+    // in-scan (zero joins, zero doc-keyed exchanges), and the only
+    // shuffle is the bucket-keyed gradient aggregate (map-side
+    // combined, ≤ 2^bits × partitions partial rows). Pre-r16 each
+    // epoch paid a doc-groupBy + two joins + a bucket-groupBy, probing
+    // weight arrays ridden as `typedlit` PLAN LITERALS — K × 8 MB
+    // deserialized per task at the bits=21 ceiling, the engine's own
+    // FrozenBigramTables OOM lesson (r15 verdict #3); the epoch's
+    // tables now ride ONE broadcast, fetched once per executor and
+    // destroyed after the gradient collect. The per-label arithmetic
+    // is IDENTICAL (same quantization points, same clamped update) —
+    // the q105/q107/q112 oracles replay the exact same training run
+    // and their hashes pin it.
+    val docFrame = feats.groupBy(col("__d"))
+      .agg(sum(col("__c")).as("__n"),
+        collect_list(struct(col("__b"), col("__c"))).as("__f"))
+      .join(labels, Seq("__d"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nDocs = docN.count()
-      // every epoch BROADCASTS the per-doc error frame back into the
-      // feature frame — correct and cheap for labeled SEED sets (the
-      // fastText recipe: thousands to millions of curated examples),
-      // catastrophic for corpus-sized weak labels. Same loud-failure
-      // policy as trainUnigramLm's maxLocalVocab (r13 verdict).
+      // labeled frames are SMALL by nature (curated seed sets — the
+      // fastText recipe: thousands to millions of examples, not the
+      // corpus). Same loud-failure policy as trainUnigramLm's
+      // maxLocalVocab (r13 verdict).
+      val nDocs = docFrame.count()
       require(nDocs <= maxTrainDocs,
         s"labeled frame has $nDocs docs > maxTrainDocs=$maxTrainDocs — " +
-          "the per-epoch error broadcast is sized for seed-scale labeled " +
+          "the doc-keyed training frame is sized for seed-scale labeled " +
           "sets; sample the labels (or raise maxTrainDocs knowingly)")
       val ws = ks.map(_ => new Array[Int](nBuckets)) // zero init — replayable
       if (nDocs == 0) return ws
       var e = 0
       while (e < epochs) {
-        val wsum = feats
-          .groupBy(col("__d"))
-          .agg(
-            sum(col("__c") * element_at(typedlit(ws(0)),
-              (col("__b") + 1).cast("int")).cast("long")).as("__ws_0"),
-            ks.tail.map(i =>
-              sum(col("__c") * element_at(typedlit(ws(i)),
-                (col("__b") + 1).cast("int")).cast("long")).as(s"__ws_$i")): _*)
-        val err = wsum.join(docN, Seq("__d")).join(labels, Seq("__d"))
-          .select((col("__d") +: col("__n") +: ks.map(i =>
+        val bc = sc.broadcast(
+          graft.functions.LangIdTables(ws.map(w => w.clone()).toArray))
+        val margins = org.apache.spark.sql.graft.ExprBridge.column(
+          graft.functions.BucketDotExpr(
+            org.apache.spark.sql.graft.ExprBridge.expression(col("__f")), bc))
+        val errDocs = docFrame.select(
+          (col("__n") +: col("__f") +: ks.map(i =>
             floor((lit(1.0) / (lit(1.0) +
-              exp(lit(-4.0) * col(s"__ws_$i") / (col("__n") * lit(1000.0))))
+              exp(lit(-4.0) * element_at(margins, i + 1) /
+                (col("__n") * lit(1000.0))))
               - col(s"__y_$i")) * lit(1000000.0) + lit(0.5))
               .as(s"__err6_$i"))): _*)
-        val gradRows = feats.join(broadcast(err), Seq("__d"))
-          .groupBy(col("__b"))
+        val gradRows = errDocs
+          .select((explode(col("__f")).as("__e") +: col("__n") +:
+            ks.map(i => col(s"__err6_$i"))): _*)
+          .groupBy(col("__e.__b").as("__b"))
           .agg(
-            sum(floor(col("__err6_0") * col("__c") /
+            sum(floor(col("__err6_0") * col("__e.__c") /
               col("__n").cast("double") + lit(0.5))).as("__g_0"),
             ks.tail.map(i =>
-              sum(floor(col(s"__err6_$i") * col("__c") /
+              sum(floor(col(s"__err6_$i") * col("__e.__c") /
                 col("__n").cast("double") + lit(0.5))).as(s"__g_$i")): _*)
           .collect()
+        bc.destroy()
         ks.foreach { i =>
           val grads = gradRows.iterator
             .map(r => r.getLong(0) -> r.getLong(1 + i)).toMap
@@ -345,7 +404,7 @@ object QualityModel {
         e += 1
       }
       ws
-    } finally docN.unpersist()
+    } finally docFrame.unpersist()
   }
 
   /** The md5-derived weight table [[hashedLinearScore]] implies, for
@@ -399,31 +458,27 @@ object QualityModel {
     val bucket = (t: Column) =>
       h32(concat(lit(seed), lit(":"), t)) % nBuckets
     // the tokenize+hash feature frame is the dominant cost and is
-    // LABEL-INDEPENDENT — derive and persist it ONCE, train the K
-    // one-vs-rest classifiers against K tiny label projections (vs K
-    // full feature derivations; 3x fewer corpus passes at K = 3)
+    // LABEL-INDEPENDENT — derive it ONCE (read once at the trainer's
+    // doc-frame build, which persists the packed per-doc frame), train
+    // the K one-vs-rest classifiers against K tiny label projections
+    // (vs K full feature derivations; 3x fewer corpus passes at K = 3)
     val feats = df
       .select(col(idCol).as("__d"),
         explode(TextFns.charNgrams(col(textCol), charN)).as("__t"))
       .select(col("__d"), bucket(col("__t")).as("__b"))
       .groupBy(col("__d"), col("__b"))
       .agg(count(lit(1)).as("__c"))
-      .repartition(col("__d")) // see trainHashedLogistic: shuffle-free epochs
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // K one-vs-rest label columns in ONE frame, trained FUSED: all K
-    // classifiers advance together with 2 aggregation jobs per epoch
-    // instead of 2K (bit-identical per-label math — see
-    // trainLogisticOnFeatsMulti; the q112 oracle hash pins it)
+    // classifiers advance together in ONE job per epoch instead of 2K
+    // (bit-identical per-label math — see trainLogisticOnFeatsMulti;
+    // the q112 oracle hash pins it)
     val langOf = df
       .select((col(idCol).as("__d") +: langs.zipWithIndex.map { case (l, i) =>
         (col(langCol) === lit(l)).cast("long").as(s"__y_$i")
       }): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val ws = trainLogisticOnFeatsMulti(feats, langOf, langs.size,
-        bits, epochs, lrMyriad, maxTrainDocs)
-      LangIdModel(langs, bits, seed, charN, langs.zip(ws).toMap)
-    } finally { langOf.unpersist(); feats.unpersist() }
+    val ws = trainLogisticOnFeatsMulti(feats, langOf, langs.size,
+      bits, epochs, lrMyriad, maxTrainDocs)
+    LangIdModel(langs, bits, seed, charN, langs.zip(ws).toMap)
   }
 
   /** Persist a [[LangIdModel]] as a versioned artifact (the frozen-LM
@@ -531,7 +586,10 @@ object QualityModel {
     * pins it cross-engine). Weight tables ride a BROADCAST (fetched
     * once per executor, the frozen-LM discipline). */
   def langMargins(text: Column, model: LangIdModel): Column = {
-    val bc = SparkSession.active.sparkContext.broadcast(
+    // broadcast memoized per MODEL instance (r15 ADVICE: the streaming
+    // language gate built one K×2^bits broadcast per micro-batch,
+    // reclaimed only when the ContextCleaner happened to GC the plan)
+    val bc = cachedBroadcast(model,
       graft.functions.LangIdTables(
         model.langs.map(model.weights(_)).toArray))
     org.apache.spark.sql.graft.ExprBridge.column(

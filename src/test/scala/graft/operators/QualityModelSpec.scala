@@ -46,6 +46,39 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  test("null-text contract (r15 ADVICE, pinned): the kernel scores a " +
+      "null text as an EMPTY doc (n_tokens=0, w_sum=0, score null) " +
+      "where the fold propagates NULL into the count fields — absent " +
+      "and empty text are one state on the kernel path") {
+    val df = Seq((1L, Option.empty[String]), (2L, Some("")))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        QualityModel.hashedLinearScore(col("text"), 10, "s-null").as("k"),
+        QualityModel.hashedLinearScoreFold(col("text"), 10, "s-null").as("f"))
+      .select(col("doc_id"),
+        col("k.n_tokens"), col("k.w_sum"), col("k.score"),
+        col("f.n_tokens"), col("f.w_sum"), col("f.score"))
+      .as[(Long, Option[Int], Option[Long], Option[Double],
+           Option[Int], Option[Long], Option[Double])]
+      .orderBy("doc_id").collect().toSeq
+    // null text: kernel (0, 0, null); fold (-1, null, null) — legacy
+    // size(null) = -1 under this session's ANSI-off config, an even
+    // stronger case for the kernel's single empty-doc state
+    assert(got(0) == ((1L, Some(0), Some(0L), None, Some(-1), None, None)))
+    // empty text: both paths agree exactly
+    assert(got(1) == ((2L, Some(0), Some(0L), None, Some(0), Some(0L), None)))
+  }
+
+  test("hashedLinearScore: bits > 21 falls back to the md5-derived fold " +
+      "automatically (the documented [1,30] domain holds on every path)") {
+    val df = docs((1L, "alpha beta gamma"))
+    val got = df.select(
+        QualityModel.hashedLinearScore(col("text"), 22, "s-big").as("m"))
+      .select("m.n_tokens", "m.w_sum", "m.score")
+      .as[(Int, Long, Option[Double])].collect().head
+    assert(got._1 == 3 && got._3.isDefined)
+  }
+
   test("hashedLinearScore: empty doc scores NULL, weights bounded, " +
       "score in (0,1)") {
     val got = docs((1L, ""), (2L, "alpha beta gamma delta"))
