@@ -2104,11 +2104,186 @@ object OracleSql {
     * omission would quietly downgrade those queries to the driver's
     * rows-only check). q105 is self-contained (the oracle re-derives the
     * whole training run from the corpus — nothing to prime). */
-  def all: Map[String, String] = staticAll ++ bpeEntries ++ pcaEntries +
+  def all: Map[String, String] = staticAll ++ bpeEntries ++ pcaEntries ++
+    unigramEntries +
     ("q105_quality_train" -> qualityTrainSql(10, 4, 20000L, "graft-q105")) +
     ("q107_quality_train_bigrams" ->
       qualityTrainSql(10, 4, 20000L, "graft-q107", ngrams = 2)) +
     ("q112_lang_id_trained" -> langIdTrainSql(8, 3, 20000L, "graft-q112", 3))
+
+  // -------------------------------------- unigram-LM tokenizer (q126/q131)
+  //
+  // Same soundness argument as the BPE block: the oracle replays
+  // TRAINING by INDUCTION — round 0 (substring seeding) is re-derived
+  // from the corpus directly, and each EM round k is re-derived by
+  // DuckDB's own Viterbi DP + count + prune + re-price arithmetic from
+  // the ENGINE's round-(k-1) table injected as VALUES — so a hash match
+  // on the union of all rounds proves every round's E-step and M-step
+  // given the previous state, and the chain grounds out in the corpus.
+  // The DP is unrolled one CTE per word position (maxWordLen bounds
+  // it — words past the bound segment per char on both sides).
+
+  private var unigramModelOpt: Option[graft.functions.UnigramLm.Model] = None
+
+  /** Train (memoized per JVM) the unigram tokenizer whose round tables
+    * seed the q126/q131 oracle SQL. Deterministic — primed and query
+    * models are the same cached instance. */
+  def primeUnigram(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+    unigramModelOpt = Some(graft.functions.UnigramLm.trainCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), sfDir, "text",
+      graft.SparkEntry.UnigramSeedSize, graft.SparkEntry.UnigramVocabSize,
+      graft.SparkEntry.UnigramEmRounds))
+
+  /** One Viterbi pass as unrolled CTEs (suffix `sfx` isolates rounds).
+    * Requires `wv$sfx` (word, cnt — len <= maxWordLen) and `pv$sfx`
+    * (piece, logp_q; MATERIALIZED) upstream. Emits `fin$sfx`
+    * (word, cnt, score) and `seg$sfx` (word, cnt, pos, previ, piece).
+    * Tie-break: per position, row_number over (score DESC, previ ASC)
+    * — exactly the kernel's first-maximum-at-ascending-i rule. */
+  private def unigramDpCtes(sfx: String, maxPieceLen: Int,
+                            maxWordLen: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+       a0$sfx AS (SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS score,
+         0 AS previ FROM wv$sfx)""")
+    for (j <- 1 to maxWordLen) {
+      sb.append(s""",
+       d$j$sfx AS (SELECT word, cnt, $j AS pos, score, previ FROM (
+         SELECT t.word, t.cnt, t.score, t.previ, row_number() OVER (
+           PARTITION BY t.word ORDER BY t.score DESC, t.previ ASC) AS rn
+         FROM (SELECT a.word, a.cnt, a.score + p.logp_q AS score,
+             a.pos AS previ
+           FROM a${j - 1}$sfx a JOIN pv$sfx p
+             ON p.piece = substr(a.word, a.pos + 1, $j - a.pos)
+           WHERE a.pos >= $j - $maxPieceLen AND a.pos < $j
+             AND len(a.word) >= $j) t)
+         WHERE rn = 1),
+       a$j$sfx AS MATERIALIZED (SELECT * FROM a${j - 1}$sfx
+         UNION ALL SELECT * FROM d$j$sfx)""")
+    }
+    sb.append(s""",
+       fin$sfx AS (SELECT word, cnt, score FROM a$maxWordLen$sfx
+         WHERE pos = len(word) AND pos > 0),
+       b0$sfx AS (SELECT word, cnt, pos, previ FROM a$maxWordLen$sfx
+         WHERE pos = len(word) AND pos > 0)""")
+    for (s <- 1 until maxWordLen) {
+      sb.append(s""",
+       b$s$sfx AS (SELECT b.word, b.cnt, a.pos, a.previ
+         FROM b${s - 1}$sfx b JOIN a$maxWordLen$sfx a
+           ON a.word = b.word AND a.pos = b.previ
+         WHERE b.previ > 0)""")
+    }
+    sb.append(s""",
+       seg$sfx AS (SELECT word, cnt, pos, previ,
+         substr(word, previ + 1, pos - previ) AS piece FROM (
+         ${(0 until maxWordLen).map(s => s"SELECT * FROM b$s$sfx")
+        .mkString("\n         UNION ALL ")}))""")
+    sb.toString
+  }
+
+  /** VALUES table of one engine round: (piece, logp_q). */
+  private def unigramValues(pieces: Seq[graft.functions.UnigramLm.Piece]): String =
+    pieces.map(p => s"(${bpeSqlStr(p.piece)}, CAST(${p.logpQ} AS BIGINT))")
+      .mkString(", ")
+
+  private def unigramEntries: Map[String, String] = unigramModelOpt match {
+    case None => throw new IllegalStateException(
+      "OracleSql.primeUnigram(spark, sfDir) must run before OracleSql.all: " +
+        "the q126/q131 oracle SQL is generated from the corpus-trained " +
+        "unigram tokenizer's round tables and cannot be built without it")
+    case Some(model) =>
+      val p = model.maxPieceLen
+      val lw = model.maxWordLen
+      val s = model.seedSize
+      val v = model.vocabSize
+      val base = s"""WITH v AS MATERIALIZED (SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS cnt FROM
+           (SELECT unnest($bpeWords) AS word FROM documents) GROUP BY word),
+         wvx AS MATERIALIZED (SELECT word, cnt FROM v WHERE len(word) <= $lw),
+         wlx AS (SELECT word, cnt FROM v WHERE len(word) > $lw)"""
+      // ---- round 0: substring seeding, re-derived from the corpus ----
+      val round0 = s""",
+         sub AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq
+           FROM (SELECT cnt, unnest(flatten(list_transform(
+               range(1, len(word) + 1), st -> list_transform(
+                 range(1, least($p, len(word) - st + 1) + 1), l ->
+                   substr(word, st, l))))) AS piece
+             FROM v) GROUP BY piece),
+         c0 AS MATERIALIZED (SELECT piece, freq FROM sub WHERE len(piece) = 1),
+         m0 AS (SELECT piece, freq FROM (SELECT piece, freq, row_number()
+             OVER (ORDER BY freq DESC, piece) AS rn FROM sub
+             WHERE len(piece) >= 2)
+           WHERE rn <= $s - (SELECT COUNT(*) FROM c0)),
+         k0 AS MATERIALIZED (SELECT * FROM c0 UNION ALL SELECT * FROM m0),
+         t0 AS (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM k0),
+         r0 AS (SELECT piece, freq, CAST(floor((ln(CAST(freq AS DOUBLE))
+             - ln(CAST(tot AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+             + (len(piece) - 1) * 4000000 AS logp_q
+           FROM k0 CROSS JOIN t0)"""
+      // ---- EM rounds: induction from the engine's round-(k-1) table ----
+      val emRounds = (1 until model.rounds.size).map { k =>
+        val sfx = s"_r$k"
+        s""",
+         pv$sfx AS MATERIALIZED (SELECT * FROM (VALUES
+           ${unigramValues(model.rounds(k - 1))}) t(piece, logp_q)),
+         wv$sfx AS (SELECT * FROM wvx)${unigramDpCtes(sfx, p, lw)},
+         lp$sfx AS (SELECT substr(word, st, 1) AS piece, cnt FROM
+           (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS st
+            FROM wlx)),
+         es$sfx AS MATERIALIZED (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+           FROM (SELECT piece, cnt FROM seg$sfx
+             UNION ALL SELECT piece, cnt FROM lp$sfx) GROUP BY piece),
+         ch$sfx AS MATERIALIZED (SELECT pv.piece, COALESCE(es.c, 0) AS c
+           FROM pv$sfx pv LEFT JOIN es$sfx es USING (piece)
+           WHERE len(pv.piece) = 1),
+         mu$sfx AS (SELECT piece, c FROM (SELECT es.piece, es.c,
+             row_number() OVER (ORDER BY es.c DESC, es.piece) AS rn
+           FROM es$sfx es JOIN pv$sfx pv USING (piece)
+           WHERE len(es.piece) >= 2 AND es.c >= 1)
+           WHERE rn <= ${
+        if (k == model.rounds.size - 1) s"$v"
+        else s"greatest($v, (3 * (SELECT COUNT(*) FROM pv$sfx) + 3) // 4)"
+      } - (SELECT COUNT(*) FROM ch$sfx)),
+         kept$sfx AS MATERIALIZED (SELECT * FROM ch$sfx
+           UNION ALL SELECT * FROM mu$sfx),
+         tot$sfx AS (SELECT CAST(SUM(c) AS BIGINT) AS tot,
+           COUNT(*) AS nk FROM kept$sfx),
+         r$k AS (SELECT piece, c AS freq,
+             CAST(floor((ln(CAST(c + 1 AS DOUBLE))
+               - ln(CAST(tot + nk AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+               AS logp_q
+           FROM kept$sfx CROSS JOIN tot$sfx)"""
+      }.mkString
+      val trainSelect = model.rounds.indices.map(k =>
+        s"SELECT CAST($k AS INTEGER) AS round, piece, freq, logp_q FROM r$k")
+        .mkString("\n         UNION ALL ")
+      val trainSql =
+        s"$base$round0$emRounds\n         $trainSelect ORDER BY round, piece"
+      // ---- encode: one DP pass under the FINAL primed table ----
+      val encodeSql = s"""$base,
+         pv_e AS MATERIALIZED (SELECT * FROM (VALUES
+           ${unigramValues(model.pieces)}) t(piece, logp_q)),
+         wv_e AS (SELECT * FROM wvx)${unigramDpCtes("_e", p, lw)},
+         short_e AS (SELECT f.word, f.cnt,
+             CAST(COUNT(*) AS BIGINT) AS n_pieces,
+             string_agg(s.piece, '|' ORDER BY s.pos) AS pieces,
+             f.score AS score_q
+           FROM fin_e f JOIN seg_e s USING (word)
+           GROUP BY f.word, f.cnt, f.score),
+         long_e AS (SELECT u.word, u.cnt,
+             CAST(len(u.word) AS BIGINT) AS n_pieces,
+             string_agg(substr(u.word, u.st, 1), '|' ORDER BY u.st) AS pieces,
+             CAST(SUM(p.logp_q) AS BIGINT) AS score_q
+           FROM (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS st
+             FROM wlx) u
+           JOIN pv_e p ON p.piece = substr(u.word, u.st, 1)
+           GROUP BY u.word, u.cnt)
+         SELECT word, cnt, n_pieces, pieces, score_q FROM short_e
+         UNION ALL SELECT word, cnt, n_pieces, pieces, score_q FROM long_e
+         ORDER BY word"""
+      Map("q126_unigram_train" -> trainSql,
+        "q131_unigram_encode" -> encodeSql)
+  }
 
   // ------------------------------------------------------ BPE (q87-q99)
   //

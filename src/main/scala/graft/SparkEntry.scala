@@ -1233,6 +1233,12 @@ object SparkEntry {
     * induction oracle's generated SQL bounded (one replace per round). */
   private[graft] val BpeNumMerges = 32
 
+  /** q126/q131 unigram-tokenizer config (the oracle SQL is generated
+    * from the model these parameters train — OracleSql.primeUnigram). */
+  private[graft] val UnigramSeedSize = 400
+  private[graft] val UnigramVocabSize = 200
+  private[graft] val UnigramEmRounds = 2
+
   private def bpeTable(s: SparkSession, dir: String): Seq[Bpe.Merge] =
     Bpe.trainMergesCached(T(s, dir, "documents"), dir, "text", BpeNumMerges)
 
@@ -1958,6 +1964,47 @@ object SparkEntry {
       seedId = 7L, idx, nTerms = 4, topK = 20)
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING under the
+    * oracle gate (the r15 verdict's #4 — the other half of production
+    * tokenization next to BPE): substring seeding + hard-EM rounds
+    * (Viterbi E-step counts, alphabet-preserving prune, add-one-smoothed
+    * quantized re-pricing — [[graft.functions.UnigramLm]]). Output: the
+    * FULL vocabulary table of every round. The oracle replays training
+    * by INDUCTION (the q87 discipline): round 0 re-derived from the
+    * corpus, each EM round re-derived by DuckDB's own unrolled Viterbi
+    * DP + count + prune + re-price from the engine's round-(k-1) table
+    * — a hash match proves every E-step and M-step end to end. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val model = UnigramLm.trainCached(T(s, dir, "documents"), dir, "text",
+      UnigramSeedSize, UnigramVocabSize, UnigramEmRounds)
+    model.rounds.zipWithIndex.flatMap { case (ps, k) =>
+      ps.map(p => (k, p.piece, p.freq, p.logpQ))
+    }.toDF("round", "piece", "freq", "logp_q")
+      .orderBy(col("round"), col("piece"))
+  }
+
+  /** Unigram-LM Viterbi ENCODE of every corpus word under the trained
+    * model ([[q126]]'s artifact): exact-integer max-score segmentation
+    * by the native [[graft.functions.UnigramSegmentExpr]] kernel,
+    * longest-last-piece tie-break, single-char fallback past
+    * maxWordLen. The oracle replays the DP itself (unrolled per
+    * position) — a hash match proves segmentation, tie-breaks, piece
+    * boundaries and scores word for word. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = UnigramLm.trainCached(docs, dir, "text",
+      UnigramSeedSize, UnigramVocabSize, UnigramEmRounds)
+    Bpe.wordCounts(docs, "text")
+      .select(col("word"), col("cnt"),
+        UnigramLm.segmentWords(array(col("word")), model).as("__s"))
+      .select(col("word"), col("cnt"),
+        col("__s.n_pieces").as("n_pieces"),
+        array_join(col("__s.pieces"), "|").as("pieces"),
+        col("__s.score_q").as("score_q"))
+      .orderBy(col("word"))
+  }
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -2305,7 +2352,9 @@ object SparkEntry {
     "q123_more_like_this" -> q123 _,
     "q124_source_health" -> q124 _,
     "q125_char_entropy" -> q125 _,
-    "q130_mlt_indexed" -> q130 _
+    "q126_unigram_train" -> q126 _,
+    "q130_mlt_indexed" -> q130 _,
+    "q131_unigram_encode" -> q131 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -38,6 +38,7 @@ object Verify {
     // fns already populated) before the dump below.
     OracleSql.primeBpe(spark, sfDir)
     OracleSql.primePca(spark, sfDir)
+    OracleSql.primeUnigram(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

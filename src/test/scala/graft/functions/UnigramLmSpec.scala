@@ -1,0 +1,161 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private def table(pieces: Seq[UnigramLm.Piece]) = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    pieces.foreach(p => m.put(p.piece, p.logpQ))
+    m
+  }
+
+  test("seed: full single-char alphabet always kept; multi-char pieces " +
+      "ranked (freq desc, piece asc); overlapping occurrences counted; " +
+      "logp quantized over the selected set") {
+    // words: "aaa" x 2, "ab" x 1 → substrings (P=2):
+    // a: 3*2 + 1 = 7, b: 1, aa: 2*2 = 4 (overlapping!), ab: 1
+    val s = UnigramLm.seed(Seq(("aaa", 2L), ("ab", 1L)), seedSize = 3,
+      maxPieceLen = 2)
+    val byPiece = s.map(p => p.piece -> p).toMap
+    assert(byPiece.keySet == Set("a", "b", "aa")) // chars + top-1 multi
+    assert(byPiece("a").freq == 7L && byPiece("b").freq == 1L &&
+      byPiece("aa").freq == 4L)
+    val total = 12.0
+    // multi-char seed pieces carry the +4-nat/char length prior (the
+    // hard-EM bootstrap — see UnigramLm.SeedLenBonusQ); chars don't
+    assert(byPiece("aa").logpQ ==
+      math.floor((math.log(4.0) - math.log(total)) * 1e6 + 0.5).toLong +
+        UnigramLm.SeedLenBonusQ)
+    assert(byPiece("a").logpQ ==
+      math.floor((math.log(7.0) - math.log(total)) * 1e6 + 0.5).toLong)
+    // seedSize smaller than alphabet: alphabet still complete
+    val s2 = UnigramLm.seed(Seq(("ab", 1L)), seedSize = 1, maxPieceLen = 2)
+    assert(s2.map(_.piece).toSet == Set("a", "b"))
+  }
+
+  test("viterbi: picks the max-score segmentation with exact integer " +
+      "sums; ties prefer the longest last piece; long words fall back " +
+      "to chars; unk code points become their own pieces") {
+    val t = table(Seq(
+      UnigramLm.Piece("a", 0, -100L), UnigramLm.Piece("b", 0, -100L),
+      UnigramLm.Piece("ab", 0, -150L), UnigramLm.Piece("ba", 0, -500L)))
+    // "ab": piece 'ab' (-150) beats 'a'+'b' (-200)
+    assert(UnigramLm.viterbi("ab", t, 2, 16).toSeq == Seq("ab"))
+    // "aba": ab+a (-250) beats a+ba (-600) and a+b+a (-300)
+    assert(UnigramLm.viterbi("aba", t, 2, 16).toSeq == Seq("ab", "a"))
+    // tie: make 'ab' cost exactly a+b → smallest prev position wins →
+    // the LAST piece is the longer one ('ab' chosen at j=2 over b)
+    val t2 = table(Seq(
+      UnigramLm.Piece("a", 0, -100L), UnigramLm.Piece("b", 0, -100L),
+      UnigramLm.Piece("ab", 0, -200L)))
+    assert(UnigramLm.viterbi("ab", t2, 2, 16).toSeq == Seq("ab"))
+    // long word: char fallback
+    assert(UnigramLm.viterbi("abababab", t, 2, 4).toSeq ==
+      Seq("a", "b", "a", "b", "a", "b", "a", "b"))
+    // unk: 'x' not in table
+    assert(UnigramLm.viterbi("axb", t, 2, 16).toSeq == Seq("a", "x", "b"))
+    // supplementary code points slice correctly (🦆 = 2 UTF-16 units)
+    val t3 = table(Seq(UnigramLm.Piece("🦆", 0, -10L),
+      UnigramLm.Piece("a", 0, -10L), UnigramLm.Piece("🦆a", 0, -15L)))
+    assert(UnigramLm.viterbi("🦆a🦆", t3, 2, 16).toSeq == Seq("🦆a", "🦆"))
+  }
+
+  test("emRound: counts are Viterbi counts weighted by word count; " +
+      "alphabet survives pruning at count 0; multi-char pieces below " +
+      "the vocab cut are dropped; add-one smoothed logp") {
+    val vocab = Seq(("abab", 3L), ("ab", 2L), ("cc", 1L))
+    val prev = UnigramLm.seed(vocab, seedSize = 20, maxPieceLen = 3)
+    val r1 = UnigramLm.emRound(vocab, prev, keepSize = 5,
+      maxPieceLen = 3, maxWordLen = 16)
+    val byPiece = r1.map(p => p.piece -> p).toMap
+    // chars always present even if their Viterbi count is 0
+    assert(Set("a", "b", "c").subsetOf(byPiece.keySet))
+    // every kept piece's logp matches the smoothed formula
+    val total = r1.map(_.freq).sum
+    r1.foreach { p =>
+      assert(p.logpQ == math.floor((math.log((p.freq + 1).toDouble) -
+        math.log((total + r1.size).toDouble)) * 1e6 + 0.5).toLong)
+    }
+    // vocab cap respected (chars can exceed it, multis fill the rest)
+    assert(r1.size <= math.max(5, 3))
+  }
+
+  test("train: deterministic (two runs bit-equal); rounds recorded for " +
+      "the oracle induction; segmentation round-trips every corpus word " +
+      "exactly (concat pieces == word)") {
+    val df = docs(
+      (1L, "the internationalization of internationalization"),
+      (2L, "tokenization tokenizer tokens token"),
+      (3L, "Grüße aus München 日本語 token"),
+      (4L, "the the the of of tokenization"))
+    val m1 = UnigramLm.train(df, "text", seedSize = 60, vocabSize = 30,
+      emRounds = 2)
+    val m2 = UnigramLm.train(df, "text", seedSize = 60, vocabSize = 30,
+      emRounds = 2)
+    assert(m1 == m2, "training must be bit-deterministic")
+    assert(m1.rounds.size == 3)
+    // every round's vocab contains the full alphabet
+    val alphabet = m1.rounds.head.map(_.piece)
+      .filter(p => p.codePointCount(0, p.length) == 1).toSet
+    m1.rounds.tail.foreach(r =>
+      assert(alphabet.subsetOf(r.map(_.piece).toSet)))
+    // roundtrip over the whole corpus via the native kernel
+    val rt = df.select(
+        UnigramLm.segmentWords(Bpe.words(col("text")), m1).as("s"),
+        concat_ws("", Bpe.words(col("text"))).as("joined"))
+      .select(concat_ws("", col("s.pieces")).as("glued"), col("joined"))
+      .as[(String, String)].collect()
+    rt.foreach { case (glued, joined) =>
+      assert(glued == joined, s"roundtrip broke: '$glued' != '$joined'")
+    }
+  }
+
+  test("native kernel == driver viterbi word by word; score_q is the " +
+      "exact sum of piece logpQ; unk code points price at UnkLogpQ") {
+    val df = docs((1L, "alpha beta alpha"), (2L, "γάμμα alpha"))
+    val m = UnigramLm.train(df, "text", seedSize = 40, vocabSize = 25,
+      emRounds = 1)
+    val lookup = table(m.pieces)
+    val got = df.select(col("doc_id"),
+        UnigramLm.segmentWords(Bpe.words(col("text")), m).as("s"))
+      .select(col("doc_id"), col("s.n_pieces"), col("s.score_q"),
+        col("s.pieces"))
+      .as[(Long, Long, Long, Seq[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val rows = df.as[(Long, String)].collect()
+    rows.foreach { case (id, text) =>
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val expect = words.flatMap(w =>
+        UnigramLm.viterbi(w, lookup, m.maxPieceLen, m.maxWordLen))
+      val (gn, gscore, gpieces) = got(id)
+      assert(gpieces == expect.toSeq, s"doc $id pieces")
+      assert(gn == expect.length.toLong)
+      val score = expect.map(p => Option(lookup.get(p))
+        .map(_.longValue()).getOrElse(UnigramLm.UnkLogpQ)).sum
+      assert(gscore == score)
+    }
+    // unk: encode text containing a char the corpus never saw
+    val unk = Seq((9L, "zzz qqq ~")).toDF("doc_id", "text")
+      .select(UnigramLm.segmentWords(Bpe.words(col("text")), m).as("s"))
+      .select(col("s.pieces")).as[Seq[String]].collect().head
+    assert(unk.nonEmpty) // still segments — every char becomes a piece
+  }
+
+  test("fertility sanity: at equal vocab budget the unigram model " +
+      "produces a valid piece count and pieceIds is a total order") {
+    val df = docs((1L, "tokenization of tokens"), (2L, "the tokenizer"))
+    val m = UnigramLm.train(df, "text", seedSize = 50, vocabSize = 30,
+      emRounds = 2)
+    val ids = UnigramLm.pieceIds(m)
+    assert(ids.size == m.pieces.size)
+    assert(ids.values.toSeq.sorted == (0 until ids.size))
+    val n = df.select(UnigramLm.pieceCount(col("text"), m).as("n"))
+      .agg(sum(col("n"))).as[Long].collect().head
+    assert(n > 0L)
+  }
+}
