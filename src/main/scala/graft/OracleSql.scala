@@ -1944,7 +1944,65 @@ object OracleSql {
              CAST(SUM(c) AS BIGINT) AS score_i
            FROM contrib GROUP BY doc_id)
          SELECT doc_id, n_hits, score_i FROM s WHERE n_hits > 0
-         ORDER BY score_i DESC, doc_id LIMIT 20"""
+         ORDER BY score_i DESC, doc_id LIMIT 20""",
+
+    // q127: hybrid retrieval — the q113 BM25 ranking (terms
+    // merge/vector/stream, top-20) and the q42 integer-dot dense
+    // ranking (query vec 3, top-20) fused by reciprocal rank:
+    // rrf_i = Σ floor(1e6 / (60 + rank)), absent list contributes 0.
+    // Replays Retrieval.hybridTopK end to end — both rankings AND the
+    // integer fusion, bit for bit.
+    "q127_hybrid_rrf" -> {
+      val terms = Seq("merge", "vector", "stream")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n             ")
+      val dfCols = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      val contribs = terms.indices.map { i =>
+        s"""CAST(ROUND(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+               / (CAST(df$i AS DOUBLE) + 0.5))
+             * ((tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75)
+               + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)"""
+      }.mkString("\n             + ")
+      val hits = terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents),
+         f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             $tfCols
+           FROM b),
+         g AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS BIGINT)) AS sdl,
+             $dfCols FROM f),
+         s AS (SELECT doc_id,
+             CAST(($hits) AS INTEGER) AS n_hits,
+             $contribs AS score_i
+           FROM f CROSS JOIN
+             (SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl, ${terms.indices.map(i => s"df$i").mkString(", ")} FROM g)),
+         sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_i DESC,
+             doc_id) AS INTEGER) AS sparse_rank
+           FROM (SELECT doc_id, score_i FROM s WHERE n_hits > 0
+             ORDER BY score_i DESC, doc_id LIMIT 20)),
+         v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+           FROM embeddings),
+         dd AS (SELECT c.vec_id AS doc_id,
+             CAST(list_sum(list_transform(range(1, len(c.qv) + 1),
+               i -> c.qv[i] * q.qv[i])) AS BIGINT) AS qdot
+           FROM v c, v q WHERE q.vec_id = 3),
+         dn AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY qdot DESC,
+             doc_id) AS INTEGER) AS dense_rank
+           FROM (SELECT doc_id, qdot FROM dd
+             ORDER BY qdot DESC, doc_id LIMIT 20))
+         SELECT doc_id,
+           COALESCE(CAST(floor(1000000.0 / (60 + sparse_rank)) AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000.0 / (60 + dense_rank)) AS BIGINT), 0)
+             AS rrf_i,
+           sparse_rank, dense_rank
+         FROM sp FULL OUTER JOIN dn USING (doc_id)
+         ORDER BY rrf_i DESC, doc_id LIMIT 15"""
+    }
   )
 
   /** q86 shares q65's oracle verbatim: the sidecar-probed

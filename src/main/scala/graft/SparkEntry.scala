@@ -1964,6 +1964,19 @@ object SparkEntry {
       seedId = 7L, idx, nTerms = 4, topK = 20)
   }
 
+  /** HYBRID retrieval — reciprocal-rank fusion of the engine's sparse
+    * (BM25, the q113 ranking) and dense (integer-dot ANN, the q42
+    * ranking) retrieval over a shared id space (the r15 verdict's #5).
+    * RRF is exact integer arithmetic — floor(1e6/(60+rank)) per list,
+    * absent-list contribution 0 — so the oracle replays BOTH rankings
+    * and the fusion bit-for-bit. Corpus-sized work is exactly the two
+    * index probes; the fusion itself joins two 20-row lists. */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    Retrieval.hybridTopK(T(s, dir, "documents"), "doc_id", "text",
+      Seq("merge", "vector", "stream"), T(s, dir, "embeddings"),
+      "vec_id", "embedding", queryVecId = 3L,
+      nSparse = 20, nDense = 20, kRrf = 60, topK = 15)
+
   /** Unigram-LM (SentencePiece-style) tokenizer TRAINING under the
     * oracle gate (the r15 verdict's #4 — the other half of production
     * tokenization next to BPE): substring seeding + hard-EM rounds
@@ -2353,6 +2366,7 @@ object SparkEntry {
     "q124_source_health" -> q124 _,
     "q125_char_entropy" -> q125 _,
     "q126_unigram_train" -> q126 _,
+    "q127_hybrid_rrf" -> q127 _,
     "q130_mlt_indexed" -> q130 _,
     "q131_unigram_encode" -> q131 _
   )
