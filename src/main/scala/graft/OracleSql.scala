@@ -432,6 +432,29 @@ object OracleSql {
          WHERE cnt * 10 >= 5 * LEAST(sa.sz, sb.sz)
          ORDER BY id_a, id_b""",
 
+    // q128: incremental containment == the FULL corpus containment set
+    // (the q122 derivation verbatim) restricted to pairs touching the
+    // day-2 batch (doc_id % 5 = 0) — proving the O(batch) probe loses
+    // and invents nothing. Replays Dedup.containmentIncremental.
+    "q128_containment_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         sh AS (SELECT doc_id AS id, unnest(list_distinct($shingles3)) AS sh FROM t),
+         sizes AS (SELECT id, CAST(COUNT(*) AS INTEGER) AS sz FROM sh GROUP BY id),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS cnt
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY a.id, b.id)
+         SELECT id_a, id_b, CAST(cnt AS BIGINT) AS inter,
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6)
+             AS containment
+         FROM pairs
+         JOIN sizes sa ON sa.id = id_a
+         JOIN sizes sb ON sb.id = id_b
+         WHERE cnt * 10 >= 5 * LEAST(sa.sz, sb.sz)
+           AND (id_a % 5 = 0 OR id_b % 5 = 0)
+         ORDER BY id_a, id_b""",
+
     // q40: the LSH-candidate + exact-verify output provably equals the full
     // exact-Jaccard pair set at threshold 0.5 (recall == 1 on this corpus,
     // see object Scaladoc) — the oracle computes that set directly.

@@ -1964,6 +1964,24 @@ object SparkEntry {
       seedId = 7L, idx, nTerms = 4, topK = 20)
   }
 
+  /** INCREMENTAL containment against the persisted shingle-set index
+    * (the r15 verdict's #6 — q122's daily-ingestion twin): pairs
+    * between the day-2 batch and the day-1 [[Dedup.nearDupIndex]] plus
+    * pairs within the batch, O(batch × posting occupancy) instead of
+    * q122's full corpus self-join. Oracle-portable config (cap
+    * disabled, like q122); the oracle computes the FULL corpus
+    * containment set and restricts it to batch-touching pairs — a hash
+    * match proves the incremental path loses and invents nothing. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val index = Dedup.nearDupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", numHashes = 64, shingleN = 3)
+    Dedup.containmentIncremental(docs.filter(col("doc_id") % 5 === 0),
+        index, "doc_id", "text", shingleN = 3, thresholdNum = 5,
+        thresholdDen = 10, maxPostings = Int.MaxValue)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** HYBRID retrieval — reciprocal-rank fusion of the engine's sparse
     * (BM25, the q113 ranking) and dense (integer-dot ANN, the q42
     * ranking) retrieval over a shared id space (the r15 verdict's #5).
@@ -2367,6 +2385,7 @@ object SparkEntry {
     "q125_char_entropy" -> q125 _,
     "q126_unigram_train" -> q126 _,
     "q127_hybrid_rrf" -> q127 _,
+    "q128_containment_incremental" -> q128 _,
     "q130_mlt_indexed" -> q130 _,
     "q131_unigram_encode" -> q131 _
   )
@@ -2413,6 +2432,16 @@ object SparkEntry {
         Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
             shingleN = 3, thresholdNum = 5, thresholdDen = 10)
           .orderBy(col("id_a"), col("id_b"))),
+      // q128 twin: same cap rationale for the incremental path
+      "q128_containment_incremental" -> ((s, dir) => {
+        val docs = T(s, dir, "documents")
+        val index = Dedup.nearDupIndex(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", numHashes = 64, shingleN = 3)
+        Dedup.containmentIncremental(docs.filter(col("doc_id") % 5 === 0),
+            index, "doc_id", "text", shingleN = 3, thresholdNum = 5,
+            thresholdDen = 10)
+          .orderBy(col("id_a"), col("id_b"))
+      }),
       // q69/q72 twins: hashed window keys (8-byte frequency exchange; the
       // oracled configs carry window STRINGS so DuckDB can replay them)
       "q69_span_dedup" -> ((s, dir) =>

@@ -618,4 +618,58 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must be numeric"))
   }
+  test("containmentIncremental == full containmentPairs restricted to " +
+      "batch-touching pairs, in BOTH cap regimes (uncapped, and a cap " +
+      "that truncates a hot shingle)") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sentence(n: Int): String =
+      Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = (0L until 24L).map(i => (i, sentence(18)))
+    // planted containments: short doc embedded in a long one, straddling
+    // and within the batch split (batch = id % 3 == 0)
+    val embeds = Seq(
+      (100L, base(1)._2.split(" ").take(6).mkString(" ")),  // index short in index long
+      (102L, base(2)._2.split(" ").take(6).mkString(" ")),  // batch short (102%3=0) in index long
+      (105L, base(0)._2.split(" ").take(6).mkString(" ")))  // batch short in batch long (0%3=0)
+    // hot shingle: many docs sharing one 3-gram so a cap actually bites
+    val hot = (200L until 230L).map(i =>
+      (i, "hot hot hot " + sentence(4)))
+    val all = (base ++ embeds ++ hot).toDF("doc_id", "text")
+    val isBatch = col("doc_id") % 3 === 0
+    val batch = all.filter(isBatch)
+    val index = Dedup.nearDupIndex(all.filter(!isBatch), "doc_id", "text",
+      numHashes = 64, shingleN = 3)
+    for (cap <- Seq(Int.MaxValue, 8)) {
+      val inc = Dedup.containmentIncremental(batch, index, "doc_id", "text",
+          shingleN = 3, thresholdNum = 5, thresholdDen = 10,
+          maxPostings = cap)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "containment")
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSet
+      val full = Dedup.containmentPairs(all, "doc_id", "text",
+          shingleN = 3, thresholdNum = 5, thresholdDen = 10,
+          maxPostings = cap)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "containment")
+        .as[(Long, Long, Long, Int, Int, Double)].collect().toSet
+      val expected = full.filter { case (a, b, _, _, _, _) =>
+        a % 3 == 0 || b % 3 == 0 }
+      assert(inc == expected,
+        s"cap=$cap: incremental=$inc expected=$expected")
+      if (cap == Int.MaxValue) {
+        // the corpus exercises all three pair origins
+        assert(inc.exists { case (a, b, _, _, _, _) => a % 3 == 0 && b % 3 == 0 })
+        assert(inc.exists { case (a, b, _, _, _, _) => (a % 3 == 0) != (b % 3 == 0) })
+        assert(full.exists { case (a, b, _, _, _, _) => a % 3 != 0 && b % 3 != 0 },
+          "full run must have index-index pairs the incremental run skips")
+      }
+    }
+    // the cap regimes genuinely differ on this corpus (the hot shingle)
+    val capped = Dedup.containmentPairs(all, "doc_id", "text", shingleN = 3,
+      thresholdNum = 5, thresholdDen = 10, maxPostings = 8).count()
+    val uncapped = Dedup.containmentPairs(all, "doc_id", "text", shingleN = 3,
+      thresholdNum = 5, thresholdDen = 10, maxPostings = Int.MaxValue).count()
+    assert(capped < uncapped, "the cap must actually truncate a hot shingle")
+  }
+
 }
