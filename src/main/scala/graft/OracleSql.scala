@@ -1969,6 +1969,65 @@ object OracleSql {
          SELECT doc_id, n_hits, score_i FROM s WHERE n_hits > 0
          ORDER BY score_i DESC, doc_id LIMIT 20""",
 
+    // q129: URL dedup — re-derives the deterministic messy-URL view
+    // (md5-keyed variants off doc_id) and replays EVERY normalization
+    // rule of UrlDedup.normalizeUrl in SQL: fragment strip,
+    // scheme/host lowercase, www/default-port strip, trailing-slash
+    // strip, tracking-param drop + bytewise param sort. Then the same
+    // canonical groupBy (count, min id) and host extraction.
+    "q129_url_dedup" -> {
+      val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+      val trackRe = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$$"
+      s"""WITH u AS (SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('graft-q129:'
+             || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS INTEGER) AS v1,
+           'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS h
+           FROM documents),
+         raw AS (SELECT doc_id,
+           (CASE v1 % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+             ELSE 'Https' END)
+           || '://'
+           || (CASE WHEN v1 % 2 = 0 THEN 'www.' ELSE '' END)
+           || (CASE WHEN v1 % 5 = 0 THEN upper(h) ELSE h END)
+           || (CASE WHEN v1 % 7 = 0 THEN ':443' ELSE '' END)
+           || '/page/' || CAST(doc_id % 23 AS VARCHAR)
+           || (CASE WHEN v1 % 3 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN v1 % 2 = 1 AND (doc_id % 161) % 3 = 0
+                 THEN '?utm_source=feed&z=1&a=2'
+               WHEN v1 % 2 = 1 THEN '?utm_source=feed'
+               WHEN (doc_id % 161) % 3 = 0 THEN '?z=1&a=2'
+               ELSE '' END)
+           || (CASE WHEN v1 % 4 = 0 THEN '#sec2' ELSE '' END) AS url
+           FROM u),
+         parts AS (SELECT doc_id,
+             regexp_extract(nf, '^([^?]*)', 1) AS base,
+             CASE WHEN contains(nf, '?')
+               THEN regexp_extract(nf, '\\?(.*)$$', 1) ELSE '' END AS query
+           FROM (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf
+             FROM raw)),
+         norm AS (SELECT doc_id,
+             lower(regexp_extract(base, '$schemeRe', 1)) || '://'
+             || regexp_replace(regexp_replace(lower(regexp_extract(base,
+                  '$schemeRe([^/]*)', 2)), '^www\\.', ''), ':(80|443)$$', '')
+             || regexp_replace(regexp_extract(base,
+                  '$schemeRe[^/]*(.*)$$', 2), '/+$$', '')
+             || (CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END) AS canon_url
+           FROM (SELECT doc_id, base, array_to_string(list_sort(
+               list_filter(string_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '$trackRe'))),
+               '&') AS q
+             FROM parts)),
+         g AS (SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS keep_id
+           FROM norm GROUP BY canon_url)
+         SELECT canon_url,
+           regexp_replace(regexp_replace(lower(regexp_extract(canon_url,
+             '$schemeRe([^/?#]*)', 2)), '^www\\.', ''), ':(80|443)$$', '')
+             AS host,
+           n_docs, keep_id
+         FROM g ORDER BY canon_url"""
+    },
+
     // q127: hybrid retrieval — the q113 BM25 ranking (terms
     // merge/vector/stream, top-20) and the q42 integer-dot dense
     // ranking (query vec 3, top-20) fused by reciprocal rank:

@@ -1982,6 +1982,46 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** URL-level dedup — the RefinedWeb FIRST stage (the r15 verdict's
+    * #7): normalize messy URLs (case, www, default port, trailing
+    * slash, tracking params, fragments) and group documents by
+    * canonical URL with keep-first ids. The corpus carries no URL
+    * column, so a deterministic MESSY-URL VIEW is derived from doc_id
+    * (md5-keyed variants — the q77 gumbel device): several doc_ids
+    * share a canonical URL by construction and every normalization
+    * rule is exercised. The oracle re-derives the view AND replays
+    * every normalization rule in SQL — a hash match proves the
+    * canonicalizer rule for rule. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val v1 = conv(substring(md5(concat(lit("graft-q129:"),
+      col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int")
+    val host = concat(lit("site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com"))
+    val real = (col("doc_id") % 161) % 3 === 0
+    val tr = v1 % 2 === 1
+    val url = concat(
+      element_at(array(lit("https"), lit("HTTPS"), lit("Https")),
+        (v1 % 3) + 1),
+      lit("://"),
+      when(v1 % 2 === 0, lit("www.")).otherwise(lit("")),
+      when(v1 % 5 === 0, upper(host)).otherwise(host),
+      when(v1 % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/page/"), (col("doc_id") % 23).cast("string"),
+      when(v1 % 3 === 0, lit("/")).otherwise(lit("")),
+      when(tr && real, lit("?utm_source=feed&z=1&a=2"))
+        .when(tr, lit("?utm_source=feed"))
+        .when(real, lit("?z=1&a=2"))
+        .otherwise(lit("")),
+      when(v1 % 4 === 0, lit("#sec2")).otherwise(lit("")))
+    UrlDedup.urlGroups(docs.select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+      .select(col("canon_url"),
+        UrlDedup.urlHost(col("canon_url")).as("host"),
+        col("n_docs"), col("keep_id"))
+      .orderBy(col("canon_url"))
+  }
+
   /** HYBRID retrieval — reciprocal-rank fusion of the engine's sparse
     * (BM25, the q113 ranking) and dense (integer-dot ANN, the q42
     * ranking) retrieval over a shared id space (the r15 verdict's #5).
@@ -2386,6 +2426,7 @@ object SparkEntry {
     "q126_unigram_train" -> q126 _,
     "q127_hybrid_rrf" -> q127 _,
     "q128_containment_incremental" -> q128 _,
+    "q129_url_dedup" -> q129 _,
     "q130_mlt_indexed" -> q130 _,
     "q131_unigram_encode" -> q131 _
   )

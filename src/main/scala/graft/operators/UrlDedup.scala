@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/metadata-level dedup — the RefinedWeb FIRST STAGE (Penedo et
+  * al., 2023 §3.2): before any shingling or MinHash, drop documents
+  * whose normalized URL was already ingested. At web scale this is the
+  * cheapest dedup there is (one hash-keyed groupBy on a short string —
+  * no tokenize, no n-grams) and removes whole re-crawls outright.
+  *
+  * Normalization rules (each deliberately simple, exactly replayable in
+  * SQL — the q129 oracle re-derives them in DuckDB):
+  *  1. strip the `#fragment`;
+  *  2. lowercase SCHEME and HOST (never the path — paths are
+  *     case-sensitive by spec);
+  *  3. strip a leading `www.` from the host and an explicit default
+  *     port (`:80`/`:443`);
+  *  4. strip trailing `/` runs from the path;
+  *  5. drop tracking query params (`utm_*`, `fbclid`, `gclid`, `ref`),
+  *     SORT the survivors bytewise, rejoin with `&`; an emptied query
+  *     loses its `?`.
+  * Pure Column composition (regexp + array ops) — no UDF; the scan
+  * stays zero-exchange.
+  */
+object UrlDedup {
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val TrackingRe = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$"
+
+  /** Canonical form of `url` under the object-doc rules. A null url
+    * stays null (no metadata — the caller decides whether to gate). */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = when(noFrag.contains("?"),
+      regexp_extract(noFrag, "\\?(.*)$", 1)).otherwise(lit(""))
+    val scheme = lower(regexp_extract(base, SchemeRe, 1))
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(base, SchemeRe + "([^/]*)", 2)),
+      "^www\\.", ""), ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(base, SchemeRe + "[^/]*(.*)$", 2), "/+$", "")
+    val params = array_sort(filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike(TrackingRe)))
+    val q = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
+  }
+
+  /** Host of a normalized (or raw) url, post-normalization rules. */
+  def urlHost(url: Column): Column =
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, SchemeRe + "([^/?#]*)", 2)),
+      "^www\\.", ""), ":(80|443)$", "")
+
+  /** Canonical-URL dedup summary: one row per canonical URL with its
+    * duplicate count and the kept (minimum) id — the audit frame a
+    * curation run reports before dropping. One hash-keyed groupBy of
+    * (short string, id): scale-safe at any corpus size. */
+  def urlGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), normalizeUrl(col(urlCol)).as("canon_url"))
+      .filter(col("canon_url").isNotNull)
+      .groupBy(col("canon_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** The deduped frame: keeps, per canonical URL, the row with the
+    * MINIMUM id (keep-first — the [[Dedup.keyedKeepFirst]] convention);
+    * rows with a null url pass through untouched (no metadata is not
+    * a duplicate). Implemented as a min-id semi-join, not a window —
+    * the groupBy is map-side combined and the join broadcast-able
+    * when the duplicate summary is small. */
+  def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val withCanon = df.withColumn("__canon", normalizeUrl(col(urlCol)))
+    val keep = withCanon.filter(col("__canon").isNotNull)
+      .groupBy(col("__canon")).agg(min(col(idCol)).as("__keep"))
+    withCanon.join(keep, Seq("__canon"), "left")
+      .filter(col("__canon").isNull || col(idCol) === col("__keep"))
+      .drop("__canon", "__keep")
+  }
+
+  /** Per-host crawl health: docs, canonical URLs, and duplicate factor
+    * per host — the RefinedWeb-style report that surfaces mirror sites
+    * and crawler traps before they reach the expensive stages. */
+  def hostStats(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), normalizeUrl(col(urlCol)).as("__canon"))
+      .filter(col("__canon").isNotNull)
+      .select(urlHost(col("__canon")).as("host"), col("__canon"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__canon")).as("n_canonical"))
+}

@@ -38,6 +38,14 @@ object CorpusPipeline {
 
   /** Curation knobs. Defaults match the oracled per-operator configs. */
   final case class Config(
+      // URL-level dedup FIRST stage (None = off): the RefinedWeb
+      // pre-dedup — normalize the named URL column
+      // (graft.operators.UrlDedup rules) and keep one doc per canonical
+      // URL (minimum doc_id) BEFORE any text processing: one
+      // short-string groupBy removes whole re-crawls at the cheapest
+      // possible point. Docs with a null URL pass through (no metadata
+      // is not a duplicate).
+      urlCol: Option[String] = None,
       minTokens: Long = 10L,
       minQuality: Double = 0.3,
       // language allow-list for the quality stage's marker-argmax gate
@@ -206,13 +214,34 @@ object CorpusPipeline {
     }
     def read(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
 
+    cfg.urlCol.foreach { uc =>
+      stage("url_dedup") {
+        require(docs.columns.contains(uc),
+          s"urlCol='$uc' is not a column of the input frame " +
+            s"(${docs.columns.mkString(",")})")
+        val withCanon = docs.withColumn("__canon",
+          graft.operators.UrlDedup.normalizeUrl(col(uc)))
+        val keep = withCanon.filter(col("__canon").isNotNull)
+          .groupBy(col("__canon")).agg(min(col("doc_id")).as("__keep"))
+        val joined = withCanon.join(keep, Seq("__canon"), "left")
+        write(joined
+          .filter(col("__canon").isNotNull && col("doc_id") =!= col("__keep"))
+          .select(docs.columns.map(col).toSeq: _*)
+          .withColumn("drop_reason", lit("url_duplicate")), "rejects_url")
+        write(joined
+          .filter(col("__canon").isNull || col("doc_id") === col("__keep"))
+          .select(docs.columns.map(col).toSeq: _*), "s_url")
+      }
+    }
+
     stage("clean") {
       // mojibake repair + control strip + whitespace canonicalization
       // (q83): a zero-exchange rewrite of the text column, BEFORE any
       // scoring — a doc whose quality signals were computed on garbled
       // text gates wrong. Rows whose text empties out entirely are the
       // only drops.
-      val cleaned = docs.select(col("doc_id"),
+      val cleanIn = if (cfg.urlCol.isDefined) read("s_url") else docs
+      val cleaned = cleanIn.select(col("doc_id"),
         TextFns.cleanText(col("text")).as("text"), col("source"))
       write(cleaned.filter(length(col("text")) === 0)
         .withColumn("drop_reason", lit("empty_after_clean")), "rejects_clean")

@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.SparkSpec
 import java.nio.file.Files
+import org.apache.spark.sql.functions.{col, lit, when}
 
 class CorpusPipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -499,4 +500,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(e.summary.map(_.stage) == Seq("clean")) // first text consumer
     assert(!e.summary.head.ok && e.summary.head.error.nonEmpty)
   }
+  test("url_dedup stage: canonical-URL duplicates drop BEFORE clean with " +
+      "their own reason; null urls pass through; survivors keep the " +
+      "minimum id") {
+    val out = Files.createTempDirectory("corpus_url").toString
+    val withUrl = docs.withColumn("url",
+      when(col("doc_id") === 2L, lit("https://www.a.com/x/"))
+        .when(col("doc_id") === 3L, lit("HTTPS://a.com/x?utm_source=f"))
+        .when(col("doc_id") === 9L, lit("https://b.com/y"))
+        .otherwise(lit(null).cast("string")))
+    val summary = CorpusPipeline.run(spark, withUrl, benchmark, out,
+      CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
+        urlCol = Some("url")))
+    assert(summary.head.stage == "url_dedup" && summary.head.ok)
+    // docs 2 and 3 normalize to the same canonical URL; min id 2 survives
+    val rej = spark.read.parquet(s"$out/rejects_url")
+    assert(rej.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    assert(rej.select("drop_reason").distinct().as[String]
+      .collect().toSeq == Seq("url_duplicate"))
+    assert(spark.read.parquet(s"$out/s_url").count() == docs.count() - 1)
+    // downstream sees the pruned frame: doc 3 is gone from s0_clean
+    assert(!spark.read.parquet(s"$out/s0_clean")
+      .select("doc_id").as[Long].collect().contains(3L))
+    // misnamed column fails loudly
+    val e = intercept[Exception] {
+      CorpusPipeline.run(spark, docs, benchmark, out,
+        CorpusPipeline.Config(urlCol = Some("nope")))
+    }
+    assert(e.getCause.getMessage.contains("nope"))
+  }
+
 }
