@@ -2047,7 +2047,9 @@ object SparkEntry {
     * — a hash match proves every E-step and M-step end to end. */
   private def q126(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val model = UnigramLm.trainCached(T(s, dir, "documents"), dir, "text",
+    // bypasses the per-JVM memo deliberately — q126 TIMES TRAINING,
+    // the q87 convention (q131 rides the memo and times encode)
+    val model = UnigramLm.train(T(s, dir, "documents"), "text",
       UnigramSeedSize, UnigramVocabSize, UnigramEmRounds)
     model.rounds.zipWithIndex.flatMap { case (ps, k) =>
       ps.map(p => (k, p.piece, p.freq, p.logpQ))

@@ -295,6 +295,70 @@ object UnigramLm {
   def pieceIds(model: Model): Map[String, Int] =
     model.pieces.map(_.piece).sorted(pieceOrd).zipWithIndex.toMap
 
+  // ---- persisted artifact (the frozen-LM / saveLangId discipline:
+  // train once offline, load at pipeline/stream start) ----
+
+  private val ArtifactTag = "unigram-tok-v1"
+
+  /** Persist a trained [[Model]]: `$path/unigram_pieces` = one row per
+    * (round, piece) — ALL rounds, so a loaded model is bit-equal to the
+    * trained one (and the oracle's induction replay stays possible from
+    * the artifact alone) — and `$path/unigram_meta` = one row of the
+    * training geometry + tag. Counts and quantized logps are integers:
+    * bit-lossless. */
+  def save(spark: org.apache.spark.sql.SparkSession, model: Model,
+           path: String): Unit = {
+    import spark.implicits._
+    model.rounds.zipWithIndex.flatMap { case (ps, k) =>
+      ps.map(p => (k, p.piece, p.freq, p.logpQ))
+    }.toDF("round", "piece", "freq", "logp_q")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/unigram_pieces")
+    Seq((model.maxPieceLen, model.maxWordLen, model.seedSize,
+        model.vocabSize, model.rounds.size, ArtifactTag))
+      .toDF("max_piece_len", "max_word_len", "seed_size", "vocab_size",
+        "n_rounds", "model_tag")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/unigram_meta")
+  }
+
+  /** Load a [[save]]d artifact, re-validating loudly (the loadLangId
+    * policy): tag, meta arity, contiguous rounds, per-round
+    * non-emptiness, no duplicate piece within a round, final-round
+    * alphabet coverage of every round-0 single-char piece (a model
+    * whose alphabet was corrupted away would silently unk-price at
+    * encode). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$path/unigram_meta")
+      .select("max_piece_len", "max_word_len", "seed_size", "vocab_size",
+        "n_rounds", "model_tag")
+      .as[(Int, Int, Int, Int, Int, String)].collect()
+    require(meta.length == 1,
+      s"unigram meta at $path/unigram_meta has ${meta.length} rows")
+    val (p, lw, ss, vs, nRounds, tag) = meta.head
+    require(tag == ArtifactTag,
+      s"unigram artifact at $path has model_tag '$tag', expected '$ArtifactTag'")
+    val rows = spark.read.parquet(s"$path/unigram_pieces")
+      .select("round", "piece", "freq", "logp_q")
+      .as[(Int, String, Long, Long)].collect()
+    val byRound = rows.groupBy(_._1)
+    require(byRound.keySet == (0 until nRounds).toSet,
+      s"unigram artifact at $path has rounds ${byRound.keySet.toSeq.sorted}, " +
+        s"meta says 0..${nRounds - 1}")
+    val rounds = (0 until nRounds).map { k =>
+      val rs = byRound(k)
+      require(rs.nonEmpty, s"unigram artifact round $k at $path is empty")
+      require(rs.map(_._2).distinct.length == rs.length,
+        s"unigram artifact round $k at $path has duplicate pieces")
+      rs.sortBy(_._2)(pieceOrd).map(r => Piece(r._2, r._3, r._4)).toSeq
+    }
+    val alphabet = rounds.head.map(_.piece)
+      .filter(x => x.codePointCount(0, x.length) == 1).toSet
+    require(alphabet.subsetOf(rounds.last.map(_.piece).toSet),
+      s"unigram artifact at $path lost alphabet coverage — encode would " +
+        "silently unk-price corpus characters")
+    Model(rounds, p, lw, ss, vs)
+  }
+
   /** Segment every word of `wordsCol` (array<string>) under the model's
     * final table: one native compiled pass ([[UnigramSegmentExpr]]),
     * returning (n_pieces, score_q, pieces) with pieces concatenated

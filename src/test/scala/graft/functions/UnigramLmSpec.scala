@@ -146,6 +146,49 @@ class UnigramLmSpec extends SparkSpec {
     assert(unk.nonEmpty) // still segments — every char becomes a piece
   }
 
+  test("artifact save/load: round-trip is bit-equal (all rounds), " +
+      "segmentation under the loaded model identical; corrupted tag and " +
+      "lost alphabet fail loudly") {
+    val df = docs((1L, "tokenization of tokens token"),
+      (2L, "the tokenizer tokenized"))
+    val m = UnigramLm.train(df, "text", seedSize = 50, vocabSize = 30,
+      emRounds = 2)
+    val root = java.nio.file.Files.createTempDirectory("unigram_art").toString
+    UnigramLm.save(spark, m, root)
+    val loaded = UnigramLm.load(spark, root)
+    assert(loaded == m, "loaded model must be bit-equal to the trained one")
+    val a = df.select(UnigramLm.segmentWords(Bpe.words(col("text")), m)
+      .getField("pieces")).as[Seq[String]].collect().toSeq
+    val b = df.select(UnigramLm.segmentWords(Bpe.words(col("text")), loaded)
+      .getField("pieces")).as[Seq[String]].collect().toSeq
+    assert(a == b)
+    // corrupted tag rejected
+    Seq((5, 16, 50, 30, 3, "not-unigram"))
+      .toDF("max_piece_len", "max_word_len", "seed_size", "vocab_size",
+        "n_rounds", "model_tag")
+      .write.mode("overwrite").parquet(s"$root/unigram_meta")
+    val e = intercept[IllegalArgumentException] {
+      UnigramLm.load(spark, root)
+    }
+    assert(e.getMessage.contains("model_tag"))
+    // alphabet corruption rejected: drop all single-char pieces from the
+    // FINAL round behind a valid meta
+    val root2 = java.nio.file.Files.createTempDirectory("unigram_art2").toString
+    UnigramLm.save(spark, m, root2)
+    val pieces = spark.read.parquet(s"$root2/unigram_pieces")
+    pieces.filter(!(col("round") === (m.rounds.size - 1) &&
+        length(col("piece")) === 1))
+      .write.mode("overwrite").parquet(s"$root2/unigram_pieces_tmp")
+    spark.read.parquet(s"$root2/unigram_pieces_tmp")
+      .write.mode("overwrite").parquet(s"$root2/unigram_pieces")
+    val e2 = intercept[IllegalArgumentException] {
+      UnigramLm.load(spark, root2)
+    }
+    assert(e2.getMessage.contains("alphabet"))
+    Seq(root, root2).foreach(pth =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pth)))
+  }
+
   test("fertility sanity: at equal vocab budget the unigram model " +
       "produces a valid piece count and pieceIds is a total order") {
     val df = docs((1L, "tokenization of tokens"), (2L, "the tokenizer"))
