@@ -2475,6 +2475,15 @@ object SparkEntry {
         Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
             shingleN = 3, thresholdNum = 5, thresholdDen = 10)
           .orderBy(col("id_a"), col("id_b"))),
+      // q127 twin: dense side through the IVF-Flat scale path (the
+      // oracled config runs exact brute dot for replay exactness —
+      // the q62-vs-q42 split applied to the fused query)
+      "q127_hybrid_rrf" -> ((s, dir) =>
+        Retrieval.hybridTopK(T(s, dir, "documents"), "doc_id", "text",
+          Seq("merge", "vector", "stream"), T(s, dir, "embeddings"),
+          "vec_id", "embedding", queryVecId = 3L,
+          nSparse = 20, nDense = 20, topK = 15,
+          denseIvf = Some((8, 2)))),
       // q128 twin: same cap rationale for the incremental path
       "q128_containment_incremental" -> ((s, dir) => {
         val docs = T(s, dir, "documents")

@@ -66,7 +66,8 @@ object Retrieval {
                  vecIdCol: String, vecCol: String, queryVecId: Long,
                  nSparse: Int = 20, nDense: Int = 20, kRrf: Int = 60,
                  topK: Int = 10,
-                 index: Option[CorpusStats.Bm25Index] = None): DataFrame = {
+                 index: Option[CorpusStats.Bm25Index] = None,
+                 denseIvf: Option[(Int, Int)] = None): DataFrame = {
     val sparseHits = index match {
       case Some(ix) => CorpusStats.bm25TopKIndexed(docs, idCol, textCol,
         queryTerms, ix, topK = nSparse)
@@ -76,17 +77,29 @@ object Retrieval {
     // the top-N frame is N rows; the rank window runs over those only
     val sparse = sparseHits.withColumn("rank", row_number().over(
       Window.orderBy(col("score_i").desc, col(idCol))))
-    val corpus = embeddings.select(col(vecIdCol).as(idCol),
-      VectorFns.quantize(col(vecCol)).as("cv"))
-    val qv = embeddings.filter(col(vecIdCol) === queryVecId)
-      .select(VectorFns.quantize(col(vecCol)).as("qv"))
-    val dense = corpus.crossJoin(broadcast(qv))
-      .select(col(idCol),
-        VectorFns.quantizedDot(col("cv"), col("qv")).as("qdot"))
-      .orderBy(col("qdot").desc, col(idCol))
-      .limit(nDense)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("qdot").desc, col(idCol))))
+    // dense side: exact brute integer-dot (the q42 oracle shape) by
+    // default; `denseIvf = Some((nCentroids, nProbe))` routes through
+    // the IVF-Flat scale path (q62 — centroid-list-pruned probe, L2
+    // ranking; RRF consumes RANKS, so the metric swap composes cleanly)
+    val dense = denseIvf match {
+      case Some((nc, np)) =>
+        Similarity.ivfTopKInt(embeddings, vecIdCol, vecCol,
+            embeddings.filter(col(vecIdCol) === queryVecId),
+            vecIdCol, vecCol, k = nDense, nCentroids = nc, nProbe = np)
+          .select(col("neighbor_id").as(idCol), col("rank"))
+      case None =>
+        val corpus = embeddings.select(col(vecIdCol).as(idCol),
+          VectorFns.quantize(col(vecCol)).as("cv"))
+        val qv = embeddings.filter(col(vecIdCol) === queryVecId)
+          .select(VectorFns.quantize(col(vecCol)).as("qv"))
+        corpus.crossJoin(broadcast(qv))
+          .select(col(idCol),
+            VectorFns.quantizedDot(col("cv"), col("qv")).as("qdot"))
+          .orderBy(col("qdot").desc, col(idCol))
+          .limit(nDense)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("qdot").desc, col(idCol))))
+    }
     rrfFuse(sparse, dense, idCol, "rank", kRrf, topK)
   }
 }

@@ -86,4 +86,46 @@ class RetrievalSpec extends SparkSpec {
     assert(hashEx == 0,
       s"hybrid plan must not shuffle the corpus by id:\n$plan")
   }
+
+  test("hybridTopK with the IVF dense path: at nProbe == nCentroids == 1 " +
+      "(every vector in one list) the dense ranks are the exact L2 " +
+      "ranking, fused identically to a hand-derived RRF") {
+    val docs = Seq(
+      (1L, "merge scan"), (2L, "vector stream"), (3L, "scan scan"),
+      (4L, "merge vector"), (5L, "stream merge"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(0.9f, 0.1f)), (2L, Array(0.1f, 0.9f)),
+      (3L, Array(0.5f, 0.5f)), (4L, Array(0.8f, 0.2f)),
+      (5L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Retrieval.hybridTopK(docs, "doc_id", "text", Seq("merge"),
+        emb, "vec_id", "embedding", queryVecId = 1L,
+        nSparse = 3, nDense = 3, topK = 5, denseIvf = Some((1, 1)))
+      .as[(Long, Long, Option[Int], Option[Int])].collect().toSeq
+    // hand-derive: dense = exact integer L2 ranking (scale 1000,
+    // dist2 asc, id asc), sparse = bm25 ranking
+    val vecs = emb.as[(Long, Array[Float])].collect().toMap
+    def qz(a: Array[Float]) = a.map(x => math.round(x.toDouble * 1000))
+    val q = qz(vecs(1L))
+    val denseRank = vecs.toSeq
+      .map { case (id, v) =>
+        val d2 = qz(v).zip(q).map { case (a, b) =>
+          (a - b) * (a - b) }.sum
+        id -> d2
+      }
+      .sortBy { case (id, d) => (d, id) }.take(3).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val sp = CorpusStats.bm25TopK(docs, "doc_id", "text", Seq("merge"),
+        topK = 3)
+      .select("doc_id").as[Long].collect().toSeq.zipWithIndex
+      .map { case (id, i) => id -> (i + 1) }.toMap
+    def c(r: Int) = math.floor(1000000.0 / (60 + r)).toLong
+    got.foreach { case (id, rrf, sr, dr) =>
+      assert(sr == sp.get(id) && dr == denseRank.get(id),
+        s"doc $id ranks: got ($sr,$dr), expect (${sp.get(id)},${denseRank.get(id)})")
+      assert(rrf == sp.get(id).map(c).getOrElse(0L) +
+        denseRank.get(id).map(c).getOrElse(0L))
+    }
+  }
 }
