@@ -2421,8 +2421,45 @@ object OracleSql {
          SELECT word, cnt, n_pieces, pieces, score_q FROM short_e
          UNION ALL SELECT word, cnt, n_pieces, pieces, score_q FROM long_e
          ORDER BY word"""
+      // ---- packed token ids: the q97 packing replay with the unigram
+      // Viterbi encode under it (per-word DP → row_number ids in
+      // binary piece order → per-doc resequencing in word order →
+      // global prefix-sum → 8192-token slices) ----
+      val packSql = s"""$base,
+         pv_e AS MATERIALIZED (SELECT * FROM (VALUES
+           ${unigramValues(model.pieces)}) t(piece, logp_q)),
+         wv_e AS (SELECT * FROM wvx)${unigramDpCtes("_e", p, lw)},
+         wpp AS MATERIALIZED (
+           SELECT word, piece, CAST(row_number() OVER (PARTITION BY word
+             ORDER BY pos) AS BIGINT) AS ppos FROM seg_e
+           UNION ALL
+           SELECT word, substr(word, st, 1) AS piece, CAST(st AS BIGINT)
+             AS ppos FROM (SELECT word, unnest(range(1, len(word) + 1))
+             AS st FROM wlx)),
+         vid AS (SELECT piece, CAST(row_number() OVER (ORDER BY piece) - 1
+             AS INTEGER) AS id FROM pv_e),
+         wq AS (SELECT doc_id, unnest(words) AS wd,
+             unnest(range(1, len(words) + 1)) AS wpos
+           FROM (SELECT doc_id, $bpeWords AS words FROM documents)),
+         tok AS (SELECT q.doc_id, q.wpos, pp.ppos, pp.piece
+           FROM wq q JOIN wpp pp ON pp.word = q.wd),
+         ti AS (SELECT doc_id, piece, row_number() OVER (
+             PARTITION BY doc_id ORDER BY wpos, ppos) AS pos FROM tok),
+         idsq AS (SELECT ti.doc_id, ti.pos, vid.id
+           FROM ti JOIN vid ON ti.piece = vid.piece),
+         dn AS (SELECT doc_id, COUNT(*) AS n FROM idsq GROUP BY doc_id),
+         cum AS (SELECT doc_id,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+               AS strt FROM dn),
+         g AS (SELECT (c.strt + i.pos - 1) AS gpos, i.id
+           FROM idsq i JOIN cum c USING (doc_id))
+         SELECT CAST(gpos // 8192 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+         FROM g GROUP BY 1 ORDER BY seq_id"""
       Map("q126_unigram_train" -> trainSql,
-        "q131_unigram_encode" -> encodeSql)
+        "q131_unigram_encode" -> encodeSql,
+        "q132_unigram_pack_ids" -> packSql)
   }
 
   // ------------------------------------------------------ BPE (q87-q99)

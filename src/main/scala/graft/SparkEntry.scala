@@ -2078,6 +2078,28 @@ object SparkEntry {
       .orderBy(col("word"))
   }
 
+  /** q97's packed training file under the UNIGRAM tokenizer — either
+    * tokenizer family now drives the same packing machinery end to end
+    * (train → Viterbi encode to ids → prefix-sum pack): token ids by
+    * the binary-order vocabulary assignment ([[UnigramLm.tokenIds]],
+    * one native kernel scan), then [[Packer.packTokenIds]]'s
+    * piece-sliced exchange at an 8192-token budget. The oracle
+    * re-derives the per-word segmentations (the q131 DP replay), maps
+    * pieces to row_number ids, re-sequences them per document in word
+    * order, and replays the global prefix-sum packing — the q97 shape
+    * with the unigram encode under it. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = UnigramLm.trainCached(docs, dir, "text",
+      UnigramSeedSize, UnigramVocabSize, UnigramEmRounds)
+    val ids = docs.select(col("doc_id"),
+      UnigramLm.tokenIds(col("text"), model).as("ids"))
+    Packer.packTokenIds(s, ids, "doc_id", "ids", budgetTokens = 8192L)
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("token_ids"))
+      .orderBy(col("seq_id"))
+  }
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -2430,7 +2452,8 @@ object SparkEntry {
     "q128_containment_incremental" -> q128 _,
     "q129_url_dedup" -> q129 _,
     "q130_mlt_indexed" -> q130 _,
-    "q131_unigram_encode" -> q131 _
+    "q131_unigram_encode" -> q131 _,
+    "q132_unigram_pack_ids" -> q132 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

@@ -373,9 +373,10 @@ object UnigramLm {
       (org.apache.spark.SparkContext,
         org.apache.spark.broadcast.Broadcast[UnigramTable])]())
 
-  def segmentWords(wordsCol: Column, model: Model): Column = {
+  private def tableBroadcast(model: Model)
+      : org.apache.spark.broadcast.Broadcast[UnigramTable] = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
-    val bc = tableBcCache.synchronized {
+    tableBcCache.synchronized {
       tableBcCache.get(model) match {
         case (owner, b) if (owner eq sc) && !sc.isStopped => b
         case _ =>
@@ -386,11 +387,25 @@ object UnigramLm {
           b
       }
     }
+  }
+
+  def segmentWords(wordsCol: Column, model: Model): Column =
     org.apache.spark.sql.graft.ExprBridge.column(
       UnigramSegmentExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(wordsCol),
-        bc, model.maxPieceLen, model.maxWordLen))
-  }
+        tableBroadcast(model), model.maxPieceLen, model.maxWordLen))
+
+  /** Token IDS of `text` under the model — id = the piece's index in
+    * the UTF-8-byte-order-sorted final vocabulary ([[pieceIds]]; the
+    * `rounds` builders and [[load]] all emit the table pre-sorted, so
+    * the broadcast array index IS that id). The training-file encode
+    * path next to [[Bpe.tokenIds]]; unknown pieces (out-of-corpus text
+    * only) emit -1, never a silent skip. */
+  def tokenIds(text: Column, model: Model): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      UnigramIdsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(Bpe.words(text)),
+        tableBroadcast(model), model.maxPieceLen, model.maxWordLen))
 
   /** Sum of pieces over the whole document — the tokenizer-faithful
     * token count for fertility comparisons vs BPE at equal vocab. */

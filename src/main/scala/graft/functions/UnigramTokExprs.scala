@@ -20,6 +20,15 @@ final case class UnigramTable(pieces: Array[String], logpQ: Array[Long]) {
     while (i < pieces.length) { m.put(pieces(i), logpQ(i)); i += 1 }
     m
   }
+  /** piece -> id, where id = index in the (UTF-8-byte-order-sorted)
+    * `pieces` array — the [[UnigramLm.pieceIds]] assignment, which both
+    * engines re-derive as `row_number() OVER (ORDER BY piece) - 1`. */
+  @transient lazy val idOf: java.util.HashMap[String, java.lang.Integer] = {
+    val m = new java.util.HashMap[String, java.lang.Integer](pieces.length * 2)
+    var i = 0
+    while (i < pieces.length) { m.put(pieces(i), i); i += 1 }
+    m
+  }
 }
 
 /** Static kernel for [[UnigramSegmentExpr]] — shared by interpreted
@@ -60,6 +69,82 @@ object UnigramSegmentKernel {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](n, score, new GenericArrayData(out.toArray[Any])))
   }
+}
+
+/** Kernel for [[UnigramIdsExpr]]: token IDS of the Viterbi
+  * segmentation, in document order — the training-file encode path
+  * ([[Bpe.tokenIds]]' unigram counterpart). Unknown pieces (possible
+  * only on out-of-corpus text) emit id -1, never a silent skip. */
+object UnigramIdsKernel {
+  def ids(words: ArrayData, table: UnigramTable, maxPieceLen: Int,
+          maxWordLen: Int): ArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (words != null) {
+      val k = words.numElements()
+      var i = 0
+      while (i < k) {
+        val w = words.getUTF8String(i)
+        if (w != null) {
+          val pieces = UnigramLm.viterbi(w.toString, table.lookup,
+            maxPieceLen, maxWordLen)
+          var j = 0
+          while (j < pieces.length) {
+            val id = table.idOf.get(pieces(j))
+            out += (if (id != null) id.intValue() else -1)
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray[Int])
+  }
+}
+
+/** Native unigram-LM token-id encode: [[UnigramIdsKernel]] behind the
+  * [[UnigramSegmentExpr]] deployment shape (broadcast table, one
+  * compiled pass). Output: array<int> ids, document order. */
+case class UnigramIdsExpr(child: Expression,
+                          table: org.apache.spark.broadcast.Broadcast[UnigramTable],
+                          maxPieceLen: Int, maxWordLen: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"unigram_ids expects an ARRAY<STRING> child, got ${other.catalogString}")
+    }
+  override def dataType: DataType =
+    ArrayType(DataTypes.IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "unigram_ids"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    UnigramIdsKernel.ids(v.asInstanceOf[ArrayData], table.value,
+      maxPieceLen, maxWordLen)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("unigramIdsTableBc", table,
+      "org.apache.spark.broadcast.Broadcast")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.UnigramIdsKernel.ids(
+            ${c.isNull} ? null : ${c.value},
+            (graft.functions.UnigramTable) $ref.value(),
+            $maxPieceLen, $maxWordLen);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramIdsExpr =
+    copy(child = newChild)
 }
 
 /** Native unigram-LM segmentation: one compiled pass per row — Viterbi

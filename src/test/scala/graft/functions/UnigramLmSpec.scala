@@ -146,6 +146,31 @@ class UnigramLmSpec extends SparkSpec {
     assert(unk.nonEmpty) // still segments — every char becomes a piece
   }
 
+  test("tokenIds: ids are the binary-order vocabulary assignment of the " +
+      "Viterbi segmentation, in document order; unk pieces emit -1") {
+    val df = docs((1L, "tokenization of tokens"), (2L, "the tokenizer"))
+    val m = UnigramLm.train(df, "text", seedSize = 50, vocabSize = 30,
+      emRounds = 2)
+    val ids = UnigramLm.pieceIds(m)
+    val lookup = table(m.pieces)
+    val got = df.select(col("doc_id"),
+        UnigramLm.tokenIds(col("text"), m).as("ids"))
+      .as[(Long, Seq[Int])].collect().toMap
+    df.as[(Long, String)].collect().foreach { case (id, text) =>
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val expect = words.flatMap(w =>
+        UnigramLm.viterbi(w, lookup, m.maxPieceLen, m.maxWordLen))
+        .map(p => ids.getOrElse(p, -1)).toSeq
+      assert(got(id) == expect, s"doc $id: ${got(id)} vs $expect")
+      assert(got(id).forall(_ >= 0), "corpus text must never emit unk ids")
+    }
+    // out-of-corpus char: unk id -1, stream length preserved
+    val unk = Seq((9L, "zzz ~")).toDF("doc_id", "text")
+      .select(UnigramLm.tokenIds(col("text"), m).as("ids"))
+      .as[Seq[Int]].collect().head
+    assert(unk.nonEmpty && unk.contains(-1))
+  }
+
   test("artifact save/load: round-trip is bit-equal (all rounds), " +
       "segmentation under the loaded model identical; corrupted tag and " +
       "lost alphabet fail loudly") {
