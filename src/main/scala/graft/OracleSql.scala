@@ -949,6 +949,36 @@ object OracleSql {
          SELECT query_id, neighbor_id, dist2, "rank" FROM rk WHERE "rank" <= 5
          ORDER BY query_id, "rank"""",
 
+    // q136: persisted IVF index lifecycle — centroids FROZEN at build
+    // time from the DAY-1 corpus only (vec_id % 5 <> 0, lowest-id
+    // seeds), then ALL vectors (day-1 + the appended day-2 batch,
+    // merged exactly once — the replayed append is a ledger no-op)
+    // assign to those centroids and the q62 probe runs over the merged
+    // set. A hash match proves the artifact's build/append/replay/probe
+    // semantics end to end.
+    "q136_ivf_index_lifecycle" ->
+      s"""WITH v AS (SELECT vec_id, ${quantized(1000)} AS qv FROM embeddings),
+         cent AS (SELECT vec_id AS cid, qv AS cv FROM v
+           WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 8),
+         d AS (
+           SELECT v.vec_id, v.qv, cent.cid,
+             CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+               i -> (v.qv[i] - cent.cv[i]) * (v.qv[i] - cent.cv[i]))) AS BIGINT) AS d2
+           FROM v, cent),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+         assign AS (SELECT vec_id AS neighbor_id, qv AS cv2, cid AS centroid_id FROM r WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, qv AS qv2, cid AS centroid_id
+                    FROM r WHERE vec_id < 10 AND rn <= 2),
+         cand AS (
+           SELECT p.query_id, a.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(p.qv2) + 1),
+               i -> (p.qv2[i] - a.cv2[i]) * (p.qv2[i] - a.cv2[i]))) AS BIGINT) AS dist2
+           FROM probes p JOIN assign a USING (centroid_id)),
+         rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY dist2, neighbor_id) AS INTEGER) AS "rank" FROM cand)
+         SELECT query_id, neighbor_id, dist2, "rank" FROM rk WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+
     // q63: k-means Lloyd assignment sums — same argmin assignment as q62,
     // then per (centroid, dimension) SUM + COUNT of the quantized
     // components (division-free: no floor/truncate semantics to diverge).
@@ -2006,12 +2036,14 @@ object OracleSql {
            FROM (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS nf
              FROM raw)),
          norm AS (SELECT doc_id,
-             lower(regexp_extract(base, '$schemeRe', 1)) || '://'
-             || regexp_replace(regexp_replace(lower(regexp_extract(base,
-                  '$schemeRe([^/]*)', 2)), '^www\\.', ''), ':(80|443)$$', '')
-             || regexp_replace(regexp_extract(base,
-                  '$schemeRe[^/]*(.*)$$', 2), '/+$$', '')
-             || (CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END) AS canon_url
+             CASE WHEN regexp_matches(base, '$schemeRe') THEN
+               lower(regexp_extract(base, '$schemeRe', 1)) || '://'
+               || regexp_replace(regexp_replace(lower(regexp_extract(base,
+                    '$schemeRe([^/]*)', 2)), '^www\\.', ''), ':(80|443)$$', '')
+               || regexp_replace(regexp_extract(base,
+                    '$schemeRe[^/]*(.*)$$', 2), '/+$$', '')
+               || (CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END)
+             ELSE NULL END AS canon_url
            FROM (SELECT doc_id, base, array_to_string(list_sort(
                list_filter(string_split(query, '&'),
                  p -> p <> '' AND NOT regexp_matches(p, '$trackRe'))),
@@ -2019,13 +2051,81 @@ object OracleSql {
              FROM parts)),
          g AS (SELECT canon_url, CAST(COUNT(*) AS BIGINT) AS n_docs,
              MIN(doc_id) AS keep_id
-           FROM norm GROUP BY canon_url)
+           FROM norm WHERE canon_url IS NOT NULL GROUP BY canon_url)
          SELECT canon_url,
            regexp_replace(regexp_replace(lower(regexp_extract(canon_url,
              '$schemeRe([^/?#]*)', 2)), '^www\\.', ''), ':(80|443)$$', '')
              AS host,
            n_docs, keep_id
          FROM g ORDER BY canon_url"""
+    },
+
+    // q133: URL dedup, keep-best — the q129 view plus a deterministic
+    // fetch_ts priority and MALFORMED URLs on every 11th doc. Replays
+    // the scheme guard (non-absolute URL -> NULL canon -> pass
+    // through), every normalization rule, and the keep-best argmax
+    // (max fetch_ts, min doc_id tie-break) as a window rank.
+    "q133_url_keep_best" -> {
+      val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+      val trackRe = "^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$$"
+      s"""WITH u AS (SELECT doc_id,
+           CAST(CAST('0x' || substr(md5('graft-q133:'
+             || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) AS INTEGER) AS v1,
+           'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS h
+           FROM documents),
+         raw AS (SELECT doc_id,
+           CASE WHEN doc_id % 11 = 0 THEN
+             (CASE v1 % 4
+               WHEN 0 THEN 'relative/page/' || CAST(doc_id % 23 AS VARCHAR)
+               WHEN 1 THEN 'mailto:user@example.com'
+               WHEN 2 THEN h || '/x'
+               ELSE '' END)
+           ELSE
+             (CASE v1 % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'HTTPS'
+               ELSE 'Https' END)
+             || '://'
+             || (CASE WHEN v1 % 2 = 0 THEN 'www.' ELSE '' END)
+             || (CASE WHEN v1 % 5 = 0 THEN upper(h) ELSE h END)
+             || (CASE WHEN v1 % 7 = 0 THEN ':443' ELSE '' END)
+             || '/page/' || CAST(doc_id % 23 AS VARCHAR)
+             || (CASE WHEN v1 % 3 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN v1 % 2 = 1 AND (doc_id % 161) % 3 = 0
+                   THEN '?utm_source=feed&z=1&a=2'
+                 WHEN v1 % 2 = 1 THEN '?utm_source=feed'
+                 WHEN (doc_id % 161) % 3 = 0 THEN '?z=1&a=2'
+                 ELSE '' END)
+             || (CASE WHEN v1 % 4 = 0 THEN '#sec2' ELSE '' END)
+           END AS url,
+           CAST(v1 % 5 AS BIGINT) AS fetch_ts
+           FROM u),
+         parts AS (SELECT doc_id, url, fetch_ts,
+             regexp_extract(nf, '^([^?]*)', 1) AS base,
+             CASE WHEN contains(nf, '?')
+               THEN regexp_extract(nf, '\\?(.*)$$', 1) ELSE '' END AS query
+           FROM (SELECT doc_id, url, fetch_ts,
+             regexp_replace(url, '#.*$$', '') AS nf FROM raw)),
+         norm AS (SELECT doc_id, url, fetch_ts,
+             CASE WHEN regexp_matches(base, '$schemeRe') THEN
+               lower(regexp_extract(base, '$schemeRe', 1)) || '://'
+               || regexp_replace(regexp_replace(lower(regexp_extract(base,
+                    '$schemeRe([^/]*)', 2)), '^www\\.', ''), ':(80|443)$$', '')
+               || regexp_replace(regexp_extract(base,
+                    '$schemeRe[^/]*(.*)$$', 2), '/+$$', '')
+               || (CASE WHEN len(q) > 0 THEN '?' || q ELSE '' END)
+             ELSE NULL END AS canon_url
+           FROM (SELECT doc_id, url, fetch_ts, base, array_to_string(
+               list_sort(list_filter(string_split(query, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p, '$trackRe'))),
+               '&') AS q
+             FROM parts)),
+         ranked AS (SELECT doc_id, url, fetch_ts,
+             row_number() OVER (PARTITION BY canon_url
+               ORDER BY fetch_ts DESC, doc_id) AS rn
+           FROM norm WHERE canon_url IS NOT NULL)
+         SELECT doc_id, url, fetch_ts FROM norm WHERE canon_url IS NULL
+         UNION ALL
+         SELECT doc_id, url, fetch_ts FROM ranked WHERE rn = 1
+         ORDER BY doc_id"""
     },
 
     // q127: hybrid retrieval — the q113 BM25 ranking (terms
@@ -2077,6 +2177,78 @@ object OracleSql {
              doc_id) AS INTEGER) AS dense_rank
            FROM (SELECT doc_id, qdot FROM dd
              ORDER BY qdot DESC, doc_id LIMIT 20))
+         SELECT doc_id,
+           COALESCE(CAST(floor(1000000.0 / (60 + sparse_rank)) AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000.0 / (60 + dense_rank)) AS BIGINT), 0)
+             AS rrf_i,
+           sparse_rank, dense_rank
+         FROM sp FULL OUTER JOIN dn USING (doc_id)
+         ORDER BY rrf_i DESC, doc_id LIMIT 15"""
+    },
+
+    // q137: FULLY-INDEXED hybrid retrieval — q127's sparse leg (the
+    // q113 BM25 ranking; the persisted-index replay is statistics-
+    // identical when the index covers exactly the queried corpus, the
+    // q120 equivalence) fused with the PERSISTED IVF dense leg: 8
+    // lowest-id seed centroids over the full embeddings, query vec 3
+    // probes its 2 nearest lists, candidates rank by (L2 dist2 ASC,
+    // id ASC) — the q62 convention — top-20 → dense_rank; RRF fusion
+    // identical to q127.
+    "q137_hybrid_indexed" -> {
+      val terms = Seq("merge", "vector", "stream")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n             ")
+      val dfCols = terms.indices.map(i =>
+        s"SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(", ")
+      val contribs = terms.indices.map { i =>
+        s"""CAST(ROUND(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+               / (CAST(df$i AS DOUBLE) + 0.5))
+             * ((tf$i * (1.2 + 1.0)) / (tf$i + 1.2 * ((1.0 - 0.75)
+               + 0.75 * dl / avgdl))) * 1e6) AS BIGINT)"""
+      }.mkString("\n             + ")
+      val hits = terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, $toks AS toks FROM documents),
+         f AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+             $tfCols
+           FROM b),
+         g AS (SELECT COUNT(*) AS n, SUM(CAST(dl AS BIGINT)) AS sdl,
+             $dfCols FROM f),
+         s AS (SELECT doc_id,
+             CAST(($hits) AS INTEGER) AS n_hits,
+             $contribs AS score_i
+           FROM f CROSS JOIN
+             (SELECT n, CAST(sdl AS DOUBLE) / n AS avgdl, ${terms.indices.map(i => s"df$i").mkString(", ")} FROM g)),
+         sp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_i DESC,
+             doc_id) AS INTEGER) AS sparse_rank
+           FROM (SELECT doc_id, score_i FROM s WHERE n_hits > 0
+             ORDER BY score_i DESC, doc_id LIMIT 20)),
+         v AS (SELECT vec_id, ${quantized(1000)} AS qv FROM embeddings),
+         cent AS (SELECT vec_id AS cid, qv AS cv FROM v
+           ORDER BY vec_id LIMIT 8),
+         dc AS (
+           SELECT v.vec_id, v.qv, cent.cid,
+             CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+               i -> (v.qv[i] - cent.cv[i]) * (v.qv[i] - cent.cv[i]))) AS BIGINT) AS d2
+           FROM v, cent),
+         r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+             ORDER BY d2, cid) AS rn FROM dc),
+         assign AS (SELECT vec_id AS neighbor_id, qv AS cv2,
+             cid AS centroid_id FROM r WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, qv AS qv2, cid AS centroid_id
+                    FROM r WHERE vec_id = 3 AND rn <= 2),
+         cand AS (
+           SELECT p.query_id, a.neighbor_id,
+             CAST(list_sum(list_transform(range(1, len(p.qv2) + 1),
+               i -> (p.qv2[i] - a.cv2[i]) * (p.qv2[i] - a.cv2[i]))) AS BIGINT) AS dist2
+           FROM probes p JOIN assign a USING (centroid_id)),
+         dn AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY dist2,
+             doc_id) AS INTEGER) AS dense_rank
+           FROM (SELECT neighbor_id AS doc_id, dist2 FROM cand
+             ORDER BY dist2, neighbor_id LIMIT 20))
          SELECT doc_id,
            COALESCE(CAST(floor(1000000.0 / (60 + sparse_rank)) AS BIGINT), 0)
              + COALESCE(CAST(floor(1000000.0 / (60 + dense_rank)) AS BIGINT), 0)
@@ -2279,15 +2451,41 @@ object OracleSql {
     * (piece, logp_q; MATERIALIZED) upstream. Emits `fin$sfx`
     * (word, cnt, score) and `seg$sfx` (word, cnt, pos, previ, piece).
     * Tie-break: per position, row_number over (score DESC, previ ASC)
-    * — exactly the kernel's first-maximum-at-ascending-i rule. */
+    * — exactly the kernel's first-maximum-at-ascending-i rule.
+    * `unkFallback = true` additionally replays the kernel's
+    * unknown-code-point rule (UnigramLm.viterbi: ONLY when no piece
+    * reaches position j does the single char at j-1 price at UnkLogpQ)
+    * — needed by the q134 OOV replay; training corpora are always
+    * covered, so the other callers keep the cheaper join-only form. */
   private def unigramDpCtes(sfx: String, maxPieceLen: Int,
-                            maxWordLen: Int): String = {
+                            maxWordLen: Int,
+                            unkFallback: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append(s""",
        a0$sfx AS (SELECT word, cnt, 0 AS pos, CAST(0 AS BIGINT) AS score,
          0 AS previ FROM wv$sfx)""")
     for (j <- 1 to maxWordLen) {
-      sb.append(s""",
+      if (unkFallback) sb.append(s""",
+       c$j$sfx AS MATERIALIZED (SELECT a.word, a.cnt,
+           a.score + p.logp_q AS score, a.pos AS previ
+         FROM a${j - 1}$sfx a JOIN pv$sfx p
+           ON p.piece = substr(a.word, a.pos + 1, $j - a.pos)
+         WHERE a.pos >= $j - $maxPieceLen AND a.pos < $j
+           AND len(a.word) >= $j),
+       d$j$sfx AS (SELECT word, cnt, $j AS pos, score, previ FROM (
+         SELECT word, cnt, score, previ, row_number() OVER (
+           PARTITION BY word ORDER BY score DESC, previ ASC) AS rn
+         FROM c$j$sfx) WHERE rn = 1
+         UNION ALL
+         SELECT a.word, a.cnt, $j AS pos,
+           a.score + (${graft.functions.UnigramLm.UnkLogpQ}) AS score,
+           a.pos AS previ
+         FROM a${j - 1}$sfx a
+         WHERE a.pos = $j - 1 AND len(a.word) >= $j
+           AND a.word NOT IN (SELECT word FROM c$j$sfx)),
+       a$j$sfx AS MATERIALIZED (SELECT * FROM a${j - 1}$sfx
+         UNION ALL SELECT * FROM d$j$sfx)""")
+      else sb.append(s""",
        d$j$sfx AS (SELECT word, cnt, $j AS pos, score, previ FROM (
          SELECT t.word, t.cnt, t.score, t.previ, row_number() OVER (
            PARTITION BY t.word ORDER BY t.score DESC, t.previ ASC) AS rn
@@ -2457,9 +2655,120 @@ object OracleSql {
            CAST(COUNT(*) AS INTEGER) AS n_tokens,
            string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
          FROM g GROUP BY 1 ORDER BY seq_id"""
+      // ---- marked decodable stream + OOV byte fallback (q134): the
+      // q100/q103 discipline applied to unigram. Replays the Viterbi DP
+      // WITH the kernel's unk rule over the OovSuffix-augmented corpus,
+      // assembles ids in the marked byte-fallback layout (piece id =
+      // 256 + binary rank, word-initial += markShift, unknown code
+      // point = its UTF-8 bytes with the first byte marked when
+      // word-initial), and derives the roundtrip INDEPENDENTLY from the
+      // word model — pinning that decode(encode(text)) is the word text.
+      val nPieces = model.pieces.size
+      val ms = 256 + nPieces // markShift = |base| = byte block + pieces
+      val suffix = graft.SparkEntry.OovSuffix.codePoints().toArray
+        .map(cp => s"chr($cp)").mkString(" || ")
+      val markedRoundtripSql = s"""WITH aug AS MATERIALIZED (
+           SELECT doc_id, text || $suffix AS text FROM documents),
+         v AS MATERIALIZED (SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS cnt FROM
+           (SELECT unnest($bpeWords) AS word FROM aug) GROUP BY word),
+         wv_m AS MATERIALIZED (SELECT word, cnt FROM v WHERE len(word) <= $lw),
+         wl_m AS (SELECT word, cnt FROM v WHERE len(word) > $lw),
+         pv_m AS MATERIALIZED (SELECT * FROM (VALUES
+           ${unigramValues(model.pieces)}) t(piece, logp_q))${
+        unigramDpCtes("_m", p, lw, unkFallback = true)},
+         wpp AS MATERIALIZED (
+           SELECT word, piece, CAST(row_number() OVER (PARTITION BY word
+             ORDER BY pos) AS BIGINT) AS ppos FROM seg_m
+           UNION ALL
+           SELECT word, substr(word, st, 1) AS piece, CAST(st AS BIGINT)
+             AS ppos FROM (SELECT word, unnest(range(1, len(word) + 1))
+             AS st FROM wl_m)),
+         vid AS (SELECT piece, CAST(255 + row_number() OVER (ORDER BY piece)
+             AS INTEGER) AS id FROM pv_m),
+         wq AS (SELECT doc_id, unnest(words) AS wd,
+             unnest(range(1, len(words) + 1)) AS wpos
+           FROM (SELECT doc_id, $bpeWords AS words FROM aug)),
+         tok AS (SELECT q.doc_id, q.wpos, pp.ppos, pp.piece
+           FROM wq q JOIN wpp pp ON pp.word = q.wd),
+         bl AS (SELECT t.doc_id, t.wpos, t.ppos,
+             CASE WHEN v.id IS NOT NULL THEN [v.id]
+               WHEN unicode(t.piece) < 128 THEN [unicode(t.piece)]
+               WHEN unicode(t.piece) < 2048 THEN
+                 [192 + unicode(t.piece) // 64, 128 + unicode(t.piece) % 64]
+               WHEN unicode(t.piece) < 65536 THEN
+                 [224 + unicode(t.piece) // 4096,
+                  128 + (unicode(t.piece) // 64) % 64,
+                  128 + unicode(t.piece) % 64]
+               ELSE
+                 [240 + unicode(t.piece) // 262144,
+                  128 + (unicode(t.piece) // 4096) % 64,
+                  128 + (unicode(t.piece) // 64) % 64,
+                  128 + unicode(t.piece) % 64] END AS ids0
+           FROM tok t LEFT JOIN vid v ON t.piece = v.piece),
+         idl AS (SELECT doc_id, wpos, ppos,
+             CASE WHEN ppos = 1
+               THEN list_prepend(ids0[1] + $ms, ids0[2:])
+               ELSE ids0 END AS ids
+           FROM bl),
+         flat AS (SELECT doc_id, wpos, ppos, unnest(ids) AS id,
+             unnest(range(1, len(ids) + 1)) AS bpos FROM idl),
+         ord AS (SELECT doc_id, id, row_number() OVER (
+             PARTITION BY doc_id ORDER BY wpos, ppos, bpos) AS pos FROM flat),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
+             CAST(SUM(CASE WHEN id % $ms < 256 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fallback,
+             string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS token_ids
+           FROM ord GROUP BY doc_id),
+         rt AS (SELECT doc_id, array_to_string($bpeWords, ' ') AS roundtrip
+           FROM aug)
+         SELECT agg.doc_id, agg.n_ids, agg.n_fallback, agg.token_ids,
+           rt.roundtrip
+         FROM agg JOIN rt USING (doc_id) ORDER BY doc_id"""
+      // ---- marked packed training file (q135): the q132 packing replay
+      // under the MARKED byte-fallback ids (piece id = 256 + rank,
+      // word-initial += markShift; corpus text is covered, so no byte
+      // expansion occurs and the stream length equals q132's) — the
+      // exact artifact CorpusPipeline's pack_ids stage emits when the
+      // unigram family is selected.
+      val markedPackSql = s"""$base,
+         pv_e AS MATERIALIZED (SELECT * FROM (VALUES
+           ${unigramValues(model.pieces)}) t(piece, logp_q)),
+         wv_e AS (SELECT * FROM wvx)${unigramDpCtes("_e", p, lw)},
+         wpp AS MATERIALIZED (
+           SELECT word, piece, CAST(row_number() OVER (PARTITION BY word
+             ORDER BY pos) AS BIGINT) AS ppos FROM seg_e
+           UNION ALL
+           SELECT word, substr(word, st, 1) AS piece, CAST(st AS BIGINT)
+             AS ppos FROM (SELECT word, unnest(range(1, len(word) + 1))
+             AS st FROM wlx)),
+         vid AS (SELECT piece, CAST(255 + row_number() OVER (ORDER BY piece)
+             AS INTEGER) AS id FROM pv_e),
+         wq AS (SELECT doc_id, unnest(words) AS wd,
+             unnest(range(1, len(words) + 1)) AS wpos
+           FROM (SELECT doc_id, $bpeWords AS words FROM documents)),
+         tok AS (SELECT q.doc_id, q.wpos, pp.ppos, pp.piece
+           FROM wq q JOIN wpp pp ON pp.word = q.wd),
+         ti AS (SELECT doc_id, piece, ppos, row_number() OVER (
+             PARTITION BY doc_id ORDER BY wpos, ppos) AS pos FROM tok),
+         idsq AS (SELECT ti.doc_id, ti.pos,
+             CASE WHEN ti.ppos = 1 THEN vid.id + $ms ELSE vid.id END AS id
+           FROM ti JOIN vid ON ti.piece = vid.piece),
+         dn AS (SELECT doc_id, COUNT(*) AS n FROM idsq GROUP BY doc_id),
+         cum AS (SELECT doc_id,
+             SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+               AS strt FROM dn),
+         g AS (SELECT (c.strt + i.pos - 1) AS gpos, i.id
+           FROM idsq i JOIN cum c USING (doc_id))
+         SELECT CAST(gpos // 8192 AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS INTEGER) AS n_tokens,
+           string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+         FROM g GROUP BY 1 ORDER BY seq_id"""
       Map("q126_unigram_train" -> trainSql,
         "q131_unigram_encode" -> encodeSql,
-        "q132_unigram_pack_ids" -> packSql)
+        "q132_unigram_pack_ids" -> packSql,
+        "q134_unigram_marked_roundtrip" -> markedRoundtripSql,
+        "q135_unigram_marked_pack" -> markedPackSql)
   }
 
   // ------------------------------------------------------ BPE (q87-q99)

@@ -1865,6 +1865,68 @@ object SparkEntry {
     out
   }
 
+  /** PERSISTED IVF dense-retrieval index LIFECYCLE (the r16 verdict's
+    * #2 — the q120 replay shape applied to the dense side):
+    * build(day-1) → save (versioned v=&lt;n&gt;/ unit, vectors
+    * partitioned by centroid_id, meta commits LAST) → append(day-2,
+    * batch-ledgered) → REPLAY the append (loud no-op — the ledger) →
+    * load (fingerprint re-validated) → probe. Centroids are FROZEN at
+    * build (the FAISS add convention), so the oracle re-derives them
+    * from the day-1 corpus alone, assigns ALL vectors, and replays the
+    * q62 probe arithmetic — a hash match proves build, append,
+    * replay-idempotence and probe end to end. */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir, "embeddings")
+    val day1 = e.filter(col("vec_id") % 5 =!= 0)
+    val day2 = e.filter(col("vec_id") % 5 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_q136_ivf").toString
+    DenseIndex.ivfSaveIndex(s,
+      DenseIndex.ivfBuildIndex(day1, "vec_id", "embedding",
+        nlist = 8, scale = 1000), path)
+    DenseIndex.ivfAppendBatch(s, path, day2, "vec_id", "embedding",
+      batchId = 1L)
+    // at-least-once upstream: the replay must be a no-op, or the probe
+    // below would see day-2 vectors twice
+    DenseIndex.ivfAppendBatch(s, path, day2, "vec_id", "embedding",
+      batchId = 1L)
+    val idx = DenseIndex.ivfLoadIndex(s, path)
+    // the probe plan scans the artifact lazily — materialize before the
+    // temp dir dies (localCheckpoint severs the file dependency)
+    val out = DenseIndex.ivfTopKIndexed(idx,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nProbe = 2)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    deleteRecursively(path)
+    out
+  }
+
+  /** FULLY-INDEXED hybrid retrieval — q127's RRF fusion probing BOTH
+    * persisted artifacts (the r16 verdict's #2 end state): the sparse
+    * leg scores through the q120 BM25 artifact, the dense leg probes
+    * the q136 IVF artifact (L2 rank, the q62 convention — RRF consumes
+    * ranks, so the metric swap vs q127's brute dot composes cleanly).
+    * Zero per-call corpus statistics or centroid work. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val e = T(s, dir, "embeddings")
+    val root = java.nio.file.Files.createTempDirectory("graft_q137_hyb").toString
+    CorpusStats.bm25SaveIndex(s,
+      CorpusStats.bm25BuildIndex(docs, "doc_id", "text"), s"$root/sparse")
+    DenseIndex.ivfSaveIndex(s,
+      DenseIndex.ivfBuildIndex(e, "vec_id", "embedding",
+        nlist = 8, scale = 1000), s"$root/dense")
+    val sparseIx = CorpusStats.bm25LoadIndex(s, s"$root/sparse")
+    val denseIx = DenseIndex.ivfLoadIndex(s, s"$root/dense")
+    val out = DenseIndex.hybridTopKIndexed(docs, "doc_id", "text",
+        Seq("merge", "vector", "stream"), sparseIx, denseIx,
+        queryVecId = 3L, nSparse = 20, nDense = 20, nProbe = 2,
+        kRrf = 60, topK = 15)
+      .localCheckpoint(true)
+    deleteRecursively(root)
+    out
+  }
+
   /** Word-n-gram repetition signals per document — the Gopher-class
     * repetitive-text quality gate (top-n-gram character coverage for
     * n = 2..4, duplicated-n-gram coverage for n = 5/10), computed by ONE
@@ -2022,6 +2084,51 @@ object SparkEntry {
       .orderBy(col("canon_url"))
   }
 
+  /** URL dedup, KEEP-BEST variant (the r16 verdict's #5 — production
+    * RefinedWeb keeps the NEWEST crawl, not the smallest id): the q129
+    * messy-URL view extended with (a) a deterministic fetch-timestamp
+    * priority (md5-keyed, so the best copy is usually NOT the min id)
+    * and (b) MALFORMED URLs on every 11th doc (relative paths, mailto:,
+    * bare hosts, empty strings — the r16 ADVICE gap: these must
+    * normalize to NULL and pass through, never collapse into one
+    * shared '://' group). [[graft.operators.UrlDedup.dedupByUrlKeepBest]]
+    * keeps argmax(fetch_ts) per canonical URL, min-id tie-break. The
+    * oracle replays the view, the scheme guard, every normalization
+    * rule, and the argmax. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val v1 = conv(substring(md5(concat(lit("graft-q133:"),
+      col("doc_id").cast("string"))), 1, 2), 16, 10).cast("int")
+    val host = concat(lit("site"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com"))
+    val real = (col("doc_id") % 161) % 3 === 0
+    val tr = v1 % 2 === 1
+    val wellFormed = concat(
+      element_at(array(lit("https"), lit("HTTPS"), lit("Https")),
+        (v1 % 3) + 1),
+      lit("://"),
+      when(v1 % 2 === 0, lit("www.")).otherwise(lit("")),
+      when(v1 % 5 === 0, upper(host)).otherwise(host),
+      when(v1 % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/page/"), (col("doc_id") % 23).cast("string"),
+      when(v1 % 3 === 0, lit("/")).otherwise(lit("")),
+      when(tr && real, lit("?utm_source=feed&z=1&a=2"))
+        .when(tr, lit("?utm_source=feed"))
+        .when(real, lit("?z=1&a=2"))
+        .otherwise(lit("")),
+      when(v1 % 4 === 0, lit("#sec2")).otherwise(lit("")))
+    val malformed = element_at(array(
+      concat(lit("relative/page/"), (col("doc_id") % 23).cast("string")),
+      lit("mailto:user@example.com"),
+      concat(host, lit("/x")),
+      lit("")), (v1 % 4) + 1)
+    val url = when(col("doc_id") % 11 === 0, malformed).otherwise(wellFormed)
+    val frame = docs.select(col("doc_id"), url.as("url"),
+      (v1 % 5).cast("long").as("fetch_ts"))
+    UrlDedup.dedupByUrlKeepBest(frame, "doc_id", "url", col("fetch_ts"))
+      .orderBy(col("doc_id"))
+  }
+
   /** HYBRID retrieval — reciprocal-rank fusion of the engine's sparse
     * (BM25, the q113 ranking) and dense (integer-dot ANN, the q42
     * ranking) retrieval over a shared id space (the r15 verdict's #5).
@@ -2094,6 +2201,55 @@ object SparkEntry {
       UnigramSeedSize, UnigramVocabSize, UnigramEmRounds)
     val ids = docs.select(col("doc_id"),
       UnigramLm.tokenIds(col("text"), model).as("ids"))
+    Packer.packTokenIds(s, ids, "doc_id", "ids", budgetTokens = 8192L)
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("token_ids"))
+      .orderBy(col("seq_id"))
+  }
+
+  /** The unigram MARKED decodable stream with OOV BYTE FALLBACK — the
+    * q100/q103 discipline applied to the unigram family (the r16
+    * verdict's #1a/#1b): every document's text is augmented with
+    * [[OovSuffix]] (1/2/3/4-byte out-of-corpus code points), encoded by
+    * [[graft.functions.UnigramLm.tokenIdsMarked]] (piece id = 256 +
+    * binary rank, word-initial id + |base|, unknown code points as
+    * UTF-8 byte ids — never the retired -1 sentinel), and decoded back
+    * by [[graft.functions.UnigramLm.decodeIds]]. The oracle replays the
+    * Viterbi DP WITH the kernel's unk rule, the marked byte-fallback id
+    * assembly, and derives the roundtrip text INDEPENDENTLY from the
+    * word model — a hash match proves encode and decode end to end on
+    * day-2 alphabet. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = UnigramLm.trainCached(docs, dir, "text",
+      UnigramSeedSize, UnigramVocabSize, UnigramEmRounds)
+    val ms = 256 + model.pieces.size
+    docs.select(col("doc_id"),
+        UnigramLm.tokenIdsMarked(concat(col("text"), lit(OovSuffix)), model)
+          .as("__ids"))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("long").as("n_ids"),
+        size(filter(col("__ids"), i => i % ms < 256)).cast("long")
+          .as("n_fallback"),
+        array_join(transform(col("__ids"), i => i.cast("string")), " ")
+          .as("token_ids"),
+        UnigramLm.decodeIds(col("__ids"), model).as("roundtrip"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q132's packed training file under the MARKED byte-fallback unigram
+    * stream — the exact artifact [[graft.pipeline.CorpusPipeline]]'s
+    * pack_ids stage emits when the unigram family is selected (r16
+    * verdict #1c): decodable sequences, packer-verified coordinates.
+    * Corpus text is covered by the trained alphabet, so no byte
+    * expansion occurs here (q134 owns the OOV leg) and the stream
+    * length equals q132's flat stream. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = UnigramLm.trainCached(docs, dir, "text",
+      UnigramSeedSize, UnigramVocabSize, UnigramEmRounds)
+    val ids = docs.select(col("doc_id"),
+      UnigramLm.tokenIdsMarked(col("text"), model).as("ids"))
     Packer.packTokenIds(s, ids, "doc_id", "ids", budgetTokens = 8192L)
       .select(col("seq_id"), col("n_tokens"),
         array_join(col("token_ids"), " ").as("token_ids"))
@@ -2453,7 +2609,12 @@ object SparkEntry {
     "q129_url_dedup" -> q129 _,
     "q130_mlt_indexed" -> q130 _,
     "q131_unigram_encode" -> q131 _,
-    "q132_unigram_pack_ids" -> q132 _
+    "q132_unigram_pack_ids" -> q132 _,
+    "q133_url_keep_best" -> q133 _,
+    "q134_unigram_marked_roundtrip" -> q134 _,
+    "q135_unigram_marked_pack" -> q135 _,
+    "q136_ivf_index_lifecycle" -> q136 _,
+    "q137_hybrid_indexed" -> q137 _
   )
 
   /** Production-configuration twins for the BENCH harness only.

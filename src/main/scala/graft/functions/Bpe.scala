@@ -169,7 +169,7 @@ object Bpe {
     * `String.compareTo` orders by UTF-16 code UNIT instead, which ranks
     * supplementary characters below U+E000..U+FFFF — a tiebreak the
     * distributed argmax and the oracle would disagree with. */
-  private[functions] def cpCompare(a: String, b: String): Int = {
+  private[graft] def cpCompare(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {

@@ -127,3 +127,127 @@ case class HashedProbeExpr(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): HashedProbeExpr =
     copy(child = newChild)
 }
+
+/** Static kernel for [[HashedCountsExpr]] — the TRAINER-side sibling of
+  * [[HashedProbeKernel]]: instead of probing a weight table, it
+  * aggregates the per-document (bucket, count) pairs the gradient
+  * trainer consumes, in ONE compiled pass with a per-doc hash map.
+  * Bucketing is bit-identical to the probe kernel (md5(seed ++ ":" ++
+  * feature), first 4 digest bytes unsigned, mod nBuckets == the Column
+  * composition `conv(substr(md5(concat(seed,':',t)),1,8),16,10) %
+  * nBuckets`), and bigram features are derived from the token byte
+  * arrays exactly as there. Pairs emit sorted by bucket (deterministic;
+  * the trainer's multiply-add consumers are order-free regardless). */
+object HashedCountsKernel {
+
+  def counts(toks: ArrayData, seedColon: Array[Byte], nBuckets: Int,
+             bigrams: Boolean): InternalRow = {
+    val m = new java.util.HashMap[Long, Long]()
+    var n = 0L
+    if (toks != null) {
+      val k = toks.numElements()
+      val words = new Array[Array[Byte]](k)
+      var i = 0
+      while (i < k) {
+        words(i) = toks.getUTF8String(i).getBytes
+        i += 1
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def add(update: java.security.MessageDigest => Unit): Unit = {
+        md.reset()
+        md.update(seedColon)
+        update(md)
+        val d = md.digest()
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        val b = h % nBuckets
+        m.merge(b, 1L, (x, y) => x + y)
+        n += 1
+      }
+      i = 0
+      while (i < k) {
+        val w = words(i)
+        add(m2 => m2.update(w))
+        i += 1
+      }
+      if (bigrams && k >= 2) {
+        i = 0
+        while (i + 1 < k) {
+          val a = words(i); val b = words(i + 1)
+          add { m2 => m2.update(a); m2.update(' '.toByte); m2.update(b) }
+          i += 1
+        }
+      }
+    }
+    val bs = new Array[Long](m.size())
+    val it = m.keySet().iterator()
+    var j = 0
+    while (it.hasNext) { bs(j) = it.next().longValue(); j += 1 }
+    java.util.Arrays.sort(bs)
+    val rows = new Array[Any](bs.length)
+    j = 0
+    while (j < bs.length) {
+      rows(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bs(j), m.get(bs(j)).longValue()))
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n,
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)))
+  }
+}
+
+/** Native per-document hashed-feature COUNTS: `(n_feats, pairs)` where
+  * `pairs` is the bucket-sorted `array<struct<__b,__c>>` the gradient
+  * trainer's doc frame stores — built in ONE codegen scan, replacing
+  * the explode → (doc, bucket) groupBy → doc groupBy collect_list →
+  * label join chain (two corpus-keyed exchanges + a join) AND the
+  * CodegenFallback `zip_with` bigram derivation that fed it (r16
+  * verdict #4: the one-time bigram feature-frame build was the
+  * trainer's named residual). Null/empty input → (0, []), the
+  * [[HashedProbeExpr]] null contract. */
+case class HashedCountsExpr(child: Expression, seed: String, nBuckets: Int,
+                            bigrams: Boolean)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hashed_counts expects an ARRAY<STRING> child, got ${other.catalogString}")
+    }
+  override def dataType: DataType = StructType(Seq(
+    StructField("__n", DataTypes.LongType, nullable = false),
+    StructField("__f", ArrayType(StructType(Seq(
+      StructField("__b", DataTypes.LongType, nullable = false),
+      StructField("__c", DataTypes.LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "hashed_counts"
+
+  @transient private lazy val seedColon =
+    (seed + ":").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    HashedCountsKernel.counts(v.asInstanceOf[ArrayData], seedColon,
+      nBuckets, bigrams)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val seedRef = ctx.addReferenceObj("hashedCountsSeed", seedColon, "byte[]")
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.functions.HashedCountsKernel.counts(
+            ${c.isNull} ? null : ${c.value}, $seedRef, $nBuckets, $bigrams);
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedCountsExpr =
+    copy(child = newChild)
+}

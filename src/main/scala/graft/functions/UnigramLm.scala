@@ -282,12 +282,14 @@ object UnigramLm {
   // ---- per-JVM memo (a tokenizer is trained once per corpus and then
   // reused by every downstream query — the trainMergesCached shape) ----
   private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Model]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int), Model]
 
   def trainCached(df: DataFrame, dirKey: String, textCol: String,
                   seedSize: Int = 400, vocabSize: Int = 200,
                   emRounds: Int = 2): Model =
-    modelCache.getOrElseUpdate((dirKey, seedSize, vocabSize, emRounds),
+    // textCol IS part of the key (r16 ADVICE: omitting it silently
+    // returned the first column's model for a second column's call)
+    modelCache.getOrElseUpdate((dirKey, textCol, seedSize, vocabSize, emRounds),
       train(df, textCol, seedSize, vocabSize, emRounds))
 
   /** Piece ids, assigned by UTF-8 byte order over the final vocabulary
@@ -411,4 +413,65 @@ object UnigramLm {
     * token count for fertility comparisons vs BPE at equal vocab. */
   def pieceCount(text: Column, model: Model): Column =
     segmentWords(Bpe.words(text), model).getField("n_pieces")
+
+  // ---- deployment-grade id layouts (r16 verdict #1 — BPE parity:
+  // the marked decodable stream, the byte fallback replacing the -1
+  // sentinel, and the vocabulary frames a consumer decodes against) ----
+
+  /** PLAIN closed vocabulary: piece -> id = index in the UTF-8-sorted
+    * final table (== [[pieceIds]], as an ordered frame — the q131/q132
+    * id assignment). */
+  def vocabPlain(model: Model): Seq[(String, Int)] =
+    model.pieces.map(_.piece).sorted(pieceOrd).zipWithIndex
+
+  /** OPEN byte-fallback vocabulary ([[Bpe.vocabBytesFrom]]'s layout):
+    * ids 0..255 are the 256 UTF-8 byte tokens, every piece at its plain
+    * id + 256. The layout a PERSISTED unigram artifact encodes under —
+    * day-2 text containing a code point the training corpus lacked
+    * tokenizes as its bytes instead of emitting the -1 sentinel. */
+  def vocabBytes(model: Model): Seq[(String, Int)] =
+    Bpe.vocabBytesFrom(vocabPlain(model))
+
+  /** [[vocabBytes]] plus every entry's word-initial twin at id + |base|
+    * (the GPT-2 marking device, [[Bpe.vocabMarkedBytes]]'s structure) —
+    * what [[tokenIdsMarked]] emits and [[decodeIds]] decodes against. */
+  def vocabMarkedBytes(model: Model): Seq[(String, Int)] = {
+    val base = vocabBytes(model)
+    // U+0001 is the word-initial marker (Bpe.strip guarantees no token
+    // can contain it -- the same collision-freedom argument as BPE's twins)
+    base ++ base.map { case (t, i) => ("\u0001" + t, base.size + i) }
+  }
+
+  /** OPEN flat token ids: the [[tokenIds]] stream in the byte-fallback
+    * layout — piece ids shifted by 256, unknown code points as UTF-8
+    * byte ids 0..255. No -1 can ever reach a training file
+    * ([[graft.operators.Packer.packTokenIds]] now rejects negatives
+    * loudly; this is the encode that makes them unreachable). */
+  def tokenIdsBytes(text: Column, model: Model): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      UnigramIdsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(Bpe.words(text)),
+        tableBroadcast(model), model.maxPieceLen, model.maxWordLen,
+        markShift = 0, byteBase = 0))
+
+  /** The DECODABLE marked id stream — what a training file that must
+    * reconstruct its documents stores ([[Bpe.tokenIdsMarked]]'s unigram
+    * twin): byte-fallback layout, each word-initial id shifted by
+    * |base| = 256 + |pieces|. `decodeIds(tokenIdsMarked(text)) ==
+    * concat_ws(" ", words(text))` for ANY input, unseen code points
+    * included (UnigramLmSpec pins it; the q134 oracle replays it). */
+  def tokenIdsMarked(text: Column, model: Model): Column =
+    org.apache.spark.sql.graft.ExprBridge.column(
+      UnigramIdsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(Bpe.words(text)),
+        tableBroadcast(model), model.maxPieceLen, model.maxWordLen,
+        markShift = 256 + model.pieces.size, byteBase = 0))
+
+  /** Ids → word-model text, ONE native kernel call: the unigram marked
+    * stream decodes through the SAME [[BpeDecodeIdsExpr]] kernel as
+    * BPE's (decode is a pure function of the vocabulary layout — marked
+    * twins become word breaks, byte runs reassemble as UTF-8; the
+    * segmentation algorithm that produced the ids is irrelevant). */
+  def decodeIds(ids: Column, model: Model): Column =
+    Bpe.decodeIds(ids, vocabMarkedBytes(model))
 }

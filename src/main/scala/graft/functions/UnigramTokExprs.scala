@@ -29,6 +29,25 @@ final case class UnigramTable(pieces: Array[String], logpQ: Array[Long]) {
     while (i < pieces.length) { m.put(pieces(i), i); i += 1 }
     m
   }
+
+  /** Bounded per-table WORD MEMO (the [[BpeRanks]] encode-memo design,
+    * r17: the Viterbi DP ran per word OCCURRENCE — corpora repeat words
+    * with Zipfian frequency, so after the first rows almost every
+    * lookup is a hit). One instance per executor (the table rides a
+    * broadcast), concurrent because an executor runs many tasks,
+    * bounded at 2^20 entries so high-entropy corpora degrade to
+    * cache-miss CPU, never OOM. Sound per table: maxPieceLen/maxWordLen
+    * are model geometry, fixed for this table's lifetime. */
+  @transient private lazy val segMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
+  def segment(word: String, maxPieceLen: Int, maxWordLen: Int): Array[String] = {
+    val hit = segMemo.get(word)
+    if (hit != null) return hit
+    val out = UnigramLm.viterbi(word, lookup, maxPieceLen, maxWordLen)
+    if (segMemo.size < (1 << 20)) segMemo.put(word, out)
+    out
+  }
 }
 
 /** Static kernel for [[UnigramSegmentExpr]] — shared by interpreted
@@ -51,8 +70,7 @@ object UnigramSegmentKernel {
       while (i < k) {
         val w = words.getUTF8String(i)
         if (w != null) {
-          val pieces = UnigramLm.viterbi(w.toString, table.lookup,
-            maxPieceLen, maxWordLen)
+          val pieces = table.segment(w.toString, maxPieceLen, maxWordLen)
           var j = 0
           while (j < pieces.length) {
             val p = pieces(j)
@@ -73,11 +91,27 @@ object UnigramSegmentKernel {
 
 /** Kernel for [[UnigramIdsExpr]]: token IDS of the Viterbi
   * segmentation, in document order — the training-file encode path
-  * ([[Bpe.tokenIds]]' unigram counterpart). Unknown pieces (possible
-  * only on out-of-corpus text) emit id -1, never a silent skip. */
+  * ([[Bpe.tokenIds]]' unigram counterpart). Three id layouts (the
+  * [[BpeKernel.tokenIds]] parameterization):
+  *
+  *  - `byteBase < 0`: CLOSED plain layout — piece id = index in the
+  *    UTF-8-sorted table; unknown pieces (out-of-corpus text only)
+  *    emit id -1, never a silent skip (the q131/q132 oracle surface).
+  *  - `byteBase >= 0`: OPEN byte-fallback layout (the q100 device) —
+  *    ids `byteBase..byteBase+255` are the 256 UTF-8 byte tokens,
+  *    every piece id shifts by 256; an unknown piece — always a
+  *    single code point, because [[UnigramLm.viterbi]] only emits
+  *    table pieces or single-cp unk fallbacks — becomes its UTF-8
+  *    bytes. Day-2 text tokenizes instead of poisoning a training
+  *    file with -1 (r16 verdict #1b/#6).
+  *  - `markShift > 0`: MARKED stream — each word's FIRST emitted id
+  *    shifts by `markShift` (the word-initial twin id of
+  *    [[UnigramLm.vocabMarkedBytes]]), making the flat stream
+  *    decodable back to the word model ([[Bpe.decodeIds]] semantics).
+  */
 object UnigramIdsKernel {
   def ids(words: ArrayData, table: UnigramTable, maxPieceLen: Int,
-          maxWordLen: Int): ArrayData = {
+          maxWordLen: Int, markShift: Int, byteBase: Int): ArrayData = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     if (words != null) {
       val k = words.numElements()
@@ -85,12 +119,30 @@ object UnigramIdsKernel {
       while (i < k) {
         val w = words.getUTF8String(i)
         if (w != null) {
-          val pieces = UnigramLm.viterbi(w.toString, table.lookup,
-            maxPieceLen, maxWordLen)
+          val pieces = table.segment(w.toString, maxPieceLen, maxWordLen)
           var j = 0
           while (j < pieces.length) {
-            val id = table.idOf.get(pieces(j))
-            out += (if (id != null) id.intValue() else -1)
+            val p = pieces(j)
+            val id = table.idOf.get(p)
+            if (id != null) {
+              val base = id.intValue() + (if (byteBase >= 0) 256 else 0)
+              out += (if (j == 0) base + markShift else base)
+            } else if (byteBase >= 0) {
+              // viterbi can only emit an unknown piece as a SINGLE code
+              // point; a multi-cp miss is a wiring bug, never data
+              if (p.codePointCount(0, p.length) != 1)
+                throw new IllegalStateException(
+                  s"unigram piece '$p' not in the ${table.pieces.length}-" +
+                    "entry table and not a single code point — the " +
+                    "broadcast table does not match the segmenter")
+              val bytes = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              var b = 0
+              while (b < bytes.length) {
+                val bid = byteBase + (bytes(b) & 0xFF)
+                out += (if (j == 0 && b == 0) bid + markShift else bid)
+                b += 1
+              }
+            } else out += -1
             j += 1
           }
         }
@@ -106,7 +158,8 @@ object UnigramIdsKernel {
   * compiled pass). Output: array<int> ids, document order. */
 case class UnigramIdsExpr(child: Expression,
                           table: org.apache.spark.broadcast.Broadcast[UnigramTable],
-                          maxPieceLen: Int, maxWordLen: Int)
+                          maxPieceLen: Int, maxWordLen: Int,
+                          markShift: Int = 0, byteBase: Int = -1)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -124,7 +177,7 @@ case class UnigramIdsExpr(child: Expression,
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     UnigramIdsKernel.ids(v.asInstanceOf[ArrayData], table.value,
-      maxPieceLen, maxWordLen)
+      maxPieceLen, maxWordLen, markShift, byteBase)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -138,7 +191,7 @@ case class UnigramIdsExpr(child: Expression,
           graft.functions.UnigramIdsKernel.ids(
             ${c.isNull} ? null : ${c.value},
             (graft.functions.UnigramTable) $ref.value(),
-            $maxPieceLen, $maxWordLen);
+            $maxPieceLen, $maxWordLen, $markShift, $byteBase);
       """,
       isNull = FalseLiteral)
   }

@@ -373,9 +373,16 @@ object CorpusStats {
     def idfI(dft: Long): Long =
       BigDecimal((lnN1 - math.log(dft.toDouble + 1.0)) * 1e6)
         .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+    // tie-break in UTF-8 BYTE order (Bpe.cpCompare — what Spark's
+    // orderBy and DuckDB's binary collation both use), NOT Scala's
+    // default UTF-16 code-unit String ordering, which ranks
+    // supplementary characters below U+E000..U+FFFF and would break the
+    // documented "identical to moreLikeThis" contract on such ties
+    // (r16 ADVICE)
     val terms = seedTf.toSeq
       .map { case (tok, tf) => (tok, tf * idfI(dfOf.getOrElse(tok, 0L))) }
-      .sortBy { case (tok, score) => (-score, tok) }
+      .sortWith { case ((ta, sa), (tb, sb)) =>
+        if (sa != sb) sa > sb else graft.functions.Bpe.cpCompare(ta, tb) < 0 }
       .take(nTerms).map(_._1)
     bm25TopKIndexed(df, idCol, textCol, terms, index, k1, b, topK)
   }

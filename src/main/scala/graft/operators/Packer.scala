@@ -58,10 +58,23 @@ object Packer {
                    withBoundaries: Boolean = false): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be > 0, got $budgetTokens")
     val B = budgetTokens
+    // LOUD guard (r16 verdict #6): a negative id is an encode-side unk
+    // sentinel (-1) that must NEVER land in a training file — a trainer
+    // would index an embedding table with it. assert_true rides the row
+    // stream inside a filter (coalesce(null-on-pass, true)) so column
+    // pruning cannot drop the check.
     val sized = docs
       .select(col(idCol), col(idsCol).as("__ids"),
         size(col(idsCol)).cast("long").as("__n"))
       .filter(col("__n") > 0)
+      .filter(coalesce(assert_true(
+        !exists(col("__ids"), i => i < lit(0)),
+        concat(lit("packTokenIds: negative token id in document "),
+          col(idCol).cast("string"),
+          lit(" — an unk sentinel must not reach a packed training " +
+            "file; encode under a byte-fallback vocabulary " +
+            "(Bpe.vocabBytes / UnigramLm.tokenIdsBytes) or clean the " +
+            "input"))), lit(true)))
     val cum = PrefixSum.withRunningTotal(spark, sized, idCol, "__n", "__cum")
       .withColumn("__start", col("__cum") - col("__n"))
     // one row per (doc, sequence-it-touches): slice the id array at the

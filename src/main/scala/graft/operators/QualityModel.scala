@@ -278,21 +278,47 @@ object QualityModel {
     require(bits > 0 && bits <= 21, s"bits must be in [1,21], got $bits")
     require(epochs >= 0 && epochs <= 64, s"epochs must be in [0,64], got $epochs")
     val nBuckets = 1 << bits
-    val bucket = (t: Column) =>
-      h32(concat(lit(seed), lit(":"), t)) % nBuckets
-    // read ONCE at the doc-frame build inside the epoch loop (which
-    // persists the packed per-doc frame) — no separate persist needed
-    val feats = df
-      .select(col(idCol).as("__d"),
-        explode(featuresOf.map(f => f(col(textCol)))
-          .getOrElse(featureStream(col(textCol), wordNgrams))).as("__t"))
-      .select(col("__d"), bucket(col("__t")).as("__b"))
-      .groupBy(col("__d"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
-    val labels = df
-      .select(col(idCol).as("__d"), col(labelCol).cast("long").as("__y"))
-    trainLogisticOnFeats(feats, labels, bits, epochs, lrMyriad,
-      maxTrainDocs)
+    featuresOf match {
+      case Some(f) =>
+        // CUSTOM featurization: kernel-inexpressible by definition —
+        // the exploded Column path stays (documented non-production;
+        // hashedLinearScoreWeights' custom branch is its scoring twin)
+        val bucket = (t: Column) =>
+          h32(concat(lit(seed), lit(":"), t)) % nBuckets
+        val feats = df
+          .select(col(idCol).as("__d"), explode(f(col(textCol))).as("__t"))
+          .select(col("__d"), bucket(col("__t")).as("__b"))
+          .groupBy(col("__d"), col("__b"))
+          .agg(count(lit(1)).as("__c"))
+        val labels = df
+          .select(col(idCol).as("__d"), col(labelCol).cast("long").as("__y"))
+        trainLogisticOnFeats(feats, labels, bits, epochs, lrMyriad,
+          maxTrainDocs)
+      case None =>
+        // PRODUCTION path (r16 verdict #4): the per-doc (bucket, count)
+        // pairs come out of ONE native codegen scan
+        // ([[graft.functions.HashedCountsExpr]] — md5 bucketing
+        // bit-identical to the Column h32, bigrams derived in-kernel),
+        // so the doc frame build pays ZERO corpus exchanges and no
+        // label join — where the previous chain paid the zip_with HOF
+        // bigram derivation + explode + (doc,bucket) groupBy + doc
+        // groupBy + join. Same (bucket, count) multisets, same doc set
+        // (zero-feature docs drop, matching explode's semantics) —
+        // the q105/q107 oracle hashes pin the arithmetic unchanged.
+        val hc = org.apache.spark.sql.graft.ExprBridge.column(
+          graft.functions.HashedCountsExpr(
+            org.apache.spark.sql.graft.ExprBridge.expression(
+              graft.functions.TextFns.tokens(col(textCol))),
+            seed, nBuckets, bigrams = wordNgrams == 2))
+        val docFrame = df
+          .select(col(idCol).as("__d"), hc.as("__h"),
+            col(labelCol).cast("long").as("__y_0"))
+          .select(col("__d"), col("__h.__n").as("__n"),
+            col("__h.__f").as("__f"), col("__y_0"))
+          .filter(col("__n") > 0)
+        trainLogisticOnDocFrameMulti(docFrame, 1, bits, epochs, lrMyriad,
+          maxTrainDocs).head
+    }
   }
 
   /** The trainer's epoch loop over a PREPARED feature frame
@@ -325,9 +351,26 @@ object QualityModel {
                                         k: Int, bits: Int, epochs: Int,
                                         lrMyriad: Long,
                                         maxTrainDocs: Long): Seq[Array[Int]] = {
+    val docFrame = feats.groupBy(col("__d"))
+      .agg(sum(col("__c")).as("__n"),
+        collect_list(struct(col("__b"), col("__c"))).as("__f"))
+      .join(labels, Seq("__d"))
+    trainLogisticOnDocFrameMulti(docFrame, k, bits, epochs, lrMyriad,
+      maxTrainDocs)
+  }
+
+  /** The epoch-loop CORE over an already-built doc frame
+    * (`(__d, __n, __f: array<struct<__b,__c>>, __y_0..__y_{k-1})`) —
+    * factored out (r16 verdict #4) so [[trainHashedLogistic]]'s
+    * kernel-built frame (zero build exchanges) and the exploded-feats
+    * builders above share one arithmetic body. */
+  private def trainLogisticOnDocFrameMulti(docFrame0: DataFrame,
+                                           k: Int, bits: Int, epochs: Int,
+                                           lrMyriad: Long,
+                                           maxTrainDocs: Long): Seq[Array[Int]] = {
     val nBuckets = 1 << bits
     val ks = 0 until k
-    val sc = feats.sparkSession.sparkContext
+    val sc = docFrame0.sparkSession.sparkContext
     // ONE doc-keyed frame built up front — per-doc feature count, the
     // packed (bucket, count) pairs, and the K labels. An epoch is then
     // ONE job: a pure scan computes every doc's K margins (the native
@@ -345,10 +388,7 @@ object QualityModel {
     // is IDENTICAL (same quantization points, same clamped update) —
     // the q105/q107/q112 oracles replay the exact same training run
     // and their hashes pin it.
-    val docFrame = feats.groupBy(col("__d"))
-      .agg(sum(col("__c")).as("__n"),
-        collect_list(struct(col("__b"), col("__c"))).as("__f"))
-      .join(labels, Seq("__d"))
+    val docFrame = docFrame0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // labeled frames are SMALL by nature (curated seed sets — the
@@ -551,7 +591,14 @@ object QualityModel {
     * the naive per-lang `hashedLinearScoreWeights` composition re-hashed
     * per language (lambda bodies are not CSE'd across each other) and
     * benched 3× the hash cost at sf0.1. Same arithmetic, q112
-    * oracle-pinned. */
+    * oracle-pinned.
+    *
+    * NOT FOR DEPLOYMENT (r16 verdict #7): this is the per-language
+    * REFERENCE scorer — the weight tables ride as `typedlit` plan
+    * literals and the HOF aggregate is CodegenFallback. Hot paths use
+    * [[langMargins]] (the broadcast-table native kernel,
+    * [[graft.functions.LangMarginsExpr]]); [[langMarginsFold]] is the
+    * spec parity reference. */
   def langScoresTrained(text: Column, model: LangIdModel): Seq[(String, Column)] = {
     val nBuckets = 1 << model.bits
     val toks = TextFns.charNgrams(text, model.charN)

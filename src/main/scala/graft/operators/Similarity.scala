@@ -221,7 +221,7 @@ object Similarity {
 
   /** Squared L2 distance between two quantized (`array<long>`) vectors —
     * pure integer arithmetic, associative, engine-portable. */
-  private def qdist2(a: Column, b: Column): Column =
+  private[graft] def qdist2(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
   /** Deterministic seed centroids for the IVF coarse quantizer: the `n`

@@ -46,6 +46,12 @@ object CorpusPipeline {
       // possible point. Docs with a null URL pass through (no metadata
       // is not a duplicate).
       urlCol: Option[String] = None,
+      // keep-BEST URL dedup (r16 verdict): when set (and urlCol is on),
+      // the url_dedup stage keeps, per canonical URL, the row with the
+      // MAXIMUM value of this numeric column (e.g. a fetch timestamp —
+      // production RefinedWeb keeps the newest crawl), min-id tie-break,
+      // instead of the plain minimum-id keep.
+      urlPriorityCol: Option[String] = None,
       minTokens: Long = 10L,
       minQuality: Double = 0.3,
       // language allow-list for the quality stage's marker-argmax gate
@@ -174,7 +180,27 @@ object CorpusPipeline {
       // lowercasing word model could only ever reproduce a monocase
       // single-spaced word stream). false = the legacy marked word
       // model (kept for comparability with the r11/r12 anchors).
-      bpeFaithful: Boolean = true)
+      bpeFaithful: Boolean = true,
+      // UNIGRAM tokenizer family (r16 verdict #1c — the pipeline could
+      // only train BPE): unigramVocabSize > 0 selects the unigram-LM
+      // tokenizer for the "tokenizer" stage instead of BPE — same
+      // downstream wiring (mixture budget, packing coordinates,
+      // pack_ids training file) through the family-agnostic
+      // [[graft.functions.Tokenizers.Tok]] interface; the packed file
+      // stores the MARKED byte-fallback id stream
+      // ([[graft.functions.UnigramLm.tokenIdsMarked]]), decodable to
+      // the word model exactly like BPE's marked stream. Mutually
+      // exclusive with bpeMerges > 0 (one tokenizer per run).
+      unigramVocabSize: Int = 0,
+      unigramSeedSize: Int = 400,
+      unigramEmRounds: Int = 2) {
+    require(!(bpeMerges > 0 && unigramVocabSize > 0),
+      "bpeMerges and unigramVocabSize are mutually exclusive — one " +
+        "tokenizer family per run (ship two runs for an A/B)")
+    /** The "tokenizer" stage (and everything token-denominated after
+      * it) runs when EITHER family is selected. */
+    def tokenizerOn: Boolean = bpeMerges > 0 || unigramVocabSize > 0
+  }
 
   /** Runs the full curation sequence over `docs` (doc_id, text, source).
     * `benchmark` is the decontamination reference (any frame with a text
@@ -219,10 +245,30 @@ object CorpusPipeline {
         require(docs.columns.contains(uc),
           s"urlCol='$uc' is not a column of the input frame " +
             s"(${docs.columns.mkString(",")})")
+        cfg.urlPriorityCol.foreach { pc =>
+          require(docs.columns.contains(pc),
+            s"urlPriorityCol='$pc' is not a column of the input frame " +
+              s"(${docs.columns.mkString(",")})")
+        }
         val withCanon = docs.withColumn("__canon",
           graft.operators.UrlDedup.normalizeUrl(col(uc)))
-        val keep = withCanon.filter(col("__canon").isNotNull)
-          .groupBy(col("__canon")).agg(min(col("doc_id")).as("__keep"))
+        // plain keep = min id; keep-best = argmax(priority), min-id
+        // tie-break, null priorities never win (UrlDedup.dedupByUrlKeepBest
+        // semantics, inlined here because the stage also writes rejects)
+        val keep = cfg.urlPriorityCol match {
+          case None =>
+            withCanon.filter(col("__canon").isNotNull)
+              .groupBy(col("__canon")).agg(min(col("doc_id")).as("__keep"))
+          case Some(pc) =>
+            withCanon.filter(col("__canon").isNotNull)
+              .groupBy(col("__canon"))
+              .agg(min(when(col(pc).isNotNull,
+                  struct((col(pc) * lit(-1)).as("np"),
+                    col("doc_id").as("bid")))).as("__b"),
+                min(col("doc_id")).as("__minid"))
+              .select(col("__canon"),
+                coalesce(col("__b.bid"), col("__minid")).as("__keep"))
+        }
         val joined = withCanon.join(keep, Seq("__canon"), "left")
         write(joined
           .filter(col("__canon").isNotNull && col("doc_id") =!= col("__keep"))
@@ -452,52 +498,65 @@ object CorpusPipeline {
     // per-codepoint counts (r11 ADVICE, medium). When the flag is down,
     // downstream stages RELOAD the persisted artifact from a previous
     // run — the restart path — and fail loudly if none exists.
-    var tok: Bpe.Tokenizer = null
-    def tokenizerArtifacts(): Bpe.Tokenizer = {
+    var tok: graft.functions.Tokenizers.Tok = null
+    def tokenizerArtifacts(): graft.functions.Tokenizers.Tok = {
       if (tok == null)
-        // layout-tolerant: finds this run's unified layout OR a previous
-        // run's legacy pair (r12 ADVICE); the meta tag says which word
-        // model trained it — encoding under the wrong model would
-        // silently mis-tokenize, so the tag travels with the artifact
-        tok = Bpe.loadTokenizer(spark, s"$outDir/tokenizer")
+        // family-dispatching, layout-tolerant load (r16 verdict #1c):
+        // detects unigram vs BPE by layout, finds this run's unified BPE
+        // layout OR a previous run's legacy pair (r12 ADVICE); each
+        // family's meta tag says which word model trained it — encoding
+        // under the wrong model would silently mis-tokenize, so the tag
+        // travels with the artifact
+        tok = graft.functions.Tokenizers.load(spark, s"$outDir/tokenizer")
       tok
     }
-    if (cfg.bpeMerges > 0) stage("tokenizer") {
+    if (cfg.tokenizerOn) stage("tokenizer") {
       val in = read("s6_clean")
-      val model =
-        if (cfg.bpeFaithful) Bpe.ModelFaithful else Bpe.ModelWordMarked
-      val merges = Bpe.trainMergesLocal(in, "text", cfg.bpeMerges,
-        cfg.bpeMinCount, faithful = cfg.bpeFaithful)
-      // OPEN vocabulary either way (byte-fallback layout, ids 0..255
-      // reserved for UTF-8 bytes): the PERSISTED artifact must encode
-      // any future batch — one day-2 code point the training corpus
-      // lacked must tokenize as its bytes, not kill the ingest job.
-      //  - faithful: UNMARKED — pretokens carry their own case and
-      //    whitespace, so the flat id stream already decodes to the
-      //    exact text;
-      //  - word model: MARKED (every token + its word-initial twin, the
-      //    GPT-2 device) — without the marker the flat stream is not
-      //    decodable at all.
-      val vocab =
-        if (cfg.bpeFaithful)
-          Bpe.vocabBytesFrom(Bpe.vocab(in, "text", merges, faithful = true))
-        else Bpe.vocabMarkedBytes(in, "text", merges)
-      // unified artifact layout ($outDir/tokenizer/{merges,vocab,meta}) —
-      // the same path curateStream's tokenizerPath loads (r12 ADVICE)
-      Bpe.saveTokenizer(spark, merges, vocab, s"$outDir/tokenizer", model)
-      tok = Bpe.Tokenizer(merges, vocab, model)
-      merges.size.toLong
+      if (cfg.unigramVocabSize > 0) {
+        // UNIGRAM family: one word-count shuffle + driver-local hard-EM
+        // (UnigramLm.train); the artifact persists ALL rounds, so a
+        // reload is bit-equal and the induction replay stays possible
+        val model = graft.functions.UnigramLm.train(in, "text",
+          cfg.unigramSeedSize, cfg.unigramVocabSize, cfg.unigramEmRounds)
+        graft.functions.UnigramLm.save(spark, model, s"$outDir/tokenizer")
+        tok = graft.functions.Tokenizers.UnigramTok(model)
+        model.pieces.size.toLong
+      } else {
+        val model =
+          if (cfg.bpeFaithful) Bpe.ModelFaithful else Bpe.ModelWordMarked
+        val merges = Bpe.trainMergesLocal(in, "text", cfg.bpeMerges,
+          cfg.bpeMinCount, faithful = cfg.bpeFaithful)
+        // OPEN vocabulary either way (byte-fallback layout, ids 0..255
+        // reserved for UTF-8 bytes): the PERSISTED artifact must encode
+        // any future batch — one day-2 code point the training corpus
+        // lacked must tokenize as its bytes, not kill the ingest job.
+        //  - faithful: UNMARKED — pretokens carry their own case and
+        //    whitespace, so the flat id stream already decodes to the
+        //    exact text;
+        //  - word model: MARKED (every token + its word-initial twin, the
+        //    GPT-2 device) — without the marker the flat stream is not
+        //    decodable at all.
+        val vocab =
+          if (cfg.bpeFaithful)
+            Bpe.vocabBytesFrom(Bpe.vocab(in, "text", merges, faithful = true))
+          else Bpe.vocabMarkedBytes(in, "text", merges)
+        // unified artifact layout ($outDir/tokenizer/{merges,vocab,meta}) —
+        // the same path curateStream's tokenizerPath loads (r12 ADVICE)
+        Bpe.saveTokenizer(spark, merges, vocab, s"$outDir/tokenizer", model)
+        tok = graft.functions.Tokenizers.BpeTok(
+          Bpe.Tokenizer(merges, vocab, model))
+        merges.size.toLong
+      }
     }
 
     stage("mixture") {
       val in0 = read("s6_clean")
-      // bpeMerges > 0: the budget below means what a training run means
+      // tokenizerOn: the budget below means what a training run means
       // by "tokens" — re-denominate with the in-scan encode expression
       // (artifact reloaded if the tokenizer stage didn't run this run)
-      val in = if (cfg.bpeMerges > 0) {
+      val in = if (cfg.tokenizerOn) {
         val t = tokenizerArtifacts()
-        in0.withColumn("n_tokens",
-          Bpe.tokenCount(col("text"), t.merges, t.faithful))
+        in0.withColumn("n_tokens", t.nTokens(col("text")))
       } else in0
       // equal per-source weights: budget splits evenly across the sources
       // present (the q64 machinery with weight=1 for each)
@@ -522,22 +581,22 @@ object CorpusPipeline {
       write(packed, "s8_packed")
     }
 
-    if (cfg.bpeMerges > 0) stage("pack_ids") {
+    if (cfg.tokenizerOn) stage("pack_ids") {
       // the training file itself: s7's documents encoded over the
       // tokenizer-stage vocabulary (s7 ⊆ s6, so every symbol is covered
-      // and the id stream length == tokenCount, so s8_packed's
-      // coordinates address this stream exactly) and packed into
-      // seqLen-sized sequences. Decodable by construction — under the
-      // faithful model Bpe.decodeIdsFlat over a doc's coordinate slice
-      // reconstructs the EXACT curated text (case, whitespace, bytes);
-      // under the legacy word model Bpe.decodeIds reconstructs its
-      // word-model text (CorpusPipelineSpec pins both end to end).
+      // and the id stream length == tokenCount under BPE; the unigram
+      // marked stream can spend extra BYTE ids on out-of-alphabet code
+      // points — none exist here, s7 ⊆ the training corpus — so the
+      // coordinates of s8_packed address this stream exactly either
+      // way) and packed into seqLen-sized sequences. Decodable by
+      // construction — under faithful BPE Bpe.decodeIdsFlat over a
+      // doc's coordinate slice reconstructs the EXACT curated text
+      // (case, whitespace, bytes); under the marked word models (BPE
+      // legacy, unigram) Tok.decodeIds reconstructs the word-model
+      // text (CorpusPipelineSpec pins all three end to end).
       val in = read("s7_mixture")
       val t = tokenizerArtifacts()
-      val enc =
-        if (t.faithful) Bpe.tokenIdsFaithful(col("text"), t.merges, t.vocab)
-        else Bpe.tokenIdsMarked(col("text"), t.merges, t.vocab)
-      val ids = in.select(col("doc_id"), enc.as("ids"))
+      val ids = in.select(col("doc_id"), t.encodeIds(col("text")).as("ids"))
       write(Packer.packTokenIds(spark, ids, "doc_id", "ids",
         cfg.seqLen.toLong), "s8b_packed_ids")
     }

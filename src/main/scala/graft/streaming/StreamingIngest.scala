@@ -225,7 +225,7 @@ object StreamingIngest {
                   minTokens: Long = 10L, minQuality: Double = 0.3,
                   numHashes: Int = 64, bands: Int = 32, shingleN: Int = 3,
                   threshold: Double = 0.5, maxBucketSize: Int = 1000,
-                  tokenizer: Option[graft.functions.Bpe.Tokenizer] = None,
+                  tokenizer: Option[graft.functions.Tokenizers.Tok] = None,
                   packedIdsPath: String = "", seqLen: Long = 2048L,
                   lm: Option[graft.operators.QualityModel.FrozenLm] = None,
                   minXent: Double = 0.0,
@@ -245,7 +245,7 @@ object StreamingIngest {
     // exactly where unseen alphabet arrives, and one day-2 code point
     // must tokenize as its UTF-8 bytes, not kill the trigger.
     val nTokens: org.apache.spark.sql.Column = tokenizer match {
-      case Some(t) => Bpe.tokenCount(col(textCol), t.merges, t.faithful)
+      case Some(t) => t.nTokens(col(textCol))
       case None => TextFns.tokenCount(col(textCol)).cast("long")
     }
     // FROZEN-LM perplexity gate (lm = Some(loaded artifact)): the stream
@@ -376,14 +376,14 @@ object StreamingIngest {
       tokenizer.foreach { t =>
         require(packedIdsPath.nonEmpty,
           "tokenizer mode needs a packedIdsPath for the packed-id sink")
-        // faithful artifacts emit the flat unmarked stream (decodes to
-        // the EXACT batch text); word-model artifacts emit the marked
-        // stream (decodes to their word model) — the artifact's meta tag
-        // decides, so a consumer can never pair ids with the wrong model
-        val enc =
-          if (t.faithful) Bpe.tokenIdsFaithful(col(textCol), t.merges, t.vocab)
-          else Bpe.tokenIdsMarked(col(textCol), t.merges, t.vocab)
-        val ids = kept.select(col(idCol), enc.as("ids"))
+        // faithful BPE artifacts emit the flat unmarked stream (decodes
+        // to the EXACT batch text); marked word-model artifacts (BPE
+        // legacy, unigram) emit the marked stream (decodes to their
+        // word model) — the artifact's on-disk layout + meta tag decide
+        // (Tokenizers.Tok), so a consumer can never pair ids with the
+        // wrong model
+        val ids = kept.select(col(idCol),
+          t.encodeIds(col(textCol)).as("ids"))
         sink(graft.operators.Packer.packTokenIds(spark, ids, idCol, "ids",
           seqLen), packedIdsPath)
       }
@@ -472,19 +472,18 @@ object StreamingIngest {
     // running stream is NOT supported by design: ids are only
     // comparable within one artifact version — ship a new artifact at a
     // new path and restart.
-    val tokenizer = if (tokenizerPath.isEmpty) None else {
-      // layout-tolerant load: accepts the unified $path/{merges,vocab}
-      // layout AND the legacy CorpusPipeline pair ($path + ${path}_vocab),
-      // so a stream can point straight at a pipeline's outDir/tokenizer
-      // from either era (r12 ADVICE)
-      val t = graft.functions.Bpe.loadTokenizer(spark, tokenizerPath)
-      require(t.vocab.exists(_._1.startsWith("\u0002")),
-        s"tokenizer artifact at $tokenizerPath has a CLOSED vocabulary — " +
-          "a stream needs the open byte-fallback layout (vocabBytes / " +
-          "vocabMarkedBytes): day-2 batches WILL contain code points the " +
-          "training corpus lacked")
-      Some(t)
-    }
+    val tokenizer = if (tokenizerPath.isEmpty) None else
+      // family-dispatching, layout-tolerant load (Tokenizers.load):
+      // detects a unigram artifact ($path/unigram_meta) or a BPE one
+      // (unified $path/{merges,vocab} OR the legacy $path +
+      // ${path}_vocab pair -- r12 ADVICE), so a stream can point
+      // straight at a pipeline's outDir/tokenizer whatever family
+      // trained it. The requireOpen default insists on the open
+      // byte-fallback layout for BPE (day-2 batches WILL contain code
+      // points the training corpus lacked -- a closed artifact fails
+      // the stream loudly at startup); a unigram artifact is always
+      // open by construction (byte layout built from the model).
+      Some(graft.functions.Tokenizers.load(spark, tokenizerPath))
     // FROZEN-LM MODE (lmPath nonempty): the reference LM loads ONCE at
     // stream start (loadLm re-validates row counts / duplicate
     // tokens loudly); each batch gets the perplexity band on top of the

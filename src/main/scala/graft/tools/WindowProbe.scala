@@ -83,12 +83,16 @@ object WindowProbe {
   }
 
   /** 1 GiB src + 1 GiB dst copy buffers (128 Mi longs each — two
-    * orders of magnitude past any LLC on this host class), built once
-    * (lazy); construction faults every page, so the timed passes never
-    * measure first-touch cost. */
+    * orders of magnitude past any LLC on this host class), allocated
+    * PER PROBE and released with it (r16 ADVICE: a retained lazy val
+    * kept 2 GiB of driver heap alive for the whole run of every Bench
+    * and tool invocation, an OOM under SPARK_DRIVER_MEM < ~3g);
+    * construction faults every page, so the timed passes never measure
+    * first-touch cost. A probe call needs ~2 GiB of transient headroom
+    * — the 8g default driver heap covers it with margin. */
   private val MemN = 1 << 27
   private val MemThreads = 16
-  private lazy val memBufs: (Array[Long], Array[Long]) = {
+  private def memBufs(): (Array[Long], Array[Long]) = {
     val src = new Array[Long](MemN)
     var i = 0
     while (i < MemN) { src(i) = i * 31L; i += 1 }
@@ -115,7 +119,7 @@ object WindowProbe {
     * An untimed pass first absorbs JIT warm-up, mirroring
     * [[sparkProbeSec]]'s discipline. */
   def memProbeSec(): Double = {
-    val (src, dst) = memBufs
+    val (src, dst) = memBufs()
     val slice = MemN / MemThreads
     def runPasses(passes: Int): Unit = {
       val th = (0 until MemThreads).map { t =>

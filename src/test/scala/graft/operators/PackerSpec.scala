@@ -23,6 +23,26 @@ class PackerSpec extends SparkSpec {
       (2L, 3, Seq(9, 10, 11))))
   }
 
+  test("packTokenIds: a negative id (encode unk sentinel) fails LOUDLY — " +
+      "it must never land in a training file (r16 verdict #6)") {
+    val docs = Seq((1L, Seq(1, 2, 3)), (2L, Seq(4, -1, 5)))
+      .toDF("doc_id", "ids")
+    val e = intercept[Exception] {
+      Packer.packTokenIds(spark, docs, "doc_id", "ids", 4L).collect()
+    }
+    // Spark wraps the assert_true failure; the actionable message rides it
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("negative token id") &&
+      m.contains("byte-fallback")), s"unexpected: ${msgs(e)}")
+    // a clean frame still packs (the guard is pass-through on success)
+    val ok = Packer.packTokenIds(spark,
+      Seq((1L, Seq(1, 2, 3, 4, 5))).toDF("doc_id", "ids"),
+      "doc_id", "ids", 4L).orderBy("seq_id")
+      .as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(ok == Seq((0L, 4, Seq(1, 2, 3, 4)), (1L, 1, Seq(5))))
+  }
+
   test("packTokenIds withBoundaries: per-sequence doc offsets for " +
       "attention masking — continuations start at 0, tail ragged") {
     // budget 4; docs a=[1,2,3] b=[4,5] c=[6] e=[7..11]

@@ -35,6 +35,53 @@ class UrlDedupSpec extends SparkSpec {
       Seq("https://example.com/a?reference=x&utm=keepme"))
   }
 
+  test("normalizeUrl: non-absolute / malformed URLs normalize to NULL, " +
+      "never to a shared collapsed key (r16 ADVICE)") {
+    // each of these used to canonicalize to '://'+query and silently
+    // merge as one duplicate group
+    assert(norm("relative/path", "example.com/x", "mailto:u@e.com", "",
+      "://broken", "1http://bad.scheme.com/a") ==
+      Seq(null, null, null, null, null, null))
+    // scheme grammar per RFC 3986: letter, then letters/digits/+.-
+    assert(norm("ftp+ssh://h/x", "a2-x.y://h/x") ==
+      Seq("ftp+ssh://h/x", "a2-x.y://h/x"))
+  }
+
+  test("dedupByUrlKeepBest: max priority wins, min-id tie-break, null " +
+      "priority never wins, all-null group falls back to min id, " +
+      "null/malformed urls pass through") {
+    val df = Seq(
+      // group A: 2 has the newest fetch -> kept
+      (1L, "https://www.a.com/x", 100L),
+      (2L, "HTTPS://a.com/x/", 200L),
+      // group B: tie on priority -> min id 3 kept
+      (3L, "https://a.com/y?utm_source=f", 50L),
+      (4L, "https://a.com/y", 50L),
+      // group C: null priority loses to a real one even with smaller id
+      (5L, "https://a.com/z", -1L),
+      (6L, "https://a.com/z/", 10L),
+      // group D: all-null priorities -> min id 7 kept
+      (7L, "https://a.com/w", -1L),
+      (8L, "https://a.com/w/", -1L),
+      // pass-throughs
+      (9L, null.asInstanceOf[String], 1L),
+      (10L, "not a url", 1L))
+      .toDF("doc_id", "url", "ts")
+      .withColumn("ts", when(col("ts") === -1L, lit(null)).otherwise(col("ts")))
+    val kept = UrlDedup.dedupByUrlKeepBest(df, "doc_id", "url", col("ts"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 6L, 7L, 9L, 10L))
+    // schema untouched: helper columns dropped
+    assert(UrlDedup.dedupByUrlKeepBest(df, "doc_id", "url", col("ts"))
+      .columns.toSeq == Seq("doc_id", "url", "ts"))
+    // loud on non-numeric priority
+    val e = intercept[IllegalArgumentException] {
+      UrlDedup.dedupByUrlKeepBest(df, "doc_id", "url",
+        col("ts").cast("string"))
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("dedupByUrl: keep-first by id per canonical URL; null urls pass " +
       "through; non-duplicates untouched") {
     val df = Seq(

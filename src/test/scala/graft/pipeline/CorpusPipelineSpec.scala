@@ -442,6 +442,73 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(bad.isEmpty, s"word-model reconstruction failed: ${bad.take(2).mkString("; ")}")
   }
 
+  test("unigramVocabSize > 0 (r16 verdict #1c): the pipeline trains the " +
+      "UNIGRAM family, budgets re-denominate in pieces, and every " +
+      "document reconstructs from the packed marked-id file") {
+    import graft.functions.{Tokenizers, UnigramLm, Bpe}
+    import org.apache.spark.sql.functions.{col, concat_ws}
+    val out = Files.createTempDirectory("corpus_unigram").toString
+    val summary = CorpusPipeline.run(spark, docs, benchmark, out,
+      CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
+        unigramVocabSize = 40, unigramSeedSize = 80, unigramEmRounds = 2))
+    assert(summary.map(_.stage).contains("tokenizer"))
+    assert(summary.map(_.stage).contains("pack_ids"))
+    assert(summary.forall(_.ok),
+      s"stages failed: ${summary.filterNot(_.ok).mkString("; ")}")
+
+    // the persisted artifact IS the unigram model trained on s6_clean;
+    // a FRESH consumer gets it through the family dispatch
+    val tok = Tokenizers.load(spark, s"$out/tokenizer")
+    assert(tok.family == "unigram")
+    val s6 = spark.read.parquet(s"$out/s6_clean")
+    val retrained = UnigramLm.train(s6, "text", 80, 40, 2)
+    assert(tok.asInstanceOf[Tokenizers.UnigramTok].model == retrained,
+      "persisted model must be bit-equal to a retrain on s6_clean")
+
+    // downstream token accounting is piece-denominated
+    val s7 = spark.read.parquet(s"$out/s7_mixture")
+    val mismatch = s7
+      .withColumn("uni", UnigramLm.pieceCount(col("text"), retrained))
+      .filter(col("uni") =!= col("n_tokens")).count()
+    assert(mismatch == 0, "s7_mixture n_tokens is not piece-denominated")
+
+    // the packed file is the marked byte-fallback stream in doc order
+    val expected = s7.orderBy("doc_id")
+      .select(UnigramLm.tokenIdsMarked(col("text"), retrained))
+      .as[Seq[Int]].collect().toSeq.flatten
+    val packed = spark.read.parquet(s"$out/s8b_packed_ids")
+      .orderBy("seq_id").select("seq_id", "n_tokens", "token_ids")
+      .as[(Long, Int, Seq[Int])].collect().toSeq
+    assert(packed.flatMap(_._3) == expected)
+    assert(expected.forall(_ >= 0), "no sentinel ids in a training file")
+
+    // the training-file contract: every document reconstructs from the
+    // packed sequences + s8_packed coordinates alone (word-model text —
+    // the marked-stream contract, same as legacy BPE)
+    val stream = packed.flatMap(_._3)
+    val wordText = s7.select(col("doc_id"),
+        concat_ws(" ", Bpe.words(col("text"))).as("w"))
+      .as[(Long, String)].collect().toMap
+    val coords = spark.read.parquet(s"$out/s8_packed")
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(coords.nonEmpty)
+    val slices = coords.map { case (id, n, cum) =>
+      (id, stream.slice((cum - n).toInt, cum.toInt)) }.toDF("doc_id", "ids")
+    val bad = slices
+      .select(col("doc_id"), tok.decodeIds(col("ids")).as("got"))
+      .as[(Long, String)].collect()
+      .filter { case (id, got) => got != wordText(id) }
+    assert(bad.isEmpty,
+      s"unigram reconstruction failed: ${bad.take(2).mkString("; ")}")
+
+    // one tokenizer per run: selecting both families fails loudly
+    val e = intercept[IllegalArgumentException] {
+      CorpusPipeline.Config(bpeMerges = 8, unigramVocabSize = 40)
+    }
+    assert(e.getMessage.contains("mutually exclusive"))
+  }
+
   test("fully-rejected corpus: every stage (incl. tokenizer mode) survives " +
       "empty frames end to end instead of crashing the run") {
     // the r9 streaming lesson, batch edition: an over-aggressive gate at

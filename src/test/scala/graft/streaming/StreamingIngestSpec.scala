@@ -490,7 +490,8 @@ class StreamingIngestSpec extends SparkSpec {
     StreamingIngest.curateBatch(spark, batch2, batchId = 1L,
       "doc_id", "text", indexPath, curatedPath, rejectsPath,
       minTokens = 8L, maxBucketSize = Int.MaxValue,
-      tokenizer = Some(Bpe.Tokenizer(merges, vocab, Bpe.ModelWordMarked)),
+      tokenizer = Some(graft.functions.Tokenizers.BpeTok(
+        Bpe.Tokenizer(merges, vocab, Bpe.ModelWordMarked))),
       packedIdsPath = packedPath,
       seqLen = 16L)
     val replayed = spark.read.parquet(packedPath)
@@ -554,6 +555,68 @@ class StreamingIngestSpec extends SparkSpec {
     assert(decoded == exact, s"faithful shard decode diverged: '$decoded'")
     assert(exact.contains("The Quick") && exact.contains("caffè"),
       "fixture lost the case/byte content the test exists to pin")
+  }
+
+  test("curateStream UNIGRAM tokenizer mode (r16 verdict #1): a stream " +
+      "points at a pipeline-trained unigram artifact; day-2 unseen " +
+      "alphabet tokenizes via byte fallback and the packed shards decode " +
+      "to the word-model text") {
+    import graft.functions.{Bpe, Tokenizers, UnigramLm}
+    val root = Files.createTempDirectory("curate_tok_u")
+    val landing = root.resolve("landing")
+    val (indexPath, curatedPath, rejectsPath, packedPath) =
+      (s"$root/index", s"$root/curated", s"$root/rejects", s"$root/packed")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // offline train-once: the unigram artifact (the CorpusPipeline
+    // tokenizer-stage layout — a stream points straight at it)
+    val trainCorpus = Seq(
+      (1L, "the cat chased the other cat near the heated hearth"),
+      (2L, "the hat that the cat had was the best hat ever made"))
+      .toDF("doc_id", "text")
+    val model = UnigramLm.train(trainCorpus, "text", seedSize = 80,
+      vocabSize = 40, emRounds = 2)
+    UnigramLm.save(spark, model, s"$root/tok")
+
+    // day-2 batch: mixed case + unseen alphabet (accents, CJK, astral
+    // emoji) — must tokenize through the byte fallback, not emit -1
+    // (Packer would kill the trigger loudly on a sentinel now)
+    val d2 = "The Cat chased zürich 中文 " +
+      new String(Character.toChars(0x1F600)) +
+      " hats near the heated hearth all day"
+    write(landing, "b1.csv", s"doc_id,text\n9,$d2\n")
+    val stream = spark.readStream.schema(docSchema)
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .csv(landing.toString)
+    StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+      indexPath, curatedPath, rejectsPath, s"$root/ckpt",
+      minTokens = 8L, maxBucketSize = Int.MaxValue,
+      tokenizerPath = s"$root/tok", packedIdsPath = packedPath,
+      seqLen = 16L).awaitTermination()
+
+    val curated = spark.read.parquet(curatedPath)
+    assert(curated.count() == 1L)
+    // n_tokens is PIECE-denominated (the artifact's unit)
+    val tok = Tokenizers.load(spark, s"$root/tok")
+    assert(tok.family == "unigram")
+    val nExpect = curated.select(
+      UnigramLm.pieceCount(col("text"), model)).as[Long].head
+    assert(curated.select(col("n_tokens")).as[Long].head == nExpect)
+    // the packed shard stream: non-negative ids, decodes to the curated
+    // batch's word-model text through the loaded artifact
+    val ids = spark.read.parquet(packedPath)
+      .orderBy("seq_id").select("token_ids")
+      .as[Seq[Int]].collect().toSeq.flatten
+    assert(ids.nonEmpty && ids.forall(_ >= 0),
+      "a unigram training file must never carry sentinel ids")
+    val decoded = Seq(Tuple1(ids)).toDF("ids")
+      .select(tok.decodeIds(col("ids"))).as[String].head
+    val wordText = curated
+      .select(concat_ws(" ", Bpe.words(col("text")))).as[String].head
+    assert(decoded == wordText,
+      s"unigram shard decode diverged: '$decoded' vs '$wordText'")
+    assert(wordText.contains("zürich") && wordText.contains("中文"),
+      "fixture lost the day-2 alphabet the test exists to pin")
   }
 
   test("curateStream compactEvery: identical curated/rejects/index rows, fewer index files, replay boundaries intact") {
