@@ -120,8 +120,14 @@ object DenseIndex {
     val dim = centroids.head._2.length
     val next = versions(spark, path).map(_._1).foldLeft(-1L)(math.max) + 1
     val vDir = s"$path/v=$next"
+    // cluster rows by centroid BEFORE the partitioned write: each task
+    // then writes whole lists (one file per centroid instead of one per
+    // (input-partition, centroid) — nlist × width small files), which is
+    // also the production layout a probe wants to read: a centroid's
+    // list is one contiguous file set, not shards of every writer task
     vecs.select(col("neighbor_id").cast("long"), col("cv"),
         col("centroid_id").cast("long"))
+      .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$vDir/ivf_vectors")
     centroids.map { case (cid, cv) => (cid, cv.toSeq) }

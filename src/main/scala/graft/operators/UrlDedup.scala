@@ -37,7 +37,20 @@ object UrlDedup {
     * [[dedupByUrl]] silently dropped distinct documents). Null already
     * means "no usable URL metadata, pass through" everywhere downstream,
     * which is exactly the right treatment for an unparseable value. */
-  def normalizeUrl(url: Column): Column = {
+  def normalizeUrl(url: Column): Column =
+    when(url.rlike(SchemeRe), canonOf(url))
+
+  /** The canonicalization body WITHOUT the scheme guard — only sound on
+    * rows already known to match [[SchemeRe]] (on a non-matching row
+    * every extract returns '' and distinct URLs collapse to one key —
+    * the exact bug the guard exists to prevent). [[urlGroups]] /
+    * [[hostStats]] use it behind a cheap `rlike` WHERE: the guarded
+    * [[normalizeUrl]] is NULLABLE, so a consumer's
+    * `filter(isNotNull(canon))` can no longer be optimized away and
+    * partially re-evaluates the regex chain per row — measured +41% on
+    * the urlGroups scan vs +14% for the prefiltered shape
+    * (tools/UrlAb17, rich1). */
+  private def canonOf(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val base = regexp_extract(noFrag, "^([^?]*)", 1)
     val query = when(noFrag.contains("?"),
@@ -51,9 +64,8 @@ object UrlDedup {
     val params = array_sort(filter(split(query, "&"),
       p => p =!= lit("") && !p.rlike(TrackingRe)))
     val q = array_join(params, "&")
-    when(url.rlike(SchemeRe),
-      concat(scheme, lit("://"), host, path,
-        when(length(q) > 0, concat(lit("?"), q)).otherwise(lit(""))))
+    concat(scheme, lit("://"), host, path,
+      when(length(q) > 0, concat(lit("?"), q)).otherwise(lit("")))
   }
 
   /** Host of a normalized (or raw) url, post-normalization rules. */
@@ -67,8 +79,11 @@ object UrlDedup {
     * curation run reports before dropping. One hash-keyed groupBy of
     * (short string, id): scale-safe at any corpus size. */
   def urlGroups(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.select(col(idCol), normalizeUrl(col(urlCol)).as("canon_url"))
-      .filter(col("canon_url").isNotNull)
+    // prefiltered shape (see canonOf): the guard runs as a cheap WHERE
+    // on the raw url (null urls fail rlike too), canon computes ONCE on
+    // survivors — result-identical to filtering normalizeUrl's nulls
+    df.filter(col(urlCol).rlike(SchemeRe))
+      .select(col(idCol), canonOf(col(urlCol)).as("canon_url"))
       .groupBy(col("canon_url"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
@@ -127,8 +142,8 @@ object UrlDedup {
     * per host — the RefinedWeb-style report that surfaces mirror sites
     * and crawler traps before they reach the expensive stages. */
   def hostStats(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.select(col(idCol), normalizeUrl(col(urlCol)).as("__canon"))
-      .filter(col("__canon").isNotNull)
+    df.filter(col(urlCol).rlike(SchemeRe)) // prefiltered (see canonOf)
+      .select(col(idCol), canonOf(col(urlCol)).as("__canon"))
       .select(urlHost(col("__canon")).as("host"), col("__canon"))
       .groupBy(col("host"))
       .agg(count(lit(1)).as("n_docs"),
