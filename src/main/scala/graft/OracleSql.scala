@@ -2436,15 +2436,22 @@ object OracleSql {
   // it — words past the bound segment per char on both sides).
 
   private var unigramModelOpt: Option[graft.functions.UnigramLm.Model] = None
+  private var unigramFaithfulOpt: Option[graft.functions.UnigramLm.Model] = None
 
-  /** Train (memoized per JVM) the unigram tokenizer whose round tables
-    * seed the q126/q131 oracle SQL. Deterministic — primed and query
-    * models are the same cached instance. */
-  def primeUnigram(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit =
+  /** Train (memoized per JVM) the unigram tokenizers — word model AND
+    * the faithful pretoken twin (q138) — whose round tables seed the
+    * q126/q131/q134/q135/q138 oracle SQL. Deterministic — primed and
+    * query models are the same cached instances. */
+  def primeUnigram(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
     unigramModelOpt = Some(graft.functions.UnigramLm.trainCached(
       spark.read.parquet(s"$sfDir/documents.parquet"), sfDir, "text",
       graft.SparkEntry.UnigramSeedSize, graft.SparkEntry.UnigramVocabSize,
       graft.SparkEntry.UnigramEmRounds))
+    unigramFaithfulOpt = Some(graft.functions.UnigramLm.trainCached(
+      spark.read.parquet(s"$sfDir/documents.parquet"), sfDir, "text",
+      graft.SparkEntry.UnigramSeedSize, graft.SparkEntry.UnigramVocabSize,
+      graft.SparkEntry.UnigramEmRounds, faithful = true))
+  }
 
   /** One Viterbi pass as unrolled CTEs (suffix `sfx` isolates rounds).
     * Requires `wv$sfx` (word, cnt — len <= maxWordLen) and `pv$sfx`
@@ -2764,11 +2771,75 @@ object OracleSql {
            CAST(COUNT(*) AS INTEGER) AS n_tokens,
            string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
          FROM g GROUP BY 1 ORDER BY seq_id"""
+      // ---- FAITHFUL flat stream + OOV byte fallback (q138): the q103
+      // device for the unigram family. The faithful-trained table's DP
+      // replays over PRETOKEN words (case/whitespace preserved, the
+      // bpePretoks RE2 tiling) with the unk rule; ids assemble flat
+      // (piece id = 256 + binary rank, unknown code point = UTF-8
+      // bytes, NO marking — pretokens carry their own space); the
+      // roundtrip is derived independently as the stripped input text.
+      val fm = unigramFaithfulOpt.getOrElse(throw new IllegalStateException(
+        "primeUnigram trains both word models — faithful model missing"))
+      val fp2 = fm.maxPieceLen
+      val flw = fm.maxWordLen
+      val faithfulRoundtripSql = s"""WITH aug AS MATERIALIZED (
+           SELECT doc_id, text || $suffix AS text FROM documents),
+         v AS MATERIALIZED (SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS cnt FROM
+           (SELECT unnest(${bpePretoks("text")}) AS word FROM aug)
+           GROUP BY word),
+         wv_f AS MATERIALIZED (SELECT word, cnt FROM v WHERE len(word) <= $flw),
+         wl_f AS (SELECT word, cnt FROM v WHERE len(word) > $flw),
+         pv_f AS MATERIALIZED (SELECT * FROM (VALUES
+           ${unigramValues(fm.pieces)}) t(piece, logp_q))${
+        unigramDpCtes("_f", fp2, flw, unkFallback = true)},
+         wpp AS MATERIALIZED (
+           SELECT word, piece, CAST(row_number() OVER (PARTITION BY word
+             ORDER BY pos) AS BIGINT) AS ppos FROM seg_f
+           UNION ALL
+           SELECT word, substr(word, st, 1) AS piece, CAST(st AS BIGINT)
+             AS ppos FROM (SELECT word, unnest(range(1, len(word) + 1))
+             AS st FROM wl_f)),
+         vid AS (SELECT piece, CAST(255 + row_number() OVER (ORDER BY piece)
+             AS INTEGER) AS id FROM pv_f),
+         wq AS (SELECT doc_id, unnest(words) AS wd,
+             unnest(range(1, len(words) + 1)) AS wpos
+           FROM (SELECT doc_id, ${bpePretoks("text")} AS words FROM aug)),
+         tok AS (SELECT q.doc_id, q.wpos, pp.ppos, pp.piece
+           FROM wq q JOIN wpp pp ON pp.word = q.wd),
+         idl AS (SELECT t.doc_id, t.wpos, t.ppos,
+             CASE WHEN v.id IS NOT NULL THEN [v.id]
+               WHEN unicode(t.piece) < 128 THEN [unicode(t.piece)]
+               WHEN unicode(t.piece) < 2048 THEN
+                 [192 + unicode(t.piece) // 64, 128 + unicode(t.piece) % 64]
+               WHEN unicode(t.piece) < 65536 THEN
+                 [224 + unicode(t.piece) // 4096,
+                  128 + (unicode(t.piece) // 64) % 64,
+                  128 + unicode(t.piece) % 64]
+               ELSE
+                 [240 + unicode(t.piece) // 262144,
+                  128 + (unicode(t.piece) // 4096) % 64,
+                  128 + (unicode(t.piece) // 64) % 64,
+                  128 + unicode(t.piece) % 64] END AS ids
+           FROM tok t LEFT JOIN vid v ON t.piece = v.piece),
+         flat AS (SELECT doc_id, wpos, ppos, unnest(ids) AS id,
+             unnest(range(1, len(ids) + 1)) AS bpos FROM idl),
+         ord AS (SELECT doc_id, id, row_number() OVER (
+             PARTITION BY doc_id ORDER BY wpos, ppos, bpos) AS pos FROM flat),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ids,
+             CAST(SUM(CASE WHEN id < 256 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fallback,
+             string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos) AS token_ids
+           FROM ord GROUP BY doc_id)
+         SELECT g.doc_id, a.n_ids, a.n_fallback, a.token_ids,
+           regexp_replace(g.text, '[\\x01\\x02]', '', 'g') AS roundtrip
+         FROM aug g JOIN agg a USING (doc_id) ORDER BY g.doc_id"""
       Map("q126_unigram_train" -> trainSql,
         "q131_unigram_encode" -> encodeSql,
         "q132_unigram_pack_ids" -> packSql,
         "q134_unigram_marked_roundtrip" -> markedRoundtripSql,
-        "q135_unigram_marked_pack" -> markedPackSql)
+        "q135_unigram_marked_pack" -> markedPackSql,
+        "q138_unigram_faithful_roundtrip" -> faithfulRoundtripSql)
   }
 
   // ------------------------------------------------------ BPE (q87-q99)

@@ -2256,6 +2256,34 @@ object SparkEntry {
       .orderBy(col("seq_id"))
   }
 
+  /** The FAITHFUL unigram stream — the q103 fidelity device applied to
+    * the unigram family (r17, closing its last gap vs BPE): a model
+    * trained on case- and whitespace-preserving pretokens
+    * ([[graft.functions.UnigramLm.train]] faithful = true), encoding
+    * OovSuffix-augmented text as the FLAT byte-fallback id stream
+    * ([[graft.functions.UnigramLm.tokenIdsFaithful]] — no word-initial
+    * twin: pretokens carry their own leading space), decoded by
+    * [[graft.functions.UnigramLm.decodeIdsFlat]] back to the EXACT
+    * text. The oracle replays pretokenization, the Viterbi DP with the
+    * unk rule, the flat byte-id assembly, and derives the roundtrip
+    * independently as the U+0001/U+0002-stripped input. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val model = UnigramLm.trainCached(docs, dir, "text",
+      UnigramSeedSize, UnigramVocabSize, UnigramEmRounds, faithful = true)
+    docs.select(col("doc_id"),
+        UnigramLm.tokenIdsFaithful(concat(col("text"), lit(OovSuffix)), model)
+          .as("__ids"))
+      .select(col("doc_id"),
+        size(col("__ids")).cast("long").as("n_ids"),
+        size(filter(col("__ids"), i => i < 256)).cast("long")
+          .as("n_fallback"),
+        array_join(transform(col("__ids"), i => i.cast("string")), " ")
+          .as("token_ids"),
+        UnigramLm.decodeIdsFlat(col("__ids"), model).as("roundtrip"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q104's byte-faithful packed training file WITH EOS SEPARATORS —
     * the GPT-2 `<|endoftext|>` device, the piece of the training-file
     * contract q102's boundary columns approximate from outside: each
@@ -2614,7 +2642,8 @@ object SparkEntry {
     "q134_unigram_marked_roundtrip" -> q134 _,
     "q135_unigram_marked_pack" -> q135 _,
     "q136_ivf_index_lifecycle" -> q136 _,
-    "q137_hybrid_indexed" -> q137 _
+    "q137_hybrid_indexed" -> q137 _,
+    "q138_unigram_faithful_roundtrip" -> q138 _
   )
 
   /** Production-configuration twins for the BENCH harness only.
@@ -2668,6 +2697,52 @@ object SparkEntry {
           "vec_id", "embedding", queryVecId = 3L,
           nSparse = 20, nDense = 20, topK = 15,
           denseIvf = Some((8, 2)))),
+      // q136/q137 twins: PRODUCTION index sizing — autoNlist occupancy
+      // targeting + converged k-means centroids (the q70/q82
+      // convention), where the oracled configs pin nlist=8 lowest-id
+      // seeds so DuckDB can replay the assignment
+      "q136_ivf_index_lifecycle" -> ((s, dir) => {
+        val e = T(s, dir, "embeddings")
+        val day1 = e.filter(col("vec_id") % 5 =!= 0)
+        val day2 = e.filter(col("vec_id") % 5 === 0)
+        val nlist = Similarity.autoNlist(day1.count())
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_q136_bench").toString
+        DenseIndex.ivfSaveIndex(s,
+          DenseIndex.ivfBuildIndex(day1, "vec_id", "embedding",
+            nlist = nlist, scale = 1000, converge = true), path)
+        DenseIndex.ivfAppendBatch(s, path, day2, "vec_id", "embedding",
+          batchId = 1L)
+        val idx = DenseIndex.ivfLoadIndex(s, path)
+        val out = DenseIndex.ivfTopKIndexed(idx,
+            e.filter(col("vec_id") < 10), "vec_id", "embedding",
+            k = 5, nProbe = math.min(2, nlist))
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint(true)
+        deleteRecursively(path)
+        out
+      }),
+      "q137_hybrid_indexed" -> ((s, dir) => {
+        val docs = T(s, dir, "documents")
+        val e = T(s, dir, "embeddings")
+        val nlist = Similarity.autoNlist(e.count())
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_q137_bench").toString
+        CorpusStats.bm25SaveIndex(s,
+          CorpusStats.bm25BuildIndex(docs, "doc_id", "text"), s"$root/sparse")
+        DenseIndex.ivfSaveIndex(s,
+          DenseIndex.ivfBuildIndex(e, "vec_id", "embedding",
+            nlist = nlist, scale = 1000, converge = true), s"$root/dense")
+        val out = DenseIndex.hybridTopKIndexed(docs, "doc_id", "text",
+            Seq("merge", "vector", "stream"),
+            CorpusStats.bm25LoadIndex(s, s"$root/sparse"),
+            DenseIndex.ivfLoadIndex(s, s"$root/dense"),
+            queryVecId = 3L, nSparse = 20, nDense = 20,
+            nProbe = math.min(2, nlist), kRrf = 60, topK = 15)
+          .localCheckpoint(true)
+        deleteRecursively(root)
+        out
+      }),
       // q128 twin: same cap rationale for the incremental path
       "q128_containment_incremental" -> ((s, dir) => {
         val docs = T(s, dir, "documents")

@@ -56,8 +56,11 @@ object Tokenizers {
     def family: String = "unigram"
     def nTokens(text: Column): Column = UnigramLm.pieceCount(text, model)
     def encodeIds(text: Column): Column =
-      UnigramLm.tokenIdsMarked(text, model)
-    def decodeIds(ids: Column): Column = UnigramLm.decodeIds(ids, model)
+      if (model.faithful) UnigramLm.tokenIdsFaithful(text, model)
+      else UnigramLm.tokenIdsMarked(text, model)
+    def decodeIds(ids: Column): Column =
+      if (model.faithful) UnigramLm.decodeIdsFlat(ids, model)
+      else UnigramLm.decodeIds(ids, model)
   }
 
   /** Load a tokenizer artifact of EITHER family from `path`, detected

@@ -56,9 +56,14 @@ object UnigramLm {
 
   /** A trained model: `rounds(k)` is the full vocabulary table after
     * round k (round 0 = seed), so the oracle can replay the induction;
-    * encode uses `rounds.last`. */
+    * encode uses `rounds.last`. `faithful` records the WORD MODEL the
+    * table was trained under ([[Bpe.pretokens]] vs the lowercasing
+    * [[Bpe.words]]) — encode/decode semantics are not recoverable from
+    * the piece table alone, so the flag travels with the model and its
+    * artifact (the [[Bpe.Tokenizer]] meta-tag discipline). */
   final case class Model(rounds: Seq[Seq[Piece]], maxPieceLen: Int,
-                         maxWordLen: Int, seedSize: Int, vocabSize: Int) {
+                         maxWordLen: Int, seedSize: Int, vocabSize: Int,
+                         faithful: Boolean = false) {
     def pieces: Seq[Piece] = rounds.last
   }
 
@@ -241,7 +246,8 @@ object UnigramLm {
   def train(df: DataFrame, textCol: String, seedSize: Int = 400,
             vocabSize: Int = 200, emRounds: Int = 2, maxPieceLen: Int = 5,
             maxWordLen: Int = 16,
-            maxLocalVocab: Long = 5000000L): Model = {
+            maxLocalVocab: Long = 5000000L,
+            faithful: Boolean = false): Model = {
     require(seedSize >= 1 && vocabSize >= 1 && vocabSize <= seedSize,
       s"need 1 <= vocabSize <= seedSize, got vocabSize=$vocabSize seedSize=$seedSize")
     require(emRounds >= 0 && emRounds <= 16,
@@ -250,7 +256,7 @@ object UnigramLm {
       s"maxPieceLen must be in [1,12], got $maxPieceLen")
     require(maxWordLen >= maxPieceLen && maxWordLen <= 48,
       s"maxWordLen must be in [$maxPieceLen,48], got $maxWordLen")
-    val wc = Bpe.wordCounts(df, textCol)
+    val wc = Bpe.wordCounts(df, textCol, faithful)
     val guarded = wc
       .limit(math.min(maxLocalVocab + 1, Int.MaxValue.toLong).toInt)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -276,21 +282,23 @@ object UnigramLm {
       rounds += emRound(vocab, rounds.last, keep, maxPieceLen, maxWordLen)
       r += 1
     }
-    Model(rounds.toSeq, maxPieceLen, maxWordLen, seedSize, vocabSize)
+    Model(rounds.toSeq, maxPieceLen, maxWordLen, seedSize, vocabSize,
+      faithful)
   }
 
   // ---- per-JVM memo (a tokenizer is trained once per corpus and then
   // reused by every downstream query — the trainMergesCached shape) ----
   private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int), Model]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int, Int, Int, Boolean), Model]
 
   def trainCached(df: DataFrame, dirKey: String, textCol: String,
                   seedSize: Int = 400, vocabSize: Int = 200,
-                  emRounds: Int = 2): Model =
+                  emRounds: Int = 2, faithful: Boolean = false): Model =
     // textCol IS part of the key (r16 ADVICE: omitting it silently
     // returned the first column's model for a second column's call)
-    modelCache.getOrElseUpdate((dirKey, textCol, seedSize, vocabSize, emRounds),
-      train(df, textCol, seedSize, vocabSize, emRounds))
+    modelCache.getOrElseUpdate(
+      (dirKey, textCol, seedSize, vocabSize, emRounds, faithful),
+      train(df, textCol, seedSize, vocabSize, emRounds, faithful = faithful))
 
   /** Piece ids, assigned by UTF-8 byte order over the final vocabulary
     * (a deterministic total order both engines share). */
@@ -316,9 +324,10 @@ object UnigramLm {
     }.toDF("round", "piece", "freq", "logp_q")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/unigram_pieces")
     Seq((model.maxPieceLen, model.maxWordLen, model.seedSize,
-        model.vocabSize, model.rounds.size, ArtifactTag))
+        model.vocabSize, model.rounds.size, ArtifactTag,
+        if (model.faithful) Bpe.ModelFaithful else Bpe.ModelWordMarked))
       .toDF("max_piece_len", "max_word_len", "seed_size", "vocab_size",
-        "n_rounds", "model_tag")
+        "n_rounds", "model_tag", "word_model")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/unigram_meta")
   }
 
@@ -330,15 +339,24 @@ object UnigramLm {
     * encode). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/unigram_meta")
+    val metaDf = spark.read.parquet(s"$path/unigram_meta")
+    // word_model postdates the r16 artifacts: absent means the
+    // lowercasing word model (the only one that existed then)
+    val metaW =
+      if (metaDf.columns.contains("word_model")) metaDf
+      else metaDf.withColumn("word_model",
+        org.apache.spark.sql.functions.lit(Bpe.ModelWordMarked))
+    val meta = metaW
       .select("max_piece_len", "max_word_len", "seed_size", "vocab_size",
-        "n_rounds", "model_tag")
-      .as[(Int, Int, Int, Int, Int, String)].collect()
+        "n_rounds", "model_tag", "word_model")
+      .as[(Int, Int, Int, Int, Int, String, String)].collect()
     require(meta.length == 1,
       s"unigram meta at $path/unigram_meta has ${meta.length} rows")
-    val (p, lw, ss, vs, nRounds, tag) = meta.head
+    val (p, lw, ss, vs, nRounds, tag, wordModel) = meta.head
     require(tag == ArtifactTag,
       s"unigram artifact at $path has model_tag '$tag', expected '$ArtifactTag'")
+    require(wordModel == Bpe.ModelWordMarked || wordModel == Bpe.ModelFaithful,
+      s"unigram artifact at $path carries unknown word model '$wordModel'")
     val rows = spark.read.parquet(s"$path/unigram_pieces")
       .select("round", "piece", "freq", "logp_q")
       .as[(Int, String, Long, Long)].collect()
@@ -358,7 +376,7 @@ object UnigramLm {
     require(alphabet.subsetOf(rounds.last.map(_.piece).toSet),
       s"unigram artifact at $path lost alphabet coverage — encode would " +
         "silently unk-price corpus characters")
-    Model(rounds, p, lw, ss, vs)
+    Model(rounds, p, lw, ss, vs, faithful = wordModel == Bpe.ModelFaithful)
   }
 
   /** Segment every word of `wordsCol` (array<string>) under the model's
@@ -406,13 +424,14 @@ object UnigramLm {
   def tokenIds(text: Column, model: Model): Column =
     org.apache.spark.sql.graft.ExprBridge.column(
       UnigramIdsExpr(
-        org.apache.spark.sql.graft.ExprBridge.expression(Bpe.words(text)),
+        org.apache.spark.sql.graft.ExprBridge.expression(
+          Bpe.words(text, model.faithful)),
         tableBroadcast(model), model.maxPieceLen, model.maxWordLen))
 
   /** Sum of pieces over the whole document — the tokenizer-faithful
     * token count for fertility comparisons vs BPE at equal vocab. */
   def pieceCount(text: Column, model: Model): Column =
-    segmentWords(Bpe.words(text), model).getField("n_pieces")
+    segmentWords(Bpe.words(text, model.faithful), model).getField("n_pieces")
 
   // ---- deployment-grade id layouts (r16 verdict #1 — BPE parity:
   // the marked decodable stream, the byte fallback replacing the -1
@@ -450,7 +469,8 @@ object UnigramLm {
   def tokenIdsBytes(text: Column, model: Model): Column =
     org.apache.spark.sql.graft.ExprBridge.column(
       UnigramIdsExpr(
-        org.apache.spark.sql.graft.ExprBridge.expression(Bpe.words(text)),
+        org.apache.spark.sql.graft.ExprBridge.expression(
+          Bpe.words(text, model.faithful)),
         tableBroadcast(model), model.maxPieceLen, model.maxWordLen,
         markShift = 0, byteBase = 0))
 
@@ -460,18 +480,57 @@ object UnigramLm {
     * |base| = 256 + |pieces|. `decodeIds(tokenIdsMarked(text)) ==
     * concat_ws(" ", words(text))` for ANY input, unseen code points
     * included (UnigramLmSpec pins it; the q134 oracle replays it). */
-  def tokenIdsMarked(text: Column, model: Model): Column =
+  def tokenIdsMarked(text: Column, model: Model): Column = {
+    require(!model.faithful,
+      "tokenIdsMarked is the WORD-model decodable stream — a faithful " +
+        "model's pretokens carry their own case/whitespace, so its flat " +
+        "stream is already decodable: use tokenIdsFaithful/decodeIdsFlat")
     org.apache.spark.sql.graft.ExprBridge.column(
       UnigramIdsExpr(
         org.apache.spark.sql.graft.ExprBridge.expression(Bpe.words(text)),
         tableBroadcast(model), model.maxPieceLen, model.maxWordLen,
         markShift = 256 + model.pieces.size, byteBase = 0))
+  }
+
+  /** Token IDS under the FAITHFUL word model — the unigram twin of
+    * [[Bpe.tokenIdsFaithful]] (r17: the family's last fidelity gap):
+    * case- and whitespace-preserving pretokens ([[Bpe.pretokens]])
+    * Viterbi-segmented under a faithful-trained table, emitted as the
+    * FLAT byte-fallback stream (no word-initial twin — a pretoken
+    * carries its own leading space), so the concatenated id stream
+    * decodes back to the EXACT text (modulo the documented
+    * U+0001/U+0002 strip — [[Bpe.tokenIdsFaithful]]'s byte-domain
+    * caveat applies verbatim; the supported end-to-end contract is
+    * cleanText-then-encode). */
+  def tokenIdsFaithful(text: Column, model: Model): Column = {
+    require(model.faithful,
+      "tokenIdsFaithful needs a FAITHFUL-trained model (train with " +
+        "faithful = true): encoding pretokens under a lowercased-word " +
+        "table would unk-price every capitalized or space-led piece")
+    org.apache.spark.sql.graft.ExprBridge.column(
+      UnigramIdsExpr(
+        org.apache.spark.sql.graft.ExprBridge.expression(
+          Bpe.words(text, faithful = true)),
+        tableBroadcast(model), model.maxPieceLen, model.maxWordLen,
+        markShift = 0, byteBase = 0))
+  }
+
+  /** Inverse of [[tokenIdsFaithful]] (and of any flat [[tokenIdsBytes]]
+    * stream): pieces concatenate verbatim, byte runs reassemble —
+    * [[Bpe.decodeIdsFlat]] against the unmarked byte-fallback
+    * vocabulary (decode is a pure function of the layout). */
+  def decodeIdsFlat(ids: Column, model: Model): Column =
+    Bpe.decodeIdsFlat(ids, vocabBytes(model))
 
   /** Ids → word-model text, ONE native kernel call: the unigram marked
     * stream decodes through the SAME [[BpeDecodeIdsExpr]] kernel as
     * BPE's (decode is a pure function of the vocabulary layout — marked
     * twins become word breaks, byte runs reassemble as UTF-8; the
     * segmentation algorithm that produced the ids is irrelevant). */
-  def decodeIds(ids: Column, model: Model): Column =
+  def decodeIds(ids: Column, model: Model): Column = {
+    require(!model.faithful,
+      "decodeIds decodes the MARKED word-model stream; faithful ids " +
+        "decode with decodeIdsFlat")
     Bpe.decodeIds(ids, vocabMarkedBytes(model))
+  }
 }

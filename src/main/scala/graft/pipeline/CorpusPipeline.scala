@@ -515,9 +515,14 @@ object CorpusPipeline {
       if (cfg.unigramVocabSize > 0) {
         // UNIGRAM family: one word-count shuffle + driver-local hard-EM
         // (UnigramLm.train); the artifact persists ALL rounds, so a
-        // reload is bit-equal and the induction replay stays possible
+        // reload is bit-equal and the induction replay stays possible.
+        // bpeFaithful selects the WORD MODEL for either family (r17):
+        // true = case/whitespace-preserving pretokens, flat decodable
+        // stream reconstructing the EXACT curated text; false = the
+        // lowercasing marked word model.
         val model = graft.functions.UnigramLm.train(in, "text",
-          cfg.unigramSeedSize, cfg.unigramVocabSize, cfg.unigramEmRounds)
+          cfg.unigramSeedSize, cfg.unigramVocabSize, cfg.unigramEmRounds,
+          faithful = cfg.bpeFaithful)
         graft.functions.UnigramLm.save(spark, model, s"$outDir/tokenizer")
         tok = graft.functions.Tokenizers.UnigramTok(model)
         model.pieces.size.toLong

@@ -340,6 +340,56 @@ class UnigramLmSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("FAITHFUL unigram (r17): trains on pretokens, flat byte-fallback " +
+      "stream decodes to the EXACT text (case, whitespace, day-2 bytes); " +
+      "artifact round-trips the word-model tag; wrong-model calls fail " +
+      "loudly") {
+    val df = docs(
+      (1L, "The Cat chased the Other cat near the heated hearth"),
+      (2L, "the Hat that the cat had was the best hat ever made"))
+    val m = UnigramLm.train(df, "text", seedSize = 80, vocabSize = 40,
+      emRounds = 2, faithful = true)
+    assert(m.faithful)
+    // exact roundtrip incl. mixed case, double spaces, unseen alphabet
+    val texts = Seq(
+      (1L, "The Cat  chased the OTHER cat"),
+      (2L, "day-2 caffè 中文 " + new String(Character.toChars(0x1F600))),
+      (3L, ""))
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        UnigramLm.decodeIdsFlat(
+          UnigramLm.tokenIdsFaithful(col("text"), m), m).as("rt"),
+        UnigramLm.tokenIdsFaithful(col("text"), m).as("ids"))
+      .as[(Long, String, Seq[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id)._1 == text, s"doc $id: '${got(id)._1}' != '$text'")
+      assert(got(id)._2.forall(_ >= 0))
+    }
+    // artifact: tag round-trips, loaded model bit-equal, Tok dispatch
+    val root = java.nio.file.Files.createTempDirectory("uni_faith").toString
+    UnigramLm.save(spark, m, root)
+    val loaded = UnigramLm.load(spark, root)
+    assert(loaded == m && loaded.faithful)
+    val tok = graft.functions.Tokenizers.load(spark, root)
+    val rt = Seq((1L, "The Quick  brown FOX")).toDF("doc_id", "text")
+      .select(tok.decodeIds(tok.encodeIds(col("text")))).as[String].head
+    assert(rt == "The Quick  brown FOX")
+    // wrong-model guards
+    val mw = UnigramLm.train(df, "text", seedSize = 80, vocabSize = 40,
+      emRounds = 1)
+    intercept[IllegalArgumentException] {
+      UnigramLm.tokenIdsFaithful(col("text"), mw)
+    }
+    intercept[IllegalArgumentException] {
+      UnigramLm.tokenIdsMarked(col("text"), m)
+    }
+    intercept[IllegalArgumentException] {
+      UnigramLm.decodeIds(col("ids"), m)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("fertility sanity: at equal vocab budget the unigram model " +
       "produces a valid piece count and pieceIds is a total order") {
     val df = docs((1L, "tokenization of tokens"), (2L, "the tokenizer"))

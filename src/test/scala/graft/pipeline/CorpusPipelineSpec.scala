@@ -448,9 +448,12 @@ class CorpusPipelineSpec extends SparkSpec {
     import graft.functions.{Tokenizers, UnigramLm, Bpe}
     import org.apache.spark.sql.functions.{col, concat_ws}
     val out = Files.createTempDirectory("corpus_unigram").toString
+    // bpeFaithful = false: this test pins the WORD-MODEL variant (the
+    // faithful default gets its own test below)
     val summary = CorpusPipeline.run(spark, docs, benchmark, out,
       CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
-        unigramVocabSize = 40, unigramSeedSize = 80, unigramEmRounds = 2))
+        unigramVocabSize = 40, unigramSeedSize = 80, unigramEmRounds = 2,
+        bpeFaithful = false))
     assert(summary.map(_.stage).contains("tokenizer"))
     assert(summary.map(_.stage).contains("pack_ids"))
     assert(summary.forall(_.ok),
@@ -507,6 +510,42 @@ class CorpusPipelineSpec extends SparkSpec {
       CorpusPipeline.Config(bpeMerges = 8, unigramVocabSize = 40)
     }
     assert(e.getMessage.contains("mutually exclusive"))
+  }
+
+  test("unigram FAITHFUL (the default word model, r17): the packed file " +
+      "decodes back to the EXACT curated text — case, whitespace, bytes") {
+    import graft.functions.{Tokenizers, UnigramLm}
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("corpus_unigram_f").toString
+    val summary = CorpusPipeline.run(spark, docs, benchmark, out,
+      CorpusPipeline.Config(minTokens = 8L, seqLen = 16, shardSize = 2L,
+        unigramVocabSize = 60, unigramSeedSize = 120, unigramEmRounds = 2))
+    assert(summary.forall(_.ok),
+      s"stages failed: ${summary.filterNot(_.ok).mkString("; ")}")
+    val tok = Tokenizers.load(spark, s"$out/tokenizer")
+    assert(tok.family == "unigram")
+    assert(tok.asInstanceOf[Tokenizers.UnigramTok].model.faithful,
+      "bpeFaithful default must select the faithful unigram word model")
+    val s7 = spark.read.parquet(s"$out/s7_mixture")
+    val packed = spark.read.parquet(s"$out/s8b_packed_ids")
+      .orderBy("seq_id").select("token_ids")
+      .as[Seq[Int]].collect().toSeq
+    val stream = packed.flatten
+    assert(stream.forall(_ >= 0))
+    val exactText = s7.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val coords = spark.read.parquet(s"$out/s8_packed")
+      .select("doc_id", "n_tokens", "cum_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(coords.nonEmpty)
+    val slices = coords.map { case (id, n, cum) =>
+      (id, stream.slice((cum - n).toInt, cum.toInt)) }.toDF("doc_id", "ids")
+    val bad = slices
+      .select(col("doc_id"), tok.decodeIds(col("ids")).as("got"))
+      .as[(Long, String)].collect()
+      .filter { case (id, got) => got != exactText(id) }
+    assert(bad.isEmpty,
+      s"docs failed EXACT reconstruction: ${bad.take(2).mkString("; ")}")
   }
 
   test("fully-rejected corpus: every stage (incl. tokenizer mode) survives " +
