@@ -172,7 +172,8 @@ object CorpusPipeline {
       // pre-curation text would bake noise into the vocabulary.
       bpeMerges: Int = 0,
       bpeMinCount: Long = 2L,
-      // word model of the trained tokenizer. true (default) = the
+      // word model of the trained tokenizer — EITHER family (r17: the
+      // flag governs the unigram stage too). true (default) = the
       // FAITHFUL model: case- and whitespace-preserving GPT-2-style
       // pretokens, UNMARKED open vocabulary — the packed training file
       // (s8b_packed_ids) decodes back to the EXACT curated document
