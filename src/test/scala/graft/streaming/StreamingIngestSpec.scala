@@ -619,6 +619,53 @@ class StreamingIngestSpec extends SparkSpec {
       "fixture lost the day-2 alphabet the test exists to pin")
   }
 
+  test("curateStream FAITHFUL unigram mode (r17 q138): the packed " +
+      "shards decode to the EXACT day-2 batch text — case, whitespace, " +
+      "unseen alphabet — through the loaded artifact") {
+    import graft.functions.{Tokenizers, UnigramLm}
+    val root = Files.createTempDirectory("curate_tok_uf")
+    val landing = root.resolve("landing")
+    val (indexPath, curatedPath, rejectsPath, packedPath) =
+      (s"$root/index", s"$root/curated", s"$root/rejects", s"$root/packed")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val trainCorpus = Seq(
+      (1L, "The cat chased the Other cat near the heated hearth"),
+      (2L, "the Hat that the cat had was the best hat ever made"))
+      .toDF("doc_id", "text")
+    val model = UnigramLm.train(trainCorpus, "text", seedSize = 80,
+      vocabSize = 40, emRounds = 2, faithful = true)
+    UnigramLm.save(spark, model, s"$root/tok")
+
+    val d2 = "The Quick brown FOX visits zürich 中文 and naps by the hearth"
+    write(landing, "b1.csv", s"doc_id,text\n9,$d2\n")
+    val stream = spark.readStream.schema(docSchema)
+      .option("header", "true").option("maxFilesPerTrigger", 1)
+      .csv(landing.toString)
+    StreamingIngest.curateStream(spark, stream, "doc_id", "text",
+      indexPath, curatedPath, rejectsPath, s"$root/ckpt",
+      minTokens = 8L, maxBucketSize = Int.MaxValue,
+      tokenizerPath = s"$root/tok", packedIdsPath = packedPath,
+      seqLen = 16L).awaitTermination()
+
+    val curated = spark.read.parquet(curatedPath)
+    assert(curated.count() == 1L)
+    val tok = Tokenizers.load(spark, s"$root/tok")
+    assert(tok.asInstanceOf[Tokenizers.UnigramTok].model.faithful)
+    val ids = spark.read.parquet(packedPath)
+      .orderBy("seq_id").select("token_ids")
+      .as[Seq[Int]].collect().toSeq.flatten
+    assert(ids.nonEmpty && ids.forall(_ >= 0))
+    val decoded = Seq(Tuple1(ids)).toDF("ids")
+      .select(tok.decodeIds(col("ids"))).as[String].head
+    // the faithful contract: EXACT curated text (post-cleanText), not
+    // the word model
+    val exact = curated.select(col("text")).as[String].head
+    assert(decoded == exact, s"faithful unigram shard decode: '$decoded'")
+    assert(exact.contains("The Quick") && exact.contains("zürich"),
+      "fixture lost the case/alphabet content the test exists to pin")
+  }
+
   test("curateStream compactEvery: identical curated/rejects/index rows, fewer index files, replay boundaries intact") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
