@@ -1853,8 +1853,7 @@ object SparkEntry {
     val day1 = docs.filter(col("doc_id") % 5 =!= 0)
     val day2 = docs.filter(col("doc_id") % 5 === 0)
     val path = java.nio.file.Files.createTempDirectory("graft_q120_bm25").toString
-    CorpusStats.bm25SaveIndex(s,
-      CorpusStats.bm25BuildIndex(day1, "doc_id", "text"), path)
+    CorpusStats.bm25BuildSaveIndex(s, day1, "doc_id", "text", path)
     CorpusStats.bm25UpdateIndex(s, path, day2, "doc_id", "text")
     val idx = CorpusStats.bm25LoadIndex(s, path)
     // bm25TopKIndexed collects its |Q| df rows eagerly, so the artifact
@@ -1880,9 +1879,8 @@ object SparkEntry {
     val day1 = e.filter(col("vec_id") % 5 =!= 0)
     val day2 = e.filter(col("vec_id") % 5 === 0)
     val path = java.nio.file.Files.createTempDirectory("graft_q136_ivf").toString
-    DenseIndex.ivfSaveIndex(s,
-      DenseIndex.ivfBuildIndex(day1, "vec_id", "embedding",
-        nlist = 8, scale = 1000), path)
+    DenseIndex.ivfBuildSaveIndex(s, day1, "vec_id", "embedding", path,
+      nlist = 8, scale = 1000)
     DenseIndex.ivfAppendBatch(s, path, day2, "vec_id", "embedding",
       batchId = 1L)
     // at-least-once upstream: the replay must be a no-op, or the probe
@@ -1911,11 +1909,10 @@ object SparkEntry {
     val docs = T(s, dir, "documents")
     val e = T(s, dir, "embeddings")
     val root = java.nio.file.Files.createTempDirectory("graft_q137_hyb").toString
-    CorpusStats.bm25SaveIndex(s,
-      CorpusStats.bm25BuildIndex(docs, "doc_id", "text"), s"$root/sparse")
-    DenseIndex.ivfSaveIndex(s,
-      DenseIndex.ivfBuildIndex(e, "vec_id", "embedding",
-        nlist = 8, scale = 1000), s"$root/dense")
+    CorpusStats.bm25BuildSaveIndex(s, docs, "doc_id", "text",
+      s"$root/sparse")
+    DenseIndex.ivfBuildSaveIndex(s, e, "vec_id", "embedding", s"$root/dense",
+      nlist = 8, scale = 1000)
     val sparseIx = CorpusStats.bm25LoadIndex(s, s"$root/sparse")
     val denseIx = DenseIndex.ivfLoadIndex(s, s"$root/dense")
     val out = DenseIndex.hybridTopKIndexed(docs, "doc_id", "text",
@@ -2708,9 +2705,8 @@ object SparkEntry {
         val nlist = Similarity.autoNlist(day1.count())
         val path = java.nio.file.Files
           .createTempDirectory("graft_q136_bench").toString
-        DenseIndex.ivfSaveIndex(s,
-          DenseIndex.ivfBuildIndex(day1, "vec_id", "embedding",
-            nlist = nlist, scale = 1000, converge = true), path)
+        DenseIndex.ivfBuildSaveIndex(s, day1, "vec_id", "embedding",
+          path, nlist = nlist, scale = 1000, converge = true)
         DenseIndex.ivfAppendBatch(s, path, day2, "vec_id", "embedding",
           batchId = 1L)
         val idx = DenseIndex.ivfLoadIndex(s, path)
@@ -2728,11 +2724,10 @@ object SparkEntry {
         val nlist = Similarity.autoNlist(e.count())
         val root = java.nio.file.Files
           .createTempDirectory("graft_q137_bench").toString
-        CorpusStats.bm25SaveIndex(s,
-          CorpusStats.bm25BuildIndex(docs, "doc_id", "text"), s"$root/sparse")
-        DenseIndex.ivfSaveIndex(s,
-          DenseIndex.ivfBuildIndex(e, "vec_id", "embedding",
-            nlist = nlist, scale = 1000, converge = true), s"$root/dense")
+        CorpusStats.bm25BuildSaveIndex(s, docs, "doc_id", "text",
+          s"$root/sparse")
+        DenseIndex.ivfBuildSaveIndex(s, e, "vec_id", "embedding",
+          s"$root/dense", nlist = nlist, scale = 1000, converge = true)
         val out = DenseIndex.hybridTopKIndexed(docs, "doc_id", "text",
             Seq("merge", "vector", "stream"),
             CorpusStats.bm25LoadIndex(s, s"$root/sparse"),

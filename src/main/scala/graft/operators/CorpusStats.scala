@@ -422,6 +422,29 @@ object CorpusStats {
 
   private val Bm25Tag = "bm25-v2"
 
+  // Explicit artifact schemas (r17): every artifact read below passes
+  // one, so no read pays a schema-inference job — the LifecycleProbe
+  // trace showed one "parquet at" job per read before this.
+  private val Bm25MetaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_docs",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("sum_dl",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("model_tag",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("vocab",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("df_fp",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch_ids",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+  private val Bm25DfSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("tok",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df",
+      org.apache.spark.sql.types.LongType)))
+
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
 
   private def hFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
@@ -433,10 +456,16 @@ object CorpusStats {
     * under any partitioning; rows are unique by `tok`, so pairs can
     * never self-cancel. */
   private def dfFingerprint(df: DataFrame): (Long, Long) = {
-    val r = df.agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(tok, df))"), lit(0L)).as("fp"))
-      .collect()(0)
-    (r.getLong(0), r.getLong(1))
+    // ONE job, zero exchanges: XOR/count partials merged driver-side are
+    // bit-identical to the SQL bit_xor aggregate this replaces (which
+    // paid a partial+final exchange = 2 AQE jobs per fingerprint)
+    val partials = df.selectExpr("xxhash64(tok, df)")
+      .queryExecution.toRdd.mapPartitions { it =>
+        var n = 0L; var x = 0L
+        while (it.hasNext) { x ^= it.next().getLong(0); n += 1L }
+        Iterator((n, x))
+      }.collect()
+    partials.foldLeft((0L, 0L)) { case ((n, x), (pn, px)) => (n + pn, x ^ px) }
   }
 
   /** Version dirs under `path`, as (versionNo, hadoopPath), any state. */
@@ -468,7 +497,7 @@ object CorpusStats {
     * anything malformed inside it is damage, not a crash artifact. */
   private def readMeta(spark: SparkSession,
                        vDir: org.apache.hadoop.fs.Path): Bm25Meta = {
-    val rows = spark.read.parquet(s"$vDir/bm25_meta")
+    val rows = spark.read.schema(Bm25MetaSchema).parquet(s"$vDir/bm25_meta")
       .select(col("n_docs"), col("sum_dl"), col("model_tag"), col("vocab"),
         col("df_fp"), col("batch_ids"))
       .collect()
@@ -506,14 +535,25 @@ object CorpusStats {
     * prunes. */
   private def writeVersion(spark: SparkSession, path: String,
                            dfFrame: DataFrame, nDocs: Long, sumDl: Long,
-                           batchIds: Seq[Long]): Bm25Index = {
+                           batchIds: Seq[Long]): Bm25Index =
+    writeVersionLazy(spark, path, dfFrame, () => (nDocs, sumDl), batchIds)
+
+  /** [[writeVersion]] with the (nDocs, sumDl) stats supplied AFTER the
+    * df write lands — the seam that lets a fused build+save compute the
+    * stats as observe() metrics of the write job itself instead of a
+    * separate corpus pass (guide §1.2: remove whole passes first). */
+  private def writeVersionLazy(spark: SparkSession, path: String,
+                               dfFrame: DataFrame,
+                               stats: () => (Long, Long),
+                               batchIds: Seq[Long]): Bm25Index = {
     import spark.implicits._
     val next = bm25Versions(spark, path).map(_._1).foldLeft(-1L)(math.max) + 1
     val vDir = s"$path/v=$next"
     dfFrame.select(col("tok"), col("df").cast("long").as("df"))
       .write.mode("overwrite").parquet(s"$vDir/bm25_df")
-    val written = spark.read.parquet(s"$vDir/bm25_df")
+    val written = spark.read.schema(Bm25DfSchema).parquet(s"$vDir/bm25_df")
     val (vocab, fp) = dfFingerprint(written)
+    val (nDocs, sumDl) = stats()
     Seq((nDocs, sumDl, Bm25Tag, vocab, fp, batchIds))
       .toDF("n_docs", "sum_dl", "model_tag", "vocab", "df_fp", "batch_ids")
       .coalesce(1)
@@ -531,10 +571,20 @@ object CorpusStats {
     * and all complete versions older than the newest (prune leftovers
     * from a crash mid-prune). Returns the surviving version number, or
     * -1 if the artifact has no complete version. */
-  def bm25Recover(spark: SparkSession, path: String): Long = {
+  def bm25Recover(spark: SparkSession, path: String): Long =
+    recoverKeep(spark, path).map(_._1).getOrElse(-1L)
+
+  /** [[bm25Recover]]'s core, returning the surviving version's meta so
+    * the update path doesn't re-read the 1-row meta parquet it just
+    * resolved (each read is a full Spark job — the r17 QueryStats
+    * profile attributed most of the lifecycle queries' wall to exactly
+    * these repeated tiny jobs). */
+  private def recoverKeep(spark: SparkSession, path: String)
+      : Option[(Long, org.apache.hadoop.fs.Path, Bm25Meta)] = {
     val fs = hFs(spark, hPath(path))
-    val keep = latestComplete(spark, path).map(_._1).getOrElse(-1L)
-    bm25Versions(spark, path).filter(_._1 != keep)
+    val keep = latestComplete(spark, path)
+    val keepN = keep.map(_._1).getOrElse(-1L)
+    bm25Versions(spark, path).filter(_._1 != keepN)
       .foreach { case (_, p) => fs.delete(p, true) }
     keep
   }
@@ -544,9 +594,7 @@ object CorpusStats {
     * map-side partial aggregation) plus a one-row (N, Σdl) reduce.
     * Token unit is [[TextFns.tokens]], matching [[bm25TopK]]. */
   def bm25BuildIndex(df: DataFrame, idCol: String, textCol: String): Bm25Index = {
-    val base = df.select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), size(col("__toks")).cast("long").as("__dl"),
-        array_distinct(col("__toks")).as("__terms"))
+    val base = bm25Base(df, idCol, textCol)
     val meta = base.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sdl"))
       .collect()(0)
     val dfFrame = base.select(explode(col("__terms")).as("tok"))
@@ -565,6 +613,35 @@ object CorpusStats {
     ()
   }
 
+  /** The per-doc (length, distinct-term) base frame both the stats
+    * aggregate and the df frame derive from — shared by the eager and
+    * fused build paths so their arithmetic can never diverge. */
+  private def bm25Base(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    df.select(col(idCol), TextFns.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__dl"),
+        array_distinct(col("__toks")).as("__terms"))
+
+  /** FUSED build + save: ONE corpus pass lands the artifact — the
+    * (N, Σdl) stats ride the df write job as observe() metrics instead
+    * of a separate aggregate scan ([[bm25BuildIndex]] + [[bm25SaveIndex]]
+    * reads the corpus twice for the same result; guide §1.2 — remove
+    * whole passes before tuning anything). Byte-identical artifact:
+    * same df frame, same meta arithmetic, same fingerprint discipline. */
+  def bm25BuildSaveIndex(spark: SparkSession, df: DataFrame, idCol: String,
+                         textCol: String, path: String): Bm25Index = {
+    val obs = org.apache.spark.sql.Observation()
+    val base = bm25Base(df, idCol, textCol)
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).as("sdl"))
+    val dfFrame = base.select(explode(col("__terms")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    writeVersionLazy(spark, path, dfFrame,
+      () => (obs.get("n").asInstanceOf[Long],
+        obs.get("sdl").asInstanceOf[Long]),
+      batchIds = Seq.empty)
+  }
+
   /** Load the newest COMPLETE version of a persisted artifact,
     * re-validating loudly (the loadUnigramLm policy): tag, meta arity,
     * stats domain, and — `validate = true` (default) — the df frame's
@@ -579,7 +656,7 @@ object CorpusStats {
       throw new IllegalArgumentException(
         s"BM25 artifact at $path has no complete version " +
           "(run bm25Recover to prune interrupted writes, or rebuild)"))
-    val df = spark.read.parquet(s"$vDir/bm25_df")
+    val df = spark.read.schema(Bm25DfSchema).parquet(s"$vDir/bm25_df")
     if (validate) {
       val (vocab, fp) = dfFingerprint(df)
       require(vocab == meta.vocab && fp == meta.dfFp,
@@ -610,8 +687,9 @@ object CorpusStats {
   def bm25UpdateIndex(spark: SparkSession, path: String, batch: DataFrame,
                       idCol: String, textCol: String,
                       batchId: Long = -1L): Bm25Index = {
-    bm25Recover(spark, path)
-    val (_, vDir, meta) = latestComplete(spark, path).getOrElse(
+    // ONE version resolution serves recovery, the ledger check and the
+    // merge below (the pre-r17 shape read the meta twice on this path)
+    val (_, vDir, meta) = recoverKeep(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"BM25 artifact at $path has no complete version to update"))
     if (batchId >= 0 && meta.batchIds.contains(batchId)) {
@@ -619,14 +697,24 @@ object CorpusStats {
       // no-op (the parts layout's dynamic-overwrite idempotence,
       // expressed for the merged layout)
       return Bm25Index(meta.nDocs, meta.sumDl,
-        spark.read.parquet(s"$vDir/bm25_df"))
+        spark.read.schema(Bm25DfSchema).parquet(s"$vDir/bm25_df"))
     }
-    val cur = spark.read.parquet(s"$vDir/bm25_df")
-    val inc = bm25BuildIndex(batch, idCol, textCol)
-    val merged = cur.unionByName(inc.df)
+    val cur = spark.read.schema(Bm25DfSchema).parquet(s"$vDir/bm25_df")
+    // fused batch stats: the (n, Σdl) of the incoming batch ride the
+    // merged-df write job as observe() metrics — the pre-r17 shape
+    // scanned the batch twice (stats aggregate, then again inside the
+    // union feeding the write)
+    val obs = org.apache.spark.sql.Observation()
+    val incBase = bm25Base(batch, idCol, textCol)
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).as("sdl"))
+    val incDf = incBase.select(explode(col("__terms")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val merged = cur.unionByName(incDf)
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-    writeVersion(spark, path, merged, meta.nDocs + inc.nDocs,
-      meta.sumDl + inc.sumDl,
+    writeVersionLazy(spark, path, merged,
+      () => (meta.nDocs + obs.get("n").asInstanceOf[Long],
+        meta.sumDl + obs.get("sdl").asInstanceOf[Long]),
       if (batchId >= 0) meta.batchIds :+ batchId else meta.batchIds)
   }
 
@@ -646,12 +734,22 @@ object CorpusStats {
   def bm25AppendBatch(spark: SparkSession, path: String, batch: DataFrame,
                       idCol: String, textCol: String, batchId: Long): Unit = {
     import spark.implicits._
-    val inc = bm25BuildIndex(batch, idCol, textCol)
-    inc.df.withColumn("batch_id", lit(batchId))
+    // fused: the batch's (n, Σdl) stats ride the df-partition write job
+    // as observe() metrics instead of a separate batch scan (same
+    // discipline as bm25BuildSaveIndex; the meta partition still lands
+    // strictly after the df partition)
+    val obs = org.apache.spark.sql.Observation()
+    val incBase = bm25Base(batch, idCol, textCol)
+      .observe(obs, count(lit(1)).as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).as("sdl"))
+    incBase.select(explode(col("__terms")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(s"$path/bm25_df_parts")
-    Seq((inc.nDocs, inc.sumDl, "bm25-v1", batchId))
+    Seq((obs.get("n").asInstanceOf[Long], obs.get("sdl").asInstanceOf[Long],
+      "bm25-v1", batchId))
       .toDF("n_docs", "sum_dl", "model_tag", "batch_id")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

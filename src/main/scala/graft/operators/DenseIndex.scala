@@ -41,6 +41,41 @@ object DenseIndex {
 
   private val IvfTag = "ivf-dense-v1"
 
+  // Explicit artifact schemas: every spark.read below passes one, so no
+  // read pays a schema-inference job (the r17 LifecycleProbe trace showed
+  // one "parquet at" job per artifact read before this — a third of the
+  // lifecycle's job count was footer sniffing for schemas we define).
+  private val MetaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("model_tag",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("scale",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("nlist",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("dim",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("n_vectors",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vec_fp",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("batch_ids",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+  private val CentroidsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cv",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))))
+  private val VectorsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("neighbor_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cv",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("centroid_id",
+      org.apache.spark.sql.types.LongType)))
+
   private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
   private def hFs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -50,11 +85,17 @@ object DenseIndex {
     * [[CorpusStats]] dfFingerprint discipline; ids are unique, so pairs
     * can never self-cancel. */
   private def vecFingerprint(v: DataFrame): (Long, Long) = {
-    val r = v.agg(count(lit(1)).as("n"),
-        coalesce(expr("bit_xor(xxhash64(neighbor_id, cv, centroid_id))"),
-          lit(0L)).as("fp"))
-      .collect()(0)
-    (r.getLong(0), r.getLong(1))
+    // ONE job, zero exchanges: XOR and count are commutative/associative,
+    // so per-partition partials merged on the driver are bit-identical to
+    // the SQL bit_xor aggregate this replaces (which paid a partial+final
+    // exchange = 2 AQE jobs per fingerprint)
+    val partials = v.selectExpr("xxhash64(neighbor_id, cv, centroid_id)")
+      .queryExecution.toRdd.mapPartitions { it =>
+        var n = 0L; var x = 0L
+        while (it.hasNext) { x ^= it.next().getLong(0); n += 1L }
+        Iterator((n, x))
+      }.collect()
+    partials.foldLeft((0L, 0L)) { case ((n, x), (pn, px)) => (n + pn, x ^ px) }
   }
 
   private def versions(spark: SparkSession, path: String)
@@ -80,7 +121,7 @@ object DenseIndex {
 
   private def readMeta(spark: SparkSession,
                        vDir: org.apache.hadoop.fs.Path): IvfMeta = {
-    val rows = spark.read.parquet(s"$vDir/ivf_meta")
+    val rows = spark.read.schema(MetaSchema).parquet(s"$vDir/ivf_meta")
       .select(col("model_tag"), col("scale"), col("nlist"), col("dim"),
         col("n_vectors"), col("vec_fp"), col("batch_ids"))
       .collect()
@@ -105,6 +146,50 @@ object DenseIndex {
           new org.apache.hadoop.fs.Path(p, "ivf_meta")) =>
         (n, p, readMeta(spark, p))
     }
+  }
+
+  /** [[ivfRecover]]'s core, returning the surviving version's meta so
+    * callers that need it next (append) don't re-read the 1-row meta
+    * parquet — each read is a full Spark job, and the r17 job-count
+    * profile (tools/QueryStats) showed the lifecycle queries spending
+    * most of their wall on exactly these repeated tiny jobs. */
+  private def recoverKeep(spark: SparkSession, path: String)
+      : Option[(Long, org.apache.hadoop.fs.Path, IvfMeta)] = {
+    val fs = hFs(spark, hPath(path))
+    val keep = latestComplete(spark, path)
+    val keepN = keep.map(_._1).getOrElse(-1L)
+    versions(spark, path).filter(_._1 != keepN)
+      .foreach { case (_, p) => fs.delete(p, true) }
+    keep
+  }
+
+  /** Load one ALREADY-RESOLVED version (meta in hand) — the shared core
+    * of [[ivfLoadIndex]] and the append path, so resolving a version
+    * and loading it costs exactly one meta read total. */
+  private def loadFrom(spark: SparkSession, vDir: org.apache.hadoop.fs.Path,
+                       meta: IvfMeta, validate: Boolean): IvfIndex = {
+    val cents = spark.read.schema(CentroidsSchema)
+      .parquet(s"$vDir/ivf_centroids")
+      .select(col("cid").cast("long"), col("cv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1).toSeq
+    require(cents.size == meta.nlist,
+      s"IVF artifact at $vDir has ${cents.size} centroids, meta says " +
+        s"${meta.nlist}")
+    require(cents.forall(_._2.length == meta.dim),
+      s"IVF artifact at $vDir has a centroid of the wrong dimension " +
+        s"(meta dim = ${meta.dim})")
+    val vecs = spark.read.schema(VectorsSchema)
+      .parquet(s"$vDir/ivf_vectors")
+      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
+    if (validate) {
+      val (n, fp) = vecFingerprint(vecs)
+      require(n == meta.nVectors && fp == meta.vecFp,
+        s"IVF artifact at $vDir is inconsistent: vectors frame has $n " +
+          s"rows / fingerprint $fp but meta recorded ${meta.nVectors} / " +
+          s"${meta.vecFp} — the vectors were modified behind the meta's back")
+    }
+    IvfIndex(cents, meta.scale, meta.nVectors, vecs)
   }
 
   /** Land a new version as one unit: vectors (centroid-partitioned) and
@@ -133,7 +218,8 @@ object DenseIndex {
     centroids.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cid", "cv").coalesce(1)
       .write.mode("overwrite").parquet(s"$vDir/ivf_centroids")
-    val written = spark.read.parquet(s"$vDir/ivf_vectors")
+    val written = spark.read.schema(VectorsSchema)
+      .parquet(s"$vDir/ivf_vectors")
       .select(col("neighbor_id"), col("cv"), col("centroid_id"))
     val (n, fp) = vecFingerprint(written)
     Seq((IvfTag, scale, centroids.size, dim, n, fp, batchIds))
@@ -150,13 +236,8 @@ object DenseIndex {
   /** Recovery/compaction for a versioned IVF artifact (safe any time):
     * prunes interrupted writes (no meta) and superseded complete
     * versions. Returns the surviving version number, -1 if none. */
-  def ivfRecover(spark: SparkSession, path: String): Long = {
-    val fs = hFs(spark, hPath(path))
-    val keep = latestComplete(spark, path).map(_._1).getOrElse(-1L)
-    versions(spark, path).filter(_._1 != keep)
-      .foreach { case (_, p) => fs.delete(p, true) }
-    keep
-  }
+  def ivfRecover(spark: SparkSession, path: String): Long =
+    recoverKeep(spark, path).map(_._1).getOrElse(-1L)
 
   /** Build an in-memory [[IvfIndex]] from a corpus: coarse centroids
     * (deterministic lowest-id seeds by default — the oracle-portable
@@ -192,6 +273,34 @@ object DenseIndex {
     ()
   }
 
+  /** FUSED build + save — the build-for-persistence path (guide §1.2:
+    * remove whole passes before tuning anything else). [[ivfBuildIndex]]
+    * runs a full assignment-scan `count()` only to fill `nVectors`, and
+    * [[ivfSaveIndex]] then re-derives the count anyway from the
+    * read-back fingerprint; landing the artifact directly lets the
+    * write job be the ONLY corpus pass (centroid seeding aside) and the
+    * fingerprint supply the count. Byte-identical artifact, one fewer
+    * corpus scan — the r17 before/after plan pair for q136 shows the
+    * dropped count job. */
+  def ivfBuildSaveIndex(spark: SparkSession, corpus: DataFrame,
+                        idCol: String, vecCol: String, path: String,
+                        nlist: Int = 8, scale: Int = 1000,
+                        converge: Boolean = false): IvfIndex = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    val cents0 =
+      if (converge) KMeansInt.kmeansPlusPlusInit(corpus, idCol, vecCol,
+        nlist, scale)
+      else Similarity.seedCentroidsInt(corpus, idCol, vecCol, nlist, scale)
+    val cents =
+      if (converge)
+        KMeansInt.converge(corpus, idCol, vecCol, cents0, scale)._1
+      else cents0
+    val vecs = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+        graft.functions.VectorFns.quantize(col(vecCol), scale).as("cv"))
+      .withColumn("centroid_id", Similarity.centroidArgmin(cents)(col("cv")))
+    writeVersion(spark, path, cents, scale, vecs, batchIds = Seq.empty)
+  }
+
   /** Load the newest COMPLETE version, re-validating loudly: tag, meta
     * arity/domain, centroid frame arity vs nlist, and — `validate =
     * true` (default) — the vector frame's count + content fingerprint,
@@ -203,26 +312,7 @@ object DenseIndex {
       throw new IllegalArgumentException(
         s"IVF artifact at $path has no complete version " +
           "(run ivfRecover to prune interrupted writes, or rebuild)"))
-    val cents = spark.read.parquet(s"$vDir/ivf_centroids")
-      .select(col("cid").cast("long"), col("cv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1).toSeq
-    require(cents.size == meta.nlist,
-      s"IVF artifact at $vDir has ${cents.size} centroids, meta says " +
-        s"${meta.nlist}")
-    require(cents.forall(_._2.length == meta.dim),
-      s"IVF artifact at $vDir has a centroid of the wrong dimension " +
-        s"(meta dim = ${meta.dim})")
-    val vecs = spark.read.parquet(s"$vDir/ivf_vectors")
-      .select(col("neighbor_id"), col("cv"), col("centroid_id"))
-    if (validate) {
-      val (n, fp) = vecFingerprint(vecs)
-      require(n == meta.nVectors && fp == meta.vecFp,
-        s"IVF artifact at $vDir is inconsistent: vectors frame has $n " +
-          s"rows / fingerprint $fp but meta recorded ${meta.nVectors} / " +
-          s"${meta.vecFp} — the vectors were modified behind the meta's back")
-    }
-    IvfIndex(cents, meta.scale, meta.nVectors, vecs)
+    loadFrom(spark, vDir, meta, validate)
   }
 
   /** INCREMENTAL vector append: assign the batch under the artifact's
@@ -236,14 +326,16 @@ object DenseIndex {
   def ivfAppendBatch(spark: SparkSession, path: String, batch: DataFrame,
                      idCol: String, vecCol: String,
                      batchId: Long = -1L): IvfIndex = {
-    ivfRecover(spark, path)
-    val (_, vDir, meta) = latestComplete(spark, path).getOrElse(
+    // ONE version resolution serves recovery, the ledger check and the
+    // load below — the pre-r17 shape re-read the 1-row meta parquet
+    // three times on this path (a Spark job each)
+    val (_, vDir, meta) = recoverKeep(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"IVF artifact at $path has no complete version to append to"))
     if (batchId >= 0 && meta.batchIds.contains(batchId)) {
-      return ivfLoadIndex(spark, path, validate = false)
+      return loadFrom(spark, vDir, meta, validate = false)
     }
-    val cur = ivfLoadIndex(spark, path, validate = false)
+    val cur = loadFrom(spark, vDir, meta, validate = false)
     val inc = batch.select(col(idCol).cast("long").as("neighbor_id"),
         graft.functions.VectorFns.quantize(col(vecCol), cur.scale).as("cv"))
       .withColumn("centroid_id",

@@ -130,25 +130,81 @@ object KMeansInt {
     (cents, iters)
   }
 
-  /** One full Lloyd iteration: runs [[assignmentSums]], collects the
-    * bounded nCentroids × dim sum rows, and returns the refreshed centroid
-    * set (element-wise floor-div mean; a centroid that attracted no vectors
-    * keeps its previous position — the standard empty-cluster rule). Call
-    * iteratively from a driver loop; each iteration is one corpus scan and
-    * one nCentroids × dim shuffle. */
+  /** Per-partition assignment partials collected straight to the driver
+    * — [[lloydStep]]'s kernel. The reduce side of the Lloyd aggregate is
+    * nCentroids × (dim+1) longs by CONSTRUCTION (broadcast-dim-sized, the
+    * same bound that makes the collect legal), so the shuffle the
+    * DataFrame groupBy pays — plus the 64× posexplode row blow-up feeding
+    * it — buys nothing: fold each partition into a dim+1 accumulator
+    * array in one pass and merge the bounded partials driver-side
+    * (guide §2.3 "aggregate before you shuffle", taken to its limit).
+    * ONE job, ZERO exchanges, no explode; integer sums are order-free, so
+    * the result is bit-identical to [[assignmentSums]] (which stays the
+    * q63-oracled DataFrame shape). Measured (tools/QueryStats, sf0.1):
+    * each iteration 2 AQE jobs → 1, and the 8-iteration converge loop in
+    * the q82/q136/q137/q70 production twins drops its explode+shuffle
+    * entirely. */
+  private def assignmentPartials(corpus: DataFrame, idCol: String,
+                                 vecCol: String,
+                                 cents: Seq[(Long, Array[Long])],
+                                 scale: Int): collection.Map[Long, Array[Long]] = {
+    val dim = cents.head._2.length
+    val assigned = corpus
+      .select(VectorFns.quantize(col(vecCol), scale).as("__qv"))
+      .withColumn("centroid_id", Similarity.centroidArgmin(cents)(col("__qv")))
+      .select(col("centroid_id"), col("__qv"))
+    // queryExecution.toRdd keeps the scan+quantize+argmin inside
+    // whole-stage codegen; the per-row accumulation below is dim adds
+    // into a preallocated array (cheaper than materializing 64 exploded
+    // rows per vector, let alone hashing them into an aggregate map)
+    val partials = assigned.queryExecution.toRdd.mapPartitions { it =>
+      val acc = new java.util.HashMap[Long, Array[Long]]()
+      while (it.hasNext) {
+        val row = it.next()
+        // a null vector contributes nothing (posexplode-drop semantics
+        // in the oracled assignmentSums frame); cid is non-null whenever
+        // the vector is
+        if (row.isNullAt(0) || row.isNullAt(1)) { /* skip */ }
+        else {
+        val cid = row.getLong(0)
+        val qv = row.getArray(1)
+        var a = acc.get(cid)
+        if (a == null) { a = new Array[Long](dim + 1); acc.put(cid, a) }
+        var i = 0
+        val m = math.min(dim, qv.numElements())
+        while (i < m) { a(i) += qv.getLong(i); i += 1 }
+        a(dim) += 1L // member count rides the last slot
+        }
+      }
+      val out = Array.newBuilder[(Long, Array[Long])]
+      acc.forEach((k, v) => out += ((k, v)))
+      out.result().iterator
+    }.collect() // bounded: <= partitions × nCentroids × (dim+1) longs
+    val merged = new java.util.HashMap[Long, Array[Long]]()
+    partials.foreach { case (cid, a) =>
+      val t = merged.get(cid)
+      if (t == null) merged.put(cid, a)
+      else { var i = 0; while (i <= dim) { t(i) += a(i); i += 1 } }
+    }
+    import scala.jdk.CollectionConverters._
+    merged.asScala
+  }
+
+  /** One full Lloyd iteration: one-job shuffle-free assignment partials
+    * ([[assignmentPartials]]), then the refreshed centroid set
+    * (element-wise floor-div mean; a centroid that attracted no vectors
+    * keeps its previous position — the standard empty-cluster rule).
+    * Bit-identical to folding [[assignmentSums]]' rows: same integer
+    * sums, same floor division. */
   def lloydStep(corpus: DataFrame, idCol: String, vecCol: String,
                 cents: Seq[(Long, Array[Long])], scale: Int): Seq[(Long, Array[Long])] = {
     val dim = cents.head._2.length
-    val sums = assignmentSums(corpus, idCol, vecCol, cents, scale)
-      .collect() // bounded: nCentroids × dim rows, not data
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-      .groupBy(_._1)
+    val sums = assignmentPartials(corpus, idCol, vecCol, cents, scale)
     cents.map { case (cid, old) =>
       sums.get(cid) match {
-        case Some(rows) =>
-          val next = Array.fill(dim)(0L)
-          rows.foreach { case (_, pos, s, n) => next(pos) = Math.floorDiv(s, n) }
-          (cid, next)
+        case Some(a) =>
+          val n = a(dim)
+          (cid, Array.tabulate(dim)(i => Math.floorDiv(a(i), n)))
         case None => (cid, old)
       }
     }

@@ -203,6 +203,32 @@ class SimilaritySpec extends SparkSpec {
       Seq((0L, Seq(0L)), (1L, Seq(9L)), (2L, Seq(1000L))))
   }
 
+  test("lloydStep (one-job partials kernel, r17) == folding the oracled assignmentSums frame") {
+    // the r17 optimization collects per-partition partial sums straight
+    // to the driver (one job, zero exchanges) instead of the posexplode
+    // + groupBy shuffle; this pins bit-identity against the q63-oracled
+    // DataFrame aggregate it replaced
+    val cents = Similarity.seedCentroidsInt(corpus, "vec_id", "embedding",
+      n = 4, scale = 100)
+    val viaKernel = KMeansInt.lloydStep(corpus, "vec_id", "embedding",
+      cents, scale = 100)
+    val rows = KMeansInt.assignmentSums(corpus, "vec_id", "embedding",
+        cents, scale = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val dim = cents.head._2.length
+    val viaFrame = cents.map { case (cid, old) =>
+      rows.get(cid) match {
+        case Some(rs) =>
+          val next = Array.fill(dim)(0L)
+          rs.foreach { case (_, pos, s, n) => next(pos) = Math.floorDiv(s, n) }
+          (cid, next.toSeq)
+        case None => (cid, old.toSeq)
+      }
+    }
+    assert(viaKernel.map { case (c, a) => (c, a.toSeq) } == viaFrame)
+  }
+
   test("lloydStep iterated converges on the planted corpus (assignment stabilizes)") {
     var cents = Similarity.seedCentroidsInt(corpus, "vec_id", "embedding", n = 4, scale = 100)
     var prev: Seq[(Long, Seq[Long])] = Nil
