@@ -22,6 +22,12 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // guard-limits (maxLocalVocab-style caps sized ABOVE the expected
+      // row count) never stop early, so CollectLimit's incremental ramp
+      // (1 -> 4 -> 16 -> all partitions) just splits one scan into 3-4
+      // sequential jobs; starting at the parallelism width makes it one
+      // job and costs genuine small-limit queries nothing at this width
+      .config("spark.sql.limit.initialNumPartitions", shufflePartitions)
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

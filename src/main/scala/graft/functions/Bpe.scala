@@ -373,7 +373,11 @@ object Bpe {
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
                  path: String): Seq[Merge] = {
     import spark.implicits._
-    val m = spark.read.parquet(path)
+    val m = graft.util.ArtifactIO.readParquet(spark, path,
+        "rank" -> org.apache.spark.sql.types.IntegerType,
+        "left" -> org.apache.spark.sql.types.StringType,
+        "right" -> org.apache.spark.sql.types.StringType,
+        "cnt" -> org.apache.spark.sql.types.LongType)
       .select(col("rank").cast("int"), col("left"), col("right"),
         col("cnt").cast("long"))
       .as[(Int, String, String, Long)].collect()
@@ -421,7 +425,9 @@ object Bpe {
         if (!fs.exists(new org.apache.hadoop.fs.Path(path, "meta")))
           ModelWordMarked // pre-meta unified artifacts were marked-word
         else {
-          val kv = spark.read.parquet(s"$path/meta")
+          val kv = graft.util.ArtifactIO.readParquet(spark, s"$path/meta",
+              "key" -> org.apache.spark.sql.types.StringType,
+              "value" -> org.apache.spark.sql.types.StringType)
             .select(col("key"), col("value")).collect()
             .map(r => r.getString(0) -> r.getString(1)).toMap
           kv.getOrElse("model", ModelWordMarked)
@@ -471,7 +477,9 @@ object Bpe {
   def loadVocab(spark: org.apache.spark.sql.SparkSession,
                 path: String): Seq[(String, Int)] = {
     import spark.implicits._
-    val v = spark.read.parquet(path)
+    val v = graft.util.ArtifactIO.readParquet(spark, path,
+        "token" -> org.apache.spark.sql.types.StringType,
+        "id" -> org.apache.spark.sql.types.IntegerType)
       .select(col("token"), col("id").cast("int"))
       .as[(String, Int)].collect().sortBy(_._2).toSeq
     require(v.map(_._2).distinct.size == v.size,

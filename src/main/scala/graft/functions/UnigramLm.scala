@@ -357,7 +357,12 @@ object UnigramLm {
       s"unigram artifact at $path has model_tag '$tag', expected '$ArtifactTag'")
     require(wordModel == Bpe.ModelWordMarked || wordModel == Bpe.ModelFaithful,
       s"unigram artifact at $path carries unknown word model '$wordModel'")
-    val rows = spark.read.parquet(s"$path/unigram_pieces")
+    val rows = graft.util.ArtifactIO.readParquet(spark,
+        s"$path/unigram_pieces",
+        "round" -> org.apache.spark.sql.types.IntegerType,
+        "piece" -> org.apache.spark.sql.types.StringType,
+        "freq" -> org.apache.spark.sql.types.LongType,
+        "logp_q" -> org.apache.spark.sql.types.LongType)
       .select("round", "piece", "freq", "logp_q")
       .as[(Int, String, Long, Long)].collect()
     val byRound = rows.groupBy(_._1)

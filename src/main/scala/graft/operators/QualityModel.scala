@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
+import graft.util.ArtifactIO.readParquet
+import org.apache.spark.sql.types.{IntegerType => ITyp, LongType => LTyp, StringType => STyp}
 
 /** Model-based quality scoring — the two standard "learned filter" shapes
   * of LLM data curation, next to q35's hand-crafted heuristics:
@@ -549,7 +551,9 @@ object QualityModel {
     * misclassification mid-stream. */
   def loadLangId(spark: SparkSession, path: String): LangIdModel = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/langid_meta")
+    val meta = readParquet(spark, s"$path/langid_meta",
+        "bits" -> ITyp, "seed" -> STyp, "char_n" -> ITyp,
+        "n_langs" -> ITyp, "model_tag" -> STyp)
       .select("bits", "seed", "char_n", "n_langs", "model_tag")
       .as[(Int, String, Int, Int, String)].collect()
     require(meta.length == 1,
@@ -557,7 +561,8 @@ object QualityModel {
     val (bits, seed, charN, nLangs, tag) = meta.head
     require(tag == "langid-v1",
       s"lang-ID artifact at $path has model_tag '$tag', expected 'langid-v1'")
-    val rows = spark.read.parquet(s"$path/langid_weights")
+    val rows = readParquet(spark, s"$path/langid_weights",
+        "lang_idx" -> ITyp, "lang" -> STyp, "b" -> ITyp, "w" -> ITyp)
       .select("lang_idx", "lang", "b", "w")
       .as[(Int, String, Int, Int)].collect()
     val byLang = rows.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1._1)
@@ -886,12 +891,15 @@ object QualityModel {
     * loudly (a corrupt LM must fail the job, not mis-score a corpus). */
   def loadUnigramLm(spark: SparkSession, path: String): UnigramLm = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/lm_meta")
+    val meta = readParquet(spark, s"$path/lm_meta",
+        "n_total" -> LTyp, "vocab" -> LTyp, "miss_lp" -> LTyp,
+        "unit" -> STyp)
       .select("n_total", "vocab", "miss_lp", "unit")
       .as[(Long, Long, Long, String)].collect()
     require(meta.length == 1, s"LM meta at $path/lm_meta has ${meta.length} rows")
     val (nTotal, vocab, missLp, unit) = meta.head
-    val lp = spark.read.parquet(s"$path/lm").select("tok", "lp")
+    val lp = readParquet(spark, s"$path/lm",
+        "tok" -> STyp, "lp" -> LTyp).select("tok", "lp")
       .as[(String, Long)].collect().toSeq
     require(lp.size == vocab,
       s"LM table at $path/lm has ${lp.size} rows, meta says $vocab")
@@ -1034,13 +1042,16 @@ object QualityModel {
     * (the [[loadUnigramLm]] policy). */
   def loadBigramLm(spark: SparkSession, path: String): BigramLm = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/lm_meta")
+    val meta = readParquet(spark, s"$path/lm_meta",
+        "n_total" -> LTyp, "vocab" -> LTyp, "unit" -> STyp,
+        "lm_order" -> ITyp)
       .select("n_total", "vocab", "unit", "lm_order")
       .as[(Long, Long, String, Int)].collect()
     require(meta.length == 1, s"LM meta at $path/lm_meta has ${meta.length} rows")
     val (nTotal, vocab, unit, order) = meta.head
     require(order == 2, s"LM at $path has lm_order=$order, expected 2")
-    val uniCnt = spark.read.parquet(s"$path/lm_uni").select("tok", "cnt")
+    val uniCnt = readParquet(spark, s"$path/lm_uni",
+        "tok" -> STyp, "cnt" -> LTyp).select("tok", "cnt")
       .as[(String, Long)].collect().toSeq
     require(uniCnt.size == vocab,
       s"LM table at $path/lm_uni has ${uniCnt.size} rows, meta says $vocab")
@@ -1048,7 +1059,8 @@ object QualityModel {
       s"LM table at $path/lm_uni has duplicate tokens")
     require(uniCnt.iterator.map(_._2).sum == nTotal,
       s"LM table at $path/lm_uni sums != meta n_total $nTotal")
-    val bigCnt = spark.read.parquet(s"$path/lm_big").select("p", "c", "cnt")
+    val bigCnt = readParquet(spark, s"$path/lm_big",
+        "p" -> STyp, "c" -> STyp, "cnt" -> LTyp).select("p", "c", "cnt")
       .as[(String, String, Long)].collect()
       .map { case (p, c, v) => ((p, c), v) }.toSeq
     require(bigCnt.iterator.map(_._1).toSet.size == bigCnt.size,
@@ -1141,13 +1153,16 @@ object QualityModel {
     * (the [[loadUnigramLm]] policy). */
   def loadTrigramLm(spark: SparkSession, path: String): TrigramLm = {
     import spark.implicits._
-    val meta = spark.read.parquet(s"$path/lm_meta")
+    val meta = readParquet(spark, s"$path/lm_meta",
+        "n_total" -> LTyp, "vocab" -> LTyp, "unit" -> STyp,
+        "lm_order" -> ITyp)
       .select("n_total", "vocab", "unit", "lm_order")
       .as[(Long, Long, String, Int)].collect()
     require(meta.length == 1, s"LM meta at $path/lm_meta has ${meta.length} rows")
     val (nTotal, vocab, unit, order) = meta.head
     require(order == 3, s"LM at $path has lm_order=$order, expected 3")
-    val uniCnt = spark.read.parquet(s"$path/lm_uni").select("tok", "cnt")
+    val uniCnt = readParquet(spark, s"$path/lm_uni",
+        "tok" -> STyp, "cnt" -> LTyp).select("tok", "cnt")
       .as[(String, Long)].collect().toSeq
     require(uniCnt.size == vocab,
       s"LM table at $path/lm_uni has ${uniCnt.size} rows, meta says $vocab")
@@ -1155,12 +1170,14 @@ object QualityModel {
       s"LM table at $path/lm_uni has duplicate tokens")
     require(uniCnt.iterator.map(_._2).sum == nTotal,
       s"LM table at $path/lm_uni sums != meta n_total $nTotal")
-    val bigCnt = spark.read.parquet(s"$path/lm_big").select("p", "c", "cnt")
+    val bigCnt = readParquet(spark, s"$path/lm_big",
+        "p" -> STyp, "c" -> STyp, "cnt" -> LTyp).select("p", "c", "cnt")
       .as[(String, String, Long)].collect()
       .map { case (p, c, v) => ((p, c), v) }.toSeq
     require(bigCnt.iterator.map(_._1).toSet.size == bigCnt.size,
       s"LM table at $path/lm_big has duplicate pairs")
-    val triCnt = spark.read.parquet(s"$path/lm_tri")
+    val triCnt = readParquet(spark, s"$path/lm_tri",
+        "p2" -> STyp, "p1" -> STyp, "c" -> STyp, "cnt" -> LTyp)
       .select("p2", "p1", "c", "cnt")
       .as[(String, String, String, Long)].collect()
       .map { case (p2, p1, c, v) => ((p2, p1, c), v) }.toSeq
