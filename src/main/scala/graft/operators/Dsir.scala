@@ -100,6 +100,79 @@ object Dsir {
           .cast("long").as("lambda_i"))
   }
 
+  /** The DENSE lambda table (index = bucket, absent-from-both buckets
+    * 0): per-corpus bucket counts via ONE shuffle-free job each —
+    * per-partition dense 2^bits count arrays merged driver-side (the
+    * r17 KMeansInt.assignmentPartials discipline; the reduce side is
+    * ≤ 2^bits cells BY CONSTRUCTION, which is also what already made
+    * the dense collect legal) — then the lambda arithmetic computed
+    * locally with the exact same ln/round(HALF_UP)/quantize steps as
+    * [[lambdaTable]]'s SQL (the q77 oracle hash pins bit-identity).
+    * The frame path paid two explode + bucket-keyed groupBy shuffles,
+    * a full-outer join and two total aggregates for rows the driver
+    * was about to collect anyway. SCALE GUARD: partials are parts ×
+    * 2^bits longs; past a 512 MB-of-longs budget fall back to
+    * collecting the shuffle-aggregated frame. */
+  private def lambdaDense(raw: DataFrame, target: DataFrame,
+                          textCol: String, bits: Int,
+                          seed: String): Array[Long] = {
+    val nBuckets = 1 << bits
+    def denseCounts(df: DataFrame): Option[Array[Long]] = {
+      val rdd = df.select(featureBuckets(col(textCol), bits, seed).as("__fb"))
+        .queryExecution.toRdd
+      if (rdd.getNumPartitions.toLong * nBuckets > (1L << 26)) return None
+      val partials = rdd.mapPartitions { it =>
+        val acc = new Array[Long](nBuckets)
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0)) {
+            val a = row.getArray(0)
+            var i = 0
+            val m = a.numElements()
+            while (i < m) { acc(a.getLong(i).toInt) += 1L; i += 1 }
+          }
+        }
+        Iterator.single(acc)
+      }.collect()
+      val merged = new Array[Long](nBuckets)
+      partials.foreach { p =>
+        var b = 0
+        while (b < nBuckets) { merged(b) += p(b); b += 1 }
+      }
+      Some(merged)
+    }
+    (denseCounts(raw), denseCounts(target)) match {
+      case (Some(rc), Some(tc)) =>
+        val nRaw = rc.sum.toDouble
+        val nTarget = tc.sum.toDouble
+        val bD = nBuckets.toDouble
+        val out = new Array[Long](nBuckets)
+        var b = 0
+        while (b < nBuckets) {
+          if (rc(b) > 0 || tc(b) > 0) {
+            val v = (math.log(tc(b).toDouble + 1.0) - math.log(nTarget + bD)
+              - math.log(rc(b).toDouble + 1.0) + math.log(nRaw + bD)) * 1e6
+            // Spark round(double) semantics: HALF_UP on BigDecimal
+            out(b) = java.math.BigDecimal.valueOf(v)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+          }
+          b += 1
+        }
+        out
+      case _ =>
+        val out = new Array[Long](nBuckets)
+        lambdaTable(raw, target, textCol, bits, seed).collect().foreach { r =>
+          out(r.getLong(0).toInt) = r.getLong(1)
+        }
+        out
+    }
+  }
+
+  /** Test seam for the [[lambdaDense]] == [[lambdaTable]] pin. */
+  private[graft] def lambdaDenseForTest(raw: DataFrame, target: DataFrame,
+      textCol: String, bits: Int, seed: String): Array[Long] =
+    lambdaDense(raw, target, textCol, bits, seed)
+
   /** Per-document importance log-weights of `raw` against `target`:
     * (idCol, n_feats, w_sum lambda-fixed-point bigint, w rounded 6,
     * gumbel rounded 6, score rounded 6). Empty documents (no features)
@@ -117,10 +190,7 @@ object Dsir {
     // full-outer join saw raw's own counts), so the inner join never
     // dropped a feature and n_feats/w_sum are identical; absent buckets
     // (target-only misses never probed by raw docs) fill 0 harmlessly.
-    val dense = new Array[Long](1 << bits)
-    lambdaTable(raw, target, textCol, bits, seed).collect().foreach { r =>
-      dense(r.getLong(0).toInt) = r.getLong(1)
-    }
+    val dense = lambdaDense(raw, target, textCol, bits, seed)
     val bc = raw.sparkSession.sparkContext.broadcast(dense)
     val s = org.apache.spark.sql.graft.ExprBridge.column(
       graft.functions.HashedProbeExpr(

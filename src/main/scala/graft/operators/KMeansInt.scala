@@ -157,7 +157,33 @@ object KMeansInt {
     // whole-stage codegen; the per-row accumulation below is dim adds
     // into a preallocated array (cheaper than materializing 64 exploded
     // rows per vector, let alone hashing them into an aggregate map)
-    val partials = assigned.queryExecution.toRdd.mapPartitions { it =>
+    // SCALE GUARD: the collected dense partials are
+    // parts × touched-centroids × (dim+1) longs in the worst case —
+    // driver-bounded on any sane layout, but a huge-partition-count
+    // corpus with a large nlist could breach it; fall back to the
+    // shuffle-aggregated frame (map-side combined, driver sees only the
+    // final nCentroids × dim rows) past a 512 MB-of-longs budget.
+    val rdd = assigned.queryExecution.toRdd
+    if (rdd.getNumPartitions.toLong * cents.size * (dim + 1) > (1L << 26)) {
+      val viaFrame = assignmentSums(corpus, idCol, vecCol, cents, scale)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      val out = new java.util.HashMap[Long, Array[Long]]()
+      viaFrame.foreach { case (cid, rows) =>
+        val a = new Array[Long](dim + 1)
+        // member count = any pos row's n (vectors are fixed-dim by the
+        // engine's embedding contract, so all pos counts agree)
+        rows.foreach { case (_, pos, sq, n) =>
+          a(pos) = sq
+          if (n > a(dim)) a(dim) = n
+        }
+        out.put(cid, a)
+      }
+      import scala.jdk.CollectionConverters._
+      return out.asScala
+    }
+    val partials = rdd.mapPartitions { it =>
       val acc = new java.util.HashMap[Long, Array[Long]]()
       while (it.hasNext) {
         val row = it.next()

@@ -98,8 +98,91 @@ object Pca {
     }
   }
 
-  /** Train a top-`p` PCA basis: run [[embedCovariance]], collect the
-    * d(d+1)/2 moment rows (driver memory is d², independent of corpus
+  /** The moment rows [[train]] consumes, (i, j, n, si, sj, sij,
+    * cov_num) ordered by (i, j) — computed by a ONE-JOB shuffle-free
+    * kernel (r17): per-partition dense triangular accumulators
+    * collected to the driver, exactly the KMeansInt.assignmentPartials
+    * discipline, since the reduce side is ≤ d(d+1)/2 cells BY
+    * CONSTRUCTION. The [[embedCovariance]] DataFrame (the q115-oracled
+    * shape) previously served here via collect(), paying a d²/2-fold
+    * posexplode row blow-up into a hash aggregate + that aggregate's
+    * exchange, twice (first + second moments), plus two joins — for
+    * rows the driver was about to hold anyway. Long sums are order-free,
+    * so every field is bit-identical to the frame's (PcaSpec pins it);
+    * arrays are prefixes, so pair (i,j) is observed iff coordinate j is
+    * (which keeps the ragged-guard behavior in [[train]] byte-for-byte).
+    * Driver transfer: partitions × d(d+1)/2 longs — dim=64 is ~16 KB a
+    * partition; the d=1024 scaladoc bound above stays executor- and
+    * driver-trivial. */
+  private[graft] def covMomentRows(df: DataFrame, vecCol: String,
+      scale: Int): Seq[(Int, Int, Long, Long, Long, Long, Long)] = {
+    val rdd = df.select(VectorFns.quantize(col(vecCol), scale).as("__q"))
+      .queryExecution.toRdd
+    // SCALE GUARD: collected partials are parts × d(d+1)/2 longs — past
+    // a 512 MB-of-longs budget (extreme partition counts × large d),
+    // fall back to the shuffle-aggregated q115 frame, whose driver
+    // transfer is the final d(d+1)/2 rows only. d is unknown before the
+    // scan; bound it by the engine's embedding ceiling (d = 1024, the
+    // scaladoc bound above).
+    if (rdd.getNumPartitions.toLong * (1024L * 1025L / 2L) > (1L << 26)) {
+      return embedCovariance(df, vecCol, scale)
+        .select("i", "j", "n", "si", "sj", "sij", "cov_num")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    }
+    val partials = rdd.mapPartitions { it =>
+        var cap = 0
+        var cnt: Array[Long] = new Array[Long](0)
+        var s: Array[Long] = new Array[Long](0)
+        var sij: Array[Long] = new Array[Long](0) // triangular, idx(i,j)=j*(j+1)/2+i
+        while (it.hasNext) {
+          val row = it.next()
+          if (!row.isNullAt(0)) {
+            val q = row.getArray(0)
+            val len = q.numElements()
+            if (len > cap) {
+              cnt = java.util.Arrays.copyOf(cnt, len)
+              s = java.util.Arrays.copyOf(s, len)
+              sij = java.util.Arrays.copyOf(sij, len * (len + 1) / 2)
+              cap = len
+            }
+            var j = 0
+            while (j < len) {
+              val qj = q.getLong(j)
+              cnt(j) += 1L
+              s(j) += qj
+              val base = j * (j + 1) / 2
+              var i = 0
+              while (i <= j) { sij(base + i) += q.getLong(i) * qj; i += 1 }
+              j += 1
+            }
+          }
+        }
+        Iterator.single((cnt, s, sij))
+      }.collect()
+    val L = partials.iterator.map(_._1.length).foldLeft(0)(math.max)
+    val cnt = new Array[Long](L)
+    val s = new Array[Long](L)
+    val sij = new Array[Long](L * (L + 1) / 2)
+    partials.foreach { case (pc, ps, pij) =>
+      var j = 0
+      while (j < pc.length) { cnt(j) += pc(j); s(j) += ps(j); j += 1 }
+      var x = 0
+      while (x < pij.length) { sij(x) += pij(x); x += 1 }
+    }
+    for {
+      i <- 0 until L
+      j <- i until L
+      if cnt(j) > 0 // pair (i,j) observed iff coordinate j is (prefix arrays)
+    } yield {
+      val m = sij(j * (j + 1) / 2 + i)
+      (i + 1, j + 1, cnt(i), s(i), s(j), m, cnt(i) * m - s(i) * s(j))
+    }
+  }
+
+  /** Train a top-`p` PCA basis: collect the d(d+1)/2 moment rows
+    * ([[covMomentRows]] — driver memory is d², independent of corpus
     * size), Jacobi-diagonalize the population covariance, keep the `p`
     * leading eigenvectors under a deterministic sign convention (the
     * largest-|coordinate| entry is made positive; ties take the first
@@ -107,14 +190,14 @@ object Pca {
   def train(df: DataFrame, vecCol: String, dim: Int, p: Int,
             scale: Int = 1000, eigQuant: Long = 1000000L): PcaModel = {
     require(dim > 0 && p > 0 && p <= dim, s"need 0 < p <= dim, got p=$p dim=$dim")
-    val rows = embedCovariance(df, vecCol, scale).collect()
+    val rows = covMomentRows(df, vecCol, scale)
     require(rows.nonEmpty, "Pca.train: empty corpus")
-    val n = rows.head.getLong(2)
+    val n = rows.head._3
     val sums = new Array[Long](dim)
     val cov = Array.ofDim[Double](dim, dim)
     var nDiag = 0
     rows.foreach { r =>
-      val i = r.getInt(0) - 1; val j = r.getInt(1) - 1
+      val i = r._1 - 1; val j = r._2 - 1
       require(i < dim && j < dim,
         s"Pca.train: coordinate ${math.max(i, j) + 1} exceeds dim=$dim")
       // RAGGED-INPUT GUARD (r14 verdict #1): every coordinate's count is
@@ -122,12 +205,12 @@ object Pca {
       // A short/ragged vector makes some coordinate's n smaller, which
       // would silently SKEW cov_num = n·s_ij − s_i·s_j instead of
       // failing — the loud-failure policy (cf. trainTrigramLm's caps).
-      require(r.getLong(2) == n,
+      require(r._3 == n,
         s"Pca.train: ragged embedding column — coordinate ${i + 1} has " +
-          s"${r.getLong(2)} entries, coordinate 1 has $n; every vector " +
+          s"${r._3} entries, coordinate 1 has $n; every vector " +
           s"must carry exactly dim=$dim coordinates")
-      if (i == j) { sums(i) = r.getLong(3); nDiag += 1 }
-      val c = r.getLong(6).toDouble / (n.toDouble * n.toDouble)
+      if (i == j) { sums(i) = r._4; nDiag += 1 }
+      val c = r._7.toDouble / (n.toDouble * n.toDouble)
       cov(i)(j) = c; cov(j)(i) = c
     }
     require(nDiag == dim,

@@ -418,25 +418,83 @@ object QualityModel {
                 (col("__n") * lit(1000.0))))
               - col(s"__y_$i")) * lit(1000000.0) + lit(0.5))
               .as(s"__err6_$i"))): _*)
-        val gradRows = errDocs
-          .select((explode(col("__f")).as("__e") +: col("__n") +:
+        // Gradient reduce side is <= k × 2^bits longs BY CONSTRUCTION —
+        // when that dense table is small (k·2^bits ≤ 2^19: ≤ 4 MB per
+        // partition partial, ≤ ~128 MB transient driver merge at 32
+        // partitions), collect per-partition DENSE partials in ONE
+        // shuffle-free job instead of the explode + bucket-keyed groupBy
+        // (2 AQE jobs/epoch + a feature-multiplied row blow-up) — the
+        // r17 KMeansInt.assignmentPartials discipline. Long sums are
+        // order-free and each per-(doc,bucket) term is the identical
+        // floor((err6·c)/n + 0.5) IEEE arithmetic, so gradients are
+        // bit-identical; the q105/q107/q112 oracle hashes pin it.
+        // Bigger tables (bits=21 language gates) keep the map-side-
+        // combined aggregate, whose shuffle stays bounded regardless.
+        val errRdd = errDocs
+          .select((col("__n") +: col("__f") +:
             ks.map(i => col(s"__err6_$i"))): _*)
-          .groupBy(col("__e.__b").as("__b"))
-          .agg(
-            sum(floor(col("__err6_0") * col("__e.__c") /
-              col("__n").cast("double") + lit(0.5))).as("__g_0"),
-            ks.tail.map(i =>
-              sum(floor(col(s"__err6_$i") * col("__e.__c") /
-                col("__n").cast("double") + lit(0.5))).as(s"__g_$i")): _*)
-          .collect()
+          .queryExecution.toRdd
+        val grads: Int => (Long => Long) =
+          if (k.toLong * nBuckets <= (1L << 19) &&
+              errRdd.getNumPartitions.toLong * k * nBuckets <= (1L << 26)) {
+            val partials = errRdd.mapPartitions { it =>
+                val acc = Array.fill(k)(new Array[Long](nBuckets))
+                while (it.hasNext) {
+                  val row = it.next()
+                  val nD = row.getLong(0).toDouble
+                  val fs = row.getArray(1)
+                  var j = 0
+                  val m = fs.numElements()
+                  while (j < m) {
+                    val pair = fs.getStruct(j, 2)
+                    val b = pair.getLong(0).toInt
+                    val c = pair.getLong(1)
+                    var i = 0
+                    while (i < k) {
+                      acc(i)(b) += math.floor(
+                        (row.getLong(2 + i) * c).toDouble / nD + 0.5).toLong
+                      i += 1
+                    }
+                    j += 1
+                  }
+                }
+                Iterator.single(acc)
+              }.collect()
+            val merged = Array.fill(k)(new Array[Long](nBuckets))
+            partials.foreach { p =>
+              var i = 0
+              while (i < k) {
+                var b = 0
+                while (b < nBuckets) { merged(i)(b) += p(i)(b); b += 1 }
+                i += 1
+              }
+            }
+            (i: Int) => (b: Long) => merged(i)(b.toInt)
+          } else {
+            val gradRows = errDocs
+              .select((explode(col("__f")).as("__e") +: col("__n") +:
+                ks.map(i => col(s"__err6_$i"))): _*)
+              .groupBy(col("__e.__b").as("__b"))
+              .agg(
+                sum(floor(col("__err6_0") * col("__e.__c") /
+                  col("__n").cast("double") + lit(0.5))).as("__g_0"),
+                ks.tail.map(i =>
+                  sum(floor(col(s"__err6_$i") * col("__e.__c") /
+                    col("__n").cast("double") + lit(0.5))).as(s"__g_$i")): _*)
+              .collect()
+            (i: Int) => {
+              val m = gradRows.iterator
+                .map(r => r.getLong(0) -> r.getLong(1 + i)).toMap
+              (b: Long) => m.getOrElse(b, 0L)
+            }
+          }
         bc.destroy()
         ks.foreach { i =>
-          val grads = gradRows.iterator
-            .map(r => r.getLong(0) -> r.getLong(1 + i)).toMap
+          val gOf = grads(i)
           val w = ws(i)
           var b = 0
           while (b < nBuckets) {
-            val g = grads.getOrElse(b.toLong, 0L)
+            val g = gOf(b.toLong)
             val delta = math.floor((g * lrMyriad).toDouble * 4.0 /
               (nDocs * 1.0e7) + 0.5).toLong
             w(b) = math.max(-1000L, math.min(1000L, w(b) - delta)).toInt

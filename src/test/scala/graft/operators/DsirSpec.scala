@@ -39,6 +39,19 @@ class DsirSpec extends SparkSpec {
       s"legal docs must outscore cake/spam: $got")
   }
 
+  test("lambdaDense (one-job kernel, r17) == lambdaTable frame") {
+    // the r17 optimization collects dense per-partition bucket counts
+    // straight to the driver and computes lambda locally; this pins
+    // bit-identity against the SQL frame it replaced (same ln, same
+    // HALF_UP quantization), absent-from-both buckets staying 0
+    val bits = 6
+    val fromFrame = new Array[Long](1 << bits)
+    Dsir.lambdaTable(raw, target, "text", bits, "dsir-test")
+      .collect().foreach { r => fromFrame(r.getLong(0).toInt) = r.getLong(1) }
+    val dense = Dsir.lambdaDenseForTest(raw, target, "text", bits, "dsir-test")
+    assert(dense.toSeq == fromFrame.toSeq)
+  }
+
   test("weights are a pure function of content — partitioning-independent") {
     val a = Dsir.importanceWeights(raw, target, "doc_id", "text", bits = 10)
       .orderBy("doc_id").collect().toSeq

@@ -30,6 +30,34 @@ class PcaSpec extends SparkSpec {
     assert(rep == expect, "covariance must be partitioning-independent")
   }
 
+  test("covMomentRows (one-job kernel, r17) == embedCovariance frame, " +
+      "ragged + null + empty edge cases included") {
+    // the r17 optimization collects dense triangular partials straight
+    // to the driver (one job, zero exchanges) for train(); this pins
+    // bit-identity against the q115-oracled DataFrame it replaced
+    val df = vecs((1L, Seq(1.0f, 2.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)))
+    val frame = Pca.embedCovariance(df, "embedding", scale = 10)
+      .select("i", "j", "n", "si", "sj", "sij", "cov_num")
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(Pca.covMomentRows(df, "embedding", scale = 10) == frame)
+    // ragged corpus: kernel and frame must agree on the partial pair set
+    // (that agreement is what lets train()'s ragged guard fire the same)
+    val ragged = vecs((1L, Seq(1.0f, 2.0f, 3.0f)), (2L, Seq(2.0f)))
+    val fr = Pca.embedCovariance(ragged, "embedding", scale = 10)
+      .select("i", "j", "n", "si", "sj", "sij", "cov_num")
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(Pca.covMomentRows(ragged, "embedding", scale = 10) == fr)
+    // null vector contributes nothing, like posexplode-drop
+    val withNull = Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val fn = Pca.embedCovariance(withNull, "embedding", scale = 10)
+      .select("i", "j", "n", "si", "sj", "sij", "cov_num")
+      .as[(Int, Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(Pca.covMomentRows(withNull, "embedding", scale = 10) == fn)
+    assert(Pca.covMomentRows(vecs(), "embedding", scale = 10).isEmpty)
+  }
+
   test("jacobiEigen: eigenvectors orthonormal, residual ~0, trace kept") {
     val rnd = new scala.util.Random(7)
     val d = 12
