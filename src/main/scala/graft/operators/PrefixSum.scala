@@ -37,7 +37,20 @@ object PrefixSum {
     * partitioning. */
   def withRunningTotal(spark: SparkSession, df: DataFrame, orderCol: String,
                        valueCol: String, outCol: String,
-                       numPartitions: Int = 0): DataFrame = {
+                       numPartitions: Int = 0): DataFrame =
+    withRunningTotalAndGrand(spark, df, orderCol, valueCol, outCol,
+      numPartitions)._1
+
+  /** [[withRunningTotal]] plus the GRAND total (Σ valueCol), which phase
+    * 2 computes anyway — consumers that need N (perplexityBuckets'
+    * ntile denominator) previously re-ran the whole post-checkpoint
+    * window subtree under an aggregate to derive a number the prefix
+    * sum already knew (the r17 q79/q95 plan dumps show the doubled
+    * subtree). */
+  private[graft] def withRunningTotalAndGrand(spark: SparkSession,
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String,
+      numPartitions: Int = 0): (DataFrame, Long) = {
+    import spark.implicits._
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     // phase 1: range partition + parallel per-partition cumulative sums.
@@ -55,18 +68,23 @@ object PrefixSum {
     val withLocal = ranged.withColumn("__local",
       sum(col(valueCol).cast("long")).over(local))
     // phase 2: exclusive prefix of the per-partition totals. The totals
-    // frame has <= numPartitions rows, so ITS single-partition window is
-    // bounded by configuration, not data — that is the entire trick.
-    val totals = ranged.groupBy(col("__pid"))
+    // frame has <= numPartitions rows — COLLECT it and compute the
+    // exclusive prefix (and the grand total, for free) on the driver:
+    // the r17 shape; the previous Window-over-totals formulation paid a
+    // SinglePartition sort of a config-bounded frame plus its own job,
+    // for arithmetic over ≤ numPartitions longs.
+    val totalsRows = ranged.groupBy(col("__pid"))
       .agg(sum(col(valueCol).cast("long")).as("__total"))
-    val offsetW = Window.orderBy(col("__pid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = totals
-      .withColumn("__offset", coalesce(
-        sum(col("__total")).over(offsetW) - col("__total"), lit(0L)))
-      .select(col("__pid"), col("__offset"))
-    withLocal.join(broadcast(offsets), Seq("__pid"))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsetsLocal = totalsRows.map { case (pid, total) =>
+      val off = acc; acc += total; (pid, off)
+    }.toSeq
+    val out = withLocal
+      .join(broadcast(offsetsLocal.toDF("__pid", "__offset")), Seq("__pid"))
       .withColumn(outCol, col("__local") + col("__offset"))
       .drop("__pid", "__local")
+    (out, acc)
   }
 }

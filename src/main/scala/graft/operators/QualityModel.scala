@@ -1774,17 +1774,17 @@ object QualityModel {
         concat(lpad(round(col("xent") * 1e6).cast("long").cast("string"), 14, "0"),
           lit(":"), idKey))
       .withColumn("__one", lit(1L))
-    val ranked = PrefixSum.withRunningTotal(spark, keyed,
+    // N comes out of the prefix sum's own phase-2 totals (r17) — the
+    // previous shape re-ran the whole post-checkpoint window subtree
+    // under a max() aggregate to derive it (the q79/q95 before-plans
+    // show the doubled subtree + the crossJoin that glued it back)
+    val (ranked, grand) = PrefixSum.withRunningTotalAndGrand(spark, keyed,
       orderCol = "__k", valueCol = "__one", outCol = "__rank")
-    // N rides a second pass over PrefixSum's checkpointed range frame
-    // (narrow ops + a scalar max — the xent computation itself is NOT
-    // re-run; the checkpoint pins it)
-    val total = ranked.agg(max(col("__rank")).as("__n"))
-    ranked.crossJoin(broadcast(total))
+    ranked
       .select(col(idCol), col("n_tokens"), col("xent"), col("ppl"),
         // integer `div`, not Column `/` (double division — the Sharding
         // lesson): floor((rank-1)*n/N) + 1 is ntile's bucket
-        (expr(s"((__rank - 1) * $nBuckets) div __n") + 1)
+        (expr(s"((__rank - 1) * $nBuckets) div $grand") + 1)
           .cast("int").as("bucket"))
   }
 }
