@@ -680,12 +680,24 @@ object Dedup {
       ok(nodes.schema(idCol).dataType) &&
         ok(p.schema("id_a").dataType) && ok(p.schema("id_b").dataType)
     }
-    val nEdges = p.count()
-    if (nEdges <= maxLocalEdges && integralIds) {
+    // ONE guarded collect decides the path AND delivers the edges (r17):
+    // the former count()-then-collect paid two materializations of the
+    // persisted pair list; limit(max+1) bounds driver exposure the same
+    // way (and populates the persist blocks the distributed path reuses
+    // if the guard overflows — the rare >4M-edge corpus pays one extra
+    // job, the common match-sized corpus saves one)
+    val edgesOrOver =
+      if (integralIds)
+        p.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit(math.min(maxLocalEdges, Int.MaxValue - 1L).toInt + 1)
+          .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong)).collect()
+      else Array.empty[(Long, Long)]
+    if (integralIds && edgesOrOver.length <= maxLocalEdges) {
       val spark = nodes.sparkSession
       import spark.implicits._
-      val edges = p.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .as[(Long, Long)].collect()
+      val edges = edgesOrOver
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
