@@ -136,13 +136,16 @@ class PlanShapeSpec extends SparkSpec {
 
   test("q61 prefix sum: corpus never serializes through one task") {
     val plan = executed(SparkEntry.queries("q61_sequence_pack")(spark, dir))
-    // exactly ONE SinglePartition exchange is allowed — the per-partition
-    // TOTALS frame (<= numPartitions rows, bounded by config not data);
-    // the corpus itself flows through range/hash exchanges + a broadcast
-    // join of the offsets
+    // ZERO SinglePartition exchanges (r17): the per-partition TOTALS
+    // frame (<= numPartitions rows, bounded by config not data) is now
+    // folded on the DRIVER and the offsets ride a broadcast
+    // LocalTableScan — the corpus itself flows through range/hash
+    // exchanges + a broadcast join of the offsets
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
-    assert(single == 1, s"expected 1 bounded SinglePartition exchange, got $single:\n$plan")
+    assert(single == 0, s"expected 0 SinglePartition exchanges, got $single:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"driver-folded offsets frame absent:\n$plan")
   }
 
   test("q62 IVF: centroid assignment is a zero-shuffle codegen map; probe join is an equi-join") {
@@ -337,9 +340,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashKeys.count(_.startsWith("seq_id")) == 1 &&
       hashKeys.forall(k => k.startsWith("seq_id") || k.startsWith("__pid")),
       s"unexpected hash exchanges $hashKeys:\n$plan")
-    // PrefixSum's bounded totals funnel is the only SinglePartition
+    // r17: PrefixSum's totals fold on the driver — no SinglePartition
+    // exchange anywhere in the packer path
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
-    assert(single == 1, s"expected 1 bounded SinglePartition, got $single:\n$plan")
+    assert(single == 0, s"expected 0 SinglePartition exchanges, got $single:\n$plan")
     assert(!plan.contains("UDF"), s"UDF leaked into the packer path:\n$plan")
     // (the native encode itself runs inside the PRE-checkpoint scan job —
     // PrefixSum materializes the ranged frame, so the visible plan starts
@@ -380,10 +384,10 @@ class PlanShapeSpec extends SparkSpec {
   test("q91 BPE packing keeps q61's distributed prefix-sum shape") {
     val plan = executed(SparkEntry.queries("q91_bpe_pack")(spark, dir))
     // re-denominating the budget in BPE tokens adds ONE in-scan native
-    // expression and must not change the exchange structure: the only
-    // SinglePartition exchange is the config-bounded totals frame
+    // expression and must not change the exchange structure: zero
+    // SinglePartition exchanges (r17 — totals fold on the driver)
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
-    assert(single == 1, s"expected 1 bounded SinglePartition exchange, got $single:\n$plan")
+    assert(single == 0, s"expected 0 SinglePartition exchanges, got $single:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
     // (the native count itself runs inside the PRE-checkpoint scan job —
     // PrefixSum materializes the ranged frame, so the visible plan starts
@@ -404,10 +408,10 @@ class PlanShapeSpec extends SparkSpec {
   test("q74 shard plan: corpus rank through the two-phase scan, offsets broadcast") {
     val plan = executed(graft.operators.Sharding.shardPlan(spark,
       T2(dir, "documents").select("doc_id"), "doc_id", shardSize = 64))
-    // same contract as q61: the only SinglePartition exchange is the
-    // config-bounded per-partition totals frame
+    // same contract as q61 (r17): zero SinglePartition exchanges —
+    // the config-bounded totals frame folds on the driver
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
-    assert(single == 1, s"expected 1 bounded SinglePartition exchange, got $single:\n$plan")
+    assert(single == 0, s"expected 0 SinglePartition exchanges, got $single:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$plan")
   }
 
