@@ -45,6 +45,17 @@ object SparkEntry {
     else df
   }
 
+  /** EXACT row count of an UNFILTERED testdata table, from its parquet
+    * footers — zero Spark jobs, zero data pages (block row counts are
+    * parquet metadata; `spark.sql.parquet.aggregatePushDown` serves
+    * unfiltered COUNTs from the same place, but flipping that config
+    * moves every scan to DSv2 planning globally — this applies the idea
+    * ONLY where a production twin sizes an index off a whole-table
+    * count). Used by the autoNlist/autoBits bench twins: the count is
+    * re-read from the files on every call, never memoized. */
+  private def tableRows(s: SparkSession, dir: String, n: String): Long =
+    graft.util.ArtifactIO.footerRowCount(s, s"$dir/$n.parquet")
+
   private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
 
   /** Best-effort local cleanup of a temp artifact dir (q109/q111 write
@@ -2733,7 +2744,7 @@ object SparkEntry {
       "q137_hybrid_indexed" -> ((s, dir) => {
         val docs = T(s, dir, "documents")
         val e = T(s, dir, "embeddings")
-        val nlist = Similarity.autoNlist(e.count())
+        val nlist = Similarity.autoNlist(tableRows(s, dir, "embeddings"))
         val root = java.nio.file.Files
           .createTempDirectory("graft_q137_bench").toString
         CorpusStats.bm25BuildSaveIndex(s, docs, "doc_id", "text",
@@ -2816,7 +2827,8 @@ object SparkEntry {
       // recall of exactly this auto config.
       "q44_embed_neardup" -> ((s, dir) => {
         val e = T(s, dir, "embeddings")
-        val bits = Similarity.autoBits(e.count(), targetBucketRows = 64L)
+        val bits = Similarity.autoBits(tableRows(s, dir, "embeddings"),
+          targetBucketRows = 64L)
         val bands = Similarity.autoBands(bits)
         Similarity.embeddingNearDupsInt(e, "vec_id", "embedding", dim = 64,
             thresholdNum = 3, thresholdDen = 10, bits = bits,
@@ -2864,7 +2876,8 @@ object SparkEntry {
       // so probe work per query stays ~constant.
       "q62_ann_ivf" -> ((s, dir) => {
         val e = T(s, dir, "embeddings")
-        val nlist = Similarity.autoNlist(e.count(), targetListRows = 4096L)
+        val nlist = Similarity.autoNlist(tableRows(s, dir, "embeddings"),
+          targetListRows = 4096L)
         Similarity.ivfTopKInt(
             e, "vec_id", "embedding",
             e.filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -2885,7 +2898,8 @@ object SparkEntry {
       // timed with it.
       "q70_semdedup" -> ((s, dir) => {
         val e = T(s, dir, "embeddings")
-        val nlist = Similarity.autoNlist(e.count(), targetListRows = 4096L)
+        val nlist = Similarity.autoNlist(tableRows(s, dir, "embeddings"),
+          targetListRows = 4096L)
         val init = KMeansInt.kmeansPlusPlusInit(e, "vec_id", "embedding",
           nlist, scale = 1000)
         val (cents, _) = KMeansInt.converge(e, "vec_id", "embedding", init,
@@ -2911,7 +2925,8 @@ object SparkEntry {
       // the approximation either way).
       "q82_label_noise" -> ((s, dir) => {
         val e = T(s, dir, "embeddings")
-        val nlist = Similarity.autoNlist(e.count(), targetListRows = 1024L)
+        val nlist = Similarity.autoNlist(tableRows(s, dir, "embeddings"),
+          targetListRows = 1024L)
         // converged centroids for the same reason as the q70 twin: seed
         // skew squares into pair-work skew (build cost timed in)
         val init = KMeansInt.kmeansPlusPlusInit(e, "vec_id", "embedding",
@@ -2928,7 +2943,8 @@ object SparkEntry {
       // for recall-1 parity, like q65)
       "q85_incr_embed_dedup" -> ((s, dir) => {
         val e = T(s, dir, "embeddings")
-        val bits = Similarity.autoBits(e.count(), targetBucketRows = 64L)
+        val bits = Similarity.autoBits(tableRows(s, dir, "embeddings"),
+          targetBucketRows = 64L)
         val bands = Similarity.autoBands(bits)
         val index = Similarity.embedIndex(e.filter(col("vec_id") % 5 =!= 0),
           "vec_id", "embedding", dim = 64, bits = bits,

@@ -373,16 +373,14 @@ object Bpe {
   def loadMerges(spark: org.apache.spark.sql.SparkSession,
                  path: String): Seq[Merge] = {
     import spark.implicits._
-    val m = graft.util.ArtifactIO.readParquet(spark, path,
+    val m = graft.util.ArtifactIO.readLocal(spark, path,
         "rank" -> org.apache.spark.sql.types.IntegerType,
         "left" -> org.apache.spark.sql.types.StringType,
         "right" -> org.apache.spark.sql.types.StringType,
         "cnt" -> org.apache.spark.sql.types.LongType)
-      .select(col("rank").cast("int"), col("left"), col("right"),
-        col("cnt").cast("long"))
-      .as[(Int, String, String, Long)].collect()
-      .sortBy(_._1)
-      .map { case (r, l, rt, c) => Merge(r, l, rt, c) }.toSeq
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_.rank)
     require(m.iterator.zipWithIndex.forall { case (mm, i) => mm.rank == i },
       s"merge table at $path has non-contiguous ranks — corrupt artifact")
     val pairs = m.map(mm => (mm.left, mm.right))
@@ -425,10 +423,9 @@ object Bpe {
         if (!fs.exists(new org.apache.hadoop.fs.Path(path, "meta")))
           ModelWordMarked // pre-meta unified artifacts were marked-word
         else {
-          val kv = graft.util.ArtifactIO.readParquet(spark, s"$path/meta",
+          val kv = graft.util.ArtifactIO.readLocal(spark, s"$path/meta",
               "key" -> org.apache.spark.sql.types.StringType,
               "value" -> org.apache.spark.sql.types.StringType)
-            .select(col("key"), col("value")).collect()
             .map(r => r.getString(0) -> r.getString(1)).toMap
           kv.getOrElse("model", ModelWordMarked)
         }
@@ -477,11 +474,10 @@ object Bpe {
   def loadVocab(spark: org.apache.spark.sql.SparkSession,
                 path: String): Seq[(String, Int)] = {
     import spark.implicits._
-    val v = graft.util.ArtifactIO.readParquet(spark, path,
+    val v = graft.util.ArtifactIO.readLocal(spark, path,
         "token" -> org.apache.spark.sql.types.StringType,
         "id" -> org.apache.spark.sql.types.IntegerType)
-      .select(col("token"), col("id").cast("int"))
-      .as[(String, Int)].collect().sortBy(_._2).toSeq
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
     require(v.map(_._2).distinct.size == v.size,
       s"vocabulary at $path has duplicate ids — corrupt artifact")
     require(v.map(_._1).distinct.size == v.size,

@@ -473,6 +473,138 @@ case class TrigramScoreExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** Executor-ready uni+bigram count tables for [[TriCountsExpr]] — the
+  * HYBRID trigram-perplexity side tables (guide §2.4/§3.1: the four
+  * side joins of the distributed order-3 plan each re-shuffle the
+  * position-sized conditional stream by a different string key, while
+  * the tables they probe are Zipf-small; collecting THEM — and only
+  * them — replaces four corpus-sized exchanges with O(1) broadcast
+  * probes, keeping the genuinely position-sized trigram table
+  * distributed, which is exactly where tools/TriAB measured the
+  * all-local path losing). Nested map for bigrams — no separator
+  * string, so tokens containing any code point can never alias a
+  * different pair. */
+object TriSideTables {
+  final class Tables(val uni: java.util.HashMap[String, java.lang.Long],
+                     val big: java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]])
+    extends Serializable
+
+  def build(uni: Seq[(String, Long)],
+            big: Seq[((String, String), Long)]): Tables = {
+    val u = new java.util.HashMap[String, java.lang.Long](uni.size * 2)
+    uni.foreach { case (t, c) => u.put(t, java.lang.Long.valueOf(c)) }
+    val b = new java.util.HashMap[String, java.util.HashMap[String, java.lang.Long]]()
+    big.foreach { case ((p, c), v) =>
+      var m = b.get(p)
+      if (m == null) {
+        m = new java.util.HashMap[String, java.lang.Long]()
+        b.put(p, m)
+      }
+      m.put(c, java.lang.Long.valueOf(v))
+    }
+    new Tables(u, b)
+  }
+}
+
+/** Static kernel for [[TriCountsExpr]] — shared by interpreted eval and
+  * generated code. */
+object TriCountsKernel {
+
+  /** The four side counts of one (p2, p1, c) position: ctxcnt =
+    * big(p2, p1), bcnt = big(p1, c), pcnt = uni(p1), ccnt = uni(c).
+    * A miss throws — the self-scored contract ([[TrigramKernel.score]]'s
+    * rationale): the count frames and the conditional stream derive from
+    * the SAME corpus scan, so every probed key exists by construction
+    * and a miss is a wiring bug, never data. */
+  def counts(p2: org.apache.spark.unsafe.types.UTF8String,
+             p1: org.apache.spark.unsafe.types.UTF8String,
+             c: org.apache.spark.unsafe.types.UTF8String,
+             t: TriSideTables.Tables): InternalRow = {
+    val sp2 = p2.toString
+    val sp1 = p1.toString
+    val sc = c.toString
+    def bigOf(a: String, b: String): Long = {
+      val m = t.big.get(a)
+      val v = if (m == null) null else m.get(b)
+      if (v == null) throw new IllegalStateException(
+        s"bigram ('$a','$b') not in the collected side table — side " +
+          "tables and conditional stream derive from different corpora")
+      v.longValue
+    }
+    def uniOf(a: String): Long = {
+      val v = t.uni.get(a)
+      if (v == null) throw new IllegalStateException(
+        s"token '$a' not in the collected side table — side tables and " +
+          "conditional stream derive from different corpora")
+      v.longValue
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bigOf(sp2, sp1), bigOf(sp1, sc), uniOf(sp1), uniOf(sc)))
+  }
+}
+
+/** Native side-count probe for the HYBRID trigram-perplexity plan:
+  * (p2, p1, c) -> struct(ctxcnt, bcnt, pcnt, ccnt) through broadcast
+  * uni/bigram tables — four O(1) probes replacing the four side JOINS
+  * (each a position-sized exchange) of the distributed order-3 plan.
+  * The lp arithmetic is NOT in here: the caller feeds these counts to
+  * the SAME lpInterp3 Column expression the distributed branch uses, so
+  * the two plans cannot diverge on floating-point rounding. The tables
+  * ride a BROADCAST ([[TrigramScoreExpr]]'s rationale). */
+case class TriCountsExpr(p2: Expression, p1: Expression, c: Expression,
+                         tables: org.apache.spark.broadcast.Broadcast[TriSideTables.Tables])
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = p2
+  override def second: Expression = p1
+  override def third: Expression = c
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == DataTypes.StringType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tri_counts expects three STRING children, got " +
+        children.map(_.dataType.catalogString).mkString(", "))
+  override def dataType: DataType = StructType(Seq(
+    StructField("ctxcnt", DataTypes.LongType, nullable = false),
+    StructField("bcnt", DataTypes.LongType, nullable = false),
+    StructField("pcnt", DataTypes.LongType, nullable = false),
+    StructField("ccnt", DataTypes.LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "tri_counts"
+
+  override def eval(input: InternalRow): Any =
+    TriCountsKernel.counts(
+      p2.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p1.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      c.eval(input).asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      tables.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = p2.genCode(ctx)
+    val b = p1.genCode(ctx)
+    val d = c.genCode(ctx)
+    val ref = ctx.addReferenceObj("triSideBc", tables,
+      "org.apache.spark.broadcast.Broadcast")
+    ev.copy(
+      code = code"""
+        ${a.code}
+        ${b.code}
+        ${d.code}
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.functions.TriCountsKernel.counts(
+            ${a.isNull} ? null : ${a.value},
+            ${b.isNull} ? null : ${b.value},
+            ${d.isNull} ? null : ${d.value},
+            (graft.functions.TriSideTables.Tables) $ref.value());
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TriCountsExpr =
+    copy(p2 = newFirst, p1 = newSecond, c = newThird)
+}
+
 /** Static kernel for [[FrozenTrigramScoreExpr]] — shared by interpreted
   * eval and generated code. */
 object FrozenTrigramKernel {

@@ -339,17 +339,22 @@ object UnigramLm {
     * encode). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
     import spark.implicits._
-    val metaDf = spark.read.parquet(s"$path/unigram_meta")
-    // word_model postdates the r16 artifacts: absent means the
+    import org.apache.spark.sql.types.{IntegerType => ITyp, LongType => LTyp, StringType => STyp}
+    // layout detection from the parquet FOOTER (zero Spark jobs, r18):
+    // word_model postdates the r16 artifacts — absent means the
     // lowercasing word model (the only one that existed then)
-    val metaW =
-      if (metaDf.columns.contains("word_model")) metaDf
-      else metaDf.withColumn("word_model",
-        org.apache.spark.sql.functions.lit(Bpe.ModelWordMarked))
-    val meta = metaW
-      .select("max_piece_len", "max_word_len", "seed_size", "vocab_size",
-        "n_rounds", "model_tag", "word_model")
-      .as[(Int, Int, Int, Int, Int, String, String)].collect()
+    val metaPath = s"$path/unigram_meta"
+    val hasWordModel = graft.util.ArtifactIO.localColumns(spark, metaPath)
+      .contains("word_model")
+    val baseFields = Seq("max_piece_len" -> ITyp, "max_word_len" -> ITyp,
+      "seed_size" -> ITyp, "vocab_size" -> ITyp, "n_rounds" -> ITyp,
+      "model_tag" -> STyp)
+    val meta = graft.util.ArtifactIO.readLocal(spark, metaPath,
+        (if (hasWordModel) baseFields :+ ("word_model" -> STyp)
+         else baseFields): _*)
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5),
+        if (hasWordModel) r.getString(6) else Bpe.ModelWordMarked))
     require(meta.length == 1,
       s"unigram meta at $path/unigram_meta has ${meta.length} rows")
     val (p, lw, ss, vs, nRounds, tag, wordModel) = meta.head
@@ -357,14 +362,10 @@ object UnigramLm {
       s"unigram artifact at $path has model_tag '$tag', expected '$ArtifactTag'")
     require(wordModel == Bpe.ModelWordMarked || wordModel == Bpe.ModelFaithful,
       s"unigram artifact at $path carries unknown word model '$wordModel'")
-    val rows = graft.util.ArtifactIO.readParquet(spark,
-        s"$path/unigram_pieces",
-        "round" -> org.apache.spark.sql.types.IntegerType,
-        "piece" -> org.apache.spark.sql.types.StringType,
-        "freq" -> org.apache.spark.sql.types.LongType,
-        "logp_q" -> org.apache.spark.sql.types.LongType)
-      .select("round", "piece", "freq", "logp_q")
-      .as[(Int, String, Long, Long)].collect()
+    val rows = graft.util.ArtifactIO.readLocal(spark,
+        s"$path/unigram_pieces", "round" -> ITyp, "piece" -> STyp,
+        "freq" -> LTyp, "logp_q" -> LTyp)
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
     val byRound = rows.groupBy(_._1)
     require(byRound.keySet == (0 until nRounds).toSet,
       s"unigram artifact at $path has rounds ${byRound.keySet.toSeq.sorted}, " +

@@ -422,23 +422,11 @@ object CorpusStats {
 
   private val Bm25Tag = "bm25-v2"
 
-  // Explicit artifact schemas (r17): every artifact read below passes
-  // one, so no read pays a schema-inference job — the LifecycleProbe
-  // trace showed one "parquet at" job per read before this.
-  private val Bm25MetaSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("n_docs",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("sum_dl",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("model_tag",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("vocab",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("df_fp",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("batch_ids",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType))))
+  // Explicit artifact schemas (r17): the distributed df read passes one,
+  // so it pays no schema-inference job — the LifecycleProbe trace showed
+  // one "parquet at" job per read before this. The 1-row meta is read
+  // with graft.util.ArtifactIO.readLocal (r18): zero Spark jobs for
+  // driver-bound metadata.
   private val Bm25DfSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("tok",
       org.apache.spark.sql.types.StringType),
@@ -497,10 +485,11 @@ object CorpusStats {
     * anything malformed inside it is damage, not a crash artifact. */
   private def readMeta(spark: SparkSession,
                        vDir: org.apache.hadoop.fs.Path): Bm25Meta = {
-    val rows = spark.read.schema(Bm25MetaSchema).parquet(s"$vDir/bm25_meta")
-      .select(col("n_docs"), col("sum_dl"), col("model_tag"), col("vocab"),
-        col("df_fp"), col("batch_ids"))
-      .collect()
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    val rows = graft.util.ArtifactIO.readLocal(spark, s"$vDir/bm25_meta",
+      "n_docs" -> LongType, "sum_dl" -> LongType,
+      "model_tag" -> StringType, "vocab" -> LongType,
+      "df_fp" -> LongType, "batch_ids" -> ArrayType(LongType))
     require(rows.length == 1,
       s"BM25 meta at $vDir/bm25_meta has ${rows.length} rows, expected 1")
     val r = rows.head
@@ -776,9 +765,15 @@ object CorpusStats {
     if (!hasData(metaPath))
       return Bm25Index(0L, 0L,
         Seq.empty[(String, Long)].toDF("tok", "df"))
-    val metas = spark.read.parquet(metaPath.toString)
-      .select("n_docs", "sum_dl", "model_tag")
-      .as[(Long, Long, String)].collect()
+    val metas = {
+      import org.apache.spark.sql.types.{LongType, StringType}
+      // per-batch 1-row metas, driver-local (zero Spark jobs); the
+      // partition column (batch_id, a dir name) is not needed here
+      graft.util.ArtifactIO.readLocal(spark, metaPath.toString,
+          "n_docs" -> LongType, "sum_dl" -> LongType,
+          "model_tag" -> StringType)
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    }
     metas.foreach { case (_, _, tag) => require(tag == "bm25-v1",
       s"BM25 batch artifact at $path has model_tag '$tag'") }
     val dfPath = new org.apache.hadoop.fs.Path(s"$path/bm25_df_parts")

@@ -41,32 +41,12 @@ object DenseIndex {
 
   private val IvfTag = "ivf-dense-v1"
 
-  // Explicit artifact schemas: every spark.read below passes one, so no
-  // read pays a schema-inference job (the r17 LifecycleProbe trace showed
-  // one "parquet at" job per artifact read before this — a third of the
-  // lifecycle's job count was footer sniffing for schemas we define).
-  private val MetaSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("model_tag",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("scale",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("nlist",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("dim",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("n_vectors",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("vec_fp",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("batch_ids",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType))))
-  private val CentroidsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("cid",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("cv",
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.LongType))))
+  // Explicit artifact schemas: the distributed vector read passes one,
+  // so it pays no schema-inference job (the r17 LifecycleProbe trace
+  // showed one "parquet at" job per artifact read before this). The
+  // DRIVER-SIZED artifact tables (1-row meta, nlist-row centroids) are
+  // read with graft.util.ArtifactIO.readLocal — zero Spark jobs (r18:
+  // the remaining lifecycle jobs were exactly these collect round-trips).
   private val VectorsSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("neighbor_id",
       org.apache.spark.sql.types.LongType),
@@ -121,10 +101,12 @@ object DenseIndex {
 
   private def readMeta(spark: SparkSession,
                        vDir: org.apache.hadoop.fs.Path): IvfMeta = {
-    val rows = spark.read.schema(MetaSchema).parquet(s"$vDir/ivf_meta")
-      .select(col("model_tag"), col("scale"), col("nlist"), col("dim"),
-        col("n_vectors"), col("vec_fp"), col("batch_ids"))
-      .collect()
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType, StringType}
+    val rows = graft.util.ArtifactIO.readLocal(spark, s"$vDir/ivf_meta",
+      "model_tag" -> StringType, "scale" -> IntegerType,
+      "nlist" -> IntegerType, "dim" -> IntegerType,
+      "n_vectors" -> LongType, "vec_fp" -> LongType,
+      "batch_ids" -> ArrayType(LongType))
     require(rows.length == 1,
       s"IVF meta at $vDir/ivf_meta has ${rows.length} rows, expected 1")
     val r = rows.head
@@ -168,11 +150,13 @@ object DenseIndex {
     * and loading it costs exactly one meta read total. */
   private def loadFrom(spark: SparkSession, vDir: org.apache.hadoop.fs.Path,
                        meta: IvfMeta, validate: Boolean): IvfIndex = {
-    val cents = spark.read.schema(CentroidsSchema)
-      .parquet(s"$vDir/ivf_centroids")
-      .select(col("cid").cast("long"), col("cv"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1).toSeq
+    val cents = {
+      import org.apache.spark.sql.types.{ArrayType, LongType}
+      graft.util.ArtifactIO.readLocal(spark, s"$vDir/ivf_centroids",
+          "cid" -> LongType, "cv" -> ArrayType(LongType))
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+        .sortBy(_._1)
+    }
     require(cents.size == meta.nlist,
       s"IVF artifact at $vDir has ${cents.size} centroids, meta says " +
         s"${meta.nlist}")

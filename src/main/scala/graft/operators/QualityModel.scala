@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
-import graft.util.ArtifactIO.readParquet
 import org.apache.spark.sql.types.{IntegerType => ITyp, LongType => LTyp, StringType => STyp}
 
 /** Model-based quality scoring — the two standard "learned filter" shapes
@@ -609,20 +608,19 @@ object QualityModel {
     * misclassification mid-stream. */
   def loadLangId(spark: SparkSession, path: String): LangIdModel = {
     import spark.implicits._
-    val meta = readParquet(spark, s"$path/langid_meta",
+    val meta = graft.util.ArtifactIO.readLocal(spark, s"$path/langid_meta",
         "bits" -> ITyp, "seed" -> STyp, "char_n" -> ITyp,
         "n_langs" -> ITyp, "model_tag" -> STyp)
-      .select("bits", "seed", "char_n", "n_langs", "model_tag")
-      .as[(Int, String, Int, Int, String)].collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
     require(meta.length == 1,
       s"lang-ID meta at $path/langid_meta has ${meta.length} rows")
     val (bits, seed, charN, nLangs, tag) = meta.head
     require(tag == "langid-v1",
       s"lang-ID artifact at $path has model_tag '$tag', expected 'langid-v1'")
-    val rows = readParquet(spark, s"$path/langid_weights",
+    val rows = graft.util.ArtifactIO.readLocal(spark, s"$path/langid_weights",
         "lang_idx" -> ITyp, "lang" -> STyp, "b" -> ITyp, "w" -> ITyp)
-      .select("lang_idx", "lang", "b", "w")
-      .as[(Int, String, Int, Int)].collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getInt(3)))
     val byLang = rows.groupBy(r => (r._1, r._2)).toSeq.sortBy(_._1._1)
     require(byLang.size == nLangs,
       s"lang-ID artifact at $path has ${byLang.size} languages, meta says $nLangs")
@@ -949,16 +947,15 @@ object QualityModel {
     * loudly (a corrupt LM must fail the job, not mis-score a corpus). */
   def loadUnigramLm(spark: SparkSession, path: String): UnigramLm = {
     import spark.implicits._
-    val meta = readParquet(spark, s"$path/lm_meta",
+    val meta = graft.util.ArtifactIO.readLocal(spark, s"$path/lm_meta",
         "n_total" -> LTyp, "vocab" -> LTyp, "miss_lp" -> LTyp,
         "unit" -> STyp)
-      .select("n_total", "vocab", "miss_lp", "unit")
-      .as[(Long, Long, Long, String)].collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     require(meta.length == 1, s"LM meta at $path/lm_meta has ${meta.length} rows")
     val (nTotal, vocab, missLp, unit) = meta.head
-    val lp = readParquet(spark, s"$path/lm",
-        "tok" -> STyp, "lp" -> LTyp).select("tok", "lp")
-      .as[(String, Long)].collect().toSeq
+    val lp = graft.util.ArtifactIO.readLocal(spark, s"$path/lm",
+        "tok" -> STyp, "lp" -> LTyp)
+      .map(r => (r.getString(0), r.getLong(1)))
     require(lp.size == vocab,
       s"LM table at $path/lm has ${lp.size} rows, meta says $vocab")
     require(lp.iterator.map(_._1).toSet.size == lp.size,
@@ -1100,27 +1097,25 @@ object QualityModel {
     * (the [[loadUnigramLm]] policy). */
   def loadBigramLm(spark: SparkSession, path: String): BigramLm = {
     import spark.implicits._
-    val meta = readParquet(spark, s"$path/lm_meta",
+    val meta = graft.util.ArtifactIO.readLocal(spark, s"$path/lm_meta",
         "n_total" -> LTyp, "vocab" -> LTyp, "unit" -> STyp,
         "lm_order" -> ITyp)
-      .select("n_total", "vocab", "unit", "lm_order")
-      .as[(Long, Long, String, Int)].collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
     require(meta.length == 1, s"LM meta at $path/lm_meta has ${meta.length} rows")
     val (nTotal, vocab, unit, order) = meta.head
     require(order == 2, s"LM at $path has lm_order=$order, expected 2")
-    val uniCnt = readParquet(spark, s"$path/lm_uni",
-        "tok" -> STyp, "cnt" -> LTyp).select("tok", "cnt")
-      .as[(String, Long)].collect().toSeq
+    val uniCnt = graft.util.ArtifactIO.readLocal(spark, s"$path/lm_uni",
+        "tok" -> STyp, "cnt" -> LTyp)
+      .map(r => (r.getString(0), r.getLong(1)))
     require(uniCnt.size == vocab,
       s"LM table at $path/lm_uni has ${uniCnt.size} rows, meta says $vocab")
     require(uniCnt.iterator.map(_._1).toSet.size == uniCnt.size,
       s"LM table at $path/lm_uni has duplicate tokens")
     require(uniCnt.iterator.map(_._2).sum == nTotal,
       s"LM table at $path/lm_uni sums != meta n_total $nTotal")
-    val bigCnt = readParquet(spark, s"$path/lm_big",
-        "p" -> STyp, "c" -> STyp, "cnt" -> LTyp).select("p", "c", "cnt")
-      .as[(String, String, Long)].collect()
-      .map { case (p, c, v) => ((p, c), v) }.toSeq
+    val bigCnt = graft.util.ArtifactIO.readLocal(spark, s"$path/lm_big",
+        "p" -> STyp, "c" -> STyp, "cnt" -> LTyp)
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
     require(bigCnt.iterator.map(_._1).toSet.size == bigCnt.size,
       s"LM table at $path/lm_big has duplicate pairs")
     BigramLm(uniCnt, bigCnt, nTotal, vocab, unit)
@@ -1211,34 +1206,31 @@ object QualityModel {
     * (the [[loadUnigramLm]] policy). */
   def loadTrigramLm(spark: SparkSession, path: String): TrigramLm = {
     import spark.implicits._
-    val meta = readParquet(spark, s"$path/lm_meta",
+    val meta = graft.util.ArtifactIO.readLocal(spark, s"$path/lm_meta",
         "n_total" -> LTyp, "vocab" -> LTyp, "unit" -> STyp,
         "lm_order" -> ITyp)
-      .select("n_total", "vocab", "unit", "lm_order")
-      .as[(Long, Long, String, Int)].collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
     require(meta.length == 1, s"LM meta at $path/lm_meta has ${meta.length} rows")
     val (nTotal, vocab, unit, order) = meta.head
     require(order == 3, s"LM at $path has lm_order=$order, expected 3")
-    val uniCnt = readParquet(spark, s"$path/lm_uni",
-        "tok" -> STyp, "cnt" -> LTyp).select("tok", "cnt")
-      .as[(String, Long)].collect().toSeq
+    val uniCnt = graft.util.ArtifactIO.readLocal(spark, s"$path/lm_uni",
+        "tok" -> STyp, "cnt" -> LTyp)
+      .map(r => (r.getString(0), r.getLong(1)))
     require(uniCnt.size == vocab,
       s"LM table at $path/lm_uni has ${uniCnt.size} rows, meta says $vocab")
     require(uniCnt.iterator.map(_._1).toSet.size == uniCnt.size,
       s"LM table at $path/lm_uni has duplicate tokens")
     require(uniCnt.iterator.map(_._2).sum == nTotal,
       s"LM table at $path/lm_uni sums != meta n_total $nTotal")
-    val bigCnt = readParquet(spark, s"$path/lm_big",
-        "p" -> STyp, "c" -> STyp, "cnt" -> LTyp).select("p", "c", "cnt")
-      .as[(String, String, Long)].collect()
-      .map { case (p, c, v) => ((p, c), v) }.toSeq
+    val bigCnt = graft.util.ArtifactIO.readLocal(spark, s"$path/lm_big",
+        "p" -> STyp, "c" -> STyp, "cnt" -> LTyp)
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
     require(bigCnt.iterator.map(_._1).toSet.size == bigCnt.size,
       s"LM table at $path/lm_big has duplicate pairs")
-    val triCnt = readParquet(spark, s"$path/lm_tri",
+    val triCnt = graft.util.ArtifactIO.readLocal(spark, s"$path/lm_tri",
         "p2" -> STyp, "p1" -> STyp, "c" -> STyp, "cnt" -> LTyp)
-      .select("p2", "p1", "c", "cnt")
-      .as[(String, String, String, Long)].collect()
-      .map { case (p2, p1, c, v) => ((p2, p1, c), v) }.toSeq
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3)))
     require(triCnt.iterator.map(_._1).toSet.size == triCnt.size,
       s"LM table at $path/lm_tri has duplicate triples")
     TrigramLm(uniCnt, bigCnt, triCnt, nTotal, vocab, unit)
@@ -1249,9 +1241,13 @@ object QualityModel {
     * layout. The streaming gate points `lmPath` here so one config key
     * accepts any persisted order. */
   def loadLm(spark: SparkSession, path: String): FrozenLm = {
-    val meta = spark.read.parquet(s"$path/lm_meta")
-    if (!meta.columns.contains("lm_order")) loadUnigramLm(spark, path)
-    else meta.select("lm_order").collect() match {
+    // layout detection from the parquet FOOTER (zero Spark jobs): the
+    // column SET is the information — no schema-inference job, no
+    // 1-row collect job (r18)
+    val cols = graft.util.ArtifactIO.localColumns(spark, s"$path/lm_meta")
+    if (!cols.contains("lm_order")) loadUnigramLm(spark, path)
+    else graft.util.ArtifactIO.readLocal(spark, s"$path/lm_meta",
+        "lm_order" -> ITyp) match {
       case rows if rows.length == 1 && rows(0).getInt(0) == 3 =>
         loadTrigramLm(spark, path)
       case rows if rows.length == 1 && rows(0).getInt(0) == 2 =>
@@ -1647,10 +1643,24 @@ object QualityModel {
     * [[graft.functions.TrigramScoreExpr]] kernel anyway (lp values
     * computed BY Catalyst on the collected frame, spec-pinned
     * result-identical) for callers that must avoid exchanges
-    * entirely. */
+    * entirely.
+    *
+    * HYBRID default (r18, guide §2.4/§3.1): what DOES compress
+    * Zipf-style at order 3 is the uni and bigram SIDE tables — and the
+    * distributed plan's four side joins each re-shuffle the
+    * position-sized conditional stream by a different string key just
+    * to probe them. When both side tables fit `maxLocalSideTables`
+    * (the bigramCrossEntropy local-path cap, r14-measured 500k winning
+    * regime), they are collected and the four joins become broadcast
+    * O(1) probes ([[graft.functions.TriCountsExpr]]) feeding the SAME
+    * lpInterp3 expression — bit-identical counts, bit-identical lp.
+    * ONLY the genuinely position-sized trigram join stays distributed
+    * (the part tools/TriAB measured as having no local regime). Past
+    * the cap the 5-join plan runs unchanged — degrade, don't die. */
   def trigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                           tokensOf: Column => Column = TextFns.tokens,
-                          maxLocalTrigrams: Int = 0): DataFrame = {
+                          maxLocalTrigrams: Int = 0,
+                          maxLocalSideTables: Int = 500000): DataFrame = {
     val base = df.select(col(idCol), tokensOf(col(textCol)).as("__toks"))
     val uni = base.select(explode(col("__toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -1704,6 +1714,33 @@ object QualityModel {
               .as("xent"),
             round(exp(col("lp_sum").cast("double") / (col("n_terms") * 1e6)), 4)
               .as("ppl"))
+      }
+    }
+    if (maxLocalSideTables > 0) {
+      val bRows = big.limit(maxLocalSideTables + 1).collect()
+      if (bRows.length <= maxLocalSideTables) {
+        val uRows = uni.limit(maxLocalSideTables + 1).collect()
+        if (uRows.length <= maxLocalSideTables) {
+          val uniSeq = uRows.iterator
+            .map(r => (r.getString(0), r.getLong(1))).toSeq
+          val bigSeq = bRows.iterator
+            .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+          val nTotal = uniSeq.iterator.map(_._2).sum
+          val vocabN = uniSeq.size.toLong
+          val bc = df.sparkSession.sparkContext.broadcast(
+            graft.functions.TriSideTables.build(uniSeq, bigSeq))
+          def e(c: Column) =
+            org.apache.spark.sql.graft.ExprBridge.expression(c)
+          val scored = tripsDf.join(tri, Seq("__p2", "__p1", "__c"))
+            .withColumn("__side", org.apache.spark.sql.graft.ExprBridge.column(
+              graft.functions.TriCountsExpr(
+                e(col("__p2")), e(col("__p1")), e(col("__c")), bc)))
+            .select(col(idCol),
+              lpInterp3(col("tcnt"), col("__side.ctxcnt"),
+                col("__side.bcnt"), col("__side.pcnt"), col("__side.ccnt"),
+                lit(nTotal), lit(vocabN)).as("lp_i"))
+          return finish(scored)
+        }
       }
     }
     val totals = uni.agg(

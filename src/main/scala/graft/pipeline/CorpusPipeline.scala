@@ -237,7 +237,9 @@ object CorpusPipeline {
 
     def write(df: DataFrame, name: String): Long = {
       df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
-      spark.read.parquet(s"$outDir/$name").count()
+      // run-summary count measured from what LANDED on disk, but from
+      // the parquet footers (block metadata) — no re-scan job per stage
+      graft.util.ArtifactIO.footerRowCount(spark, s"$outDir/$name")
     }
     def read(name: String): DataFrame = spark.read.parquet(s"$outDir/$name")
 
@@ -616,7 +618,7 @@ object CorpusPipeline {
       val in = read("s7_mixture")
       Sharding.writeShards(spark, in, "doc_id", cfg.shardSize,
         s"$outDir/s9_shards")
-      spark.read.parquet(s"$outDir/s9_shards").count()
+      graft.util.ArtifactIO.footerRowCount(spark, s"$outDir/s9_shards")
     }
 
     results.result()

@@ -126,6 +126,30 @@ object StreamingIngest {
     * (a deployment predating it) gets the sidecar derived from the full
     * index and written ONCE — O(corpus) on that batch only; every later
     * batch appends its own partition incrementally. */
+  /** The persisted index's schema, derived from the SAME builder that
+    * writes it, on an empty slice — plan-only, zero Spark jobs. Every
+    * micro-batch read below passes it explicitly, so the loop never pays
+    * a per-batch schema-inference job on files this engine wrote (the
+    * ArtifactIO discipline applied to the streaming sidecars; batch_id
+    * is the partition column, typed so its filter prunes partitions). */
+  private def indexSchema(batch: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int, shingleN: Int)
+      : org.apache.spark.sql.types.StructType =
+    graft.operators.Dedup
+      .nearDupIndex(batch.limit(0), idCol, textCol, numHashes, shingleN)
+      .schema.add("batch_id", org.apache.spark.sql.types.LongType)
+
+  private def bucketsSchema(batch: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int, bands: Int, shingleN: Int)
+      : org.apache.spark.sql.types.StructType = {
+    import graft.operators.Dedup
+    Dedup.bandBuckets(
+        Dedup.nearDupIndex(batch.limit(0), idCol, textCol, numHashes,
+          shingleN),
+        idCol, bands, numHashes)
+      .schema.add("batch_id", org.apache.spark.sql.types.LongType)
+  }
+
   private def replaySafeBuckets(spark: SparkSession, batch: DataFrame,
                                 idCol: String, textCol: String,
                                 indexPath: String, numHashes: Int,
@@ -136,7 +160,9 @@ object StreamingIngest {
     val hIndex = new org.apache.hadoop.fs.Path(indexPath)
     val fs = hBuckets.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!hasParquetData(fs, hBuckets) && hasParquetData(fs, hIndex)) {
-      val idx = spark.read.parquet(indexPath)
+      val idx = spark.read
+        .schema(indexSchema(batch, idCol, textCol, numHashes, shingleN))
+        .parquet(indexPath)
       Dedup.bandBuckets(idx, idCol, bands, numHashes)
         .join(idx.select(col(idCol), col("batch_id")), Seq(idCol))
         .write.mode("overwrite")
@@ -144,7 +170,10 @@ object StreamingIngest {
         .partitionBy("batch_id").parquet(bPath)
     }
     if (hasParquetData(fs, hBuckets))
-      spark.read.parquet(bPath)
+      spark.read
+        .schema(bucketsSchema(batch, idCol, textCol, numHashes, bands,
+          shingleN))
+        .parquet(bPath)
         .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_anti")
     else
       Dedup.bandBuckets(
@@ -162,7 +191,9 @@ object StreamingIngest {
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (hasParquetData(fs, hPath))
       // the batch id set is micro-batch-sized, broadcast probe
-      spark.read.parquet(indexPath).drop("batch_id")
+      spark.read
+        .schema(indexSchema(batch, idCol, textCol, numHashes, shingleN))
+        .parquet(indexPath).drop("batch_id")
         .join(broadcast(batch.select(col(idCol))), Seq(idCol), "left_anti")
     else Dedup.nearDupIndex(batch.limit(0), idCol, textCol, numHashes, shingleN)
   }
@@ -314,7 +345,9 @@ object StreamingIngest {
       val iBuckets = replaySafeBuckets(spark, passed, idCol, textCol,
         indexPath, numHashes, bands, shingleN)
       val fetchSets = (parts: Seq[Any]) =>
-        spark.read.parquet(indexPath)
+        spark.read
+          .schema(indexSchema(passed, idCol, textCol, numHashes, shingleN))
+          .parquet(indexPath)
           .filter(col("batch_id").isin(parts: _*))
           .join(broadcast(passed.select(col(idCol))), Seq(idCol), "left_anti")
       val pairs = Dedup.incrementalNearDupsIndexed(passed, iBuckets,
