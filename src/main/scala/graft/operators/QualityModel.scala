@@ -1645,22 +1645,28 @@ object QualityModel {
     * result-identical) for callers that must avoid exchanges
     * entirely.
     *
-    * HYBRID default (r18, guide §2.4/§3.1): what DOES compress
-    * Zipf-style at order 3 is the uni and bigram SIDE tables — and the
-    * distributed plan's four side joins each re-shuffle the
-    * position-sized conditional stream by a different string key just
-    * to probe them. When both side tables fit `maxLocalSideTables`
-    * (the bigramCrossEntropy local-path cap, r14-measured 500k winning
-    * regime), they are collected and the four joins become broadcast
-    * O(1) probes ([[graft.functions.TriCountsExpr]]) feeding the SAME
-    * lpInterp3 expression — bit-identical counts, bit-identical lp.
-    * ONLY the genuinely position-sized trigram join stays distributed
-    * (the part tools/TriAB measured as having no local regime). Past
-    * the cap the 5-join plan runs unchanged — degrade, don't die. */
+    * HYBRID opt-in (r18, guide §2.4/§3.1): a positive
+    * `maxLocalSideTables` collects the Zipf-small uni/bigram SIDE
+    * tables (when both fit the cap) and turns the four side joins into
+    * broadcast O(1) probes ([[graft.functions.TriCountsExpr]]) feeding
+    * the SAME lpInterp3 expression — bit-identical counts, bit-identical
+    * lp; only the genuinely position-sized trigram join stays
+    * distributed. MEASURED (tools/TriAB18, interleaved one-JVM A/B at
+    * sf0.1: hybrid min 2.34 s vs distributed 1.71) the hybrid LOSES in
+    * this bench regime and is NOT the default: AQE already promotes the
+    * small side joins to broadcast hash joins locally (ReuseExchange
+    * dedupes the two uni and two big subtrees), so the hybrid's two
+    * eager collect barriers buy nothing here. What the hybrid removes
+    * that AQE cannot is the four SHUFFLE WRITES of the position stream
+    * (AQE's runtime broadcast conversion happens after the big side's
+    * shuffle stage is materialized) — on a cluster where shuffle writes
+    * are network+disk rather than page cache, that is the dominant
+    * cost, so deployments opt in with a positive cap. Past the cap the
+    * 5-join plan runs unchanged — degrade, don't die. */
   def trigramCrossEntropy(df: DataFrame, idCol: String, textCol: String,
                           tokensOf: Column => Column = TextFns.tokens,
                           maxLocalTrigrams: Int = 0,
-                          maxLocalSideTables: Int = 500000): DataFrame = {
+                          maxLocalSideTables: Int = 0): DataFrame = {
     val base = df.select(col(idCol), tokensOf(col(textCol)).as("__toks"))
     val uni = base.select(explode(col("__toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))

@@ -820,17 +820,17 @@ class QualityModelSpec extends SparkSpec {
     val rnd = new scala.util.Random(17)
     val corpus = docs((1 to 300).map(i => (i.toLong,
       Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(60)}").mkString(" "))): _*)
-    // the DEFAULT is the HYBRID plan (broadcast uni/bigram side tables,
-    // distributed trigram join — r18); the fully distributed 5-join
-    // plan (maxLocalSideTables = 0) and the opt-in all-local kernel
-    // must BOTH stay result-identical to it
+    // the DEFAULT is the distributed 5-join plan (measured best in this
+    // regime — tools/TriAB18); the opt-in HYBRID (broadcast side
+    // tables, r18) and the opt-in all-local kernel must BOTH stay
+    // result-identical to it
     val local = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
         maxLocalTrigrams = 4000000) // opt IN to the collected kernel
       .orderBy("doc_id").collect().toSeq
-    val hybrid = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
+    val hybrid = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
+        maxLocalSideTables = 500000) // opt IN to the hybrid plan
       .orderBy("doc_id").collect().toSeq
-    val dist = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
-        maxLocalSideTables = 0) // force the 5-join distributed plan
+    val dist = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
     assert(local == dist,
       "local trigram-LM path diverged from the distributed plan")
@@ -843,24 +843,25 @@ class QualityModelSpec extends SparkSpec {
       s"local trigram-LM scoring pass should be zero-shuffle:\n$plan")
   }
 
-  test("trigramCrossEntropy hybrid: ONE join in the plan (the trigram " +
-      "one), side probes broadcast; falls back to 5 joins past the cap") {
+  test("trigramCrossEntropy hybrid (opt-in): ONE join in the plan (the " +
+      "trigram one), side probes broadcast; falls back to 5 joins past " +
+      "the cap") {
     val rnd = new scala.util.Random(23)
     val corpus = docs((1 to 120).map(i => (i.toLong,
       Seq.fill(3 + rnd.nextInt(20))(s"w${rnd.nextInt(40)}").mkString(" "))): _*)
     def joins(df: org.apache.spark.sql.DataFrame): Int =
       "(?i)sortmergejoin|broadcasthashjoin|shuffledhashjoin".r
         .findAllIn(df.queryExecution.executedPlan.toString).length
-    val hybrid = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
+    val hybrid = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
+      maxLocalSideTables = 500000)
     assert(joins(hybrid) == 1,
       s"hybrid plan should contain exactly the trigram join:\n" +
         hybrid.queryExecution.executedPlan)
     assert(hybrid.queryExecution.executedPlan.toString.contains("tri_counts"),
       "hybrid plan should probe the broadcast side tables natively")
-    val dist = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
-      maxLocalSideTables = 0)
+    val dist = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text")
     assert(joins(dist) >= 5,
-      s"forced-distributed plan should keep the five side joins")
+      s"default (distributed) plan should keep the five side joins")
     // a cap of 1 can hold neither table: the fallback must be the
     // distributed plan, not a throw (degrade, don't die)
     val tiny = QualityModel.trigramCrossEntropy(corpus, "doc_id", "text",
